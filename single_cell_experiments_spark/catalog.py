@@ -1,0 +1,81 @@
+"""Table catalog: loaders for the driver's parquet tables.
+
+The reference's ingest is ``AnnDataRdd.from_zarr`` — enumerate Zarr chunks,
+read each chunk in an executor (SURVEY.md §3.1 EP1 [M]).  Parquet row-groups
+give the same storage-parallel scan property natively through
+``spark.read.parquet``; predicate pushdown and column pruning then come free
+from Catalyst, which the reference had no equivalent of (SURVEY.md §4.1).
+
+Special case: ``events.ts`` is parquet TIMESTAMP(NANOS); with
+``spark.sql.legacy.parquet.nanosAsLong=true`` (set by ``session.tune``) it
+arrives as int64 nanoseconds.  ``load_table("events")`` exposes it as:
+
+- ``ts``     : int64 epoch nanoseconds (raw)
+- ``ts_us``  : int64 epoch microseconds (== DuckDB ``epoch_us(ts)``)
+- ``ts_s``   : int64 epoch seconds (truncated; == DuckDB ``epoch_us(ts)//1_000_000``)
+- ``ts_ntz`` : TIMESTAMP_NTZ at microsecond precision, for Spark temporal
+  operators (``window``/``session_window``/``date_trunc``).
+
+All integer — no session-timezone or float ambiguity against the oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import tune
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _events_time_columns(df: DataFrame) -> DataFrame:
+    ts = F.col("ts")
+    if dict(df.dtypes)["ts"] in ("bigint", "long"):
+        # int64 nanoseconds (nanosAsLong path). Integer division keeps the
+        # conversion exact and engine-agnostic (DuckDB: epoch_us // 1e6).
+        return (
+            df.withColumn("ts_us", F.expr("ts div 1000"))
+            .withColumn("ts_s", F.expr("ts div 1000000000"))
+            .withColumn("ts_ntz", F.to_timestamp_ntz(F.timestamp_micros(F.expr("ts div 1000"))))
+        )
+    # Fallback: session already reads nanos as timestamp (future Spark).
+    return (
+        df.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+        .withColumn("ts_s", F.expr("unix_micros(cast(ts as timestamp)) div 1000000"))
+        .withColumn("ts_ntz", F.col("ts").cast("timestamp_ntz"))
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table; apply engine confs + the events time shim."""
+    tune(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = _events_time_columns(df)
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> dict[str, DataFrame]:
+    """Register all tables as temp views (for ``spark.sql`` operators)."""
+    out = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(f"{name}{suffix}")
+        out[name] = df
+    return out

@@ -1,0 +1,596 @@
+"""Relational core: scan/project/filter, joins (equi/semi/anti/outer/theta),
+aggregation (plain, filtered, rollup/cube/grouping-sets), windows, top-k,
+set ops, pivot, scalar subquery.
+
+The reference implements none of this (SURVEY.md §2.B: its only dataflow is
+chunk maps + driver-side reduces); this module is the engine surface the
+north star requires.  Every query is pure DataFrame/SQL — Catalyst supplies
+pushdown, pruning, partial aggregation and join-strategy selection
+(SURVEY.md §4.1), so each plan survives a 100× scale-up: joins against
+dimension tables are explicitly broadcast, fact-fact joins shuffle on their
+keys, and every ORDER/LIMIT/window carries a unique tie-break so results are
+deterministic under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.compat import (
+    big,
+    day_str,
+    dd_money_avg,
+    dd_money_sum,
+    money,
+    money_avg,
+    money_sum,
+)
+from ..registry import query
+
+# --- scan + filter + aggregate (flagship relational shape) -----------------
+
+_Q1_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       {dd_money_sum('l_quantity', 'sum_qty')},
+       {dd_money_sum('l_extendedprice', 'sum_base')},
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc,
+       {dd_money_avg('l_quantity', 'avg_qty')},
+       COUNT(*) AS cnt
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("q1_pricing_summary", oracle=_Q1_ORACLE, tags=("relational", "agg", "headline"))
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: scan -> pushed filter -> hash agg.
+
+    Scale notes: filter + column pruning reach the parquet scan; the
+    group-by has 6 groups so partial aggregation collapses nearly all rows
+    map-side before the exchange.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_factor = F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money_sum("l_quantity", "sum_qty"),
+            money_sum("l_extendedprice", "sum_base"),
+            F.sum(money("l_extendedprice") * disc_factor).cast("double").alias("sum_disc"),
+            money_avg("l_quantity", "avg_qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q3_ORACLE = """
+SELECT o.o_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS rev,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d')
+ORDER BY rev DESC, o.o_orderkey
+LIMIT 10
+"""
+
+
+@query("q3_join_topk", oracle=_Q3_ORACLE, tags=("relational", "join", "headline"))
+def q3_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg + global top-k (TPC-H Q3 shape).
+
+    Scale notes: the filtered customer dimension is broadcast (no shuffle of
+    the fact tables on c_custkey); orders⨝lineitem shuffles on the join key
+    once and the aggregation reuses that partitioning.  Top-k is a
+    TakeOrdered, not a global sort.
+    """
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    disc_factor = F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", day_str("o_orderdate", "o_orderdate"))
+        .agg(F.sum(money("l_extendedprice") * disc_factor).cast("double").alias("rev"))
+        .select("o_orderkey", "rev", "o_orderdate")
+        .orderBy(F.desc("rev"), "o_orderkey")
+        .limit(10)
+    )
+
+
+# --- projection / CASE / IN / BETWEEN --------------------------------------
+
+_PROJ_ORACLE = """
+SELECT p_partkey,
+       CASE WHEN p_size < 10 THEN 'S' WHEN p_size < 30 THEN 'M' ELSE 'L' END AS size_bucket,
+       p_size IN (1, 5, 10, 23) AS is_sampled_size,
+       p_retailprice BETWEEN 1000 AND 1500 AS is_mid_price,
+       upper(substr(p_name, 1, 8)) AS name_prefix
+FROM part
+WHERE p_size BETWEEN 1 AND 45 AND p_partkey % 3 = 0
+"""
+
+
+@query("proj_filter_case", oracle=_PROJ_ORACLE, tags=("relational", "projection"))
+def proj_filter_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection with CASE WHEN / IN / BETWEEN and a pushed-down filter."""
+    p = load_table(spark, sf_dir, "part")
+    return p.where(
+        F.col("p_size").between(1, 45) & (F.col("p_partkey") % 3 == 0)
+    ).select(
+        "p_partkey",
+        F.when(F.col("p_size") < 10, "S").when(F.col("p_size") < 30, "M").otherwise("L").alias("size_bucket"),
+        F.col("p_size").isin(1, 5, 10, 23).alias("is_sampled_size"),
+        F.col("p_retailprice").between(1000, 1500).alias("is_mid_price"),
+        F.upper(F.substring("p_name", 1, 8)).alias("name_prefix"),
+    )
+
+
+# --- semi / anti / outer joins ---------------------------------------------
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+"""
+
+
+@query("join_semi_big_spenders", oracle=_SEMI_ORACLE, tags=("relational", "join"))
+def join_semi_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS rewrite as LEFT SEMI join (no row duplication, early out)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+"""
+
+
+@query("join_anti_no_orders", oracle=_ANTI_ORACLE, tags=("relational", "join"))
+def join_anti_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS rewrite as LEFT ANTI join (against the filtered order set,
+    so the result is non-empty at every sf)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 150000).select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_mktsegment")
+
+
+_LEFT_ORACLE = f"""
+SELECT c.c_custkey,
+       COUNT(o.o_orderkey) AS n_orders,
+       COALESCE(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS spent
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey
+"""
+
+
+@query("join_left_order_counts", oracle=_LEFT_ORACLE, tags=("relational", "join"))
+def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving customers with zero orders."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(money("o_totalprice")).cast("double"), F.lit(0.0)).alias("spent"),
+        )
+    )
+
+
+_THETA_ORACLE = """
+SELECT p1.p_brand AS brand,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(CAST(abs(p1.p_retailprice - p2.p_retailprice) AS DECIMAL(18,2))) AS DOUBLE) AS price_gap_total
+FROM part p1 JOIN part p2
+  ON p1.p_brand = p2.p_brand
+ AND p1.p_partkey < p2.p_partkey
+ AND abs(p1.p_size - p2.p_size) <= 1
+GROUP BY p1.p_brand
+"""
+
+
+@query("join_theta_part_pairs", oracle=_THETA_ORACLE, tags=("relational", "join"))
+def join_theta_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: equi key (brand) + inequality residuals.
+
+    Scale notes: the equi component keeps this a hash join; the
+    inequalities are post-join residual filters, so the pair explosion is
+    bounded per brand rather than a cartesian product.
+    """
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size", "p_retailprice")
+    p1 = p.alias("p1")
+    p2 = p.alias("p2")
+    gap = F.abs(F.col("p1.p_retailprice") - F.col("p2.p_retailprice"))
+    return (
+        p1.join(
+            p2,
+            (F.col("p1.p_brand") == F.col("p2.p_brand"))
+            & (F.col("p1.p_partkey") < F.col("p2.p_partkey"))
+            & (F.abs(F.col("p1.p_size") - F.col("p2.p_size")) <= 1),
+        )
+        .groupBy(F.col("p1.p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(gap.cast("decimal(18,2)")).cast("double").alias("price_gap_total"),
+        )
+    )
+
+
+# --- grouped aggregation variants ------------------------------------------
+
+_ROLLUP_ORACLE = f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       {dd_money_sum('o_totalprice', 'total')}
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+@query("agg_rollup_orders", oracle=_ROLLUP_ORACLE, tags=("relational", "agg"))
+def agg_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (status -> status×priority -> grand total)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), money_sum("o_totalprice", "total")
+    )
+
+
+_CUBE_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n,
+       {dd_money_sum('l_quantity', 'qty')}
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
+@query("agg_cube_lineitem", oracle=_CUBE_ORACLE, tags=("relational", "agg"))
+def agg_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dims."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), money_sum("l_quantity", "qty")
+    )
+
+
+_GSETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@query("agg_grouping_sets", oracle=_GSETS_ORACLE, tags=("relational", "agg"))
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (disjoint slices, not the full cube)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sce_orders_gsets")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM sce_orders_gsets
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+_FILTERED_ORACLE = f"""
+SELECT n.n_name,
+       COUNT(*) AS n_cust,
+       CAST(COUNT(*) FILTER (WHERE c.c_acctbal < 0) AS BIGINT) AS n_negative,
+       {dd_money_avg('c.c_acctbal', 'avg_bal')},
+       MAX(c.c_acctbal) AS max_bal,
+       MIN(c.c_acctbal) AS min_bal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+@query("agg_filtered_per_nation", oracle=_FILTERED_ORACLE, tags=("relational", "agg", "join"))
+def agg_filtered_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered aggregates + min/max, dimension join broadcast."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.count_if(F.col("c_acctbal") < 0).alias("n_negative"),
+            money_avg("c_acctbal", "avg_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+            F.min("c_acctbal").alias("min_bal"),
+        )
+    )
+
+
+# --- windows ----------------------------------------------------------------
+
+_WINDOW_RANK_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn, rk, drk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER w AS rn,
+         rank()       OVER w AS rk,
+         dense_rank() OVER w AS drk
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+) t
+"""
+
+
+@query("window_rank", oracle=_WINDOW_RANK_ORACLE, tags=("relational", "window", "headline"))
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number/rank/dense_rank per customer (unique tie-break key).
+
+    Scale notes: single hash-partition exchange on o_custkey; all three
+    rank functions share one Window frame so one sort serves all.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        big(F.row_number().over(w), "rn"),
+        big(F.rank().over(w), "rk"),
+        big(F.dense_rank().over(w), "drk"),
+    )
+
+
+_WINDOW_RUNNING_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_day,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+       lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+       lead(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price,
+       CAST(date_diff('day',
+            lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+            o_orderdate) AS BIGINT) AS gap_days
+FROM orders
+"""
+
+
+@query("window_running", oracle=_WINDOW_RUNNING_ORACLE, tags=("relational", "window"))
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum (ROWS frame) + lag/lead + day gaps per customer."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wsum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        day_str("o_orderdate", "o_day"),
+        F.sum(money("o_totalprice")).over(wsum).cast("double").alias("running_spend"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).cast("bigint").alias("gap_days"),
+    )
+
+
+_TOPK_ORACLE = """
+SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rn FROM (
+  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+         row_number() OVER (PARTITION BY l_suppkey
+                            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+  FROM lineitem
+) t WHERE rn <= 3
+"""
+
+
+@query("topk_per_group", oracle=_TOPK_ORACLE, tags=("relational", "window"))
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 line items per supplier.
+
+    Scale notes: rank<=k is planned via WindowGroupLimit (Spark >=3.5):
+    each map task keeps only k rows per group before the exchange, so the
+    shuffle carries O(groups×k), not the full table.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_suppkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    return (
+        li.select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            big(F.row_number().over(w), "rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+# --- sort / limit -----------------------------------------------------------
+
+_TOPN_ORACLE = """
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
+@query("topn_orders_global", oracle=_TOPN_ORACLE, tags=("relational", "sort"))
+def topn_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N: planned as TakeOrderedAndProject, not a full sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+# --- set operations ----------------------------------------------------------
+
+_SETOPS_ORACLE = """
+(SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+ UNION
+ SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 200000)
+EXCEPT
+(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+ INTERSECT
+ SELECT o_custkey AS c_custkey FROM orders)
+"""
+
+
+@query("set_ops_customers", oracle=_SETOPS_ORACLE, tags=("relational", "setops"))
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT composition (distinct semantics)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    rich = c.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    big_orders = o.where(F.col("o_totalprice") > 200000).select(F.col("o_custkey").alias("c_custkey"))
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    with_orders = o.select(F.col("o_custkey").alias("c_custkey"))
+    return rich.union(big_orders).distinct().subtract(building.intersect(with_orders))
+
+
+# --- distinct / count(distinct) ----------------------------------------------
+
+_DISTINCT_DAILY_ORACLE = f"""
+SELECT strftime(ts, '%Y-%m-%d') AS d, event_type,
+       COUNT(DISTINCT user_id) AS u,
+       {dd_money_sum('value', 'v')}
+FROM events
+GROUP BY strftime(ts, '%Y-%m-%d'), event_type
+"""
+
+
+@query("distinct_users_daily", oracle=_DISTINCT_DAILY_ORACLE, tags=("relational", "agg", "headline"))
+def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per day × event type.
+
+    Scale notes: Spark expands distinct aggregation into a two-phase plan
+    (partial distinct on (d, type, user) then final count); for 100 TB use
+    ``approx_distinct_parts``-style HLL when exactness isn't required.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(day_str("ts_ntz", "d"), "event_type")
+        .agg(F.count_distinct("user_id").alias("u"), money_sum("value", "v"))
+    )
+
+
+@query("approx_distinct_parts", oracle=None, tags=("relational", "agg", "approx"))
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) — the 100 TB substitute for exact
+    distinct counts.  No SQL oracle (HLL estimates are engine-specific);
+    driver records a rows-only check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+    )
+
+
+# --- pivot -------------------------------------------------------------------
+
+_PIVOT_ORACLE = """
+SELECT c.c_mktsegment,
+       CAST(SUM(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+       CAST(SUM(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@query("pivot_status_by_segment", oracle=_PIVOT_ORACLE, tags=("relational", "pivot"))
+def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order status over market segment (explicit value list keeps the
+    plan a single pass; unlisted-value pivots need an extra distinct scan)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
+    piv = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+    )
+    return piv.select(
+        "c_mktsegment",
+        F.coalesce(F.col("O"), F.lit(0)).cast("bigint").alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).cast("bigint").alias("n_filled"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("bigint").alias("n_partial"),
+    )
+
+
+# --- scalar subquery ----------------------------------------------------------
+
+_SCALAR_SUB_ORACLE = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > 1.5 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                                   / COUNT(*) FROM orders)
+"""
+
+
+@query("scalar_subquery_above_avg", oracle=_SCALAR_SUB_ORACLE, tags=("relational", "subquery"))
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above 2× the global average price.
+
+    The scalar aggregate is computed as a 1-row DataFrame and broadcast-
+    cross-joined — fully declarative, no ``collect`` round-trip, so the
+    same plan works when orders is 100 TB.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    avg_df = o.agg(
+        (F.sum(money("o_totalprice")).cast("double") / F.count(F.lit(1))).alias("avg_price")
+    )
+    return (
+        o.crossJoin(F.broadcast(avg_df))
+        .where(F.col("o_totalprice") > 1.5 * F.col("avg_price"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# --- null-safe equality --------------------------------------------------------
+
+_NULLSAFE_ORACLE = """
+SELECT nullif(o_orderstatus, 'F') AS status_k,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN nullif(o_orderstatus, 'F') IS NOT DISTINCT FROM NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_null
+FROM orders
+GROUP BY nullif(o_orderstatus, 'F')
+"""
+
+
+@query("nullsafe_grouping", oracle=_NULLSAFE_ORACLE, tags=("relational", "nulls"))
+def nullsafe_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-producing key + null-safe equality (<=>) semantics."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.expr("nullif(o_orderstatus, 'F')")
+    return (
+        o.select(k.alias("status_k"))
+        .groupBy("status_k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("status_k").eqNullSafe(F.lit(None)), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_nullsafe_null"),
+        )
+    )

@@ -1,0 +1,90 @@
+"""SparkSession construction and runtime tuning.
+
+The reference builds a bare SparkContext and hand-manages RDD partitioning
+(SURVEY.md §3.1 [M]: ``anndata_spark.py`` ``from_zarr`` parallelizes chunk
+indices).  Here the session is configured so Catalyst/AQE do that work:
+
+- AQE on (runtime re-plan: partition coalescing, skew-join splitting,
+  broadcast conversion) — at 100 TB this is what adapts shuffle partition
+  counts to real data sizes instead of a static guess.
+- ``spark.sql.shuffle.partitions`` defaults to ~cores locally; on a real
+  cluster AQE's coalescing makes the initial number a ceiling, so a large
+  value (e.g. 2000) is safe there.
+- Session time zone pinned to UTC so timestamp semantics match the DuckDB
+  correctness oracle (naive timestamps).
+- Arrow enabled: every Python-boundary crossing (``toPandas``,
+  ``pandas_udf``, ``mapInPandas``) is batched/columnar.
+- ``nanosAsLong``: the driver's ``events.parquet`` stores
+  TIMESTAMP(NANOS) which Spark's parquet reader rejects by default; we read
+  the column as raw int64 nanoseconds and convert explicitly (see
+  ``catalog.load_table``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ENGINE_NAME = "sce-spark"
+
+#: Confs that are runtime-settable — applied both when we build our own
+#: session and when the driver harness hands us a foreign one.
+RUNTIME_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Top-k-per-group (rank<=k) benefits from WindowGroupLimit pushdown;
+    # on by default in Spark >=3.5, pinned here for clarity.
+    "spark.sql.optimizer.windowGroupLimitThreshold": "1000",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply engine confs to an existing session (idempotent, cheap).
+
+    The driver contract passes us its own SparkSession, whose build-time
+    configuration we cannot control; every conf the engine relies on for
+    correctness must therefore be runtime-settable, and is re-applied at
+    table-load time.
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Static conf on a locked session — engine paths that need it
+            # (only the events ns shim) degrade via catalog fallbacks.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = ENGINE_NAME,
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+) -> SparkSession:
+    """Build the engine's own session (tests / bench).
+
+    ``local[N]`` with N from ``$SPARK_GRAFT_CPUS`` (default 32). On a real
+    cluster the same confs apply; only master/memory sizing changes.
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        # files.maxPartitionBytes default 128m is right for the 100 TB
+        # posture; local small files coalesce via AQE anyway.
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return tune(spark)
