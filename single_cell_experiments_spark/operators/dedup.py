@@ -1,1 +1,278 @@
-"""Placeholder — queries land in a later milestone."""
+"""Deduplication operators over ``documents`` (north-star block; absent in
+the reference — SURVEY.md §2.B "Dedup").
+
+Four tiers, each a ``queries()`` entry with a full DuckDB oracle:
+
+- exact           : hash-groupBy on the raw text
+- MinHash + LSH   : char-5-gram shingles → H permuted min-hashes → banded
+                    bucket join → exact-Jaccard verification of candidates
+- SimHash         : sign-aggregated shingle-hash bits → blocked hamming join
+- n-gram Jaccard  : word-trigram Jaccard within a (lang) block
+
+Cross-engine determinism: every hash is a *polynomial codepoint hash*
+computed with plain integer SQL arithmetic (Spark ``ascii``/DuckDB
+``unicode`` both return the full codepoint — verified), so Spark and DuckDB
+agree bit-for-bit.  At 100 TB you'd swap the shingle hash for the built-in
+``xxhash64`` (JVM-side, faster, no oracle twin) — a one-line change noted
+per query.
+
+Scale shape (MinHash): shingling is a row-local explode; signatures are one
+groupBy(doc) with H min-aggregates (partial agg collapses map-side);
+banding re-keys O(docs×bands) tiny rows; the bucket self-join only explodes
+within a bucket (that *is* LSH); verification joins only candidate pairs.
+No step is quadratic in the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+# --- shared constants (both dialects generated from these) -------------------
+
+SHINGLE_K = 5
+MERSENNE31 = 2147483647
+#: (a, b) pairs for the H=12 minhash permutations h_i(x) = (a*x + b) mod p.
+MINHASH_COEF = [
+    (131, 911), (211, 337), (307, 751), (401, 173),
+    (503, 619), (607, 283), (701, 547), (809, 431),
+    (907, 97), (127, 683), (223, 859), (317, 241),
+]
+BANDS, ROWS_PER_BAND = 3, 4
+MINHASH_JACCARD_MIN = 0.15
+SIMHASH_BITS = 16
+SIMHASH_MAX_HAMMING = 3
+TRIGRAM_JACCARD_MIN = 0.15
+
+_POW31 = [31 ** (SHINGLE_K - 1 - i) for i in range(SHINGLE_K)]
+
+
+def _shingle_hash_sql(char_fn: str, text: str = "text", p: str = "p") -> str:
+    """Polynomial hash of the 5 chars at position p (1-based), as SQL.
+
+    Codepoints are cast to BIGINT before the multiply: CJK codepoints
+    (~2e4) times 31^4 overflow INT32, which Spark's ANSI mode rejects.
+    """
+    terms = [
+        f"CAST({char_fn}(substr({text}, {p}+{i}, 1)) AS BIGINT)*{w}"
+        if w > 1
+        else f"CAST({char_fn}(substr({text}, {p}+{i}, 1)) AS BIGINT)"
+        for i, w in enumerate(_POW31)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_SPARK_SHINGLES = f"""
+SELECT doc_id, {_shingle_hash_sql('ascii')} AS h
+FROM __docs LATERAL VIEW explode(sequence(1, length(text) - {SHINGLE_K - 1})) AS p
+WHERE length(text) >= {SHINGLE_K}
+"""
+
+_DD_SHINGLES = f"""
+SELECT doc_id, {_shingle_hash_sql('unicode')} AS h
+FROM (SELECT doc_id, text, unnest(range(1, length(text) - {SHINGLE_K - 2})) AS p
+      FROM documents WHERE length(text) >= {SHINGLE_K})
+"""
+
+_MH_AGGS = ",\n       ".join(
+    f"MIN(({a}*h + {b}) % {MERSENNE31}) AS mh{i}" for i, (a, b) in enumerate(MINHASH_COEF)
+)
+_BAND_SIGS = [
+    "concat_ws(',', " + ", ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)) + ")"
+    for b in range(BANDS)
+]
+
+
+def _minhash_sql(shingles_cte: str) -> str:
+    """Dialect-shared core of the MinHash-LSH query (post-shingling)."""
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {sig} AS sig FROM sigs" for b, sig in enumerate(_BAND_SIGS)
+    )
+    return f"""
+WITH shingles_raw AS ({shingles_cte}),
+shingles AS (SELECT DISTINCT doc_id, h FROM shingles_raw),
+sigs AS (SELECT doc_id, {_MH_AGGS} FROM shingles GROUP BY doc_id),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
+  FROM bands b1 JOIN bands b2
+    ON b1.band = b2.band AND b1.sig = b2.sig AND b1.doc_id < b2.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc1, c.doc2, COUNT(*) AS i
+  FROM cand c
+  JOIN shingles s1 ON s1.doc_id = c.doc1
+  JOIN shingles s2 ON s2.doc_id = c.doc2 AND s2.h = s1.h
+  GROUP BY c.doc1, c.doc2
+)
+SELECT i.doc1, i.doc2,
+       round(CAST(i.i AS DOUBLE) / (z1.n + z2.n - i.i), 6) AS jaccard
+FROM inter i
+JOIN sizes z1 ON z1.doc_id = i.doc1
+JOIN sizes z2 ON z2.doc_id = i.doc2
+WHERE CAST(i.i AS DOUBLE) / (z1.n + z2.n - i.i) >= {MINHASH_JACCARD_MIN}
+"""
+
+
+# --- exact dedup ---------------------------------------------------------------
+
+_EXACT_ORACLE = """
+SELECT min(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies,
+       COUNT(*) > 1 AS is_duplicated,
+       CAST(length(text) AS BIGINT) AS text_len
+FROM documents
+GROUP BY text
+"""
+
+
+@query("dedup_exact", oracle=_EXACT_ORACLE, tags=("dedup",))
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, keep lowest doc_id.
+
+    Scale: at 100 TB group on ``xxhash64(text)`` instead of the raw text to
+    shrink shuffle width (collision-check within group if paranoid).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        (F.count(F.lit(1)) > 1).alias("is_duplicated"),
+        F.length("text").cast("bigint").alias("text_len"),
+    ).drop("text")
+
+
+# --- MinHash + LSH ---------------------------------------------------------------
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_sql(_DD_SHINGLES), tags=("dedup", "lsh", "headline"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: char-5-gram shingles → 12 minhashes → 3×4 banded
+    LSH buckets → candidate pairs → exact Jaccard ≥ 0.15.
+
+    See module docstring for the scale argument; the banded self-join is
+    the only pair-producing step and it is bucket-local.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__docs")
+    return spark.sql(_minhash_sql(_SPARK_SHINGLES))
+
+
+# --- SimHash ----------------------------------------------------------------------
+
+def _simhash_sql(shingles_cte: str, xor_expr: str, intdiv: str) -> str:
+    """``intdiv``: 'div' (Spark) or '//' (DuckDB)."""
+    bit_sums = ",\n       ".join(
+        f"CAST(SUM((h {intdiv} {1 << j}) % 2) AS BIGINT) AS c{j}" for j in range(SIMHASH_BITS)
+    )
+    value = " + ".join(
+        f"(CASE WHEN 2*c{j} > n THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH shingles_raw AS ({shingles_cte}),
+shingles AS (SELECT DISTINCT doc_id, h FROM shingles_raw),
+bitsums AS (
+  SELECT doc_id, COUNT(*) AS n, {bit_sums}
+  FROM shingles GROUP BY doc_id
+),
+sh AS (SELECT doc_id, CAST({value} AS BIGINT) AS simhash FROM bitsums)
+SELECT a.doc_id AS doc1, b.doc_id AS doc2, a.simhash AS simhash1, b.simhash AS simhash2,
+       CAST(bit_count({xor_expr}) AS BIGINT) AS hamming
+FROM sh a JOIN sh b
+  ON (a.simhash {intdiv} 256) = (b.simhash {intdiv} 256) AND a.doc_id < b.doc_id
+WHERE bit_count({xor_expr}) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+@query(
+    "dedup_simhash",
+    oracle=_simhash_sql(_DD_SHINGLES, "xor(a.simhash, b.simhash)", "//"),
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 16-bit sign-aggregated shingle-hash fingerprint,
+    pairs blocked on the high byte with hamming distance ≤ 3.
+
+    The high-byte block bound makes the pair join linear-ish in practice
+    (same trick as LSH banding); at 100 TB widen to 64-bit xxhash simhash
+    and 4-segment blocking.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__docs")
+    return spark.sql(_simhash_sql(_SPARK_SHINGLES, "a.simhash ^ b.simhash", "div"))
+
+
+# --- word-trigram Jaccard -----------------------------------------------------------
+
+_TRIGRAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
+),
+tris AS (
+  SELECT DISTINCT doc_id, lang, unnest(
+    list_transform(range(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tri
+  FROM toks WHERE len(w) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM tris GROUP BY doc_id),
+inter AS (
+  SELECT t1.doc_id AS doc1, t2.doc_id AS doc2, COUNT(*) AS i
+  FROM tris t1 JOIN tris t2
+    ON t1.tri = t2.tri AND t1.lang = t2.lang AND t1.doc_id < t2.doc_id
+  GROUP BY t1.doc_id, t2.doc_id
+)
+SELECT i.doc1, i.doc2, round(CAST(i.i AS DOUBLE) / (z1.n + z2.n - i.i), 6) AS jaccard
+FROM inter i JOIN sizes z1 ON z1.doc_id = i.doc1 JOIN sizes z2 ON z2.doc_id = i.doc2
+WHERE CAST(i.i AS DOUBLE) / (z1.n + z2.n - i.i) >= {TRIGRAM_JACCARD_MIN}
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_TRIGRAM_ORACLE, tags=("dedup", "ngram"))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram Jaccard near-dup, blocked by language.
+
+    The trigram equi-join is the blocking step (only docs sharing a trigram
+    meet); Jaccard is verified exactly from distinct-trigram sets.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("w"),
+    ).where(F.size("w") >= 3)
+    tris = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 2),"
+                " i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)))"
+            )
+        ).alias("tri"),
+    ).distinct()
+    sizes = tris.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    t1 = tris.alias("t1")
+    t2 = tris.alias("t2")
+    inter = (
+        t1.join(
+            t2,
+            (F.col("t1.tri") == F.col("t2.tri"))
+            & (F.col("t1.lang") == F.col("t2.lang"))
+            & (F.col("t1.doc_id") < F.col("t2.doc_id")),
+        )
+        .groupBy(F.col("t1.doc_id").alias("doc1"), F.col("t2.doc_id").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    z1 = sizes.alias("z1")
+    z2 = sizes.alias("z2")
+    jac = F.col("i").cast("double") / (F.col("z1.n") + F.col("z2.n") - F.col("i"))
+    return (
+        inter.join(z1, F.col("doc1") == F.col("z1.doc_id"))
+        .join(z2, F.col("doc2") == F.col("z2.doc_id"))
+        .where(jac >= TRIGRAM_JACCARD_MIN)
+        .select("doc1", "doc2", F.round(jac, 6).alias("jaccard"))
+    )

@@ -1,1 +1,405 @@
-"""Placeholder — queries land in a later milestone."""
+"""Single-cell preprocessing kernels (SURVEY.md §2.A, A4–A11).
+
+The reference (``scanpy_spark.py`` [M]) reimplements Scanpy's preprocessing
+as chunk-wise NumPy maps plus driver-side tree-aggregates over an RDD of
+row-chunks (``anndata_spark.py`` [M]).  This engine expresses the same
+kernels relationally over the ``embeddings`` table standing in for the
+AnnData ``X`` matrix (FIXTURES.md §1: vec_id ≈ cell, array position ≈ gene,
+``label`` ≈ obs annotation):
+
+- *wide form*  : one ``array<float>`` per cell; row-local kernels are
+  higher-order functions (``transform``/``aggregate``/``filter``) — the
+  Spark analogue of the reference's per-chunk NumPy vectorization.
+- *long (COO) form* : ``(vec_id, pos, v)`` via ``posexplode`` — gene-axis
+  (per-column) statistics become plain ``groupBy(pos)`` aggregations with
+  native partial+final aggregation, replacing the reference's
+  map → treeAggregate-to-driver → broadcast → map shape (SURVEY.md §3.1 EP2)
+  with a real distributed exchange; the tiny per-gene stats table is then
+  **broadcast-joined** back, which is exactly the reference's
+  ``sc.broadcast`` of per-gene vectors done by the planner.
+
+Scale: the COO exchange keys on ``pos`` (gene) — at 30k genes × any number
+of cells this is a bounded-cardinality shuffle; stats tables are O(genes)
+and always broadcast.  Nothing is collected to the driver.
+
+Semantics deviations from Scanpy (documented, data-driven): the synthetic
+embeddings are zero-centered floats, not counts, so (a) "expressed" means
+``|v| > 0.1`` rather than ``v != 0``; (b) the counts proxy for
+normalize/log1p/recipe is ``|v|``; (c) HVG dispersion is the variance
+(var/mean is unstable around a zero mean).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.compat import big, stat6
+from ..registry import query
+
+#: "expressed" threshold for continuous (non-count) matrix values.
+EXPR_THRESHOLD = 0.1
+#: scanpy pp.normalize_per_cell counts_per_cell_after default.
+NORMALIZE_TARGET = 1e4
+#: scanpy pp.scale max_value clip used by recipe_zheng17.
+SCALE_CLIP = 10.0
+
+# DuckDB COO fragment (1-based pos to match Spark's posexplode+1).
+_DD_COO = """
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+"""
+
+
+def coo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long/COO view of the matrix: (vec_id, pos, v double), pos 1-based."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "v32")
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), F.col("v32").cast("double").alias("v"))
+
+
+# --- A4: log1p ---------------------------------------------------------------
+
+_LOG1P_ORACLE = f"""
+WITH coo AS ({_DD_COO})
+SELECT vec_id, pos, round(ln(1 + v), 6) AS lv
+FROM coo
+"""
+
+
+@query("sc_log1p", oracle=_LOG1P_ORACLE, tags=("singlecell", "elementwise"))
+def sc_log1p(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — elementwise ``X <- log(1+X)`` (Scanpy ``pp.log1p``;
+    ref ``scanpy_spark.py`` [M]).  Wide-form higher-order ``transform``
+    (the chunk-map analogue), emitted in COO form for the oracle.
+
+    ``ln(1+x)`` is used on both engines (DuckDB 1.0 has no ``log1p``);
+    inputs here are O(0.1) so the expression is well-conditioned.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    wide = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.round(F.log(F.lit(1.0) + x.cast("double")), 6)).alias("lvs"),
+    )
+    return wide.select("vec_id", F.posexplode("lvs").alias("pos0", "lv")).select(
+        "vec_id", (F.col("pos0") + 1).alias("pos"), "lv"
+    )
+
+
+# --- A5: normalize_per_cell ---------------------------------------------------
+
+_NORMALIZE_ORACLE = f"""
+WITH cells AS (
+  SELECT vec_id,
+         list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'sum') AS s,
+         embedding
+  FROM embeddings
+), coo AS (
+  SELECT vec_id, s, generate_subscripts(embedding, 1) AS pos,
+         abs(CAST(unnest(embedding) AS DOUBLE)) AS c
+  FROM cells
+)
+SELECT vec_id, pos, round(c * 10000.0 / s, 6) AS nv
+FROM coo
+"""
+
+
+@query("sc_normalize_per_cell", oracle=_NORMALIZE_ORACLE, tags=("singlecell", "row-local"))
+def sc_normalize_per_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — per-cell total-count normalization to 10⁴ (Scanpy
+    ``pp.normalize_per_cell``, ``counts_per_cell_after=1e4``; ref
+    ``scanpy_spark.py`` [M]).  Entirely row-local (one array fold + one
+    map): no shuffle at any scale.  Counts proxy is ``|v|``.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    absd = lambda x: F.abs(x.cast("double"))  # noqa: E731
+    withsum = e.select(
+        "vec_id",
+        "embedding",
+        F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + absd(x)).alias("s"),
+    )
+    return withsum.select(
+        "vec_id", "s", F.posexplode("embedding").alias("pos0", "v32")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.abs(F.col("v32").cast("double")) * NORMALIZE_TARGET / F.col("s"), 6).alias("nv"),
+    )
+
+
+# --- A6: filter_cells ----------------------------------------------------------
+
+_FILTER_CELLS_ORACLE = f"""
+SELECT vec_id,
+       CAST(len(list_filter(embedding, x -> abs(CAST(x AS DOUBLE)) > {EXPR_THRESHOLD})) AS BIGINT) AS n_genes
+FROM embeddings
+WHERE len(list_filter(embedding, x -> abs(CAST(x AS DOUBLE)) > {EXPR_THRESHOLD})) >= 25
+"""
+
+
+@query("sc_filter_cells", oracle=_FILTER_CELLS_ORACLE, tags=("singlecell", "filter"))
+def sc_filter_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — ``filter_cells(min_genes=25)`` + the ``obs['n_genes']``
+    annotation (Scanpy ``pp.filter_cells``; ref ``scanpy_spark.py`` [M]).
+    Row-local predicate → pushable filter, no shuffle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n_genes = F.size(F.filter("embedding", lambda x: F.abs(x.cast("double")) > EXPR_THRESHOLD))
+    return (
+        e.select("vec_id", big(n_genes, "n_genes"))
+        .where(F.col("n_genes") >= 25)
+    )
+
+
+# --- A7: filter_genes -----------------------------------------------------------
+
+_FILTER_GENES_ORACLE = f"""
+WITH coo AS ({_DD_COO})
+SELECT pos,
+       CAST(COUNT(*) FILTER (WHERE abs(v) > {EXPR_THRESHOLD}) AS BIGINT) AS n_cells_expressed
+FROM coo
+GROUP BY pos
+HAVING COUNT(*) FILTER (WHERE abs(v) > {EXPR_THRESHOLD}) * 20 >= (SELECT COUNT(*) FROM embeddings)
+"""
+
+
+@query("sc_filter_genes", oracle=_FILTER_GENES_ORACLE, tags=("singlecell", "filter"))
+def sc_filter_genes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — ``filter_genes(min_cells = 5% of cells)`` + ``var['n_cells']``
+    (Scanpy ``pp.filter_genes``; ref ``scanpy_spark.py`` [M]).
+
+    This is the kernel that motivates the COO form (SURVEY.md §2.A A7):
+    column subsetting is a relational filter.  groupBy(pos) uses native
+    partial+final aggregation — the reference's treeAggregate-to-driver,
+    minus the driver.  The relative threshold keeps the query meaningful
+    at every scale factor.
+    """
+    c = coo(spark, sf_dir)
+    total = load_table(spark, sf_dir, "embeddings").agg(F.count(F.lit(1)).alias("n_cells_total"))
+    return (
+        c.groupBy("pos")
+        .agg(F.count_if(F.abs(F.col("v")) > EXPR_THRESHOLD).alias("n_cells_expressed"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("n_cells_expressed") * 20 >= F.col("n_cells_total"))
+        .select("pos", "n_cells_expressed")
+    )
+
+
+# --- A8: scale -------------------------------------------------------------------
+
+_DD_STAT6 = "CAST(round(v, 6) AS DECIMAL(18,6))"
+
+_SCALE_ORACLE = f"""
+WITH coo AS ({_DD_COO}),
+stats AS (
+  SELECT pos,
+         CAST(SUM({_DD_STAT6}) AS DOUBLE) / COUNT(*) AS mu,
+         CAST(SUM({_DD_STAT6} * {_DD_STAT6}) AS DOUBLE) / COUNT(*) AS msq
+  FROM coo GROUP BY pos
+)
+SELECT c.vec_id, c.pos,
+       round(greatest(least((c.v - s.mu) / sqrt(s.msq - s.mu * s.mu), {SCALE_CLIP}), -{SCALE_CLIP}), 6) AS z
+FROM coo c JOIN stats s USING (pos)
+"""
+
+
+@query("sc_scale", oracle=_SCALE_ORACLE, tags=("singlecell", "scale"))
+def sc_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — per-gene standardization with clipping (Scanpy ``pp.scale``,
+    ``zero_center=True, max_value=10``; ref ``scanpy_spark.py`` [M]).
+
+    Shape: groupBy(pos) stats (population moments via the order-insensitive
+    decimal path, see functions/compat.py) → **broadcast** join (stats are
+    O(genes)) → elementwise projection.  Identical to the reference's
+    partial-stats + broadcast + second map, planned natively.
+    """
+    c = coo(spark, sf_dir)
+    stats = c.groupBy("pos").agg(
+        (F.sum(stat6("v")).cast("double") / F.count(F.lit(1))).alias("mu"),
+        (F.sum(stat6("v") * stat6("v")).cast("double") / F.count(F.lit(1))).alias("msq"),
+    )
+    z = (F.col("v") - F.col("mu")) / F.sqrt(F.col("msq") - F.col("mu") * F.col("mu"))
+    return (
+        c.join(F.broadcast(stats), "pos")
+        .select(
+            "vec_id",
+            "pos",
+            F.round(F.greatest(F.least(z, F.lit(SCALE_CLIP)), F.lit(-SCALE_CLIP)), 6).alias("z"),
+        )
+    )
+
+
+# --- A9: highly-variable genes ------------------------------------------------------
+
+_HVG_ORACLE = f"""
+WITH coo AS ({_DD_COO}),
+gene_stats AS (
+  SELECT pos,
+         round(CAST(SUM({_DD_STAT6}) AS DOUBLE) / COUNT(*), 6) AS mu,
+         round(CAST(SUM({_DD_STAT6} * {_DD_STAT6}) AS DOUBLE) / COUNT(*)
+               - pow(CAST(SUM({_DD_STAT6}) AS DOUBLE) / COUNT(*), 2), 6) AS disp
+  FROM coo GROUP BY pos
+),
+binned AS (
+  SELECT pos, mu, disp, ntile(8) OVER (ORDER BY mu, pos) AS bin
+  FROM gene_stats
+),
+bin_stats AS (
+  SELECT bin,
+         CAST(SUM(CAST(round(disp, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS bmu,
+         CAST(SUM(CAST(round(disp, 6) AS DECIMAL(18,6)) * CAST(round(disp, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS bmsq
+  FROM binned GROUP BY bin
+),
+scored AS (
+  SELECT b.pos, b.mu, b.disp, b.bin,
+         round((b.disp - s.bmu) / sqrt(s.bmsq - s.bmu * s.bmu), 6) AS norm_disp
+  FROM binned b JOIN bin_stats s USING (bin)
+)
+SELECT pos, mu, disp, CAST(bin AS BIGINT) AS bin, norm_disp,
+       CAST(row_number() OVER (ORDER BY norm_disp DESC, pos) AS BIGINT) AS rk
+FROM scored
+QUALIFY rk <= 16
+"""
+
+
+@query("sc_hvg", oracle=_HVG_ORACLE, tags=("singlecell", "hvg"))
+def sc_hvg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — highly-variable-gene selection, Zheng17 flavor (Scanpy
+    ``pp.filter_genes_dispersion(n_top_genes=16)``; ref ``scanpy_spark.py``
+    [M]): per-gene mean & dispersion → bin genes by mean (8 bins) →
+    z-score dispersion within bin → top-16 by normalized dispersion.
+
+    Dispersion is the population variance (see module docstring).  All the
+    windowing happens on the O(genes) stats table, so at scale this is a
+    single shuffle of the COO rows plus trivial driver-side-sized windows.
+    """
+    c = coo(spark, sf_dir)
+    gene_stats = c.groupBy("pos").agg(
+        F.round(F.sum(stat6("v")).cast("double") / F.count(F.lit(1)), 6).alias("mu"),
+        F.round(
+            F.sum(stat6("v") * stat6("v")).cast("double") / F.count(F.lit(1))
+            - F.pow(F.sum(stat6("v")).cast("double") / F.count(F.lit(1)), 2),
+            6,
+        ).alias("disp"),
+    )
+    binned = gene_stats.withColumn("bin", F.ntile(8).over(W.orderBy("mu", "pos")))
+    disp6 = F.round(F.col("disp"), 6).cast("decimal(18,6)")
+    bin_stats = binned.groupBy("bin").agg(
+        (F.sum(disp6).cast("double") / F.count(F.lit(1))).alias("bmu"),
+        (F.sum(disp6 * disp6).cast("double") / F.count(F.lit(1))).alias("bmsq"),
+    )
+    scored = binned.join(F.broadcast(bin_stats), "bin").select(
+        "pos",
+        "mu",
+        "disp",
+        F.col("bin").cast("bigint").alias("bin"),
+        F.round(
+            (F.col("disp") - F.col("bmu")) / F.sqrt(F.col("bmsq") - F.col("bmu") * F.col("bmu")), 6
+        ).alias("norm_disp"),
+    )
+    return (
+        scored.withColumn("rk", big(F.row_number().over(W.orderBy(F.desc("norm_disp"), F.asc("pos")))))
+        .where(F.col("rk") <= 16)
+    )
+
+
+# --- A11: recipe_zheng17 (flagship composition) -----------------------------------------
+
+_RECIPE_ORACLE = f"""
+WITH coo AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         abs(CAST(unnest(embedding) AS DOUBLE)) AS c
+  FROM embeddings
+),
+n_total AS (SELECT COUNT(DISTINCT vec_id) AS n FROM coo),
+kept_genes AS (
+  SELECT pos FROM coo
+  GROUP BY pos
+  HAVING COUNT(*) FILTER (WHERE c > {EXPR_THRESHOLD}) * 50 >= (SELECT n FROM n_total)
+),
+gene_filtered AS (
+  SELECT coo.* FROM coo JOIN kept_genes USING (pos)
+),
+kept_cells AS (
+  SELECT vec_id FROM gene_filtered
+  GROUP BY vec_id
+  HAVING COUNT(*) FILTER (WHERE c > {EXPR_THRESHOLD}) >= 20
+),
+cell_filtered AS (
+  SELECT g.* FROM gene_filtered g JOIN kept_cells USING (vec_id)
+),
+cell_sums AS (
+  SELECT vec_id, CAST(SUM(CAST(round(c, 6) AS DECIMAL(18,6))) AS DOUBLE) AS s
+  FROM cell_filtered GROUP BY vec_id
+),
+logged AS (
+  SELECT f.vec_id, f.pos, round(ln(1 + f.c * 10000.0 / cs.s), 6) AS lv
+  FROM cell_filtered f JOIN cell_sums cs USING (vec_id)
+),
+gene_stats AS (
+  SELECT pos,
+         CAST(SUM(CAST(round(lv, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mu,
+         CAST(SUM(CAST(round(lv, 6) AS DECIMAL(18,6)) * CAST(round(lv, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS msq
+  FROM logged GROUP BY pos
+)
+SELECT l.vec_id, l.pos,
+       round(greatest(least((l.lv - s.mu) / sqrt(s.msq - s.mu * s.mu), {SCALE_CLIP}), -{SCALE_CLIP}), 6) AS z
+FROM logged l JOIN gene_stats s USING (pos)
+"""
+
+
+@query("sc_recipe_zheng17", oracle=_RECIPE_ORACLE, tags=("singlecell", "pipeline", "headline"))
+def sc_recipe_zheng17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 — the flagship composed pipeline (Scanpy ``pp.recipe_zheng17``;
+    ref ``scanpy_spark.py`` [M]): filter_genes (expressed in ≥2% of cells)
+    → filter_cells (≥20 expressed kept genes) → normalize_per_cell(1e4)
+    → log1p → scale(clip=10).  PCA is the separate ``sc_pca`` step (A10,
+    rows-only check — no SQL oracle exists for SVD).
+
+    One DataFrame program: Catalyst fuses the row-local steps into single
+    projections between the two unavoidable exchanges (per-gene stats,
+    per-cell sums), and every stats table rides a broadcast join.  This is
+    the query ``entry()`` runs.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    c = e.select("vec_id", F.posexplode("embedding").alias("pos0", "v32")).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.abs(F.col("v32").cast("double")).alias("c"),
+    )
+    n_total = c.agg(F.count_distinct("vec_id").alias("n"))
+    kept_genes = (
+        c.groupBy("pos")
+        .agg(F.count_if(F.col("c") > EXPR_THRESHOLD).alias("ng"))
+        .crossJoin(F.broadcast(n_total))
+        .where(F.col("ng") * 50 >= F.col("n"))
+        .select("pos")
+    )
+    gene_filtered = c.join(F.broadcast(kept_genes), "pos")
+    kept_cells = (
+        gene_filtered.groupBy("vec_id")
+        .agg(F.count_if(F.col("c") > EXPR_THRESHOLD).alias("nc"))
+        .where(F.col("nc") >= 20)
+        .select("vec_id")
+    )
+    cell_filtered = gene_filtered.join(kept_cells, "vec_id")
+    cell_sums = cell_filtered.groupBy("vec_id").agg(
+        F.sum(stat6("c")).cast("double").alias("s")
+    )
+    logged = cell_filtered.join(cell_sums, "vec_id").select(
+        "vec_id",
+        "pos",
+        F.round(F.log(F.lit(1.0) + F.col("c") * NORMALIZE_TARGET / F.col("s")), 6).alias("lv"),
+    )
+    gene_stats = logged.groupBy("pos").agg(
+        (F.sum(stat6("lv")).cast("double") / F.count(F.lit(1))).alias("mu"),
+        (F.sum(stat6("lv") * stat6("lv")).cast("double") / F.count(F.lit(1))).alias("msq"),
+    )
+    z = (F.col("lv") - F.col("mu")) / F.sqrt(F.col("msq") - F.col("mu") * F.col("mu"))
+    return logged.join(F.broadcast(gene_stats), "pos").select(
+        "vec_id",
+        "pos",
+        F.round(F.greatest(F.least(z, F.lit(SCALE_CLIP)), F.lit(-SCALE_CLIP)), 6).alias("z"),
+    )
