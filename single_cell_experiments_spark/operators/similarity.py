@@ -1,1 +1,201 @@
-"""Placeholder — queries land in a later milestone."""
+"""Similarity search over the ``embeddings`` table (north-star block;
+absent in the reference — SURVEY.md §2.B "Similarity search").
+
+The reference's nearest thing is driver-side Scanpy/NumPy after PCA
+(SURVEY.md §2.A A10 [M]); here similarity is a first-class distributed
+operator family:
+
+- ``embed_centroid_per_label``  : per-label aggregate over the vector sums
+  (the "cluster centroid magnitude" query; bench headliner).
+- ``knn_cosine_to_vec0``        : brute-force cosine top-k against one query
+  vector — the exact baseline every ANN variant is judged against.
+- ``ann_cosine_pairs_signlsh``  : the scale path — random-hyperplane-style
+  sign-bit LSH bucketing, cosine verified only within buckets.
+
+Determinism: per-row folds (``F.aggregate`` over the array) are sequential
+left folds in both engines (same trick as functions/scalar.py, verified),
+so dot products and norms are bit-identical; cross-row float aggregates go
+through the decimal path (functions/compat.py).
+
+Scale shape: ``knn`` broadcasts the single query vector and does one scan +
+one ``LIMIT`` (top-k via AQE's TakeOrderedAndProject — no full sort
+materialization).  The LSH variant's only pair-producing join is
+bucket-local; at 100 TB you widen the bucket key (more sign bits) to hold
+bucket sizes roughly constant, which is the standard LSH knob.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.compat import big
+from ..registry import query
+
+#: positions whose value signs form the LSH bucket key (1-based).
+SIGN_BITS_POS = (1, 9, 17, 25, 33, 41)
+ANN_COSINE_MIN = 0.35
+
+_DOT_SELF = "list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')"
+
+
+def _dbl(x):
+    return x.cast("double")
+
+
+def _fold_sum(arr):
+    """Sequential left-fold sum of a double array column (bit-identical to
+    DuckDB ``list_aggregate(..., 'sum')``)."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm2(emb):
+    return _fold_sum(F.transform(emb, lambda x: _dbl(x) * _dbl(x)))
+
+
+def _dot(a, b):
+    return _fold_sum(F.zip_with(a, b, lambda x, y: _dbl(x) * _dbl(y)))
+
+
+# --- centroid magnitudes per label (bench headliner) -------------------------
+
+_CENTROID_ORACLE = """
+WITH per_vec AS (
+  SELECT label,
+         CAST(round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 6)
+              AS DECIMAL(18,6)) AS s6
+  FROM embeddings
+)
+SELECT label, COUNT(*) AS n, round(CAST(SUM(s6) AS DOUBLE) / COUNT(*), 6) AS avg_sum
+FROM per_vec GROUP BY label
+"""
+
+
+@query("embed_centroid_per_label", oracle=_CENTROID_ORACLE, tags=("similarity", "headline"))
+def embed_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label count and mean vector-sum (BASELINE.md headliner).
+
+    Row-local fold → 6-decimal quantize → exact decimal mean: the cross-row
+    aggregation is order-insensitive, so partial/final agg order can't
+    drift the hash.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    s6 = F.round(_fold_sum(F.transform("embedding", _dbl)), 6).cast("decimal(18,6)")
+    return (
+        e.select("label", s6.alias("s6"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("s6").cast("double") / F.count(F.lit(1)), 6).alias("avg_sum"),
+        )
+    )
+
+
+# --- brute-force cosine top-k (bench headliner) ------------------------------
+
+_KNN_ORACLE = f"""
+WITH q AS (
+  SELECT embedding AS qe, {_DOT_SELF} AS qn
+  FROM embeddings WHERE vec_id = 0
+)
+SELECT vec_id,
+       round(
+         list_aggregate(list_transform(range(1, len(embedding) + 1),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), 'sum')
+         / sqrt({_DOT_SELF} * qn), 6) AS sim
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY sim DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+@query("knn_cosine_to_vec0", oracle=_KNN_ORACLE, tags=("similarity", "knn", "headline"))
+def knn_cosine_to_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against vec_id=0 (BASELINE.md headliner).
+
+    The 1-row query vector rides a broadcast cross-join; the top-k is a
+    ``TakeOrderedAndProject`` (per-partition heap + driver merge of 10
+    rows), so the scan never materializes a global sort — the brute-force
+    ANN baseline that stays linear at any corpus size.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), _norm2(F.col("embedding")).alias("qn")
+    )
+    sim = F.round(
+        _dot(F.col("embedding"), F.col("qe"))
+        / F.sqrt(_norm2(F.col("embedding")) * F.col("qn")),
+        6,
+    )
+    return (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qvec))
+        .select("vec_id", sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+# --- sign-bit LSH near-neighbor pairs (the ANN scale path) -------------------
+
+def _signbits_sql(emb: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN CAST({emb}[{p}] AS DOUBLE) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(SIGN_BITS_POS)
+    )
+
+
+_ANN_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, embedding,
+         {_signbits_sql('embedding')} AS bucket,
+         sqrt({_DOT_SELF}) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS vec1, b.vec_id AS vec2, CAST(a.bucket AS BIGINT) AS bucket,
+       round(
+         list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')
+         / (a.nrm * b.nrm), 6) AS sim
+FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')
+      / (a.nrm * b.nrm) >= {ANN_COSINE_MIN}
+"""
+
+
+@query("ann_cosine_pairs_signlsh", oracle=_ANN_ORACLE, tags=("similarity", "lsh"))
+def ann_cosine_pairs_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-neighbor pairs via sign-bit LSH: 6 coordinate-sign bits form the
+    bucket (the fixed-hyperplane special case of random-hyperplane LSH —
+    hyperplanes = coordinate axes, deterministic so the oracle can mirror
+    it); cosine is computed only within buckets and kept at ≥ 0.35.
+
+    Scale: the self-join is bucket-equi — expected pair work is
+    Σ(bucket²) ≈ n²/2^bits, tuned by adding bits; no global cross join.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    bucket = None
+    for i, p in enumerate(SIGN_BITS_POS):
+        bit = F.when(_dbl(F.element_at("embedding", p)) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    v = e.select(
+        "vec_id",
+        "embedding",
+        bucket.alias("bucket"),
+        F.sqrt(_norm2(F.col("embedding"))).alias("nrm"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    sim_raw = _dot(F.col("a.embedding"), F.col("b.embedding")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .where(sim_raw >= ANN_COSINE_MIN)
+        .select(
+            F.col("a.vec_id").alias("vec1"),
+            F.col("b.vec_id").alias("vec2"),
+            big(F.col("a.bucket"), "bucket"),
+            F.round(sim_raw, 6).alias("sim"),
+        )
+    )

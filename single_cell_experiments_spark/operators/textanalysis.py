@@ -1,1 +1,367 @@
-"""Placeholder — queries land in a later milestone."""
+"""Text analysis over ``documents`` (north-star block; absent in the
+reference — SURVEY.md §2.B "Text analysis").
+
+Operator families, each oracle-checked:
+
+- ``doc_text_stats``     : per-language corpus stats (bench headliner)
+- ``lang_id_ngram``      : marker-word / CJK-codepoint language ID + accuracy
+- ``doc_quality_score``  : length / punctuation / stopword / digit quality
+- ``token_stats``        : whitespace vs BPE-ish tokenization + type/token
+- ``doc_fingerprint``    : rolling char-8-gram polynomial hash fingerprint
+- ``tfidf_top_terms`` / ``tfidf_doc_top3`` : corpus + per-doc TF-IDF
+
+Everything is built-in-function SQL (no Python in the hot path): string
+kernels stay inside whole-stage codegen, aggregates ride native
+partial+final hash aggregation.  Floats that cross an aggregation go
+through the decimal path (functions/compat.py); per-row ``ln`` is rounded.
+
+Scale: every query is scan → row-local projection → one bounded-key
+aggregation (lang, term, doc_id); the TF-IDF document-frequency join is
+term-keyed with the O(vocabulary) side broadcastable.  Nothing is
+quadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+# --- per-language corpus stats (bench headliner) -----------------------------
+
+_STATS_ORACLE = """
+SELECT lang, COUNT(*) AS n,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS ac,
+       CAST(SUM(length(text)) AS DOUBLE) / COUNT(*) AS al,
+       CAST(SUM(CASE WHEN contains(lower(text), 'the') THEN 1 ELSE 0 END) AS BIGINT) AS has_the
+FROM documents GROUP BY lang
+"""
+
+
+@query("doc_text_stats", oracle=_STATS_ORACLE, tags=("text", "headline"))
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language doc counts + mean lengths (BASELINE.md headliner).
+
+    Averages are exact-integer-sum / count — order-insensitive by
+    construction, no decimal shim needed.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("ac"),
+        (F.sum(F.length("text")).cast("double") / F.count(F.lit(1))).alias("al"),
+        F.sum(F.when(F.contains(F.lower("text"), F.lit("the")), 1).otherwise(0)).alias("has_the"),
+    )
+
+
+# --- language ID -------------------------------------------------------------
+
+#: marker words per language, matched as ' word ' in the lowered padded text.
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is"),
+    "es": ("el", "que", "los", "una"),
+    "de": ("der", "und", "die", "nicht"),
+    "fr": ("les", "et", "est", "dans"),
+}
+_CJK_CLASS = f"[{chr(0x4E00)}-{chr(0x9FFF)}]"
+
+
+def _count_marker_sql(marker: str) -> str:
+    """Occurrence count of ' marker ' in the padded lowered text: exact
+    integer math via length difference (identical in both dialects)."""
+    m = f" {marker} "
+    return f"(length(padded) - length(replace(padded, '{m}', ''))) / {len(m)}"
+
+
+def _score_sql(lang: str) -> str:
+    return " + ".join(_count_marker_sql(m) for m in LANG_MARKERS[lang])
+
+
+def _pred_case_sql() -> str:
+    """Deterministic argmax with fixed priority en > es > de > fr."""
+    order = list(LANG_MARKERS)
+    whens = []
+    for lang in order:
+        others = [f"s_{lang} >= s_{o}" for o in order if o != lang]
+        whens.append(f"WHEN {' AND '.join(others)} THEN '{lang}'")
+    return "CASE WHEN has_cjk THEN 'zh' " + " ".join(whens) + " ELSE 'en' END"
+
+
+def _langid_sql(cjk_pred: str) -> str:
+    scores = ", ".join(f"{_score_sql(lg)} AS s_{lg}" for lg in LANG_MARKERS)
+    return f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       round(CAST(SUM(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS accuracy
+FROM (
+  SELECT lang, {_pred_case_sql()} AS pred
+  FROM (
+    SELECT lang, {scores}, {cjk_pred} AS has_cjk
+    FROM (SELECT lang, concat(' ', lower(text), ' ') AS padded, text FROM documents)
+  )
+)
+GROUP BY lang
+"""
+
+
+@query(
+    "lang_id_ngram",
+    oracle=_langid_sql(f"regexp_matches(text, '{_CJK_CLASS}')"),
+    tags=("text", "langid"),
+)
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (CJK codepoint class short-circuits to zh;
+    otherwise argmax of per-language stopword hit counts) scored for
+    accuracy against the labeled ``lang`` column.
+
+    Pure integer string math → identical on both engines; one
+    bounded-cardinality groupBy(lang).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    return spark.sql(_langid_sql(f"text rlike '{_CJK_CLASS}'"))
+
+
+# --- quality scoring ---------------------------------------------------------
+
+_STOPS = ("the", "and", "of", "a", "to", "in", "is", "de", "la", "und", "le", "et")
+_N_STOP = " + ".join(_count_marker_sql(s) for s in _STOPS)
+
+
+def _quality_sql(n_tokens: str, strip: str) -> str:
+    """``strip(pattern)`` must remove ALL matches (dialect-specific).
+
+    The composite score is kept in integer micro-units (``quality_e7``):
+    weighting the already-rounded ratios with float literals puts results
+    on .5 rounding boundaries where the engines' round() disagree, so the
+    weighted sum is done in exact BIGINT arithmetic instead.
+    """
+    return f"""
+SELECT doc_id, lang, n_tokens, punct_ratio, stop_ratio, digit_ratio,
+       4000000 * CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1 ELSE 0 END
+         + 3 * CAST(round(stop_ratio * 1000000) AS BIGINT)
+         + 2 * (1000000 - CAST(round(punct_ratio * 1000000) AS BIGINT))
+         + (1000000 - CAST(round(digit_ratio * 1000000) AS BIGINT)) AS quality_e7
+FROM (
+  SELECT doc_id, lang,
+         CAST({n_tokens} AS BIGINT) AS n_tokens,
+         round(CAST(length(text) - length({strip.format(pat='[.,;:!?]')}) AS DOUBLE)
+               / length(text), 6) AS punct_ratio,
+         round(CAST({_N_STOP} AS DOUBLE) / greatest({n_tokens}, 1), 6) AS stop_ratio,
+         round(CAST(length(text) - length({strip.format(pat='[0-9]')}) AS DOUBLE)
+               / length(text), 6) AS digit_ratio
+  FROM (SELECT doc_id, lang, text, concat(' ', lower(text), ' ') AS padded FROM documents)
+)
+"""
+
+
+@query(
+    "doc_quality_score",
+    oracle=_quality_sql(
+        n_tokens="length(regexp_extract_all(text, '\\S+'))",
+        strip="regexp_replace(text, '{pat}', '', 'g')",
+    ),
+    tags=("text", "quality"),
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality score from length / punctuation / stopword /
+    digit ratios (the classic pretraining-corpus heuristic filter shape).
+    Entirely row-local — a single projection over the scan; integer string
+    math plus one rounded division per ratio keeps both engines identical.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    return spark.sql(
+        _quality_sql(
+            n_tokens=r"size(regexp_extract_all(text, '\\S+', 0))",
+            strip="regexp_replace(text, '{pat}', '')",
+        )
+    )
+
+
+# --- tokenization stats ------------------------------------------------------
+
+_BPE_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+def _token_sql(ws: str, bpe: str, words: str, types: str) -> str:
+    return f"""
+SELECT doc_id,
+       CAST({ws} AS BIGINT) AS n_ws_tokens,
+       CAST({bpe} AS BIGINT) AS n_bpe_pieces,
+       CAST({words} AS BIGINT) AS n_words,
+       CAST({types} AS BIGINT) AS n_types,
+       round(CAST({types} AS DOUBLE) / greatest({words}, 1), 6) AS type_token_ratio
+FROM documents
+"""
+
+
+@query(
+    "token_stats",
+    oracle=_token_sql(
+        ws="length(regexp_extract_all(text, '\\S+'))",
+        bpe=f"length(regexp_extract_all(text, '{_BPE_RE}'))",
+        words="length(regexp_extract_all(lower(text), '[a-z]+'))",
+        types="length(list_distinct(regexp_extract_all(lower(text), '[a-z]+')))",
+    ),
+    tags=("text", "tokens"),
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways — whitespace runs, BPE-ish piece regex
+    (letter runs / single digits / single punctuation), word regex — plus
+    type/token ratio from the distinct-word count.  Row-local, codegen'd.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    return spark.sql(
+        _token_sql(
+            ws=r"size(regexp_extract_all(text, '\\S+', 0))",
+            bpe=f"size(regexp_extract_all(text, '{_BPE_RE}', 0))",
+            words="size(regexp_extract_all(lower(text), '[a-z]+', 0))",
+            types="size(array_distinct(regexp_extract_all(lower(text), '[a-z]+', 0)))",
+        )
+    )
+
+
+# --- rolling-hash fingerprint ------------------------------------------------
+
+_FP_K = 8
+_FP_POW = [31 ** (_FP_K - 1 - i) for i in range(_FP_K)]
+
+
+def _fp_hash_sql(char_fn: str) -> str:
+    terms = [
+        f"CAST({char_fn}(substr(text, p+{i}, 1)) AS BIGINT)*{w}" if w > 1
+        else f"CAST({char_fn}(substr(text, p+{i}, 1)) AS BIGINT)"
+        for i, w in enumerate(_FP_POW)
+    ]
+    return "(" + " + ".join(terms) + ") % 1000000007"
+
+
+_FP_TAIL = """
+SELECT doc_id,
+       MIN(h) AS fp_min,
+       MAX(h) AS fp_max,
+       CAST(COUNT(DISTINCT h) AS BIGINT) AS fp_distinct,
+       MIN(h) % 1024 AS fp_bucket
+FROM grams
+GROUP BY doc_id
+"""
+
+_FP_ORACLE = f"""
+WITH grams AS (
+  SELECT doc_id, {_fp_hash_sql('unicode')} AS h
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) - {_FP_K - 2})) AS p
+        FROM documents WHERE length(text) >= {_FP_K})
+)
+{_FP_TAIL}
+"""
+
+_FP_SPARK = f"""
+WITH grams AS (
+  SELECT doc_id, {_fp_hash_sql('ascii')} AS h
+  FROM documents
+  LATERAL VIEW explode(sequence(1, length(text) - {_FP_K - 1})) AS p
+  WHERE length(text) >= {_FP_K}
+)
+{_FP_TAIL}
+"""
+
+
+@query("doc_fingerprint", oracle=_FP_ORACLE, tags=("text", "fingerprint"))
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling char-8-gram polynomial-hash fingerprint per document
+    (min / max / distinct-count / min-mod-bucket — a winnowing-style
+    signature for container-level dedup routing).
+
+    Same deterministic codepoint hash family as operators/dedup.py (Spark
+    ``ascii`` == DuckDB ``unicode`` == full codepoint); at 100 TB swap for
+    ``xxhash64`` and keep the shape.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    return spark.sql(_FP_SPARK)
+
+
+# --- TF-IDF ------------------------------------------------------------------
+
+def _tfidf_base(explode_w: str) -> str:
+    return f"""
+toks AS (
+  SELECT doc_id, w FROM ({explode_w}) WHERE length(w) >= 3
+),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY doc_id, w),
+n_docs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w)
+"""
+
+
+_DD_TOKS = (
+    "SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents"
+)
+_SP_TOKS = (
+    "SELECT doc_id, explode(regexp_extract_all(lower(text), '[a-z]+', 0)) AS w FROM documents"
+)
+
+_TFIDF_CORPUS_TAIL = """
+SELECT d.w AS term, d.df,
+       round(ln((SELECT n FROM n_docs) / d.df), 6) AS idf,
+       CAST(SUM(t.tf) AS BIGINT) AS total_tf,
+       CAST(SUM(CAST(round(t.tf * ln((SELECT n FROM n_docs) / d.df), 6) AS DECIMAL(18,6)))
+            AS DOUBLE) AS sum_tfidf
+FROM df d JOIN tf t ON t.w = d.w
+GROUP BY d.w, d.df
+ORDER BY total_tf DESC, term ASC
+LIMIT 50
+"""
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="WITH " + _tfidf_base(_DD_TOKS) + _TFIDF_CORPUS_TAIL,
+    tags=("text", "tfidf"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level TF-IDF: top-50 terms by total term frequency with
+    document frequency, idf, and decimal-exact summed tf·idf.
+
+    Scale shape: two hash aggregations keyed on (doc,term) then (term) —
+    both partial/final; ``ln`` is per-row and rounded before the exact
+    decimal sum, so cross-engine ulp drift cannot reach the hash.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    return spark.sql("WITH " + _tfidf_base(_SP_TOKS) + _TFIDF_CORPUS_TAIL)
+
+
+_TFIDF_DOC_TAIL = """
+, scored AS (
+  SELECT t.doc_id, t.w AS term, t.tf,
+         round(t.tf * ln((SELECT n FROM n_docs) / d.df), 6) AS tfidf
+  FROM tf t JOIN df d ON d.w = t.w
+)
+SELECT doc_id, term, tf, tfidf, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+  FROM scored
+)
+WHERE rk <= 3
+"""
+
+
+@query(
+    "tfidf_doc_top3",
+    oracle="WITH " + _tfidf_base(_DD_TOKS) + _TFIDF_DOC_TAIL,
+    tags=("text", "tfidf"),
+)
+def tfidf_doc_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms via windowed rank (term-name
+    tiebreak keeps the cut deterministic).  The per-doc window is pruned to
+    a top-3 heap by WindowGroupLimit (threshold pinned in session.py); the
+    df→tf join broadcasts the O(vocab) df side."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    return spark.sql("WITH " + _tfidf_base(_SP_TOKS) + _TFIDF_DOC_TAIL)

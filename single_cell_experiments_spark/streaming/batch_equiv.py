@@ -1,1 +1,237 @@
-"""Placeholder — queries land in a later milestone."""
+"""Streaming semantics on ``events``, expressed as batch queries with exact
+DuckDB oracles (north-star block; the reference has no streaming at all —
+SURVEY.md §2.B "Streaming").
+
+Each query is the batch-equivalent of a Structured Streaming job (the live
+``readStream`` twins are in ``streaming/jobs.py`` and are asserted equal to
+these in tests/test_streaming.py):
+
+- ``tumbling_window_events``  : 1h tumbling counts (bench headliner)
+- ``sliding_window_events``   : 1h windows sliding every 15min
+- ``session_window_events``   : per-user 30-min-gap sessionization
+- ``watermark_late_drop``     : 10-min watermark late-arrival drop
+- ``stateful_dedup_events``   : first-event-wins keyed dedup
+
+Time handling: ``events.ts`` is parquet TIMESTAMP(NANOS) — the catalog shim
+exposes integer ``ts_s``/``ts_us`` (catalog.py), and window starts are
+emitted as epoch seconds (BIGINT) so no engine's timezone/precision
+rendering can touch the hash.  Spark groups with the native ``window()`` /
+``session_window()`` operators over a seconds-truncated NTZ timestamp; the
+oracle reproduces their arithmetic (windows are epoch-aligned; session gap
+is strict: a gap of exactly the timeout starts a new session).
+
+Scale: tumbling/sliding aggregation is keyed on (window, …) with native
+partial aggregation; sessionization shuffles once on user_id.  The
+watermark emulation uses a global arrival-order running max — that is the
+*definition* of the watermark, which streaming maintains O(1) in the
+engine; the batch twin exists for the oracle, not the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.compat import big
+from ..registry import query
+
+SESSION_GAP_S = 1800
+WATERMARK_DELAY_S = 600
+
+_DD_TS = "epoch_us(ts) // 1000000"
+_DD_VAL6 = "CAST(round(value, 6) AS DECIMAL(18,6))"
+
+
+def _win_start_s(win_col: str = "win") -> F.Column:
+    # NTZ -> TIMESTAMP is a UTC reinterpretation (session tz pinned by tune()).
+    return F.unix_timestamp(F.col(f"{win_col}.start").cast("timestamp")).cast("bigint")
+
+
+def _events_secs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with a seconds-truncated NTZ event-time column (so Spark's
+    window operators and the seconds-based oracle see identical times)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.withColumn("t", F.to_timestamp_ntz(F.timestamp_seconds(F.col("ts_s"))))
+
+
+# --- tumbling (bench headliner) ----------------------------------------------
+
+_TUMBLING_ORACLE = f"""
+SELECT ({_DD_TS}) // 3600 * 3600 AS w_start_s,
+       COUNT(*) AS c,
+       round(CAST(SUM({_DD_VAL6}) AS DOUBLE) / COUNT(*), 6) AS av
+FROM events
+GROUP BY 1
+"""
+
+
+@query("tumbling_window_events", oracle=_TUMBLING_ORACLE, tags=("streaming", "headline"))
+def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window counts + mean value (BASELINE.md headliner),
+    via the native ``window()`` operator — the exact batch twin of the
+    ``readStream`` job in streaming/jobs.py."""
+    e = _events_secs(spark, sf_dir)
+    return (
+        e.groupBy(F.window("t", "1 hour").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.round(
+                F.sum(F.round("value", 6).cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("av"),
+        )
+        .select(_win_start_s().alias("w_start_s"), "c", "av")
+    )
+
+
+# --- sliding -----------------------------------------------------------------
+
+_SLIDING_ORACLE = f"""
+SELECT (({_DD_TS}) // 900 - k) * 900 AS w_start_s,
+       COUNT(*) AS c,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases
+FROM events, (SELECT unnest(range(0, 4)) AS k)
+GROUP BY 1
+"""
+
+
+@query("sliding_window_events", oracle=_SLIDING_ORACLE, tags=("streaming", "sliding"))
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 minutes (each event lands in 4
+    epoch-aligned windows — the oracle materializes that membership with a
+    0..3 offset cross join; Spark uses the native sliding ``window()``)."""
+    e = _events_secs(spark, sf_dir)
+    return (
+        e.groupBy(F.window("t", "1 hour", "15 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("purchases"),
+        )
+        .select(_win_start_s().alias("w_start_s"), "c", "purchases")
+    )
+
+
+# --- session windows ---------------------------------------------------------
+
+_SESSION_ORACLE = f"""
+WITH e AS (SELECT user_id, {_DD_TS} AS ts_s, value FROM events),
+marked AS (
+  SELECT user_id, ts_s, value,
+         CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s)
+                   >= {SESSION_GAP_S}
+              OR lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+),
+numbered AS (
+  SELECT user_id, ts_s, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_s
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts_s) AS session_start_s,
+       MAX(ts_s) + {SESSION_GAP_S} AS session_end_s,
+       COUNT(*) AS n_events,
+       CAST(SUM({_DD_VAL6}) AS DOUBLE) AS v_sum
+FROM numbered
+GROUP BY user_id, sid
+"""
+
+
+@query("session_window_events", oracle=_SESSION_ORACLE, tags=("streaming", "session"))
+def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30-minute-gap sessionization via the native
+    ``session_window()`` operator; the oracle is the classic gap-island
+    rewrite (lag → new-session marker → running sum → group).
+
+    Spark's session end is last-event + gap (exclusive), reproduced as
+    ``MAX(ts_s) + gap``; one shuffle keyed on user_id either way.
+    """
+    e = _events_secs(spark, sf_dir)
+    return (
+        e.groupBy("user_id", F.session_window("t", f"{SESSION_GAP_S} seconds").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round("value", 6).cast("decimal(18,6)")).cast("double").alias("v_sum"),
+        )
+        .select(
+            "user_id",
+            _win_start_s().alias("session_start_s"),
+            F.unix_timestamp(F.col("win.end").cast("timestamp")).cast("bigint").alias("session_end_s"),
+            "n_events",
+            "v_sum",
+        )
+    )
+
+
+# --- watermark late-data drop ------------------------------------------------
+
+_WATERMARK_ORACLE = f"""
+WITH arr AS (
+  SELECT event_type, {_DD_TS} AS ts_s,
+         MAX({_DD_TS}) OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING)
+           - {WATERMARK_DELAY_S} AS wm
+  FROM events
+)
+SELECT ts_s // 3600 * 3600 AS w_start_s, event_type,
+       COUNT(*) AS n_kept
+FROM arr
+WHERE ts_s >= wm
+GROUP BY 1, 2
+"""
+
+
+@query("watermark_late_drop", oracle=_WATERMARK_ORACLE, tags=("streaming", "watermark"))
+def watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch emulation of a 10-minute watermark: an event is late (dropped)
+    if its event time is older than the running max event time over arrival
+    order (event_id) minus the delay; survivors aggregate into 1h tumbling
+    counts per type.
+
+    The global arrival-order window is the watermark's *definition* — in
+    the live job (streaming/jobs.py) the engine tracks it O(1); this batch
+    twin exists to give the oracle exact late-drop semantics.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    arr = e.select(
+        "event_type",
+        "ts_s",
+        (F.max("ts_s").over(w) - WATERMARK_DELAY_S).alias("wm"),
+    )
+    return (
+        arr.where(F.col("ts_s") >= F.col("wm"))
+        .groupBy((F.col("ts_s") - F.col("ts_s") % 3600).alias("w_start_s"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+# --- stateful dedup ----------------------------------------------------------
+
+_DEDUP_ORACLE = """
+SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY epoch_us(ts), event_id) = 1
+"""
+
+
+@query("stateful_dedup_events", oracle=_DEDUP_ORACLE, tags=("streaming", "dedup"))
+def stateful_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-event-wins dedup per (user_id, event_type) — the batch twin of
+    streaming ``dropDuplicatesWithinWatermark`` (jobs.py), made
+    deterministic by the (event-time, event_id) order.  One shuffle on the
+    dedup key; WindowGroupLimit turns the rank into a per-key top-1 heap.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", big("ts_us", "ts_us"))
+    )
