@@ -1,1 +1,155 @@
-"""Placeholder — queries land in a later milestone."""
+"""MLlib-backed operators (SURVEY.md §2.A A10 + §2.B Dedup/Similarity LSH
+rows).
+
+The reference's PCA experiments (SURVEY.md §2.A A10 [M, low]: MLlib or
+chunked SVD on the RDD matrix) map to ``pyspark.ml.feature.PCA`` over the
+``embeddings`` array column; the LSH families are the MLlib twins of the
+hand-rolled SQL LSH in operators/dedup.py and operators/similarity.py.
+
+None of these have an exact SQL oracle (eigenvectors are sign/rotation
+ambiguous; MLlib's hash families use library-internal seeds), so they are
+registered **without** oracle SQL — the driver records a rows-only check
+(contract permits this) and tests/test_ml.py self-checks PCA against
+``numpy.linalg.svd`` and LSH recall against the exact pair sets.
+
+Scale notes: MLlib PCA computes the Gramian via a single treeAggregate —
+O(d²) driver memory, fine for d ≲ 10⁴ (the AnnData regime; for wider
+matrices switch to ``RowMatrix.computeSVD``).  ``approxSimilarityJoin`` is
+a bucket-join under the hood — the same LSH shape as the SQL variants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.compat import big
+from ..registry import query
+
+PCA_K = 16
+
+
+def _vectorized(df: DataFrame) -> DataFrame:
+    """embeddings table -> (vec_id, label, features: VectorUDT)."""
+    from pyspark.ml.functions import array_to_vector
+
+    return df.select(
+        "vec_id",
+        "label",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+
+
+@query("sc_pca", tags=("singlecell", "ml", "pca"))
+def sc_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — PCA(k=16) scores per cell (Scanpy ``pp.pca`` semantics:
+    center, project onto top right-singular vectors; ref experiments [M,
+    low]).  MLlib PCA mean-centers internally; output is the per-cell score
+    vector exploded to (vec_id, component, score) long form.
+
+    Rows-only check (sign-ambiguous); tests/test_ml.py aligns signs and
+    asserts scores match ``numpy.linalg.svd`` of the centered matrix.
+
+    MLlib's PCA derives axes from the (internally centered) covariance but
+    projects the RAW vectors — an explicit mean-centering step
+    (StandardScaler withMean) precedes it so scores are the Scanpy ones.
+    """
+    from pyspark.ml.feature import PCA, StandardScaler
+    from pyspark.ml.functions import vector_to_array
+
+    raw = _vectorized(load_table(spark, sf_dir, "embeddings"))
+    centerer = StandardScaler(
+        withMean=True, withStd=False, inputCol="features", outputCol="centered"
+    ).fit(raw)
+    e = centerer.transform(raw).drop("features").withColumnRenamed("centered", "features")
+    model = PCA(k=PCA_K, inputCol="features", outputCol="pcs").fit(e)
+    return (
+        model.transform(e)
+        .select("vec_id", F.posexplode(vector_to_array("pcs")).alias("component", "score"))
+        .select("vec_id", big("component", "component"), F.round("score", 4).alias("score"))
+    )
+
+
+@query("mllib_minhash_dedup", tags=("dedup", "ml", "lsh"))
+def mllib_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib MinHashLSH near-dup join over documents (the library twin of
+    ``dedup_minhash_lsh``): word tokens → binary HashingTF vectors →
+    ``approxSimilarityJoin`` at Jaccard distance ≤ 0.7.
+
+    Rows-only check (MLlib's hash coefficients are internal); recall vs the
+    exact-Jaccard pair set is asserted in tests/test_ml.py.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH, RegexTokenizer
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = RegexTokenizer(
+        inputCol="text", outputCol="words", pattern=r"[^a-z0-9]+", minTokenLength=1
+    ).transform(d.withColumn("text", F.lower("text")))
+    tf = HashingTF(
+        inputCol="words", outputCol="features", numFeatures=1 << 16, binary=True
+    ).transform(toks)
+    tf = tf.where(F.size("words") > 0).cache()
+    model = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42).fit(tf)
+    pairs = model.approxSimilarityJoin(tf, tf, 0.7, distCol="jaccard_dist")
+    return (
+        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc1"),
+            F.col("datasetB.doc_id").alias("doc2"),
+            F.round("jaccard_dist", 4).alias("jaccard_dist"),
+        )
+    )
+
+
+@query("mllib_brp_lsh_neighbors", tags=("similarity", "ml", "lsh"))
+def mllib_brp_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane-bucketed euclidean neighbor pairs over embeddings
+    (BucketedRandomProjectionLSH ``approxSimilarityJoin``, distance ≤ 1.2)
+    — the MLlib twin of ``ann_cosine_pairs_signlsh``.  Rows-only check.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+
+    e = _vectorized(load_table(spark, sf_dir, "embeddings")).cache()
+    model = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=0.5, numHashTables=4, seed=42
+    ).fit(e)
+    pairs = model.approxSimilarityJoin(e, e, 1.2, distCol="euclid_dist")
+    return (
+        pairs.where(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("vec1"),
+            F.col("datasetB.vec_id").alias("vec2"),
+            F.round("euclid_dist", 4).alias("euclid_dist"),
+        )
+    )
+
+
+@query("kmeans_embedding_clusters", tags=("ml", "clustering"))
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMeans(k=10, fixed seed) over embeddings; emits per-cluster size and
+    the majority ``label`` with its purity — the clustering quality readout
+    for the AnnData-style annotation comparison.  Rows-only check
+    (centroid init is library-internal); inertia sanity in tests/test_ml.py.
+    """
+    from pyspark.ml.clustering import KMeans
+
+    e = _vectorized(load_table(spark, sf_dir, "embeddings")).cache()
+    model = KMeans(k=10, seed=42, featuresCol="features", predictionCol="cluster").fit(e)
+    assigned = model.transform(e)
+    per_label = assigned.groupBy("cluster", "label").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("cluster").orderBy(F.desc("n"), F.asc("label"))
+    return (
+        per_label.withColumn("rk", F.row_number().over(w))
+        .groupBy("cluster")
+        .agg(
+            F.sum("n").alias("size"),
+            F.max(F.when(F.col("rk") == 1, F.col("label"))).alias("majority_label"),
+            F.round(
+                F.max(F.when(F.col("rk") == 1, F.col("n"))).cast("double") / F.sum("n"), 4
+            ).alias("purity"),
+        )
+        .select(big("cluster", "cluster"), "size", "majority_label", "purity")
+    )

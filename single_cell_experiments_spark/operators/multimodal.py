@@ -1,1 +1,202 @@
-"""Placeholder — queries land in a later milestone."""
+"""Multimodal (binary) column handling (north-star block; absent in the
+reference — the closest analogue is its 10x HDF5 byte-level ingest,
+SURVEY.md §2.A A3 [M]).
+
+Media bytes are modeled as opaque ``binary`` columns with typed metadata —
+here stood in by ``encode(documents.text, 'utf-8')`` since the driver
+tables carry no real media.  What is REAL and verified:
+
+- the Spark-side plumbing: binary schema, Arrow ``mapInPandas`` decode with
+  a bounded batch size, metadata projection, frame explode;
+- the determinism contract: the stub decoder derives metadata from integer
+  hash arithmetic that the DuckDB oracle reproduces exactly — so even the
+  Python-UDF path is value-hash-checked, not just smoke-checked.
+
+What is STUBBED: actual image/audio decoding (``decode_image_real`` below
+raises ``NotImplementedError`` unless PIL is importable — the container
+ships no media libs).  Swapping the stub for a real decoder changes only
+the per-batch pandas function body; schema, partitioning and batch shape
+stay as tested here.
+
+Scale: decode is embarrassingly parallel (``mapInPandas``, no shuffle);
+metadata aggregation shuffles only O(docs) small rows.  For 100 TB media,
+bytes live in object storage and the binary column holds (uri, offset,
+length) — the decode UDF shape is identical.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from ..catalog import load_table
+from ..registry import query
+
+#: Knuth multiplicative hash constant; all stub metadata derives from it.
+_H_MULT = 2654435761
+_H_MOD = 2147483648  # 2^31
+
+
+def _stub_meta_from_nbytes(n_bytes):
+    """width/height/n_frames/channels from the byte length — pure integer
+    arithmetic, reproduced verbatim in the SQL oracles below."""
+    h = (n_bytes * _H_MULT) % _H_MOD
+    return {
+        "width": h % 1920 + 1,
+        "height": (h // 1920) % 1080 + 1,
+        "n_frames": h % 30 + 1,
+        "channels": n_bytes % 3 + 1,
+    }
+
+
+_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("channels", LongType()),
+    ]
+)
+
+
+def _decode_stub_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched stub decoder: bytes -> fake media metadata.
+
+    A real decoder replaces the arithmetic with PIL/ffmpeg calls on
+    ``blob``; everything else (batch iteration, output schema) is the
+    production shape.
+    """
+    for pdf in batches:
+        n_bytes = pdf["blob"].map(len).astype("int64")
+        meta = _stub_meta_from_nbytes(n_bytes)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_bytes": n_bytes,
+                "width": meta["width"],
+                "height": meta["height"],
+                "n_frames": meta["n_frames"],
+                "channels": meta["channels"],
+            }
+        )
+
+
+def _blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.encode("text", "utf-8").alias("blob"))
+
+
+# --- binary metadata (no UDF) ------------------------------------------------
+
+_BLOB_META_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS md5_hex,
+       sha256(text) AS sha256_hex,
+       lower(substr(hex(encode(text)), 1, 16)) AS head8_hex
+FROM documents
+"""
+
+
+@query("multimodal_blob_meta", oracle=_BLOB_META_ORACLE, tags=("multimodal", "binary"))
+def multimodal_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over an opaque binary column — byte length, content
+    hashes (the media-dedup keys), leading magic bytes — all JVM built-ins,
+    no Python.  This is the "catalog scan" of a multimodal lake: cheap,
+    pushdown-friendly, hash-addressable."""
+    b = _blobs(spark, sf_dir)
+    return b.select(
+        "doc_id",
+        F.octet_length("blob").cast("bigint").alias("n_bytes"),
+        F.md5("blob").alias("md5_hex"),
+        F.sha2("blob", 256).alias("sha256_hex"),
+        F.lower(F.substring(F.hex("blob"), 1, 16)).alias("head8_hex"),
+    )
+
+
+# --- stub decode via mapInPandas (hash-checked Python path) ------------------
+
+_DECODE_ORACLE = f"""
+SELECT doc_id,
+       n_bytes,
+       h % 1920 + 1 AS width,
+       (h // 1920) % 1080 + 1 AS height,
+       h % 30 + 1 AS n_frames,
+       n_bytes % 3 + 1 AS channels
+FROM (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         CAST(octet_length(encode(text)) AS BIGINT) * {_H_MULT} % {_H_MOD} AS h
+  FROM documents
+)
+"""
+
+
+@query("multimodal_decode_stub", oracle=_DECODE_ORACLE, tags=("multimodal", "udf"))
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media decode as an Arrow-batched ``mapInPandas`` over the binary
+    column — the real decode execution shape (schema, batching,
+    partition-parallel, no shuffle) with a deterministic stub body, so the
+    Python path itself is oracle-verified rather than smoke-checked."""
+    return _blobs(spark, sf_dir).mapInPandas(_decode_stub_batches, schema=_DECODE_SCHEMA)
+
+
+# --- frame sampling on top of decoded metadata -------------------------------
+
+_FRAME_ORACLE = f"""
+WITH meta AS (
+  SELECT doc_id, h % 30 + 1 AS n_frames
+  FROM (SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) * {_H_MULT} % {_H_MOD} AS h
+        FROM documents)
+)
+SELECT doc_id, CAST(unnest(range(0, n_frames, 5)) AS BIGINT) AS frame_idx,
+       CAST(n_frames AS BIGINT) AS n_frames
+FROM meta
+"""
+
+
+@query("multimodal_frame_sample", oracle=_FRAME_ORACLE, tags=("multimodal", "frames"))
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-5th-frame sampling: decoded frame counts explode into
+    (doc_id, frame_idx) work units — the fan-out that feeds per-frame
+    feature extraction.  Row-local ``sequence``+``explode``, no shuffle;
+    at scale this is where you'd repartition by bytes to balance decode
+    cost."""
+    b = _blobs(spark, sf_dir)
+    h = (F.octet_length("blob").cast("bigint") * _H_MULT) % _H_MOD
+    frames = b.select("doc_id", (h % 30 + 1).cast("bigint").alias("n_frames"))
+    return frames.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("n_frames") - 1, F.lit(5).cast("bigint"))).alias(
+            "frame_idx"
+        ),
+        "n_frames",
+    )
+
+
+# --- gated real decoder ------------------------------------------------------
+
+def decode_image_real(blob: bytes) -> dict:
+    """Real image decode — requires PIL, which this environment does not
+    ship.  Kept so the swap-in point is explicit and unit-tested."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - the only path here
+        raise NotImplementedError(
+            "image decoding requires Pillow; install it and replace "
+            "_decode_stub_batches' arithmetic with Image.open(BytesIO(blob))"
+        ) from exc
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(blob))
+    return {"width": img.width, "height": img.height, "channels": len(img.getbands())}

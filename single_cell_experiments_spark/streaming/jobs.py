@@ -1,0 +1,107 @@
+"""Live Structured Streaming jobs — the ``readStream`` twins of the
+batch-equivalent queries in streaming/batch_equiv.py.
+
+The driver's correctness gate runs the batch equivalents (DuckDB cannot
+oracle a stream); these jobs exist to prove the operators actually run as
+streams: file-source replay of ``events.parquet`` → watermarked windowed
+aggregation / keyed dedup → memory sink, with ``Trigger.AvailableNow`` so a
+finite run drains the source and stops.  tests/test_streaming.py asserts
+stream output == batch output on the same data.
+
+Production shape notes (100 TB posture): the file source is swapped for
+Kafka by changing ``readStream.format`` only; state stores (session
+windows, dedup) are per-key state partitioned by the grouping key, so the
+same key-partitioning arguments as the batch plans apply; ``availableNow``
+is also the standard backfill/replay trigger.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import tune
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay events.parquet as a stream with the same ns-timestamp shim +
+    seconds truncation as the batch path (catalog.py / batch_equiv.py)."""
+    tune(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # The streaming file source requires a directory; expose the single
+    # events.parquet file through a scratch dir of symlinks (read-only data
+    # stays untouched — in production this IS a directory of arriving files).
+    src_dir = Path(tempfile.gettempdir()) / f"sce_stream_events_{abs(hash(sf_dir)) % 10**8}"
+    src_dir.mkdir(exist_ok=True)
+    link = src_dir / "events.parquet"
+    if not link.exists():
+        link.symlink_to(Path(sf_dir) / "events.parquet")
+    stream = spark.readStream.schema(raw_schema).parquet(str(src_dir))
+    if dict(stream.dtypes)["ts"] in ("bigint", "long"):
+        ts_s = F.expr("ts div 1000000000")
+    else:
+        ts_s = F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+    # TimestampType (not NTZ): required by withWatermark; session tz is UTC.
+    return stream.withColumn("t", F.timestamp_seconds(ts_s))
+
+
+def _drain_to_memory(agg: DataFrame, prefix: str, mode: str) -> DataFrame:
+    spark = agg.sparkSession
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _epoch_s(col: str) -> F.Column:
+    return F.unix_timestamp(F.col(col).cast("timestamp")).cast("bigint")
+
+
+def run_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h tumbling counts as a real stream (complete mode, availableNow).
+    Same grouping as ``tumbling_window_events`` (counts only — float means
+    are checked on the batch twin)."""
+    stream = _event_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("t", "10 minutes")
+        .groupBy(F.window("t", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(_epoch_s("win.start").alias("w_start_s"), "c")
+    )
+    return _drain_to_memory(agg, "tumbling", "complete")
+
+
+def run_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30-min-gap session windows as a real stream (twin of
+    ``session_window_events``)."""
+    stream = _event_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("t", "10 minutes")
+        .groupBy("user_id", F.session_window("t", "1800 seconds").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", _epoch_s("win.start").alias("session_start_s"), "n_events")
+    )
+    return _drain_to_memory(agg, "sessions", "complete")
+
+
+def run_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed streaming dedup (``dropDuplicates`` on user_id × event_type) —
+    state-store-backed first-seen-wins; batch twin ``stateful_dedup_events``
+    (which additionally pins order by event time for determinism)."""
+    stream = _event_stream(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("t", "10 minutes")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type", "event_id")
+    )
+    return _drain_to_memory(deduped, "dedup", "append")

@@ -1,0 +1,72 @@
+"""Self-tests for the MLlib-backed rows-only operators (SURVEY.md §5.2.2:
+ops with no SQL oracle get local numeric oracles — PCA against
+numpy.linalg.svd, mirroring the reference's test-against-Scanpy pattern)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from single_cell_experiments_spark.registry import queries
+from tests.conftest import SF_DIR
+
+QS = queries()
+
+
+@pytest.fixture(scope="module")
+def emb_matrix():
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    vec_ids = t.column("vec_id").to_numpy()
+    X = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(vec_ids)
+    return vec_ids[order], X[order]
+
+
+def test_pca_matches_numpy_svd(spark, emb_matrix):
+    vec_ids, X = emb_matrix
+    Xc = X - X.mean(axis=0)
+    # right singular vectors = principal axes; scores = Xc @ V
+    _, _, vt = np.linalg.svd(Xc, full_matrices=False)
+    expected = Xc @ vt.T[:, :16]
+
+    out = QS["sc_pca"](spark, SF_DIR).toPandas()
+    got = (
+        out.pivot(index="vec_id", columns="component", values="score")
+        .sort_index()
+        .to_numpy()
+    )
+    assert got.shape == expected.shape
+    # per-component sign ambiguity: align by the sign of the max-|.| entry
+    for j in range(expected.shape[1]):
+        e = expected[:, j]
+        g = got[:, j]
+        if np.sign(e[np.argmax(np.abs(e))]) != np.sign(g[np.argmax(np.abs(g))]):
+            g = -g
+        np.testing.assert_allclose(g, e, atol=5e-4)
+
+
+def test_minhash_dedup_pairs_valid(spark):
+    out = QS["mllib_minhash_dedup"](spark, SF_DIR).toPandas()
+    assert (out["jaccard_dist"] <= 0.7 + 1e-9).all()
+    assert (out["doc1"] < out["doc2"]).all()
+
+
+def test_brp_lsh_neighbors_valid(spark, emb_matrix):
+    vec_ids, X = emb_matrix
+    out = QS["mllib_brp_lsh_neighbors"](spark, SF_DIR).toPandas()
+    assert (out["euclid_dist"] <= 1.2 + 1e-9).all()
+    assert (out["vec1"] < out["vec2"]).all()
+    # spot-check reported distances against numpy
+    idx = {v: i for i, v in enumerate(vec_ids)}
+    for _, r in out.head(20).iterrows():
+        d = np.linalg.norm(X[idx[r["vec1"]]] - X[idx[r["vec2"]]])
+        assert abs(d - r["euclid_dist"]) < 1e-3
+
+
+def test_kmeans_clusters_cover_all_rows(spark, emb_matrix):
+    vec_ids, _ = emb_matrix
+    out = QS["kmeans_embedding_clusters"](spark, SF_DIR).toPandas()
+    assert out["size"].sum() == len(vec_ids)
+    assert out["cluster"].nunique() == len(out)
+    assert ((out["purity"] > 0) & (out["purity"] <= 1)).all()

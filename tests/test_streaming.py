@@ -1,0 +1,37 @@
+"""Live Structured Streaming jobs must agree with their batch-equivalent
+twins (the driver's oracle runs only the batch side — this is the proof the
+same semantics hold when executed as an actual stream)."""
+
+from __future__ import annotations
+
+from single_cell_experiments_spark.registry import queries
+from single_cell_experiments_spark.streaming import jobs
+from tests.conftest import SF_DIR
+
+QS = queries()
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_stream_matches_batch(spark):
+    stream = jobs.run_tumbling_stream(spark, SF_DIR)
+    batch = QS["tumbling_window_events"](spark, SF_DIR)
+    assert _rows(stream, "w_start_s", "c") == _rows(batch, "w_start_s", "c")
+
+
+def test_session_stream_matches_batch(spark):
+    stream = jobs.run_session_stream(spark, SF_DIR)
+    batch = QS["session_window_events"](spark, SF_DIR)
+    assert _rows(stream, "user_id", "session_start_s", "n_events") == _rows(
+        batch, "user_id", "session_start_s", "n_events"
+    )
+
+
+def test_dedup_stream_matches_batch_keys(spark):
+    stream = jobs.run_dedup_stream(spark, SF_DIR)
+    batch = QS["stateful_dedup_events"](spark, SF_DIR)
+    # first-seen winner depends on arrival order (non-deterministic in the
+    # file replay); the deduped KEY set must match the batch twin exactly.
+    assert _rows(stream, "user_id", "event_type") == _rows(batch, "user_id", "event_type")
