@@ -276,3 +276,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(jac >= TRIGRAM_JACCARD_MIN)
         .select("doc1", "doc2", F.round(jac, 6).alias("jaccard"))
     )
+
+
+# --- embedding-cosine near-dup ----------------------------------------------------
+
+def _embedding_dedup_oracle() -> str:
+    from .similarity import _ANN_ORACLE
+
+    return f"""
+WITH pairs AS ({_ANN_ORACLE})
+SELECT DISTINCT vec2 AS removed_vec_id
+FROM pairs
+"""
+
+
+@query("dedup_embedding_cosine", oracle=_embedding_dedup_oracle(), tags=("dedup", "embedding"))
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup removal list: sign-bit-LSH candidate pairs
+    at cosine ≥ 0.35 (operators/similarity.py), lower vec_id kept, the
+    distinct set of higher ids emitted for deletion.
+
+    Pair-at-a-time keeper choice (not full connected components — that
+    needs iterative label propagation; see mllib ops for the library path).
+    Scale shape inherits from the LSH pair join: bucket-local only.
+    """
+    from .similarity import ann_cosine_pairs_signlsh
+
+    pairs = ann_cosine_pairs_signlsh(spark, sf_dir)
+    return pairs.select(F.col("vec2").alias("removed_vec_id")).distinct()

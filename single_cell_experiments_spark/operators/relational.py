@@ -594,3 +594,36 @@ def nullsafe_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_nullsafe_null"),
         )
     )
+
+
+# --- percentiles ----------------------------------------------------------------
+
+_PCTL_ORACLE = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+       round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+       round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS price_p90
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("agg_percentiles_lineitem", oracle=_PCTL_ORACLE, tags=("relational", "agg", "percentile"))
+def agg_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``: both rank at (n-1)·q with linear
+    interpolation; quantities are small integers so the interpolation
+    arithmetic is exact in both engines).
+
+    Scale note: exact percentile sorts within groups; at 100 TB prefer
+    ``approx_percentile`` (t-digest, mergeable partial agg) — declared
+    rows-only like approx_count_distinct since sketches have no SQL oracle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 4).alias("p75"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("price_p90"),
+    )

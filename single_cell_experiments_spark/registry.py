@@ -63,6 +63,7 @@ def _load_all_operator_modules() -> None:
         ml,
     )
     from .functions import scalar  # noqa: F401
+    from .sources import chunkstore, sinks  # noqa: F401
     from .streaming import batch_equiv  # noqa: F401
 
 

@@ -1,0 +1,91 @@
+"""Sources & sinks beyond parquet scan (SURVEY.md §2.B "Scans/sources" /
+"Sinks"): CSV and JSON ingest, partitioned parquet write.
+
+Each is registered as a *roundtrip* query — write the driver table out
+through the sink, read it back through the matching source with an explicit
+schema (never inferred on the correctness path, §1.3), and return content
+that the DuckDB oracle checks against the original table.  Equality proves
+both directions of the connector.
+
+Scratch lives under the system temp dir (unique per sf_dir), like Spark's
+own shuffle/checkpoint scratch.
+
+Scale notes: writes are partition-parallel (one file per task; the
+partitioned write shuffles on the partition column first so each partition
+directory is written by one task — ``repartition(col)`` before
+``partitionBy`` avoids the small-files explosion); reads are split-parallel
+(CSV/JSON are splittable by line).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.compat import dd_money_sum, money_sum
+from ..registry import query
+
+
+def _scratch(kind: str, sf_dir: str) -> str:
+    return os.path.join(
+        tempfile.gettempdir(), f"sce_{kind}_{abs(hash(sf_dir)) % 10**8}"
+    )
+
+
+_CSV_ORACLE = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+
+
+@query("csv_roundtrip_nation", oracle=_CSV_ORACLE, tags=("sources", "csv"))
+def csv_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation → CSV (header) → read back with explicit schema.  Proves the
+    CSV source/sink pair; schema is declared, not inferred."""
+    n = load_table(spark, sf_dir, "nation")
+    path = _scratch("csv_nation", sf_dir)
+    n.write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.schema("n_nationkey int, n_name string, n_regionkey int").option(
+        "header", True
+    ).csv(path)
+
+
+_JSON_ORACLE = "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer"
+
+
+@query("json_roundtrip_customer", oracle=_JSON_ORACLE, tags=("sources", "json"))
+def json_roundtrip_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer → JSON lines → read back with explicit schema.  Doubles
+    survive exactly (Spark writes shortest-round-trip representations)."""
+    c = load_table(spark, sf_dir, "customer")
+    path = _scratch("json_customer", sf_dir)
+    c.write.mode("overwrite").json(path)
+    return spark.read.schema(
+        "c_custkey bigint, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string"
+    ).json(path)
+
+
+_PARTITIONED_ORACLE = f"""
+SELECT o_orderstatus, COUNT(*) AS n, {dd_money_sum('o_totalprice', 'total')}
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@query("partitioned_write_orders", oracle=_PARTITIONED_ORACLE, tags=("sinks", "parquet"))
+def partitioned_write_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → parquet partitioned by o_orderstatus → read back →
+    aggregate per partition.  The pre-write ``repartition`` on the
+    partition column makes one task own each directory (no small-files
+    explosion); reading back and aggregating proves values and partition
+    routing survived.  Partition pruning over this layout is asserted in
+    tests/test_plans.py."""
+    o = load_table(spark, sf_dir, "orders")
+    path = _scratch("part_orders", sf_dir)
+    o.repartition(F.col("o_orderstatus")).write.mode("overwrite").partitionBy(
+        "o_orderstatus"
+    ).parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), money_sum("o_totalprice", "total")
+    )

@@ -1,0 +1,68 @@
+"""Scale-posture tests: assert the physical plans are the ones we'd want on
+a 1000-executor cluster — pushdown reaches the scan, small dims broadcast,
+top-k uses group limits, shuffle counts are minimal.  Correctness is the
+oracle suite's job; this file guards the 100-TB shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from single_cell_experiments_spark.catalog import load_table
+from single_cell_experiments_spark.plans import inspect
+from single_cell_experiments_spark.registry import queries
+from tests.conftest import SF_DIR
+
+QS = queries()
+
+
+def test_filter_and_pruning_reach_parquet_scan(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    df = li.where(F.col("l_shipdate") <= "1998-09-02").select("l_returnflag", "l_quantity")
+    pushed, schema = inspect.scan_pushdown(df)
+    assert "l_shipdate" in pushed, f"filter not pushed: {pushed}"
+    # only the filter + projected columns may be read
+    assert "l_extendedprice" not in schema, f"column pruning failed: {schema}"
+    assert "l_returnflag" in schema and "l_quantity" in schema
+
+
+def test_q3_broadcasts_dimension_side(spark):
+    df = QS["q3_join_topk"](spark, SF_DIR)
+    assert inspect.uses_broadcast_join(df), "customer/orders side should broadcast"
+
+
+def test_scale_stats_join_is_broadcast(spark):
+    df = QS["sc_scale"](spark, SF_DIR)
+    assert inspect.uses_broadcast_join(df), "per-gene stats join should broadcast"
+
+
+def test_topk_per_group_uses_window_group_limit(spark):
+    df = QS["topk_per_group"](spark, SF_DIR)
+    assert inspect.count_in_plan(df, "WindowGroupLimit", final=False) > 0
+
+
+def test_q1_single_shuffle(spark):
+    # scan -> partial agg -> exchange -> final agg: exactly one shuffle.
+    df = QS["q1_pricing_summary"](spark, SF_DIR)
+    assert inspect.exchange_count(df) <= 2  # agg + final orderBy range exchange
+
+
+def test_asof_join_single_shuffle_per_side(spark):
+    # union + one window pass: the whole as-of join costs one key shuffle.
+    df = QS["join_asof_purchase_signup"](spark, SF_DIR)
+    assert inspect.exchange_count(df) <= 1, "as-of join must not add extra shuffles"
+
+
+def test_partition_pruning_on_partitioned_sink(spark):
+    import os
+    import tempfile
+
+    o = load_table(spark, SF_DIR, "orders")
+    path = os.path.join(tempfile.gettempdir(), "sce_prune_orders")
+    o.repartition(F.col("o_orderstatus")).write.mode("overwrite").partitionBy(
+        "o_orderstatus"
+    ).parquet(path)
+    back = spark.read.parquet(path).where(F.col("o_orderstatus") == "F")
+    plan = inspect.formatted_plan(back)
+    assert "PartitionFilters" in plan
+    line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "o_orderstatus" in line, f"partition filter not applied: {line}"

@@ -35,3 +35,24 @@ def test_dedup_stream_matches_batch_keys(spark):
     # first-seen winner depends on arrival order (non-deterministic in the
     # file replay); the deduped KEY set must match the batch twin exactly.
     assert _rows(stream, "user_id", "event_type") == _rows(batch, "user_id", "event_type")
+
+
+def test_stateful_counter_matches_batch(spark):
+    from pyspark.sql import functions as F
+
+    from single_cell_experiments_spark.catalog import load_table
+
+    stream = jobs.run_stateful_counter_stream(spark, SF_DIR)
+    # update-mode emits one row per key per batch; last emission per key wins
+    latest = {r["user_id"]: (r["n_events"], r["v_sum_e6"]) for r in stream.collect()}
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.round("value", 6) * 10**6).cast("bigint")).alias("v_e6"),
+        )
+        .collect()
+    )
+    expected = {r["user_id"]: (r["n"], r["v_e6"]) for r in batch}
+    assert latest == expected
