@@ -10,7 +10,7 @@ on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 
 Methodology (BASELINE.md contract): one warm-up execution per query
 (JIT/codegen/broadcast warm, matching DuckDB's in-process posture), then
-median of 3 timed runs; timing covers plan + execute + collect to the
+median of 5 timed runs; timing covers plan + execute + collect to the
 driver, per query, excluding session startup.
 """
 
@@ -33,7 +33,7 @@ HEADLINE = (
     "knn_cosine_to_vec0",
 )
 
-RUNS = 3
+RUNS = 5  # median of 5: robust to transient machine-load spikes
 
 
 def main() -> int:

@@ -22,11 +22,20 @@ All integer — no session-timezone or float ambiguity against the oracle.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .session import tune
+
+#: per-session DataFrame cache: session -> {(sf_dir, name): DataFrame}.
+#: A DataFrame is an immutable plan, so handing the same one to every query
+#: is safe and skips repeated file listing / schema resolution / conf
+#: re-application (hundreds of ms of driver-side latency per query at
+#: bench scale; irrelevant to cluster throughput, which is why it lives
+#: here and not in user code).
+_df_cache: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
 
 TABLES = (
     "region",
@@ -63,12 +72,21 @@ def _events_time_columns(df: DataFrame) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver table; apply engine confs + the events time shim."""
-    tune(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        df = _events_time_columns(df)
-    return df
+    """Load one driver table; apply engine confs + the events time shim.
+
+    Plans are memoized per session (see ``_df_cache``)."""
+    try:
+        cache = _df_cache[spark]
+    except KeyError:
+        cache = _df_cache.setdefault(spark, {})
+    key = (sf_dir, name)
+    if key not in cache:
+        tune(spark)
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if name == "events":
+            df = _events_time_columns(df)
+        cache[key] = df
+    return cache[key]
 
 
 def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> dict[str, DataFrame]:
