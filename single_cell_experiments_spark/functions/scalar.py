@@ -203,3 +203,30 @@ def json_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("k_max"),
         )
     )
+
+
+_MAP_ORACLE = """
+SELECT event_id,
+       CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+       list_sort(json_keys(props)) AS key_list,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       json_extract_string(props, '$.missing') IS NULL AS missing_absent
+FROM events
+"""
+
+
+@query("map_funcs_events", oracle=_MAP_ORACLE, tags=("functions", "map", "json"))
+def map_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed JSON handling: parse ``events.props`` into
+    ``map<string,string>`` (schema-free — keys unknown ahead of time, the
+    realistic props shape), then ``map_keys``/``element_at`` (SURVEY.md
+    §2.B "Map/JSON fns")."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return e.select(
+        "event_id",
+        big(F.size(F.map_keys(m)), "n_keys"),
+        F.array_sort(F.map_keys(m)).alias("key_list"),
+        F.element_at(m, "k").cast("bigint").alias("k_val"),
+        F.element_at(m, "missing").isNull().alias("missing_absent"),
+    )

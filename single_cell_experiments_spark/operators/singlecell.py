@@ -403,3 +403,55 @@ def sc_recipe_zheng17(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos",
         F.round(F.greatest(F.least(z, F.lit(SCALE_CLIP)), F.lit(-SCALE_CLIP)), 6).alias("z"),
     )
+
+
+# --- COO -> wide reshape (matrix form conversion) -----------------------------
+
+_COO_TO_WIDE_ORACLE = """
+WITH coo AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST(COUNT(*) AS BIGINT) AS dim,
+       round(CAST(SUM(CAST(round(v, 6) AS DECIMAL(18,6)) * pos) AS DOUBLE), 6) AS pos_weighted_sum
+FROM coo
+GROUP BY vec_id
+"""
+
+
+@query("sc_coo_to_wide", oracle=_COO_TO_WIDE_ORACLE, tags=("singlecell", "reshape"))
+def sc_coo_to_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide matrix reshape: rebuild each cell's vector from COO rows
+    (``collect_list`` of (pos,v) structs, ``array_sort``, project values) —
+    the inverse of ``coo()``, i.e. the reference's chunk re-materialization
+    before a Zarr write (A2/A13 [M]).  Emitted as a per-row checksum
+    (dim + position-weighted decimal sum) so the oracle can verify the
+    reshape without exploding back.
+
+    Scale: one shuffle keyed on vec_id; each group is one cell's ~3e4
+    values — bounded, no skew.
+    """
+    c = coo(spark, sf_dir)
+    wide = (
+        c.groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("cells"))
+        .select("vec_id", F.transform("cells", lambda s: s["v"]).alias("vec"))
+    )
+    return wide.select(
+        "vec_id",
+        F.size("vec").cast("bigint").alias("dim"),
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("vec"),
+                    F.sequence(F.lit(1), F.size("vec")),
+                    lambda v, p: F.round(v, 6).cast("decimal(18,6)") * p.cast("decimal(18,0)"),
+                ),
+                F.lit(0).cast("decimal(38,6)"),
+                lambda acc, x: acc + x,
+            ).cast("double"),
+            6,
+        ).alias("pos_weighted_sum"),
+    )
