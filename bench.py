@@ -10,8 +10,9 @@ on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 
 Methodology (BASELINE.md contract): one warm-up execution per query
 (JIT/codegen/broadcast warm, matching DuckDB's in-process posture), then
-median of 5 timed runs; timing covers plan + execute + collect to the
-driver, per query, excluding session startup.
+median of 5 timed runs; timing covers plan + execute + Arrow-materialize to
+a driver pandas frame (the same materialization BASELINE.md's DuckDB
+numbers pay via ``.df()``), per query, excluding session startup.
 """
 
 from __future__ import annotations
@@ -51,11 +52,11 @@ def main() -> int:
     per_query: dict[str, float] = {}
     for name in names:
         fn = qs[name]
-        fn(spark, sf_dir).collect()  # warm-up (codegen, file listing, JIT)
+        fn(spark, sf_dir).toPandas()  # warm-up (codegen, file listing, JIT)
         times = []
         for _ in range(RUNS):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
+            fn(spark, sf_dir).toPandas()
             times.append(time.perf_counter() - t0)
         per_query[name] = round(statistics.median(times), 4)
         print(f"  {name}: {per_query[name]:.3f}s", file=sys.stderr)
