@@ -627,3 +627,71 @@ def agg_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_quantity", F.lit(0.75)), 4).alias("p75"),
         F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("price_p90"),
     )
+
+
+# --- bag-semantics set ops --------------------------------------------------------
+
+_BAG_SETOPS_ORACLE = """
+WITH hi AS (SELECT c_nationkey FROM customer WHERE c_acctbal > 5000),
+seg AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING')
+SELECT 'except_all' AS op, c_nationkey, COUNT(*) AS n
+FROM (SELECT c_nationkey FROM hi EXCEPT ALL SELECT c_nationkey FROM seg)
+GROUP BY c_nationkey
+UNION ALL
+SELECT 'intersect_all' AS op, c_nationkey, COUNT(*) AS n
+FROM (SELECT c_nationkey FROM hi INTERSECT ALL SELECT c_nationkey FROM seg)
+GROUP BY c_nationkey
+"""
+
+
+@query("set_ops_bag_semantics", oracle=_BAG_SETOPS_ORACLE, tags=("relational", "setops"))
+def set_ops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL / INTERSECT ALL — multiset semantics (duplicate
+    multiplicities subtract / min), the variant ``set_ops_customers``'s
+    DISTINCT forms don't cover."""
+    c = load_table(spark, sf_dir, "customer")
+    hi = c.where(F.col("c_acctbal") > 5000).select("c_nationkey")
+    seg = c.where(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    ex = (
+        hi.exceptAll(seg)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "c_nationkey", "n")
+    )
+    it = (
+        hi.intersectAll(seg)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "c_nationkey", "n")
+    )
+    return ex.unionByName(it)
+
+
+# --- range-frame window -----------------------------------------------------------
+
+_RANGE_FRAME_ORACLE = """
+SELECT o_custkey, o_orderkey, day_n,
+       CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY day_n
+                           RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS orders_trailing_30d
+FROM (SELECT o_custkey, o_orderkey,
+             CAST(date_diff('day', TIMESTAMP '1992-01-01', o_orderdate) AS BIGINT) AS day_n
+      FROM orders)
+"""
+
+
+@query("window_range_frame", oracle=_RANGE_FRAME_ORACLE, tags=("relational", "window"))
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a value axis (trailing-30-day order count per
+    customer) — ``rangeBetween`` on epoch days, the time-decay window shape
+    ``window_running``'s ROWS frame doesn't cover."""
+    o = load_table(spark, sf_dir, "orders")
+    day_n = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")).cast("bigint")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("day_n")
+        .rangeBetween(-30, W.currentRow)
+    )
+    return o.select("o_custkey", "o_orderkey", day_n.alias("day_n")).withColumn(
+        "orders_trailing_30d", F.count(F.lit(1)).over(w).cast("bigint")
+    )
