@@ -304,3 +304,78 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = ann_cosine_pairs_signlsh(spark, sf_dir)
     return pairs.select(F.col("vec2").alias("removed_vec_id")).distinct()
+
+
+# --- duplicate-cluster canonicalization (connected components) --------------------
+
+_CC_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_minhash_sql(_DD_SHINGLES)}),
+edges AS (
+  SELECT doc1 AS u, doc2 AS v FROM pairs
+  UNION
+  SELECT doc2, doc1 FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+)
+SELECT u AS doc_id, MIN(v) AS component_id
+FROM reach GROUP BY u
+"""
+
+
+@query("dedup_connected_components", oracle=_CC_ORACLE, tags=("dedup", "components", "iterative"))
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster canonicalization: connected components over the
+    MinHash-LSH near-dup pair graph via iterative min-label propagation —
+    each doc gets the smallest doc_id reachable through near-dup edges
+    (the "canonical representative" every real dedup pipeline needs; pair
+    lists alone can't pick one keeper per duplicate *cluster*).
+
+    Spark side: a driver-coordinated fixpoint loop of join+agg rounds
+    (labels converge in ≤ diameter rounds; ``localCheckpoint`` truncates
+    lineage each round so plans don't grow).  At 100 TB scale this exact
+    loop is the standard large-graph CC (or hand to GraphFrames/Pregel);
+    each round is one shuffle keyed on the node id.
+
+    Oracle: DuckDB recursive CTE transitive closure (min reachable id) —
+    one of the genuinely iterative algorithms the driver contract still
+    lets us hash-check end to end.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc1", "doc2")
+    edges = pairs.union(
+        pairs.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2"))
+    ).distinct()
+    edges = edges.localCheckpoint()
+
+    labels = edges.select(F.col("doc1").alias("doc_id")).distinct().withColumn(
+        "component_id", F.col("doc_id")
+    )
+    for _ in range(32):  # ≥ graph diameter; breaks early at fixpoint
+        neighbor_min = (
+            edges.join(labels, edges.doc2 == labels.doc_id)
+            .groupBy(edges.doc1)
+            .agg(F.min("component_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.doc1, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"), F.coalesce(F.col("nbr_min"), F.col("component_id"))
+                ).alias("component_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.component_id") != F.col("o.component_id"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels

@@ -153,3 +153,29 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(big("cluster", "cluster"), "size", "majority_label", "purity")
     )
+
+
+@query("mllib_tfidf_features", tags=("text", "ml", "tfidf"))
+def mllib_tfidf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib TF-IDF pipeline (RegexTokenizer → HashingTF → IDF) — the
+    library twin of the SQL ``tfidf_top_terms``; emits per-doc feature-norm
+    summaries.  Rows-only check (feature hashing has no SQL oracle); the
+    exact-TF-IDF semantics are hash-verified on the SQL twin.
+    """
+    from pyspark.ml.feature import IDF, HashingTF, RegexTokenizer
+    from pyspark.ml.functions import vector_to_array
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", F.lower("text").alias("text"))
+    toks = RegexTokenizer(
+        inputCol="text", outputCol="words", pattern="[^a-z]+", minTokenLength=3
+    ).transform(d)
+    tf = HashingTF(inputCol="words", outputCol="tf", numFeatures=1 << 14).transform(toks)
+    idf = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
+    arr = idf.transform(tf).select("doc_id", vector_to_array("tfidf").alias("w"))
+    return arr.select(
+        "doc_id",
+        big(F.size(F.filter("w", lambda x: x > 0)), "n_active_terms"),
+        F.round(
+            F.sqrt(F.aggregate(F.col("w"), F.lit(0.0), lambda a, x: a + x * x)), 4
+        ).alias("l2_norm"),
+    )

@@ -455,3 +455,52 @@ def sc_coo_to_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pos_weighted_sum"),
     )
+
+
+# --- grouped numpy kernel via applyInPandas (oracle-checked) -------------------
+
+_GROUPED_CENTROID_ORACLE = """
+WITH coo AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE), 6) * 1000000 AS BIGINT) AS v_e6
+  FROM embeddings
+)
+SELECT label, pos,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(v_e6) AS BIGINT) AS sum_e6
+FROM coo GROUP BY label, pos
+"""
+
+
+@query("grouped_pandas_centroid", oracle=_GROUPED_CENTROID_ORACLE, tags=("singlecell", "udf"))
+def grouped_pandas_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid accumulation as a grouped **numpy kernel**
+    (``applyInPandas``) — the reference's chunk-wise NumPy map shape
+    (SURVEY.md §3.1 EP2 [M]) on Spark's grouped-UDF path, value-hash
+    verified: the kernel accumulates exact integer micro-units, so the
+    Python path has zero float ambiguity against the SQL oracle.
+
+    Scale: one shuffle on ``label``; each group streams through Arrow in
+    batches and reduces to O(dim) rows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+
+    schema = "label int, pos bigint, n bigint, sum_e6 bigint"
+
+    def _centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        label = int(pdf["label"].iloc[0])
+        m = np.array(pdf["embedding"].to_list(), dtype=np.float64)
+        e6 = np.round(np.round(m, 6) * 1_000_000).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "label": label,
+                "pos": np.arange(1, m.shape[1] + 1, dtype=np.int64),
+                "n": np.int64(m.shape[0]),
+                "sum_e6": e6.sum(axis=0, dtype=np.int64),
+            }
+        )
+
+    return e.select("label", "embedding").groupBy("label").applyInPandas(_centroid, schema)
