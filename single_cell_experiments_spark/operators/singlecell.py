@@ -126,7 +126,11 @@ def sc_normalize_per_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id",
         (F.col("pos0") + 1).alias("pos"),
-        F.round(F.abs(F.col("v32").cast("double")) * NORMALIZE_TARGET / F.col("s"), 6).alias("nv"),
+        # try_divide: a zero-sum cell yields NULLs, not a job-killing ANSI
+        # error (Scanpy leaves zero-sum rows; driver data never hits this)
+        F.round(
+            F.try_divide(F.abs(F.col("v32").cast("double")) * NORMALIZE_TARGET, F.col("s")), 6
+        ).alias("nv"),
     )
 
 
@@ -220,13 +224,20 @@ def sc_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(stat6("v")).cast("double") / F.count(F.lit(1))).alias("mu"),
         (F.sum(stat6("v") * stat6("v")).cast("double") / F.count(F.lit(1))).alias("msq"),
     )
-    z = (F.col("v") - F.col("mu")) / F.sqrt(F.col("msq") - F.col("mu") * F.col("mu"))
+    # try_divide: zero-variance gene -> NULL z (not an ANSI error)
+    z = F.try_divide(
+        F.col("v") - F.col("mu"), F.sqrt(F.col("msq") - F.col("mu") * F.col("mu"))
+    )
     return (
         c.join(F.broadcast(stats), "pos")
         .select(
             "vec_id",
             "pos",
-            F.round(F.greatest(F.least(z, F.lit(SCALE_CLIP)), F.lit(-SCALE_CLIP)), 6).alias("z"),
+            F.round(
+                # NULL-preserving clip (greatest/least skip NULLs)
+                F.when(z.isNotNull(), F.greatest(F.least(z, F.lit(SCALE_CLIP)), F.lit(-SCALE_CLIP))),
+                6,
+            ).alias("z"),
         )
     )
 
@@ -296,7 +307,11 @@ def sc_hvg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "disp",
         F.col("bin").cast("bigint").alias("bin"),
         F.round(
-            (F.col("disp") - F.col("bmu")) / F.sqrt(F.col("bmsq") - F.col("bmu") * F.col("bmu")), 6
+            F.try_divide(
+                F.col("disp") - F.col("bmu"),
+                F.sqrt(F.col("bmsq") - F.col("bmu") * F.col("bmu")),
+            ),
+            6,
         ).alias("norm_disp"),
     )
     return (
@@ -369,6 +384,10 @@ def sc_recipe_zheng17(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos0") + 1).alias("pos"),
         F.abs(F.col("v32").cast("double")).alias("c"),
     )
+    # The COO feeds four consumers (gene filter, cell filter, sums, stats);
+    # materialize it once instead of re-scanning the matrix per consumer —
+    # at scale one checkpointed pass beats five scans of X.
+    c = c.localCheckpoint()
     n_total = c.agg(F.count_distinct("vec_id").alias("n"))
     kept_genes = (
         c.groupBy("pos")
@@ -384,24 +403,32 @@ def sc_recipe_zheng17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("nc") >= 20)
         .select("vec_id")
     )
-    cell_filtered = gene_filtered.join(kept_cells, "vec_id")
+    cell_filtered = gene_filtered.join(kept_cells, "vec_id").localCheckpoint()
     cell_sums = cell_filtered.groupBy("vec_id").agg(
         F.sum(stat6("c")).cast("double").alias("s")
     )
     logged = cell_filtered.join(cell_sums, "vec_id").select(
         "vec_id",
         "pos",
-        F.round(F.log(F.lit(1.0) + F.col("c") * NORMALIZE_TARGET / F.col("s")), 6).alias("lv"),
+        F.round(
+            F.log(F.lit(1.0) + F.try_divide(F.col("c") * NORMALIZE_TARGET, F.col("s"))), 6
+        ).alias("lv"),
     )
     gene_stats = logged.groupBy("pos").agg(
         (F.sum(stat6("lv")).cast("double") / F.count(F.lit(1))).alias("mu"),
         (F.sum(stat6("lv") * stat6("lv")).cast("double") / F.count(F.lit(1))).alias("msq"),
     )
-    z = (F.col("lv") - F.col("mu")) / F.sqrt(F.col("msq") - F.col("mu") * F.col("mu"))
+    z = F.try_divide(
+        F.col("lv") - F.col("mu"), F.sqrt(F.col("msq") - F.col("mu") * F.col("mu"))
+    )
     return logged.join(F.broadcast(gene_stats), "pos").select(
         "vec_id",
         "pos",
-        F.round(F.greatest(F.least(z, F.lit(SCALE_CLIP)), F.lit(-SCALE_CLIP)), 6).alias("z"),
+        F.round(
+                # NULL-preserving clip (greatest/least skip NULLs)
+                F.when(z.isNotNull(), F.greatest(F.least(z, F.lit(SCALE_CLIP)), F.lit(-SCALE_CLIP))),
+                6,
+            ).alias("z"),
     )
 
 
