@@ -1,0 +1,342 @@
+"""Advanced relational + pipeline operators: correlated subqueries,
+deterministic distributed statistics, ordered string aggregation,
+distribution window functions, date arithmetic, time-spine gap-fill, and a
+salted (skew-resistant) aggregation.
+
+None of this exists in the reference (SURVEY.md §2.B — its only dataflow is
+chunk maps + driver reduces); these are the north-star engine surface a
+large-scale training-data pipeline needs.  Scale posture per query is noted
+in its docstring; the common themes:
+
+- Correlated EXISTS lowers to a *semi join* (one shuffle on the join key,
+  never a per-row subquery loop) — Catalyst's decorrelation is what makes
+  the declarative form safe at 100 TB.
+- Pearson corr / covariance are computed from DECIMAL power sums
+  (Σx, Σy, Σxy, Σx², Σy²) — exact and associative, so partial aggregation
+  is order-insensitive and the two-engine hash match survives any
+  partitioning.  Native ``corr()`` would drift last-ulp across partition
+  orders; the power-sum form is also the textbook single-pass distributed
+  algorithm (one map-side partial per partition).
+- The salted aggregation demonstrates the standard hot-key mitigation:
+  pre-aggregate on (key, salt) to fan a skewed key across reducers, then
+  final-aggregate on key.  With decimal partials the result is bit-equal to
+  the unsalted plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.compat import big, day_str, dd_money_sum, money, money_sum
+from ..registry import query
+
+# --- correlated EXISTS (TPC-H Q4 shape) ------------------------------------
+
+_EXISTS_ORACLE = """
+SELECT o.o_orderpriority, COUNT(*) AS cnt
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+@query("exists_correlated_orders", oracle=_EXISTS_ORACLE, tags=("relational", "subquery"))
+def exists_correlated_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS as a LEFT SEMI join (TPC-H Q4 shape): orders with
+    at least one line item shipped after the order date, counted per
+    priority.
+
+    Scale: the semi join shuffles both sides once on l_orderkey/o_orderkey
+    and keeps only the equi-key columns + the range predicate inputs; no
+    row explosion (semi join short-circuits on first match), and the
+    9-group aggregation collapses map-side.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- deterministic distributed Pearson correlation -------------------------
+
+_CORR_ORACLE = """
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       n,
+       round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price,
+       round(sxy / n - (sx / n) * (sy / n), 6) AS covar_pop_qty_price
+FROM s
+ORDER BY l_returnflag
+"""
+
+
+@query("agg_corr_covar", oracle=_CORR_ORACLE, tags=("relational", "agg", "stats"))
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + population covariance of (quantity, price) per
+    return flag, via exact DECIMAL power sums.
+
+    This is the single-pass distributed moments algorithm: each partition
+    emits partial (n, Σx, Σy, Σxy, Σx², Σy²) — decimal, so merging is
+    exact and order-insensitive — and the closed form is evaluated on the
+    merged totals.  Native ``corr()`` is float-accumulated and would not
+    hash-match across engines/partitionings.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = money("l_quantity"), money("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    covar = F.col("sxy") / n - (F.col("sx") / n) * (F.col("sy") / n)
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(corr, 6).alias("corr_qty_price"),
+        F.round(covar, 6).alias("covar_pop_qty_price"),
+    ).orderBy("l_returnflag")
+
+
+# --- ordered string aggregation --------------------------------------------
+
+_STRAGG_ORACLE = """
+SELECT r.r_name,
+       COUNT(*) AS n_nations,
+       string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+ORDER BY r.r_name
+"""
+
+
+@query("string_agg_nations", oracle=_STRAGG_ORACLE, tags=("relational", "agg", "string"))
+def string_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: comma-joined sorted nation names per
+    region.  ``collect_list`` is order-nondeterministic under shuffling, so
+    the engine sorts the collected array before joining — the only safe way
+    to emit LISTAGG-style output from a distributed aggregation.
+    """
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+# --- distribution window functions -----------------------------------------
+
+_DIST_ORACLE = """
+SELECT c_custkey,
+       c_mktsegment,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(cume_dist() OVER w, 6) AS cd,
+       ntile(4) OVER w AS quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+ORDER BY c_custkey
+"""
+
+
+@query("window_dist_funcs", oracle=_DIST_ORACLE, tags=("relational", "window"))
+def window_dist_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / ntile over customers per market segment.
+
+    The ORDER BY carries c_custkey as a unique tie-break so every rank —
+    and therefore every distribution value — is deterministic under any
+    partitioning.  One shuffle on c_mktsegment; the sort is per-partition.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        big(F.ntile(4).over(w), "quartile"),
+    ).orderBy("c_custkey")
+
+
+# --- date arithmetic --------------------------------------------------------
+
+_DATEARITH_ORACLE = """
+SELECT o_orderkey,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS due_3mo,
+       strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+       isodow(o_orderdate) AS iso_dow,
+       date_diff('day', o_orderdate, TIMESTAMP '1998-01-01') AS days_to_1998
+FROM orders
+WHERE o_orderstatus = 'O'
+ORDER BY o_orderkey
+"""
+
+
+@query("date_arith_orders", oracle=_DATEARITH_ORACLE, tags=("relational", "datetime"))
+def date_arith_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic sweep: month truncation, interval addition with
+    end-of-month clamping, last_day, ISO day-of-week, day difference.
+
+    All outputs are normalized to strings/BIGINT so neither engine's
+    temporal rendering touches the hash.  Narrow per-row projection —
+    pushdown-filtered scan, no shuffle at all.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return (
+        o.where(F.col("o_orderstatus") == "O")
+        .select(
+            "o_orderkey",
+            day_str(F.date_trunc("month", d), "month_start"),
+            day_str(F.add_months(d, 3), "due_3mo"),
+            day_str(F.last_day(d), "month_end"),
+            # Spark weekday(): Monday=0 .. Sunday=6; DuckDB isodow: Mon=1..Sun=7
+            big(F.weekday(d) + F.lit(1), "iso_dow"),
+            big(F.datediff(F.lit("1998-01-01").cast("timestamp_ntz"), d), "days_to_1998"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --- time-spine gap fill -----------------------------------------------------
+
+_DD_TS_S = "epoch_us(ts) // 1000000"
+
+_GAPFILL_ORACLE = f"""
+WITH b AS (
+  SELECT min(({_DD_TS_S}) // 3600) AS h0, max(({_DD_TS_S}) // 3600) AS h1 FROM events
+),
+spine AS (SELECT unnest(range(h0, h1 + 1)) AS h FROM b),
+agg AS (
+  SELECT ({_DD_TS_S}) // 3600 AS h,
+         COUNT(*) AS c,
+         CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS v
+  FROM events GROUP BY 1
+)
+SELECT spine.h * 3600 AS w_start_s,
+       COALESCE(agg.c, 0) AS c,
+       round(COALESCE(agg.v, 0.0), 6) AS v
+FROM spine LEFT JOIN agg ON spine.h = agg.h
+ORDER BY w_start_s
+"""
+
+
+@query("gapfill_time_spine", oracle=_GAPFILL_ORACLE, tags=("relational", "timeseries"))
+def gapfill_time_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly time series over the events span: generate an hour
+    spine with ``sequence``/``explode``, left-join the hourly aggregate,
+    zero-fill the gaps — the standard gap-fill for training-data
+    time-series features.
+
+    Scale: the spine is tiny (hours between min and max — a few thousand
+    rows per year) so it broadcast-joins to the aggregate; the only real
+    shuffle is the hourly groupBy, which partial-aggregates map-side.  The
+    min/max bounds are one scalar aggregate over a pruned single-column
+    scan.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hour = F.expr("ts_s div 3600")  # integer division: exact, engine-agnostic
+    bounds = e.agg(
+        F.min(hour).alias("h0"),
+        F.max(hour).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+    )
+    agg = e.groupBy(hour.alias("h")).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.round("value", 6).cast("decimal(18,6)")).cast("double").alias("v"),
+    )
+    return (
+        F.broadcast(spine)
+        .join(agg, "h", "left")
+        .select(
+            (F.col("h") * 3600).alias("w_start_s"),
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c"),
+            F.round(F.coalesce(F.col("v"), F.lit(0.0)), 6).alias("v"),
+        )
+        .orderBy("w_start_s")
+    )
+
+
+# --- salted (skew-resistant) aggregation -------------------------------------
+
+_SALTED_ORACLE = f"""
+SELECT l_returnflag,
+       COUNT(*) AS cnt,
+       {dd_money_sum('l_extendedprice', 'rev')}
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+_N_SALTS = 16
+
+
+@query("skew_salted_agg", oracle=_SALTED_ORACLE, tags=("relational", "agg", "skew"))
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation: revenue per return flag where the
+    grouping key is low-cardinality/skewed.
+
+    Phase 1 groups on (key, salt) — the salt (hash of the order key mod
+    16) fans each hot key across 16 reducers; phase 2 merges the partials
+    on the bare key.  Because the partials are DECIMAL (exact,
+    associative), the result is bit-identical to the single-phase plan —
+    which is exactly why salting is safe to apply mechanically to any
+    sum/count aggregate with a hot key at 100 TB.  (For *this* 3-key
+    aggregate Spark's map-side partial aggregation already avoids the hot
+    spot; the query exists to pin the rewrite's correctness.)
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    salt = F.pmod(F.hash("l_orderkey"), F.lit(_N_SALTS))
+    partial = (
+        li.groupBy("l_returnflag", salt.alias("salt"))
+        .agg(
+            F.count(F.lit(1)).alias("p_cnt"),
+            F.sum(money("l_extendedprice")).alias("p_rev"),
+        )
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            F.sum("p_cnt").alias("cnt"),
+            F.sum("p_rev").cast("double").alias("rev"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -26,7 +26,7 @@ bucket sizes roughly constant, which is the standard LSH knob.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -164,6 +164,145 @@ WHERE list_aggregate(list_transform(range(1, len(a.embedding) + 1),
           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')
       / (a.nrm * b.nrm) >= {ANN_COSINE_MIN}
 """
+
+
+# --- IVF probe search (the other ANN scale path) -----------------------------
+
+_DD_STAT6_T = "CAST(round(CAST({x} AS DOUBLE), 6) AS DECIMAL(18,6))"
+
+_IVF_ORACLE = f"""
+WITH coo AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+centroids AS (
+  SELECT label, pos,
+         round(CAST(SUM({_DD_STAT6_T.format(x='v')}) AS DOUBLE) / COUNT(*), 6) AS c6
+  FROM coo GROUP BY label, pos
+),
+cnorm AS (
+  SELECT label, CAST(SUM({_DD_STAT6_T.format(x='c6 * c6')}) AS DOUBLE) AS cn2
+  FROM centroids GROUP BY label
+),
+vnorm AS (
+  SELECT vec_id, CAST(SUM({_DD_STAT6_T.format(x='v * v')}) AS DOUBLE) AS vn2
+  FROM coo GROUP BY vec_id
+),
+assign AS (
+  SELECT vec_id, label AS cell,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY round(dot / sqrt(vn2 * cn2), 6) DESC, label
+         ) AS rn
+  FROM (
+    SELECT c.vec_id, ct.label,
+           CAST(SUM({_DD_STAT6_T.format(x='c.v * ct.c6')}) AS DOUBLE) AS dot
+    FROM coo c JOIN centroids ct USING (pos)
+    GROUP BY c.vec_id, ct.label
+  ) d JOIN vnorm USING (vec_id) JOIN cnorm USING (label)
+),
+cells AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
+probe AS (SELECT cell FROM cells WHERE vec_id = 0),
+q AS (SELECT pos, v AS qv FROM coo WHERE vec_id = 0),
+qn AS (SELECT vn2 AS qn2 FROM vnorm WHERE vec_id = 0)
+SELECT m.vec_id, CAST(m.cell AS BIGINT) AS cell,
+       round(CAST(SUM({_DD_STAT6_T.format(x='c.v * q.qv')}) AS DOUBLE)
+             / sqrt(any_value(vn.vn2) * any_value(qn.qn2)), 6) AS sim
+FROM cells m
+JOIN probe p ON m.cell = p.cell
+JOIN coo c ON c.vec_id = m.vec_id
+JOIN q ON c.pos = q.pos
+JOIN vnorm vn ON vn.vec_id = m.vec_id
+CROSS JOIN qn
+WHERE m.vec_id <> 0
+GROUP BY m.vec_id, m.cell
+ORDER BY sim DESC, m.vec_id
+LIMIT 10
+"""
+
+
+def _stat6d(col):
+    return F.round(col, 6).cast("decimal(18,6)")
+
+
+@query("ann_ivf_probe", oracle=_IVF_ORACLE, tags=("similarity", "ivf"))
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN probe: k-means-style coarse quantization with
+    the per-label mean vectors as the 10 coarse centroids (deterministic, so
+    the DuckDB oracle can mirror the whole index build), every vector
+    assigned to its nearest centroid by cosine, then top-10 search for
+    vec_id=0 restricted to the probe's own cell — nprobe=1.
+
+    Scale: this is the textbook IVF cost model — index build is one
+    n·d-row aggregation (centroids, tiny → broadcast) plus an n·d·k
+    assignment join against the broadcast centroids; each query then scans
+    ~n/k vectors instead of n.  All cross-row float sums ride the
+    6-decimal-quantized DECIMAL path, and per-pair cosines round to 6
+    before ranking, so assignment and ranking are bit-stable across
+    engines and partitionings.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    c = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "v32")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("v32").cast("double").alias("v"),
+    )
+    c = c.localCheckpoint()  # one COO materialization feeds 4 consumers
+    centroids = c.groupBy("label", "pos").agg(
+        F.round(F.sum(_stat6d(F.col("v"))).cast("double") / F.count(F.lit(1)), 6).alias("c6")
+    )
+    cnorm = centroids.groupBy("label").agg(
+        F.sum(_stat6d(F.col("c6") * F.col("c6"))).cast("double").alias("cn2")
+    )
+    vnorm = c.groupBy("vec_id").agg(
+        F.sum(_stat6d(F.col("v") * F.col("v"))).cast("double").alias("vn2")
+    )
+    dots = (
+        c.join(F.broadcast(centroids.withColumnRenamed("label", "clabel")), "pos")
+        .groupBy("vec_id", "clabel")
+        .agg(F.sum(_stat6d(F.col("v") * F.col("c6"))).cast("double").alias("dot"))
+    )
+    cos6 = F.round(F.col("dot") / F.sqrt(F.col("vn2") * F.col("cn2")), 6)
+    rn = F.row_number().over(
+        W.partitionBy("vec_id").orderBy(cos6.desc(), F.col("clabel").asc())
+    )
+    cells = (
+        dots.join(vnorm, "vec_id")
+        .join(F.broadcast(cnorm.withColumnRenamed("label", "clabel")), "clabel")
+        .withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("clabel").alias("cell"))
+    )
+    cells = cells.localCheckpoint()  # reused: probe lookup + membership scan
+    probe = cells.where(F.col("vec_id") == 0).select(F.col("cell").alias("pcell"))
+    qcoo = c.where(F.col("vec_id") == 0).select("pos", F.col("v").alias("qv"))
+    qn = vnorm.where(F.col("vec_id") == 0).select(F.col("vn2").alias("qn2"))
+    members = (
+        cells.join(F.broadcast(probe), cells.cell == F.col("pcell"))
+        .where(F.col("vec_id") != 0)
+        .select("vec_id", "cell")
+    )
+    pair_dots = (
+        c.join(members, "vec_id")
+        .join(F.broadcast(qcoo), "pos")
+        .groupBy("vec_id", "cell")
+        .agg(F.sum(_stat6d(F.col("v") * F.col("qv"))).cast("double").alias("dot"))
+    )
+    return (
+        pair_dots.join(vnorm, "vec_id")
+        .crossJoin(F.broadcast(qn))
+        .select(
+            "vec_id",
+            big("cell", "cell"),
+            F.round(F.col("dot") / F.sqrt(F.col("vn2") * F.col("qn2")), 6).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(10)
+    )
 
 
 @query("ann_cosine_pairs_signlsh", oracle=_ANN_ORACLE, tags=("similarity", "lsh"))

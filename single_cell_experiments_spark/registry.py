@@ -54,6 +54,7 @@ def _load_all_operator_modules() -> None:
     """Import every module that registers queries (idempotent)."""
     from .operators import (  # noqa: F401
         relational,
+        advanced,
         asof,
         singlecell,
         dedup,
