@@ -47,6 +47,10 @@ def main() -> int:
 
     qs = queries()
     spark = get_spark(app_name="sce-bench")
+    # Split the (small) local parquet files finer than the 128m cluster
+    # default so scans use more of local[32]'s threads — the same
+    # bytes-per-task sizing a real cluster gets from its many files.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
 
     names = sys.argv[1:] or list(HEADLINE)
     per_query: dict[str, float] = {}

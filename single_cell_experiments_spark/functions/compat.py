@@ -35,16 +35,44 @@ def _c(col: Column | str) -> Column:
 
 
 def money(col: Column | str) -> Column:
-    """2-decimal monetary double -> exact DECIMAL(18,2)."""
-    return _c(col).cast("decimal(18,2)")
+    """2-decimal monetary double -> exact DECIMAL(8,2).
+
+    Precision 8 (max 999,999.99) covers every driver money column
+    (l_extendedprice ≤ 105k, o_totalprice ≤ 500k — row *values* don't grow
+    with scale factor, only sums do).  The point of 8 rather than 18:
+    Spark's SUM over DECIMAL(p,s) yields DECIMAL(p+10,s), and p+10 ≤ 18
+    keeps the accumulator long-backed (fast codegen path) instead of
+    JavaBigDecimal — measured ~2.5× faster on the q1 aggregate.  The
+    18-digit sum holds $10^14: at TPC-H sf100 the global revenue sum is
+    ~$2·10^13, so there is headroom; widen to DECIMAL(9,2)+ only past that.
+    """
+    return _c(col).cast("decimal(8,2)")
 
 
 def money_sum(col: Column | str, alias: str) -> Column:
     """Order-insensitive SUM for monetary columns, surfaced as double.
 
-    DuckDB oracle twin: ``CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)``.
+    DuckDB oracle twin: ``CAST(SUM(CAST(x AS DECIMAL(8,2))) AS DOUBLE)``.
     """
     return F.sum(money(col)).cast("double").alias(alias)
+
+
+def rev_sum(price: Column | str, disc: Column | str, alias: str) -> Column:
+    """Exact Σ price·(1−disc) via integer cents: price and discount are
+    2-decimal, so ``round(x·100)`` is an exact bigint and the whole sum is
+    integer arithmetic — order-insensitive, overflow-safe to ~$9·10^14 of
+    summed revenue per group, and on the fast long codegen path (no decimal
+    multiply, which would widen past the long-backed precision).  The final
+    /10^4 is exact while the integer sum < 2^53.
+
+    DuckDB twin: ``dd_rev_sum``.
+    """
+    # floor(t + 0.5) == round-half-up for the positive 2-decimal inputs, and
+    # stays in pure FP/long codegen — F.round on double goes through a
+    # per-row BigDecimal (measured ~140 ms / 600k rows on q1).
+    pc = F.floor(_c(price) * 100 + F.lit(0.5))
+    dc = F.floor(_c(disc) * 100 + F.lit(0.5))
+    return (F.sum(pc * (F.lit(100) - dc)).cast("double") / F.lit(10000.0)).alias(alias)
 
 
 def money_avg(col: Column | str, alias: str) -> Column:
@@ -100,11 +128,18 @@ def day_str(ts_col: Column | str, alias: str | None = None) -> Column:
 # --- DuckDB-side SQL fragment builders (keep the two dialects adjacent) ---
 
 def dd_money_sum(expr: str, alias: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE) AS {alias}"
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(8,2))) AS DOUBLE) AS {alias}"
 
 
 def dd_money_avg(expr: str, alias: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE)/COUNT({expr}) AS {alias}"
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(8,2))) AS DOUBLE)/COUNT({expr}) AS {alias}"
+
+
+def dd_rev_sum(price: str, disc: str, alias: str) -> str:
+    return (
+        f"CAST(SUM(CAST(round({price} * 100) AS BIGINT)"
+        f" * (100 - CAST(round({disc} * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS {alias}"
+    )
 
 
 def dd_stat6(expr: str) -> str:

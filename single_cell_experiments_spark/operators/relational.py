@@ -23,9 +23,11 @@ from ..functions.compat import (
     day_str,
     dd_money_avg,
     dd_money_sum,
+    dd_rev_sum,
     money,
     money_avg,
     money_sum,
+    rev_sum,
 )
 from ..registry import query
 
@@ -35,8 +37,7 @@ _Q1_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
        {dd_money_sum('l_quantity', 'sum_qty')},
        {dd_money_sum('l_extendedprice', 'sum_base')},
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc,
+       {dd_rev_sum('l_extendedprice', 'l_discount', 'sum_disc')},
        {dd_money_avg('l_quantity', 'avg_qty')},
        COUNT(*) AS cnt
 FROM lineitem
@@ -55,14 +56,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side before the exchange.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    disc_factor = F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             money_sum("l_quantity", "sum_qty"),
             money_sum("l_extendedprice", "sum_base"),
-            F.sum(money("l_extendedprice") * disc_factor).cast("double").alias("sum_disc"),
+            rev_sum("l_extendedprice", "l_discount", "sum_disc"),
             money_avg("l_quantity", "avg_qty"),
             F.count(F.lit(1)).alias("cnt"),
         )
@@ -70,10 +70,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q3_ORACLE = """
+_Q3_ORACLE = f"""
 SELECT o.o_orderkey,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS rev,
+       {dd_rev_sum('l.l_extendedprice', 'l.l_discount', 'rev')},
        strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -101,12 +100,11 @@ def q3_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
-    disc_factor = F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
     return (
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderkey", day_str("o_orderdate", "o_orderdate"))
-        .agg(F.sum(money("l_extendedprice") * disc_factor).cast("double").alias("rev"))
+        .agg(rev_sum("l_extendedprice", "l_discount", "rev"))
         .select("o_orderkey", "rev", "o_orderdate")
         .orderBy(F.desc("rev"), "o_orderkey")
         .limit(10)
