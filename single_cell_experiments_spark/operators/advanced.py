@@ -340,3 +340,84 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --- range join via time-bucket equi-join ------------------------------------
+
+_RANGE_BUCKET_ORACLE = """
+SELECT e1.user_id,
+       e1.event_id AS id1,
+       e2.event_id AS id2,
+       epoch_us(e2.ts) - epoch_us(e1.ts) AS dt_us
+FROM events e1
+JOIN events e2
+  ON e1.user_id = e2.user_id
+ AND e1.event_id < e2.event_id
+ AND abs(epoch_us(e2.ts) - epoch_us(e1.ts)) <= 60000000
+"""
+
+_BIN_US = 60_000_000  # 60 s
+
+
+@query("join_range_bucketed", oracle=_RANGE_BUCKET_ORACLE, tags=("relational", "join", "range"))
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band/range self-join — same-user event pairs within 60 s — rewritten
+    as an *equi* join on (user_id, time bucket).
+
+    The naive form is a theta join (|t2−t1| ≤ 60 s), which Spark can only
+    execute as a nested-loop over each user group.  Bucketing time into
+    band-width bins and exploding one side into its 3 adjacent bins turns
+    it into a hash-equi join: every qualifying pair shares a (user_id,
+    bin) key in exactly one of the 3 replicas, so the join is
+    shuffle-hash/sort-merge with 3× replication of one side — the standard
+    range-join rewrite (what dedicated engines' range-join optimizers do
+    internally), and the difference between O(n·k) and O(n²/users) at
+    100 TB.  The residual |Δt| ≤ 60 s predicate filters within buckets.
+    """
+    e = load_table(spark, sf_dir, "events")
+    bin_ = F.expr(f"ts_us div {_BIN_US}")
+    a = e.select(
+        "user_id", F.col("event_id").alias("id1"), F.col("ts_us").alias("u1"),
+        bin_.alias("bin1"),
+    ).withColumn("jbin", F.explode(F.array(F.col("bin1") - 1, F.col("bin1"), F.col("bin1") + 1)))
+    b = e.select(
+        "user_id", F.col("event_id").alias("id2"), F.col("ts_us").alias("u2"),
+        bin_.alias("jbin"),
+    )
+    return (
+        a.join(b, ["user_id", "jbin"])
+        .where(
+            (F.col("id1") < F.col("id2"))
+            & (F.abs(F.col("u2") - F.col("u1")) <= F.lit(_BIN_US))
+        )
+        .select("user_id", "id1", "id2", (F.col("u2") - F.col("u1")).alias("dt_us"))
+    )
+
+
+# --- unpivot / melt ----------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val
+FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val
+FROM part
+"""
+
+
+@query("unpivot_part_metrics", oracle=_UNPIVOT_ORACLE, tags=("relational", "reshape"))
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (UNPIVOT/MELT): part's numeric metrics as
+    (key, metric, val) rows — the inverse of ``pivot_status_by_segment``.
+
+    Uses the native ``unpivot`` operator (an Expand node: each input row
+    fans out to one row per metric in a single narrow pass — no shuffle,
+    no self-union rescan, which is what the UNION ALL oracle would cost if
+    executed literally at 100 TB).
+    """
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "val")
