@@ -53,16 +53,20 @@ def main() -> int:
     spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
 
     names = sys.argv[1:] or list(HEADLINE)
+    for name in names:
+        qs[name](spark, sf_dir).toPandas()  # warm-up (codegen, file listing, JIT)
+    # Interleave the timed runs round-robin so a transient VM load spike
+    # lands on at most one sample of each query instead of sinking one
+    # query's entire median.
+    times: dict[str, list[float]] = {name: [] for name in names}
+    for _ in range(RUNS):
+        for name in names:
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).toPandas()
+            times[name].append(time.perf_counter() - t0)
     per_query: dict[str, float] = {}
     for name in names:
-        fn = qs[name]
-        fn(spark, sf_dir).toPandas()  # warm-up (codegen, file listing, JIT)
-        times = []
-        for _ in range(RUNS):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).toPandas()
-            times.append(time.perf_counter() - t0)
-        per_query[name] = round(statistics.median(times), 4)
+        per_query[name] = round(statistics.median(times[name]), 4)
         print(f"  {name}: {per_query[name]:.3f}s", file=sys.stderr)
 
     print(

@@ -421,3 +421,35 @@ def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_size").cast("double").alias("p_size"),
         "p_retailprice",
     ).unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "val")
+
+
+# --- correlated scalar subquery ----------------------------------------------
+
+_CORR_SCALAR_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM orders o
+WHERE o_totalprice = (SELECT max(o2.o_totalprice)
+                      FROM orders o2
+                      WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
+@query("scalar_subquery_correlated_max", oracle=_CORR_SCALAR_ORACLE, tags=("relational", "subquery"))
+def scalar_subquery_correlated_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (each customer's maximum-price orders),
+    decorrelated to a window max — completing the subquery triad with
+    ``scalar_subquery_above_avg`` (uncorrelated scalar) and
+    ``exists_correlated_orders`` (correlated EXISTS).
+
+    The literal per-row subquery would be a rescan per outer row; the
+    window form is one shuffle on o_custkey and one pass.  (An aggregate +
+    self-join is the other standard lowering — Catalyst picks that when
+    you write the subquery in SQL; both are O(n) with one exchange.)
+    """
+    o = load_table(spark, sf_dir, "orders")
+    mx = F.max("o_totalprice").over(W.partitionBy("o_custkey"))
+    return (
+        o.withColumn("mx", mx)
+        .where(F.col("o_totalprice") == F.col("mx"))
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
