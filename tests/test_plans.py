@@ -66,3 +66,34 @@ def test_partition_pruning_on_partitioned_sink(spark):
     assert "PartitionFilters" in plan
     line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "o_orderstatus" in line, f"partition filter not applied: {line}"
+
+
+def test_range_bucketed_join_stays_equi(spark):
+    # The band-join rewrite must plan as a hash/merge EQUI join on
+    # (user_id, bucket) — never a nested-loop/cartesian pair explosion.
+    df = QS["join_range_bucketed"](spark, SF_DIR)
+    plan = inspect.executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+    assert "Join" in plan
+
+
+def test_exists_lowers_to_semi_join(spark):
+    # Correlated EXISTS must run as a (single-pass) semi join, not a
+    # per-row subquery; at sf0.001 AQE may pick broadcast or shuffled form.
+    df = QS["exists_correlated_orders"](spark, SF_DIR)
+    plan = inspect.executed_plan(df)
+    assert "LeftSemi" in plan, plan
+
+
+def test_ivf_centroid_joins_broadcast(spark):
+    # IVF assignment joins every vector against the centroid table; the
+    # centroid side is O(k·d) and must ride a broadcast, never shuffle the
+    # COO fact side.
+    df = QS["ann_ivf_probe"](spark, SF_DIR)
+    assert inspect.uses_broadcast_join(df)
+
+
+def test_gapfill_spine_joins_broadcast(spark):
+    # The hour spine is tiny at any scale factor — it must broadcast.
+    df = QS["gapfill_time_spine"](spark, SF_DIR)
+    assert inspect.uses_broadcast_join(df)
