@@ -1,0 +1,105 @@
+"""Property-based tests (hypothesis) for the algebraic invariants the
+engine's scale patterns rely on.
+
+The reference tests each operator against a trusted local implementation on
+fixed fixtures (SURVEY.md §5.1); it has no property tests (§5.1).  These go
+one step further: the *rewrites* the engine applies for scale — salted
+two-phase aggregation, the union-and-carry as-of join — are checked
+equivalent to their naive definitions on randomized inputs, because those
+are exactly the transformations a reviewer can't eyeball-verify from one
+example.
+
+Kept small (few examples, tiny rows) — each example costs Spark jobs.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+_SETTINGS = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# (key, cents) rows: keys skewed onto few values — the salting target.
+_ROWS = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(-10_000, 10_000)),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(rows=_ROWS)
+@_SETTINGS
+def test_salted_agg_equals_plain_agg(spark, rows):
+    """Two-phase (key, salt) → key aggregation is exactly the plain
+    aggregation for associative exact sums — any input, any salt spread."""
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["k", "cents"])).repartition(4)
+    plain = {
+        (r["k"]): (r["s"], r["n"])
+        for r in df.groupBy("k")
+        .agg(F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    salt = F.pmod(F.hash("cents"), F.lit(5))
+    salted = {
+        (r["k"]): (r["s"], r["n"])
+        for r in df.groupBy("k", salt.alias("salt"))
+        .agg(F.sum("cents").alias("ps"), F.count(F.lit(1)).alias("pn"))
+        .groupBy("k")
+        .agg(F.sum("ps").alias("s"), F.sum("pn").alias("n"))
+        .collect()
+    }
+    assert salted == plain
+
+
+# As-of inputs: (user, time) left probes and (user, time) right events.
+_TIMES = st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=0, max_size=25)
+
+
+@given(left=_TIMES, right=_TIMES)
+@_SETTINGS
+def test_asof_union_carry_equals_bruteforce(spark, left, right):
+    """The union-and-carry as-of join (one shuffle) returns, per probe row,
+    the max right-side time <= probe time for the same key — identical to
+    the quadratic brute-force definition, including ties and no-match."""
+    lpdf = pd.DataFrame(left, columns=["k", "t"]).drop_duplicates()
+    rpdf = pd.DataFrame(right, columns=["k", "rt"]).drop_duplicates()
+
+    def brute(row):
+        c = rpdf[(rpdf["k"] == row["k"]) & (rpdf["rt"] <= row["t"])]
+        return None if c.empty else int(c["rt"].max())
+
+    expected = {
+        (int(r["k"]), int(r["t"])): brute(r) for _, r in lpdf.iterrows()
+    }
+
+    ldf = spark.createDataFrame(lpdf.astype("int64")) if len(lpdf) else None
+    if ldf is None:
+        return
+    probes = ldf.select("k", F.col("t").alias("ts"), F.lit(0).alias("is_r"))
+    if len(rpdf):
+        events = spark.createDataFrame(rpdf.astype("int64")).select(
+            "k", F.col("rt").alias("ts"), F.lit(1).alias("is_r")
+        )
+        unioned = probes.unionByName(events)
+    else:
+        unioned = probes
+    w = (
+        W.partitionBy("k")
+        .orderBy(F.asc("ts"), F.desc("is_r"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = unioned.withColumn(
+        "asof_t", F.last(F.when(F.col("is_r") == 1, F.col("ts")), ignorenulls=True).over(w)
+    )
+    got = {
+        (int(r["k"]), int(r["ts"])): (None if r["asof_t"] is None else int(r["asof_t"]))
+        for r in carried.where(F.col("is_r") == 0).collect()
+    }
+    assert got == expected
