@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.compat import big, day_str, dd_money_sum, money, money_sum
+from ..functions.compat import big, day_str, dd_money_sum, money, money_sum, rev_sum
 from ..registry import query
 
 # --- correlated EXISTS (TPC-H Q4 shape) ------------------------------------
@@ -453,3 +453,107 @@ def scalar_subquery_correlated_max(spark: SparkSession, sf_dir: str) -> DataFram
         .where(F.col("o_totalprice") == F.col("mx"))
         .select("o_custkey", "o_orderkey", "o_totalprice")
     )
+
+
+# --- 6-way join graph (TPC-H Q5 shape) ---------------------------------------
+
+_Q5_ORACLE = """
+SELECT n.n_name,
+       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS rev
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+ORDER BY rev DESC, n.n_name
+"""
+
+
+@query("q5_local_supplier_volume", oracle=_Q5_ORACLE, tags=("relational", "join"))
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue from intra-nation (customer = supplier
+    nation) trade in one region, per nation — the engine's join-graph
+    stress query (6 tables, mixed dim/fact).
+
+    Scale: region/nation/supplier are broadcast (bounded dims); the only
+    fact-fact exchange is orders⨝lineitem on the order key; the date
+    filter pushes into the orders scan, shrinking the build side before
+    the join.  Catalyst orders the dim joins; AQE re-plans from runtime
+    sizes.  Revenue rides the exact integer-cents path (`rev_sum`).
+    """
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    asia_nations = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        c.join(F.broadcast(asia_nations), c.c_nationkey == F.col("n_nationkey"))
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (F.col("c_nationkey") == s.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(rev_sum("l_extendedprice", "l_discount", "rev"))
+        .orderBy(F.desc("rev"), "n_name")
+    )
+
+
+# --- ratio to report (window over whole result) ------------------------------
+
+_RATIO_ORACLE = """
+WITH per_nation AS (
+  SELECT n.n_name,
+         CAST(SUM(CAST(c.c_acctbal AS DECIMAL(8,2))) AS DOUBLE) AS bal
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+)
+SELECT n_name, bal,
+       round(bal / SUM(bal) OVER (), 6) AS share
+FROM per_nation
+ORDER BY n_name
+"""
+
+
+@query("window_ratio_to_report", oracle=_RATIO_ORACLE, tags=("relational", "window"))
+def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of total customer balance via
+    an unpartitioned window sum over the *aggregated* (25-row) result.
+
+    Scale: the whole-result window is safe only because it runs after the
+    group-by collapsed the data to |nations| rows — the single-partition
+    window stage touches KBs.  (Running it over raw rows would serialize
+    the dataset through one task: the anti-pattern this query's shape
+    documents.)  The balance sum rides the exact decimal path.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    per_nation = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(money("c_acctbal")).cast("double").alias("bal"))
+    )
+    share = F.col("bal") / F.sum("bal").over(W.partitionBy())
+    return per_nation.select(
+        "n_name", "bal", F.round(share, 6).alias("share")
+    ).orderBy("n_name")
