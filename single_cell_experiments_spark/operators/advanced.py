@@ -342,6 +342,52 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- salted/replicated (skew-resistant) join ---------------------------------
+
+_SKEW_JOIN_ORACLE = """
+SELECT c.c_mktsegment AS segment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(e.value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+_N_JOIN_SALTS = 8
+
+
+@query("skew_salted_join", oracle=_SKEW_JOIN_ORACLE, tags=("relational", "join", "skew"))
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted/replicated shuffle join — the other standard hot-key fix
+    (``skew_salted_agg`` covers aggregation): events⨝customer on the
+    skewed ``user_id``, with the fact side salted ``hash(event_id) mod 8``
+    and the dimension side replicated 8× (explode over the salt range), so
+    each hot key's rows spread across 8 reducers instead of one.
+
+    The join is hinted ``shuffle_hash`` so the salted path is actually
+    exercised (an auto-broadcast would make salting moot — and at 100 TB
+    the dimension can exceed broadcast size, which is exactly when this
+    rewrite matters; AQE's skew-join split is the automatic alternative,
+    this is the mechanical one).  Replication factor trades dim-side
+    shuffle volume (8×|dim|) for hot-key parallelism.  The decimal partials
+    make the post-join aggregate bit-identical to the unsalted plan —
+    asserted by the plain-join oracle and a hypothesis property test.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    fact = e.withColumn("salt", F.pmod(F.hash("event_id"), F.lit(_N_JOIN_SALTS)))
+    dim = c.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_N_JOIN_SALTS - 1)))
+    )
+    joined = fact.join(
+        dim.hint("shuffle_hash"),
+        (fact["user_id"] == dim["c_custkey"]) & (fact["salt"] == dim["salt"]),
+    )
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round("value", 6).cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
+
+
 # --- range join via time-bucket equi-join ------------------------------------
 
 _RANGE_BUCKET_ORACLE = """

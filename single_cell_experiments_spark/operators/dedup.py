@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import query
+from ..session import materialize
 
 # --- shared constants (both dialects generated from these) -------------------
 
@@ -334,10 +335,13 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists alone can't pick one keeper per duplicate *cluster*).
 
     Spark side: a driver-coordinated fixpoint loop of join+agg rounds
-    (labels converge in ≤ diameter rounds; ``localCheckpoint`` truncates
-    lineage each round so plans don't grow).  At 100 TB scale this exact
-    loop is the standard large-graph CC (or hand to GraphFrames/Pregel);
-    each round is one shuffle keyed on the node id.
+    (labels converge in ≤ diameter rounds; ``session.materialize`` truncates
+    lineage each round so plans don't grow — reliable ``checkpoint()`` on
+    clusters via ``spark.sce.reliableCheckpoint``).  At 100 TB scale this
+    exact loop is the standard large-graph CC (or hand to
+    GraphFrames/Pregel); each round is one shuffle keyed on the node id.
+    Raises if the fixpoint is not reached within the round cap — silent
+    non-convergence would return wrong labels.
 
     Oracle: DuckDB recursive CTE transitive closure (min reachable id) —
     one of the genuinely iterative algorithms the driver contract still
@@ -347,18 +351,20 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2"))
     ).distinct()
-    edges = edges.localCheckpoint()
+    edges = materialize(edges)
 
     labels = edges.select(F.col("doc1").alias("doc_id")).distinct().withColumn(
         "component_id", F.col("doc_id")
     )
-    for _ in range(32):  # ≥ graph diameter; breaks early at fixpoint
+    max_rounds = 32  # ≥ graph diameter; breaks early at fixpoint
+    converged = False
+    for _ in range(max_rounds):
         neighbor_min = (
             edges.join(labels, edges.doc2 == labels.doc_id)
             .groupBy(edges.doc1)
             .agg(F.min("component_id").alias("nbr_min"))
         )
-        updated = (
+        updated = materialize(
             labels.join(neighbor_min, labels.doc_id == neighbor_min.doc1, "left")
             .select(
                 "doc_id",
@@ -366,7 +372,6 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("component_id"), F.coalesce(F.col("nbr_min"), F.col("component_id"))
                 ).alias("component_id"),
             )
-            .localCheckpoint()
         )
         changed = (
             updated.alias("n")
@@ -377,5 +382,12 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = updated
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_connected_components: min-label propagation did not reach a "
+            f"fixpoint within {max_rounds} rounds (graph diameter exceeds cap); "
+            f"raising instead of returning unconverged component ids"
+        )
     return labels

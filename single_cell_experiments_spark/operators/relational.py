@@ -548,7 +548,7 @@ WHERE o_totalprice > 1.5 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
 
 @query("scalar_subquery_above_avg", oracle=_SCALAR_SUB_ORACLE, tags=("relational", "subquery"))
 def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Orders above 2× the global average price.
+    """Orders above 1.5× the global average price.
 
     The scalar aggregate is computed as a 1-row DataFrame and broadcast-
     cross-joined — fully declarative, no ``collect`` round-trip, so the
@@ -624,6 +624,24 @@ def agg_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50"),
         F.round(F.percentile("l_quantity", F.lit(0.75)), 4).alias("p75"),
         F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("price_p90"),
+    )
+
+
+@query("agg_approx_percentiles", oracle=None, tags=("relational", "agg", "percentile", "approx"))
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path promised by ``agg_percentiles_lineitem``:
+    ``approx_percentile`` (Greenwald-Khanna style mergeable sketch — a
+    partial-agg-combinable summary, so no per-group sort and no single-node
+    bottleneck at any scale).
+
+    Rows-only correctness check (like ``approx_distinct_parts``): sketch
+    outputs are engine-specific, so there is no DuckDB value oracle; local
+    pytest bounds the error against the exact percentiles instead.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_quantity", F.lit(0.5), F.lit(10000)).alias("ap50"),
+        F.approx_percentile("l_extendedprice", F.lit(0.9), F.lit(10000)).alias("aprice_p90"),
     )
 
 

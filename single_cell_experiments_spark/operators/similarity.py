@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions.compat import big
 from ..registry import query
+from ..session import materialize
 
 #: positions whose value signs form the LSH bucket key (1-based).
 SIGN_BITS_POS = (1, 9, 17, 25, 33, 41)
@@ -251,7 +252,7 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos0") + 1).alias("pos"),
         F.col("v32").cast("double").alias("v"),
     )
-    c = c.localCheckpoint()  # one COO materialization feeds 4 consumers
+    c = materialize(c)  # one COO materialization feeds 4 consumers
     centroids = c.groupBy("label", "pos").agg(
         F.round(F.sum(_stat6d(F.col("v"))).cast("double") / F.count(F.lit(1)), 6).alias("c6")
     )
@@ -277,7 +278,7 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("vec_id", F.col("clabel").alias("cell"))
     )
-    cells = cells.localCheckpoint()  # reused: probe lookup + membership scan
+    cells = materialize(cells)  # reused: probe lookup + membership scan
     probe = cells.where(F.col("vec_id") == 0).select(F.col("cell").alias("pcell"))
     qcoo = c.where(F.col("vec_id") == 0).select("pos", F.col("v").alias("qv"))
     qn = vnorm.where(F.col("vec_id") == 0).select(F.col("vn2").alias("qn2"))

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions.compat import big, stat6
 from ..registry import query
+from ..session import materialize
 
 #: "expressed" threshold for continuous (non-count) matrix values.
 EXPR_THRESHOLD = 0.1
@@ -387,7 +388,7 @@ def sc_recipe_zheng17(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The COO feeds four consumers (gene filter, cell filter, sums, stats);
     # materialize it once instead of re-scanning the matrix per consumer —
     # at scale one checkpointed pass beats five scans of X.
-    c = c.localCheckpoint()
+    c = materialize(c)
     n_total = c.agg(F.count_distinct("vec_id").alias("n"))
     kept_genes = (
         c.groupBy("pos")
@@ -403,7 +404,7 @@ def sc_recipe_zheng17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("nc") >= 20)
         .select("vec_id")
     )
-    cell_filtered = gene_filtered.join(kept_cells, "vec_id").localCheckpoint()
+    cell_filtered = materialize(gene_filtered.join(kept_cells, "vec_id"))
     cell_sums = cell_filtered.groupBy("vec_id").agg(
         F.sum(stat6("c")).cast("double").alias("s")
     )

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 ENGINE_NAME = "sce-spark"
 
@@ -59,6 +59,23 @@ def tune(spark: SparkSession) -> SparkSession:
             # (only the events ns shim) degrade via catalog fallbacks.
             pass
     return spark
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Cut lineage at a reuse/iteration point, durability-aware.
+
+    Default is ``localCheckpoint()``: blocks live only on executors — fast
+    and fine on ``local[N]``, but on a 1000-executor cluster a lost executor
+    loses the blocks and kills the job.  Set
+    ``spark.sce.reliableCheckpoint=true`` (and call
+    ``sc.setCheckpointDir(...)`` on durable storage) to switch every engine
+    lineage-cut to fault-tolerant ``checkpoint()`` instead; same plans,
+    different storage tier.
+    """
+    spark = df.sparkSession
+    if spark.conf.get("spark.sce.reliableCheckpoint", "false") == "true":
+        return df.checkpoint()
+    return df.localCheckpoint()
 
 
 def get_spark(

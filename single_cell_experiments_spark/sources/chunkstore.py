@@ -25,9 +25,11 @@ oracle — equality with the parquet-derived COO proves the store faithful.
 
 from __future__ import annotations
 
+import hashlib
 import io
 import json
 import os
+import shutil
 from collections.abc import Iterator
 
 import numpy as np
@@ -36,9 +38,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    BinaryType,
+    ArrayType,
+    DoubleType,
     LongType,
-    StringType,
     StructField,
     StructType,
 )
@@ -55,8 +57,11 @@ def write_chunk_store(wide: DataFrame, path: str, rows_per_chunk: int = ROWS_PER
     Chunk assignment is ``vec_id div rows_per_chunk`` (fixed grid, like a
     Zarr chunk index); ``groupBy(chunk_id).applyInPandas`` performs the
     chunk-aligned repartition (A13) and one file write per chunk (A2).
-    Returns the number of chunks written.
+    Overwrite semantics: the store directory is cleared first, since the
+    reader globs ``chunk_*.npz`` and stale chunks from a previous (larger)
+    write would silently corrupt the matrix.  Returns the chunk count.
     """
+    shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
 
     result_schema = StructType(
@@ -95,20 +100,19 @@ def write_chunk_store(wide: DataFrame, path: str, rows_per_chunk: int = ROWS_PER
 _READ_SCHEMA = StructType(
     [
         StructField("vec_id", LongType()),
-        StructField("embedding_json", StringType()),
+        StructField("embedding", ArrayType(DoubleType())),
     ]
 )
 
 
 def read_chunk_store(spark: SparkSession, path: str) -> DataFrame:
     """Parallel chunk read (A1): binaryFile manifest scan → per-chunk numpy
-    decode in ``mapInPandas`` → (vec_id, embedding array<float>) rows.
+    decode in ``mapInPandas`` → (vec_id, embedding array<double>) rows.
 
     Each executor decodes only its chunk files (storage-parallel; the
-    binaryFile source splits the listing across tasks).  The array column
-    crosses Arrow as JSON per row only because Arrow list columns round-trip
-    fine but a string keeps this helper schema-stable across numpy dtypes;
-    the COO consumers cast per element anyway.
+    binaryFile source splits the listing across tasks).  The value block
+    crosses the Python boundary as a native Arrow list<double> column —
+    one zero-copy-ish columnar batch per chunk, no per-row serialization.
     """
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -120,16 +124,13 @@ def read_chunk_store(spark: SparkSession, path: str) -> DataFrame:
                 yield pd.DataFrame(
                     {
                         "vec_id": vec_ids,
-                        "embedding_json": [json.dumps(row.tolist()) for row in values],
+                        # one ndarray per row -> Arrow list<double> batch
+                        "embedding": list(values),
                     }
                 )
 
     files = spark.read.format("binaryFile").load(os.path.join(path, "chunk_*.npz"))
-    decoded = files.select("content").mapInPandas(_decode, schema=_READ_SCHEMA)
-    return decoded.select(
-        "vec_id",
-        F.from_json("embedding_json", "array<double>").alias("embedding"),
-    )
+    return files.select("content").mapInPandas(_decode, schema=_READ_SCHEMA)
 
 
 _ROUNDTRIP_ORACLE = """
@@ -149,8 +150,11 @@ def chunkstore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     e = load_table(spark, sf_dir, "embeddings")
+    # Stable digest (str hash is per-process randomized); write_chunk_store
+    # clears the dir, so reuse across runs is safe.
     store = os.path.join(
-        tempfile.gettempdir(), f"sce_chunkstore_{abs(hash(sf_dir)) % 10**8}"
+        tempfile.gettempdir(),
+        f"sce_chunkstore_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
     )
     write_chunk_store(e, store)
     wide = read_chunk_store(spark, store)

@@ -19,6 +19,7 @@ directory is written by one task — ``repartition(col)`` before
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 
@@ -31,9 +32,10 @@ from ..registry import query
 
 
 def _scratch(kind: str, sf_dir: str) -> str:
-    return os.path.join(
-        tempfile.gettempdir(), f"sce_{kind}_{abs(hash(sf_dir)) % 10**8}"
-    )
+    # Stable digest: str hash is per-process randomized, which would leak a
+    # fresh /tmp dir per run; every writer here uses mode("overwrite").
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"sce_{kind}_{digest}")
 
 
 _CSV_ORACLE = "SELECT n_nationkey, n_name, n_regionkey FROM nation"

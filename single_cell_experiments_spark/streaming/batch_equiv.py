@@ -186,23 +186,45 @@ GROUP BY 1, 2
 """
 
 
+_WM_BLOCK = 4096  # arrival-order rows per prefix-scan block
+
+
 @query("watermark_late_drop", oracle=_WATERMARK_ORACLE, tags=("streaming", "watermark"))
 def watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch emulation of a 10-minute watermark: an event is late (dropped)
     if its event time is older than the running max event time over arrival
     order (event_id) minus the delay; survivors aggregate into 1h tumbling
-    counts per type.
+    counts per type.  (The live job in streaming/jobs.py tracks the
+    watermark O(1); this twin gives the oracle exact late-drop semantics.)
 
-    The global arrival-order window is the watermark's *definition* — in
-    the live job (streaming/jobs.py) the engine tracks it O(1); this batch
-    twin exists to give the oracle exact late-drop semantics.
+    The global running max is computed as a two-level parallel prefix scan
+    — the standard scalable rewrite of an unpartitioned running aggregate:
+    per-block running max (window *partitioned* by arrival block, parallel
+    across blocks), plus a prefix max over the per-block maxima (rows/4096
+    rows — broadcast back).  No stage orders the full table in one
+    partition; at 100 TB widen the block or add a third level.
     """
     e = load_table(spark, sf_dir, "events")
-    w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    arr = e.select(
+    blk = F.expr(f"event_id div {_WM_BLOCK}")
+    e2 = e.select("event_type", "ts_s", "event_id", blk.alias("blk"))
+    block_max = e2.groupBy("blk").agg(F.max("ts_s").alias("bmax"))
+    prev_w = W.orderBy("blk").rowsBetween(W.unboundedPreceding, -1)
+    block_prefix = block_max.select(
+        "blk", F.max("bmax").over(prev_w).alias("prev_max")
+    )
+    in_blk = (
+        W.partitionBy("blk").orderBy("event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    arr = e2.join(F.broadcast(block_prefix), "blk").select(
         "event_type",
         "ts_s",
-        (F.max("ts_s").over(w) - WATERMARK_DELAY_S).alias("wm"),
+        (
+            F.greatest(
+                F.max("ts_s").over(in_blk),
+                F.coalesce(F.col("prev_max"), F.lit(-(2**62))),
+            )
+            - WATERMARK_DELAY_S
+        ).alias("wm"),
     )
     return (
         arr.where(F.col("ts_s") >= F.col("wm"))

@@ -17,6 +17,7 @@ is also the standard backfill/replay trigger.
 
 from __future__ import annotations
 
+import hashlib
 import tempfile
 import uuid
 from pathlib import Path
@@ -35,7 +36,7 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The streaming file source requires a directory; expose the single
     # events.parquet file through a scratch dir of symlinks (read-only data
     # stays untouched — in production this IS a directory of arriving files).
-    src_dir = Path(tempfile.gettempdir()) / f"sce_stream_events_{abs(hash(sf_dir)) % 10**8}"
+    src_dir = Path(tempfile.gettempdir()) / f"sce_stream_events_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
     src_dir.mkdir(exist_ok=True)
     link = src_dir / "events.parquet"
     if not link.exists():

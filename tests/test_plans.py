@@ -97,3 +97,29 @@ def test_gapfill_spine_joins_broadcast(spark):
     # The hour spine is tiny at any scale factor — it must broadcast.
     df = QS["gapfill_time_spine"](spark, SF_DIR)
     assert inspect.uses_broadcast_join(df)
+
+
+def test_salted_join_is_shuffled_hash_on_salt(spark):
+    # The skew rewrite must plan as a shuffled (non-broadcast) equi join
+    # whose partitioning includes the salt — that spread IS the fix.
+    df = QS["skew_salted_join"](spark, SF_DIR)
+    plan = inspect.executed_plan(df)
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, "broadcast would make salting moot"
+    join_line = next(
+        l for l in plan.splitlines() if "ShuffledHashJoin" in l or "SortMergeJoin" in l
+    )
+    assert "salt" in join_line, join_line
+
+
+def test_watermark_twin_has_no_global_window(spark):
+    # The two-level prefix scan: every full-table window must be
+    # partitioned (by arrival block); only the tiny per-block-maxima
+    # window may be unpartitioned.
+    df = QS["watermark_late_drop"](spark, SF_DIR)
+    plan = inspect.executed_plan(df)
+    for line in plan.splitlines():
+        if "Window " in line and "blk" not in line.split("partitionBy")[0]:
+            # unpartitioned windows sort within a single partition marker:
+            # Spark renders them with an empty partition spec.
+            assert "bmax" in line or "prev_max" in line, f"global window on fact table: {line}"

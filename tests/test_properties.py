@@ -58,6 +58,37 @@ def test_salted_agg_equals_plain_agg(spark, rows):
     assert salted == plain
 
 
+# (fact_key,) fact rows + (dim_key, seg) dim rows for the salted-join check.
+_FACTS = st.lists(st.tuples(st.integers(0, 3), st.integers(-100, 100)), min_size=1, max_size=40)
+_DIMS = st.lists(st.integers(0, 5), min_size=1, max_size=6, unique=True)
+
+
+@given(facts=_FACTS, dim_keys=_DIMS)
+@_SETTINGS
+def test_salted_join_equals_plain_join(spark, facts, dim_keys):
+    """Salting the fact side and replicating the dim side S× is exactly the
+    plain inner equi-join — any input, any salt assignment, including fact
+    keys with no dim match and dims with no facts."""
+    n_salts = 4
+    fact = spark.createDataFrame(
+        pd.DataFrame(facts, columns=["k", "v"]).reset_index().rename(columns={"index": "rid"})
+    )
+    dim = spark.createDataFrame(pd.DataFrame({"dk": dim_keys, "seg": [f"s{k % 2}" for k in dim_keys]}))
+
+    plain = sorted(
+        (r["rid"], r["seg"]) for r in fact.join(dim, fact["k"] == dim["dk"]).collect()
+    )
+    sf = fact.withColumn("salt", F.pmod(F.hash("rid"), F.lit(n_salts)))
+    sd = dim.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    salted = sorted(
+        (r["rid"], r["seg"])
+        for r in sf.join(
+            sd.hint("shuffle_hash"), (sf["k"] == sd["dk"]) & (sf["salt"] == sd["salt"])
+        ).collect()
+    )
+    assert salted == plain
+
+
 # As-of inputs: (user, time) left probes and (user, time) right events.
 _TIMES = st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=0, max_size=25)
 
