@@ -139,6 +139,67 @@ def knn_cosine_to_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- batched kNN join (many queries at once) ---------------------------------
+
+KNN_JOIN_NQ = 20  # query batch: vec_id < 20
+KNN_JOIN_K = 3
+
+_KNN_JOIN_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe, {_DOT_SELF} AS qn
+  FROM embeddings WHERE vec_id < {KNN_JOIN_NQ}
+),
+c AS (
+  SELECT vec_id, embedding, {_DOT_SELF} AS n2
+  FROM embeddings WHERE vec_id >= {KNN_JOIN_NQ}
+)
+SELECT qid, vec_id, sim FROM (
+  SELECT q.qid, c.vec_id,
+         round(
+           list_aggregate(list_transform(range(1, len(c.embedding) + 1),
+               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)), 'sum')
+           / sqrt(c.n2 * q.qn), 6) AS sim
+  FROM c, q
+)
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) <= {KNN_JOIN_K}
+"""
+
+
+@query("knn_join_batch", oracle=_KNN_JOIN_ORACLE, tags=("similarity", "knn", "join"))
+def knn_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched brute-force kNN *join*: top-3 cosine neighbors for each of a
+    batch of 20 query vectors in one pass — the shape of real retrieval
+    workloads (N queries against the corpus), vs the single-probe headline
+    ``knn_cosine_to_vec0``.
+
+    Scale shape: the query batch broadcasts (corpus never shuffles for the
+    scoring — one scan scores all queries); the per-query top-k is a rank
+    window on ``qid`` that WindowGroupLimit turns into per-partition top-k
+    heaps before the exchange, so the shuffle carries O(N_q · k · parts)
+    rows, not the full score matrix.  For query batches too big to
+    broadcast, fall back to the LSH/IVF variants below.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < KNN_JOIN_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        _norm2(F.col("embedding")).alias("qn"),
+    )
+    c = e.where(F.col("vec_id") >= KNN_JOIN_NQ).select(
+        "vec_id", "embedding", _norm2(F.col("embedding")).alias("n2")
+    )
+    sim = F.round(
+        _dot(F.col("embedding"), F.col("qe")) / F.sqrt(F.col("n2") * F.col("qn")), 6
+    )
+    scored = c.crossJoin(F.broadcast(q)).select("qid", "vec_id", sim.alias("sim"))
+    rn = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    )
+    return scored.withColumn("rn", rn).where(F.col("rn") <= KNN_JOIN_K).select(
+        "qid", "vec_id", "sim"
+    )
+
+
 # --- sign-bit LSH near-neighbor pairs (the ANN scale path) -------------------
 
 def _signbits_sql(emb: str) -> str:

@@ -91,3 +91,21 @@ def partitioned_write_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"), money_sum("o_totalprice", "total")
     )
+
+
+_ORC_ORACLE = "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"
+
+
+@query("orc_roundtrip_supplier", oracle=_ORC_ORACLE, tags=("sources", "orc"))
+def orc_roundtrip_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier → ORC → read back with explicit schema.  Proves the ORC
+    source/sink pair (the other columnar format Spark ships natively —
+    splittable stripes, predicate pushdown, column pruning like parquet)."""
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    path = _scratch("orc_supplier", sf_dir)
+    s.write.mode("overwrite").orc(path)
+    return spark.read.schema(
+        "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double"
+    ).orc(path)

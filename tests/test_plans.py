@@ -123,3 +123,34 @@ def test_watermark_twin_has_no_global_window(spark):
             # unpartitioned windows sort within a single partition marker:
             # Spark renders them with an empty partition spec.
             assert "bmax" in line or "prev_max" in line, f"global window on fact table: {line}"
+
+
+def test_knn_join_broadcasts_queries_and_group_limits(spark):
+    # The query batch must broadcast (corpus side never shuffles to score)
+    # and the per-query top-k must use WindowGroupLimit partial heaps.
+    df = QS["knn_join_batch"](spark, SF_DIR)
+    plan = inspect.executed_plan(df)
+    # keyless scoring join -> broadcast nested-loop is the *intended* shape
+    # here (the build side is the 20-row query batch); the corpus side must
+    # not see an Exchange below the join.
+    assert "BroadcastExchange" in plan, plan
+    assert inspect.count_in_plan(df, "WindowGroupLimit", final=False) > 0
+
+
+def test_shard_pack_has_no_global_window(spark):
+    # Two-level prefix scan: the only unpartitioned window may be the tiny
+    # per-block-totals pass; the full-table running sum must be partitioned
+    # by the doc block.
+    df = QS["shard_pack_by_tokens"](spark, SF_DIR)
+    plan = inspect.executed_plan(df)
+    for line in plan.splitlines():
+        if "Window " in line and "blk" not in line:
+            assert "btot" in line or "prev_tot" in line, f"global window: {line}"
+
+
+def test_stratified_sample_filter_pushes_to_scan(spark):
+    # The hash-sample predicate is row-local on scanned columns — it must
+    # reach the parquet reader, not sit above a full materialized scan.
+    df = QS["sample_stratified_hash"](spark, SF_DIR)
+    pushed, _ = inspect.scan_pushdown(df)
+    assert "doc_id" in pushed or "IsNotNull" in pushed, pushed
