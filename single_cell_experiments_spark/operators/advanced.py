@@ -603,3 +603,52 @@ def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_nation.select(
         "n_name", "bal", F.round(share, 6).alias("share")
     ).orderBy("n_name")
+
+
+# --- CDC upsert / MERGE INTO -------------------------------------------------
+
+_MERGE_ORACLE = """
+WITH src AS (
+  SELECT o_orderkey, round(o_totalprice + 1000.00, 2) AS o_totalprice
+  FROM orders WHERE o_orderkey % 97 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_totalprice
+  FROM orders WHERE o_orderkey % 499 = 0
+)
+SELECT o_orderkey, o_totalprice, is_changed FROM (
+  SELECT o.o_orderkey, o.o_totalprice, FALSE AS is_changed
+  FROM orders o WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM src)
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, TRUE FROM src
+)
+"""
+
+
+@query("upsert_merge_orders", oracle=_MERGE_ORACLE, tags=("relational", "merge", "cdc"))
+def upsert_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (CDC upsert) without a table format: a
+    deterministic change batch (updates for orderkey % 97 == 0 with +1000
+    price, inserts with shifted keys for % 499 == 0) merged into orders as
+    anti-join(matched keys) ∪ source — matched rows replaced, new rows
+    appended, untouched rows carried.
+
+    Scale shape: one shuffle keyed on the merge key for the anti join (the
+    source side is the small CDC batch — it broadcasts), then a union that
+    needs no exchange.  On a lakehouse layout this is copy-on-write MERGE:
+    join identifies affected files/partitions, only those rewrite —
+    partition pruning on the merge key's partition column bounds the
+    rewrite set (see ``partitioned_write_orders`` for the layout half).
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    updates = (
+        o.where(F.col("o_orderkey") % 97 == 0)
+        .select("o_orderkey", F.round(F.col("o_totalprice") + 1000.00, 2).alias("o_totalprice"))
+    )
+    inserts = o.where(F.col("o_orderkey") % 499 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"), "o_totalprice"
+    )
+    src = updates.unionByName(inserts).withColumn("is_changed", F.lit(True))
+    kept = o.join(
+        F.broadcast(src.select("o_orderkey")), "o_orderkey", "left_anti"
+    ).withColumn("is_changed", F.lit(False))
+    return kept.unionByName(src)

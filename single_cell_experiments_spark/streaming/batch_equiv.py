@@ -257,3 +257,63 @@ def stateful_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("user_id", "event_type", "event_id", big("ts_us", "ts_us"))
     )
+
+
+# --- stream-stream join (click -> purchase attribution) ----------------------
+
+ATTRIB_WINDOW_S = 1800
+
+_SS_JOIN_ORACLE = f"""
+WITH c AS (
+  SELECT user_id, event_id, {_DD_TS} AS ts_s FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, event_id, {_DD_TS} AS ts_s FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       p.ts_s - c.ts_s AS dt_s
+FROM c JOIN p
+  ON c.user_id = p.user_id
+ AND p.ts_s >= c.ts_s AND p.ts_s <= c.ts_s + {ATTRIB_WINDOW_S}
+"""
+
+
+@query("stream_join_click_purchase", oracle=_SS_JOIN_ORACLE, tags=("streaming", "join"))
+def stream_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of a watermarked stream-stream join: every purchase within
+    30 min after a click by the same user (event-time range condition) —
+    the canonical funnel-attribution join.  Live twin:
+    ``streaming/jobs.py::run_stream_stream_join`` (both sides watermarked;
+    the range condition is what lets each side's state expire).
+
+    The batch plan uses the same band-join rewrite as
+    ``join_range_bucketed``: purchases keyed on their 30-min time bucket,
+    clicks exploded into (bucket, bucket+1), hash-equi join on
+    (user_id, bucket), exact range filter after — never a per-user
+    nested loop.
+    """
+    e = load_table(spark, sf_dir, "events")
+    bkt = (F.col("ts_s") / ATTRIB_WINDOW_S).cast("bigint")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts_s").alias("c_ts"),
+        F.explode(F.array(bkt, bkt + 1)).alias("bucket"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts_s").alias("p_ts"),
+        bkt.alias("bucket"),
+    )
+    return (
+        clicks.join(purchases, ["user_id", "bucket"])
+        .where((F.col("p_ts") >= F.col("c_ts")) & (F.col("p_ts") <= F.col("c_ts") + ATTRIB_WINDOW_S))
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            (F.col("p_ts") - F.col("c_ts")).alias("dt_s"),
+        )
+        .distinct()
+    )

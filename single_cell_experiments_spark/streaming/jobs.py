@@ -157,3 +157,49 @@ def run_stateful_counter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain_to_memory(counted, "stateful_counter", "update")
+
+
+def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join: purchases within 30 min after a
+    click by the same user — the live twin of
+    ``batch_equiv.stream_join_click_purchase``.
+
+    Both sides carry a watermark and the join condition bounds purchase
+    time to [click, click + 30 min], which is what lets the state store
+    expire each side's buffered rows (unbounded-state stream joins are
+    rejected by the engine in append mode).  State is partitioned by the
+    join key (user_id) like any keyed stream op.
+    """
+    from .batch_equiv import ATTRIB_WINDOW_S
+
+    stream = _event_stream(spark, sf_dir)
+    clicks = (
+        stream.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("t").alias("c_t"),
+        )
+        .withWatermark("c_t", "10 minutes")
+    )
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("t").alias("p_t"),
+        )
+        .withWatermark("p_t", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"c_user = p_user AND p_t >= c_t AND p_t <= c_t + interval {ATTRIB_WINDOW_S} seconds"
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_timestamp("p_t") - F.unix_timestamp("c_t")).cast("bigint").alias("dt_s"),
+    )
+    return _drain_to_memory(joined, "ssjoin", "append")

@@ -56,3 +56,11 @@ def test_stateful_counter_matches_batch(spark):
     )
     expected = {r["user_id"]: (r["n"], r["v_e6"]) for r in batch}
     assert latest == expected
+
+
+def test_stream_stream_join_matches_batch(spark):
+    stream = jobs.run_stream_stream_join(spark, SF_DIR)
+    batch = QS["stream_join_click_purchase"](spark, SF_DIR)
+    assert _rows(stream, "user_id", "click_id", "purchase_id", "dt_s") == _rows(
+        batch, "user_id", "click_id", "purchase_id", "dt_s"
+    )
