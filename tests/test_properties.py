@@ -4,7 +4,8 @@ engine's scale patterns rely on.
 The reference tests each operator against a trusted local implementation on
 fixed fixtures (SURVEY.md §5.1); it has no property tests (§5.1).  These go
 one step further: the *rewrites* the engine applies for scale — salted
-two-phase aggregation, the union-and-carry as-of join — are checked
+two-phase aggregation and join, the union-and-carry as-of join, the
+two-level blocked prefix scan — are checked
 equivalent to their naive definitions on randomized inputs, because those
 are exactly the transformations a reviewer can't eyeball-verify from one
 example.
@@ -134,3 +135,54 @@ def test_asof_union_carry_equals_bruteforce(spark, left, right):
         for r in carried.where(F.col("is_r") == 0).collect()
     }
     assert got == expected
+
+
+# Two-level prefix scan inputs: (id, value) rows with small ids so several
+# rows share a block (block size 4 in the test).
+_SCAN_ROWS = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 1000)), min_size=1, max_size=40
+)
+
+
+@given(rows=_SCAN_ROWS)
+@_SETTINGS
+def test_blocked_prefix_scan_equals_global_window(spark, rows):
+    """The two-level parallel prefix scan (per-block running agg + block
+    prefix broadcast — used by watermark_late_drop and
+    shard_pack_by_tokens) equals the naive global running aggregate for any
+    input and block size, for both SUM and MAX."""
+    pdf = pd.DataFrame(rows, columns=["id", "v"]).drop_duplicates("id")
+    df = spark.createDataFrame(pdf).repartition(4)
+    blk_size = 4
+
+    naive_w = W.orderBy("id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    naive = {
+        r["id"]: (r["s"], r["m"])
+        for r in df.select(
+            "id", F.sum("v").over(naive_w).alias("s"), F.max("v").over(naive_w).alias("m")
+        ).collect()
+    }
+
+    blk = (F.col("id") / blk_size).cast("bigint")
+    d = df.withColumn("blk", blk)
+    btot = d.groupBy("blk").agg(F.sum("v").alias("bs"), F.max("v").alias("bm"))
+    prev_w = W.orderBy("blk").rowsBetween(W.unboundedPreceding, -1)
+    bpre = btot.select(
+        "blk",
+        F.coalesce(F.sum("bs").over(prev_w), F.lit(0)).alias("ps"),
+        F.max("bm").over(prev_w).alias("pm"),
+    )
+    in_blk = W.partitionBy("blk").orderBy("id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    scanned = {
+        r["id"]: (r["s"], r["m"])
+        for r in d.join(F.broadcast(bpre), "blk")
+        .select(
+            "id",
+            (F.col("ps") + F.sum("v").over(in_blk)).alias("s"),
+            F.greatest(
+                F.max("v").over(in_blk), F.coalesce(F.col("pm"), F.lit(-1))
+            ).alias("m"),
+        )
+        .collect()
+    }
+    assert scanned == naive
