@@ -391,3 +391,96 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"raising instead of returning unconverged component ids"
         )
     return labels
+
+
+# --- PageRank over the near-dup graph ----------------------------------------
+
+PR_SCALE = 10**12
+PR_ITERS = 5
+_PR_D_NUM, _PR_D_DEN = 85, 100  # damping 0.85 as exact integer ratio
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled {PR_ITERS}-iteration integer PageRank as DuckDB CTEs."""
+    rounds = []
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        rounds.append(f"""
+r{i} AS (
+  SELECT n.id,
+         ({_PR_D_DEN - _PR_D_NUM} * ({PR_SCALE} // p.n)) // {_PR_D_DEN}
+           + ({_PR_D_NUM} * COALESCE(s.s, 0)) // {_PR_D_DEN} AS r
+  FROM nodes n CROSS JOIN params p
+  LEFT JOIN (
+    SELECT e.dst AS id, SUM(r.r // d.d) AS s
+    FROM edges e JOIN {prev} r ON e.src = r.id JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) s ON s.id = n.id
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH pairs AS ({_minhash_sql(_DD_SHINGLES)}),
+edges AS (
+  SELECT doc1 AS src, doc2 AS dst FROM pairs
+  UNION
+  SELECT doc2, doc1 FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+params AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (SELECT id, {PR_SCALE} // p.n AS r FROM nodes, params p),
+{",".join(rounds)}
+SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_e12 FROM {prev}
+"""
+
+
+@query("pagerank_dedup_graph", oracle=_pagerank_oracle(), tags=("dedup", "graph", "iterative"))
+def pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 fixed iterations, damping 0.85) over the symmetric
+    MinHash near-dup graph — ranks the most-connected documents inside
+    duplicate clusters (the doc a curation pipeline keeps as canonical,
+    weighted by connectivity rather than min-id).
+
+    Exactness: ranks are integer units of 10^-12 and every step is integer
+    arithmetic (``div``, BIGINT sums) — bit-identical across engines and
+    partitionings, so even an iterative fixpoint-style algorithm stays
+    hash-checkable.  The oracle unrolls the same 5 rounds as CTEs.
+
+    Scale shape: per round, one shuffle keyed on the edge source (rank
+    join) and one keyed on dst (contribution aggregation); node/degree
+    tables re-used across rounds via ``materialize``.  The symmetric graph
+    has no dangling nodes (every node has out-degree ≥ 1), so no global
+    dangling-mass term is needed.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc1", "doc2")
+    edges = materialize(
+        pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
+        .union(pairs.select(F.col("doc2").alias("src"), F.col("doc1").alias("dst")))
+        .distinct()
+    )
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    params = nodes.agg(F.count(F.lit(1)).alias("n"))
+    base = F.expr(f"{PR_SCALE} div n")
+    teleport = F.expr(f"({_PR_D_DEN - _PR_D_NUM} * ({PR_SCALE} div n)) div {_PR_D_DEN}")
+    ranks = nodes.crossJoin(F.broadcast(params)).select("id", base.alias("r"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.id)
+            .join(deg, "src")
+            .select(F.col("dst").alias("id"), F.expr("r div d").alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = materialize(
+            nodes.crossJoin(F.broadcast(params))
+            .join(contrib, "id", "left")
+            .select(
+                "id",
+                (
+                    teleport
+                    + F.expr(f"({_PR_D_NUM} * coalesce(s, 0)) div {_PR_D_DEN}")
+                ).alias("r"),
+            )
+        )
+    return ranks.select(F.col("id").alias("doc_id"), F.col("r").alias("rank_e12"))

@@ -154,3 +154,31 @@ def test_stratified_sample_filter_pushes_to_scan(spark):
     df = QS["sample_stratified_hash"](spark, SF_DIR)
     pushed, _ = inspect.scan_pushdown(df)
     assert "doc_id" in pushed or "IsNotNull" in pushed, pushed
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    # 100 TB lever: a selective dimension filter should inject a runtime
+    # bloom filter onto the fact-side scan (row-group/page skipping via
+    # might_contain) when the join is too big to broadcast.  Pin that the
+    # engine's session leaves this optimization reachable.
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = load_table(spark, SF_DIR, "orders").where(F.col("o_totalprice") > 400000)
+        li = load_table(spark, SF_DIR, "lineitem")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderstatus").count()
+        plan = inspect.executed_plan(j)
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
