@@ -400,3 +400,99 @@ def ann_cosine_pairs_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(sim_raw, 6).alias("sim"),
         )
     )
+
+
+# --- int8 scalar quantization (ANN memory compression) -----------------------
+
+_QUANT_BOUNDS = """
+bounds AS (
+  SELECT pos, MIN(v) AS mn, MAX(v) AS mx FROM coo GROUP BY pos
+)"""
+
+_QUANT_ORACLE = f"""
+WITH coo AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+{_QUANT_BOUNDS}
+SELECT c.vec_id, c.pos,
+       CAST(CASE WHEN b.mx = b.mn THEN 0
+                 ELSE floor((c.v - b.mn) * 255.0 / (b.mx - b.mn) + 0.5)
+            END AS BIGINT) AS q
+FROM coo c JOIN bounds b USING (pos)
+"""
+
+
+@query("embed_quantize_int8", oracle=_QUANT_ORACLE, tags=("similarity", "quantize"))
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8 scalar quantization of the embedding corpus —
+    the standard ANN memory-compression step (4× smaller than float32, 8×
+    smaller than double) before building a resident index.
+
+    Exactness without decimal tricks: the per-dim min/max are
+    order-insensitive aggregates (no float summation), and the affine map
+    ``floor((v-mn)·255/(mx-mn) + 0.5)`` applies identical IEEE-double
+    operations to identical operands in both engines.  Scale shape: the
+    bounds table is O(dims) and broadcasts; quantization is row-local.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    coo = e.select("vec_id", F.posexplode("embedding").alias("pos0", "v32")).select(
+        "vec_id", (F.col("pos0") + 1).alias("pos"), F.col("v32").cast("double").alias("v")
+    )
+    bounds = coo.groupBy("pos").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    q = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.floor((F.col("v") - F.col("mn")) * 255.0 / (F.col("mx") - F.col("mn")) + 0.5)
+    )
+    return coo.join(F.broadcast(bounds), "pos").select(
+        "vec_id", "pos", q.cast("bigint").alias("q")
+    )
+
+
+_QUANT_TOPK_ORACLE = f"""
+WITH coo AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+{_QUANT_BOUNDS},
+codes AS (
+  SELECT c.vec_id, c.pos,
+         CAST(CASE WHEN b.mx = b.mn THEN 0
+                   ELSE floor((c.v - b.mn) * 255.0 / (b.mx - b.mn) + 0.5)
+              END AS BIGINT) AS q
+  FROM coo c JOIN bounds b USING (pos)
+),
+qc AS (SELECT pos, q AS qq FROM codes WHERE vec_id = 0)
+SELECT c.vec_id, CAST(SUM(c.q * qc.qq) AS BIGINT) AS idot
+FROM codes c JOIN qc USING (pos)
+WHERE c.vec_id <> 0
+GROUP BY c.vec_id
+ORDER BY idot DESC, c.vec_id ASC
+LIMIT 10
+"""
+
+
+@query("ann_quantized_topk", oracle=_QUANT_TOPK_ORACLE, tags=("similarity", "quantize", "knn"))
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 neighbors of vec_id=0 scored entirely in the quantized (int8)
+    space — integer dot products over the codes from
+    ``embed_quantize_int8``, so the whole search is exact integer
+    arithmetic (hash-checkable) while touching 4× less data than float32.
+    The production pattern is this scan for candidates, then a float
+    re-score of the short list (``knn_cosine_to_vec0`` is that exact path).
+
+    Scale shape: the query's code vector broadcasts; scoring is one
+    groupBy(vec_id) over the code COO (partial-agg map-side);
+    TakeOrderedAndProject keeps top-10 per partition.
+    """
+    codes = embed_quantize_int8(spark, sf_dir)
+    qc = codes.where(F.col("vec_id") == 0).select("pos", F.col("q").alias("qq"))
+    return (
+        codes.where(F.col("vec_id") != 0)
+        .join(F.broadcast(qc), "pos")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("q") * F.col("qq")).alias("idot"))
+        .orderBy(F.desc("idot"), F.asc("vec_id"))
+        .limit(10)
+    )
