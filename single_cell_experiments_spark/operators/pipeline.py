@@ -180,3 +180,55 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(DEFAULT_RATE),
     )
     return d.select("doc_id", "lang", h.alias("h")).where(F.col("h") < rate)
+
+
+# --- IQR outlier detection ---------------------------------------------------
+
+IQR_K = 1.5
+
+_IQR_ORACLE = f"""
+WITH b AS (
+  SELECT quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+  FROM events
+)
+SELECT e.event_id, e.user_id, e.value,
+       e.value < b.q1 - {IQR_K} * (b.q3 - b.q1) AS is_low,
+       e.value > b.q3 + {IQR_K} * (b.q3 - b.q1) AS is_high
+FROM events e, b
+WHERE e.value < b.q1 - {IQR_K} * (b.q3 - b.q1)
+   OR e.value > b.q3 + {IQR_K} * (b.q3 - b.q1)
+"""
+
+
+@query("events_iqr_outliers", oracle=_IQR_ORACLE, tags=("pipeline", "quality", "percentile"))
+def events_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier detection on the event value stream: rows
+    outside [q1 − 1.5·IQR, q3 + 1.5·IQR] — the numeric-column twin of the
+    text quality gate (``doc_curation_flags``), used to drop corrupt
+    measurements before a feature pipeline.
+
+    The quartiles are one scalar aggregate (Spark ``percentile`` ==
+    DuckDB ``quantile_cont`` exactly) broadcast-cross-joined to the scan —
+    no collect round-trip, same plan at any scale; at 100 TB swap in
+    ``approx_percentile`` bounds (``agg_approx_percentiles`` is that
+    path).
+    """
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo = F.col("q1") - IQR_K * iqr
+    hi = F.col("q3") + IQR_K * iqr
+    return (
+        e.crossJoin(F.broadcast(bounds))
+        .where((F.col("value") < lo) | (F.col("value") > hi))
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            (F.col("value") < lo).alias("is_low"),
+            (F.col("value") > hi).alias("is_high"),
+        )
+    )

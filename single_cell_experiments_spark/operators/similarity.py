@@ -496,3 +496,38 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("idot"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+# --- L2 normalization (row-local embedding preprocessing) --------------------
+
+_L2_ORACLE = f"""
+SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+       round(CAST(unnest(embedding) AS DOUBLE) / sqrt({_DOT_SELF}), 6) AS nv
+FROM embeddings
+WHERE {_DOT_SELF} > 0
+"""
+
+
+@query("embed_l2_normalize", oracle=_L2_ORACLE, tags=("similarity", "normalize"))
+def embed_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-L2 normalization of every embedding — the preprocessing step
+    that turns cosine similarity into a plain dot product (what every ANN
+    index expects).  Entirely row-local: the norm is the same sequential
+    left-fold both engines compute bit-identically, the division is one
+    IEEE op, and no shuffle exists anywhere — the plan is scan → project.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    n2 = _norm2(F.col("embedding"))
+    return (
+        e.where(n2 > 0)
+        .select(
+            "vec_id",
+            F.posexplode("embedding").alias("pos0", "v32"),
+            n2.alias("n2"),
+        )
+        .select(
+            "vec_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.round(F.col("v32").cast("double") / F.sqrt(F.col("n2")), 6).alias("nv"),
+        )
+    )
