@@ -458,13 +458,24 @@ def pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(pairs.select(F.col("doc2").alias("src"), F.col("doc1").alias("dst")))
         .distinct()
     )
+    ranks = pagerank_edges(edges, iters=PR_ITERS)
+    return ranks.select(F.col("id").alias("doc_id"), F.col("r").alias("rank_e12"))
+
+
+def pagerank_edges(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """Integer PageRank over a directed ``(src, dst)`` edge DataFrame.
+
+    Returns ``(id, r)`` with ranks in units of 10^-12 (see
+    ``pagerank_dedup_graph`` for the exactness and scale arguments).
+    Assumes every node has out-degree ≥ 1 (true for symmetric graphs).
+    """
     nodes = edges.select(F.col("src").alias("id")).distinct()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     params = nodes.agg(F.count(F.lit(1)).alias("n"))
     base = F.expr(f"{PR_SCALE} div n")
     teleport = F.expr(f"({_PR_D_DEN - _PR_D_NUM} * ({PR_SCALE} div n)) div {_PR_D_DEN}")
     ranks = nodes.crossJoin(F.broadcast(params)).select("id", base.alias("r"))
-    for _ in range(PR_ITERS):
+    for _ in range(iters):
         contrib = (
             edges.join(ranks, edges.src == ranks.id)
             .join(deg, "src")
@@ -483,4 +494,4 @@ def pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("r"),
             )
         )
-    return ranks.select(F.col("id").alias("doc_id"), F.col("r").alias("rank_e12"))
+    return ranks

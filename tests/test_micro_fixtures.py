@@ -114,3 +114,99 @@ def test_chunkstore_roundtrip_micro(spark):
     back = {r["vec_id"]: r["embedding"] for r in read_chunk_store(spark, store).collect()}
     for i in range(3):
         assert back[i] == pytest.approx(list(map(float, MAT3X4[i])), abs=1e-7)
+
+
+def _write_docs_fixture(rows, tag: str) -> str:
+    """rows: list of (doc_id, text, lang).  Writes a documents.parquet."""
+    sf_dir = os.path.join(tempfile.gettempdir(), f"sce_micro_{tag}")
+    os.makedirs(sf_dir, exist_ok=True)
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "text": pa.array([r[1] for r in rows], type=pa.string()),
+            "lang": pa.array([r[2] for r in rows], type=pa.string()),
+            "source": pa.array(["src0"] * len(rows), type=pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], type=pa.int64()),
+        }
+    )
+    pq.write_table(table, os.path.join(sf_dir, "documents.parquet"))
+    return sf_dir
+
+
+def test_pagerank_micro(spark):
+    # Hand-built symmetric path graph 0-1-2: exact integer replica in numpy.
+    from single_cell_experiments_spark.operators.dedup import (
+        PR_SCALE,
+        pagerank_edges,
+    )
+
+    import pandas as pd
+
+    edges = spark.createDataFrame(
+        pd.DataFrame({"src": [0, 1, 1, 2], "dst": [1, 0, 2, 1]})
+    )
+    got = {r["id"]: r["r"] for r in pagerank_edges(edges, iters=5).collect()}
+
+    n = 3
+    deg = {0: 1, 1: 2, 2: 1}
+    nbrs_in = {0: [1], 1: [0, 2], 2: [1]}
+    r = {v: PR_SCALE // n for v in range(n)}
+    for _ in range(5):
+        r = {
+            v: (15 * (PR_SCALE // n)) // 100
+            + (85 * sum(r[u] // deg[u] for u in nbrs_in[v])) // 100
+            for v in range(n)
+        }
+    assert got == r
+    # middle node of a path must out-rank the endpoints
+    assert got[1] > got[0] == got[2]
+
+
+def test_shard_pack_micro(spark):
+    # Known token counts 3,1,2,4 with budget 2000 -> offsets 0,3,4,6.
+    rows = [
+        (0, "a bb ccc", "en"),
+        (1, "hello", "en"),
+        (2, "x y", "en"),
+        (3, "p q r s", "en"),
+    ]
+    sf = _write_docs_fixture(rows, "shard")
+    got = {r["doc_id"]: r for r in QS["shard_pack_by_tokens"](spark, sf).collect()}
+    assert [got[i]["n_tokens"] for i in range(4)] == [3, 1, 2, 4]
+    assert [got[i]["offset_tokens"] for i in range(4)] == [0, 3, 4, 6]
+    assert all(got[i]["shard"] == 0 for i in range(4))
+
+
+def test_curation_flags_micro(spark):
+    long_pad = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, long_pad, "en"),          # keeper of the dup pair
+        (1, long_pad, "en"),          # exact dup -> drop
+        (2, "short", "en"),           # too short -> drop
+        (3, "1234567890 " * 10, "en"),  # digits only -> low alpha -> drop
+        (4, "好" * 60, "zh"),          # zh exempt from alpha rule -> keep
+    ]
+    sf = _write_docs_fixture(rows, "curation")
+    got = {r["doc_id"]: r for r in QS["doc_curation_flags"](spark, sf).collect()}
+    assert got[0]["keep"] and not got[0]["is_dup"]
+    assert got[1]["is_dup"] and not got[1]["keep"]
+    assert got[2]["too_short"] and not got[2]["keep"]
+    assert got[3]["low_alpha"] and not got[3]["keep"]
+    assert got[4]["keep"], "zh doc must not be dropped by the alpha-ratio rule"
+
+
+def test_quantize_int8_micro(spark):
+    sf = _write_fixture(MAT3X4, "mat3x4")
+    got = _coo_map(QS["embed_quantize_int8"](spark, sf).collect())
+    m = MAT3X4.astype(np.float64)
+    mn, mx = m.min(axis=0), m.max(axis=0)
+    for i in range(3):
+        for j in range(4):
+            expected = 0 if mx[j] == mn[j] else int(
+                np.floor((m[i, j] - mn[j]) * 255.0 / (mx[j] - mn[j]) + 0.5)
+            )
+            assert got[(i, j + 1)]["q"] == expected
+    # codes must span the full range on each dimension
+    for j in range(4):
+        qs = [got[(i, j + 1)]["q"] for i in range(3)]
+        assert min(qs) == 0 and max(qs) == 255
