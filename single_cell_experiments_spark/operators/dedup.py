@@ -1,13 +1,16 @@
 """Deduplication operators over ``documents`` (north-star block; absent in
 the reference — SURVEY.md §2.B "Dedup").
 
-Four tiers, each a ``queries()`` entry with a full DuckDB oracle:
+Each tier is a ``queries()`` entry with a full DuckDB oracle:
 
 - exact           : hash-groupBy on the raw text
 - MinHash + LSH   : char-5-gram shingles → H permuted min-hashes → banded
                     bucket join → exact-Jaccard verification of candidates
 - SimHash         : sign-aggregated shingle-hash bits → blocked hamming join
 - n-gram Jaccard  : word-trigram Jaccard within a (lang) block
+- embedding-cosine: sign-LSH candidate pairs → keeper/removal list
+- connected components / PageRank over the near-dup pair graph: cluster
+  canonicalization and connectivity ranking (iterative, integer-exact)
 
 Cross-engine determinism: every hash is a *polynomial codepoint hash*
 computed with plain integer SQL arithmetic (Spark ``ascii``/DuckDB

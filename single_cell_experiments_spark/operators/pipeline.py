@@ -2,7 +2,7 @@
 block; absent in the reference — these are the composite ops an LLM-corpus
 pipeline runs after the per-signal passes in textanalysis.py/dedup.py).
 
-Three stages every large pretraining corpus goes through:
+The stages every large pretraining corpus goes through:
 
 - ``doc_curation_flags``   : one keep/drop verdict per document combining
   exact-dup detection, length bounds, and an alphabetic-ratio filter —
@@ -13,6 +13,8 @@ Three stages every large pretraining corpus goes through:
 - ``sample_stratified_hash``: deterministic per-language downsampling via
   integer hashing — the mixture-reweighting step, reproducible across
   engines and runs (no RNG state).
+- ``events_iqr_outliers``   : Tukey-fence outlier detection on a numeric
+  stream — the measurement-quality twin of the text gate.
 
 Scale shapes: curation's only shuffle is the dup-grouping on ``text``
 (at 100 TB key it on ``xxhash64(text)`` to shrink shuffle width); shard

@@ -9,8 +9,14 @@ operator family:
   (the "cluster centroid magnitude" query; bench headliner).
 - ``knn_cosine_to_vec0``        : brute-force cosine top-k against one query
   vector — the exact baseline every ANN variant is judged against.
+- ``knn_join_batch``            : batched kNN join (N queries × top-k in one
+  corpus scan).
 - ``ann_cosine_pairs_signlsh``  : the scale path — random-hyperplane-style
   sign-bit LSH bucketing, cosine verified only within buckets.
+- ``ann_ivf_probe``             : IVF coarse-quantize + probe-cell scan.
+- ``embed_quantize_int8`` / ``ann_quantized_topk`` : int8 compression and
+  all-integer candidate search in the quantized space.
+- ``embed_l2_normalize``        : unit-L2 preprocessing (cosine → dot).
 
 Determinism: per-row folds (``F.aggregate`` over the array) are sequential
 left folds in both engines (same trick as functions/scalar.py, verified),
