@@ -75,7 +75,15 @@ def sc_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mllib_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib MinHashLSH near-dup join over documents (the library twin of
     ``dedup_minhash_lsh``): word tokens → binary HashingTF vectors →
-    ``approxSimilarityJoin`` at Jaccard distance ≤ 0.7.
+    ``approxSimilarityJoin`` at Jaccard distance ≤ 0.7, aggregated to
+    per-document neighbor stats (count + closest distance).
+
+    The aggregation is the scale contract: the raw pair list is
+    near-quadratic on a small-vocabulary corpus (word-level Jaccard ≥ 0.3
+    qualifies most pairs), which is fine as a distributed intermediate but
+    must never be collected — at sf0.1 the pair list alone OOMs a 1 GB
+    driver.  Per-doc stats bound the result at O(docs) regardless of how
+    permissive the threshold is.
 
     Rows-only check (MLlib's hash coefficients are internal); recall vs the
     exact-Jaccard pair set is asserted in tests/test_ml.py.
@@ -93,11 +101,11 @@ def mllib_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42).fit(tf)
     pairs = model.approxSimilarityJoin(tf, tf, 0.7, distCol="jaccard_dist")
     return (
-        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("doc1"),
-            F.col("datasetB.doc_id").alias("doc2"),
-            F.round("jaccard_dist", 4).alias("jaccard_dist"),
+        pairs.where(F.col("datasetA.doc_id") != F.col("datasetB.doc_id"))
+        .groupBy(F.col("datasetA.doc_id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_near_dups"),
+            F.round(F.min("jaccard_dist"), 4).alias("closest_dist"),
         )
     )
 

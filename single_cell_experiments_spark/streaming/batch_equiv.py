@@ -17,8 +17,10 @@ exposes integer ``ts_s``/``ts_us`` (catalog.py), and window starts are
 emitted as epoch seconds (BIGINT) so no engine's timezone/precision
 rendering can touch the hash.  Spark groups with the native ``window()`` /
 ``session_window()`` operators over a seconds-truncated NTZ timestamp; the
-oracle reproduces their arithmetic (windows are epoch-aligned; session gap
-is strict: a gap of exactly the timeout starts a new session).
+oracle reproduces their arithmetic (windows are epoch-aligned; session
+merging is inclusive: an event exactly ``gap`` after the previous one still
+extends the session — verified empirically, events at t=0 and t=1800 with a
+1800s gap produce ONE session [0, 3600)).
 
 Scale: tumbling/sliding aggregation is keyed on (window, …) with native
 partial aggregation; sessionization shuffles once on user_id.  The
@@ -122,7 +124,7 @@ WITH e AS (SELECT user_id, {_DD_TS} AS ts_s, value FROM events),
 marked AS (
   SELECT user_id, ts_s, value,
          CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s)
-                   >= {SESSION_GAP_S}
+                   > {SESSION_GAP_S}
               OR lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) IS NULL
               THEN 1 ELSE 0 END AS new_s
   FROM e

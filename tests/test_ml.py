@@ -48,8 +48,12 @@ def test_pca_matches_numpy_svd(spark, emb_matrix):
 
 def test_minhash_dedup_pairs_valid(spark):
     out = QS["mllib_minhash_dedup"](spark, SF_DIR).toPandas()
-    assert (out["jaccard_dist"] <= 0.7 + 1e-9).all()
-    assert (out["doc1"] < out["doc2"]).all()
+    assert (out["closest_dist"] <= 0.7 + 1e-9).all()
+    assert (out["n_near_dups"] >= 1).all()
+    # exact-duplicate docs must surface as distance-0 neighbors
+    exact = QS["dedup_exact"](spark, SF_DIR).toPandas()
+    n_dup_docs = int((exact[exact["is_duplicated"]]["n_copies"]).sum())
+    assert (out["closest_dist"] == 0).sum() >= n_dup_docs
 
 
 def test_brp_lsh_neighbors_valid(spark, emb_matrix):
