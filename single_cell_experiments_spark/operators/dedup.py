@@ -4,6 +4,7 @@ the reference — SURVEY.md §2.B "Dedup").
 Each tier is a ``queries()`` entry with a full DuckDB oracle:
 
 - exact           : hash-groupBy on the raw text
+- normalized exact: casefold + punctuation-collapse, then hash-groupBy
 - MinHash + LSH   : char-5-gram shingles → H permuted min-hashes → banded
                     bucket join → exact-Jaccard verification of candidates
 - SimHash         : sign-aggregated shingle-hash bits → blocked hamming join
@@ -11,6 +12,8 @@ Each tier is a ``queries()`` entry with a full DuckDB oracle:
 - embedding-cosine: sign-LSH candidate pairs → keeper/removal list
 - connected components / PageRank over the near-dup pair graph: cluster
   canonicalization and connectivity ranking (iterative, integer-exact)
+- cluster keeper  : longest-doc-per-component keep/drop verdict (CC labels
+  joined back onto the corpus)
 
 Cross-engine determinism: every hash is a *polynomial codepoint hash*
 computed with plain integer SQL arithmetic (Spark ``ascii``/DuckDB
@@ -28,7 +31,7 @@ No step is quadratic in the corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -148,6 +151,52 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) > 1).alias("is_duplicated"),
         F.length("text").cast("bigint").alias("text_len"),
     ).drop("text")
+
+
+# --- normalized exact dedup --------------------------------------------------
+
+#: unicode-aware normalization both regex engines (Java util.regex, RE2)
+#: evaluate identically: lowercase, collapse every non-letter/digit run.
+_NORM_PAT = r"[^\p{L}\p{N}]+"
+
+_NORM_EXACT_ORACLE = f"""
+SELECT min(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies,
+       COUNT(DISTINCT text) AS n_variants,
+       COUNT(*) > 1 AS is_duplicated
+FROM (SELECT doc_id, text,
+             trim(regexp_replace(lower(text), '{_NORM_PAT}', ' ', 'g')) AS norm
+      FROM documents)
+GROUP BY norm
+"""
+
+
+@query("dedup_normalized_exact", oracle=_NORM_EXACT_ORACLE, tags=("dedup",))
+def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after casefold + punctuation/whitespace normalization —
+    the cheap tier between raw-exact and MinHash that catches trivially
+    reformatted copies (case, spacing, punctuation) with zero candidate
+    generation.  ``n_variants`` counts how many raw texts each normalized
+    group collapsed, i.e. the incremental value over ``dedup_exact``.
+
+    The normalizer is ``\\p{{L}}/\\p{{N}}``-based so CJK documents keep
+    their glyphs (an ASCII class would collapse every zh doc into one
+    group).  Same single content-keyed shuffle as ``dedup_exact``; at
+    100 TB group on ``xxhash64(norm)``.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), _NORM_PAT, " "))
+    return (
+        d.select("doc_id", "text", norm.alias("norm"))
+        .groupBy("norm")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("text").alias("n_variants"),
+            (F.count(F.lit(1)) > 1).alias("is_duplicated"),
+        )
+        .drop("norm")
+    )
 
 
 # --- MinHash + LSH ---------------------------------------------------------------
@@ -394,6 +443,71 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"raising instead of returning unconverged component ids"
         )
     return labels
+
+
+# --- per-cluster canonical keeper selection -----------------------------------
+
+_KEEPER_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_minhash_sql(_DD_SHINGLES)}),
+edges AS (
+  SELECT doc1 AS u, doc2 AS v FROM pairs
+  UNION
+  SELECT doc2, doc1 FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+),
+labels AS (SELECT u AS doc_id, MIN(v) AS component_id FROM reach GROUP BY u),
+membered AS (
+  SELECT d.doc_id,
+         COALESCE(l.component_id, d.doc_id) AS component_id,
+         CAST(length(d.text) AS BIGINT) AS text_len
+  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+)
+SELECT doc_id, component_id, text_len,
+       row_number() OVER (PARTITION BY component_id
+                          ORDER BY text_len DESC, doc_id) = 1 AS keep
+FROM membered
+"""
+
+
+@query(
+    "dedup_cluster_keeper",
+    oracle=_KEEPER_ORACLE,
+    tags=("dedup", "components", "pipeline"),
+)
+def dedup_cluster_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One keep/drop verdict per document from the near-dup *cluster*
+    structure: every doc gets its connected-component id (singletons are
+    their own component), and the longest doc per component (doc_id
+    tiebreak) is the keeper — the selection policy real pipelines apply
+    after clustering, where pair lists alone can't decide which copy
+    survives a 3-way duplicate.
+
+    Spark: CC labels (iterative min-label propagation, see
+    ``dedup_connected_components``) left-joined onto the corpus, then one
+    ``row_number`` window keyed on component_id.  The window shuffle is
+    component-keyed — cluster sizes are bounded by the dedup semantics, so
+    no skewed single reducer even at 100 TB.
+    """
+    labels = dedup_connected_components(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("bigint").alias("text_len")
+    )
+    membered = d.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component_id", "doc_id").alias("component_id"),
+        "text_len",
+    )
+    w = W.partitionBy("component_id").orderBy(F.col("text_len").desc(), F.col("doc_id"))
+    return membered.select(
+        "doc_id",
+        "component_id",
+        "text_len",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
 
 
 # --- PageRank over the near-dup graph ----------------------------------------

@@ -15,6 +15,8 @@ The stages every large pretraining corpus goes through:
   engines and runs (no RNG state).
 - ``events_iqr_outliers``   : Tukey-fence outlier detection on a numeric
   stream — the measurement-quality twin of the text gate.
+- ``decontaminate_ngram_overlap``: word-8-gram overlap of every corpus doc
+  against a held-out benchmark slice — the eval-set contamination check.
 
 Scale shapes: curation's only shuffle is the dup-grouping on ``text``
 (at 100 TB key it on ``xxhash64(text)`` to shrink shuffle width); shard
@@ -182,6 +184,82 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(DEFAULT_RATE),
     )
     return d.select("doc_id", "lang", h.alias("h")).where(F.col("h") < rate)
+
+
+# --- benchmark decontamination -----------------------------------------------
+
+CONTAM_NGRAM = 8  # word n-gram width (the published decontam range is 8–13)
+CONTAM_BENCH_MOD = 20  # doc_id % 20 == 0 -> the held-out "benchmark" slice
+CONTAM_HIT_DEN = 5  # contaminated iff n_hits / n_ngrams >= 1/5
+
+_CONTAM_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, p, p + {CONTAM_NGRAM - 1}), ' ') AS g
+  FROM (SELECT doc_id, toks, unnest(range(1, length(toks) - {CONTAM_NGRAM} + 2)) AS p
+        FROM tok WHERE length(toks) >= {CONTAM_NGRAM})
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % {CONTAM_BENCH_MOD} = 0),
+corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % {CONTAM_BENCH_MOD} <> 0),
+tot AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM corpus GROUP BY doc_id),
+hit AS (SELECT c.doc_id, COUNT(*) AS n_hits
+        FROM corpus c JOIN bench b ON c.g = b.g GROUP BY c.doc_id)
+SELECT t.doc_id,
+       CAST(t.n_ngrams AS BIGINT) AS n_ngrams,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / t.n_ngrams, 6) AS contamination_rate,
+       COALESCE(h.n_hits, 0) * {CONTAM_HIT_DEN} >= t.n_ngrams AS is_contaminated
+FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id
+"""
+
+
+@query("decontaminate_ngram_overlap", oracle=_CONTAM_ORACLE, tags=("text", "pipeline", "dedup"))
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: for every corpus document, the fraction
+    of its distinct word-8-grams that also appear in a held-out benchmark
+    slice (here ``doc_id % 20 == 0`` stands in for the eval set) — the
+    n-gram-overlap check run on every serious pretraining corpus before
+    training.  Docs shorter than 8 tokens have no 8-grams and are exempt.
+
+    Scale shape: n-gramming is a row-local explode; the benchmark n-gram
+    set is tiny relative to the corpus (real eval suites are MBs vs 100 TB)
+    so the membership probe is an explicitly-broadcast semi-join — the
+    corpus side never shuffles.  The contaminated flag is integer
+    arithmetic (``n_hits·5 ≥ n_ngrams``) so no float boundary can disagree
+    across engines; at 100 TB hash each n-gram with ``xxhash64`` before the
+    join to shrink the broadcast.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.expr(r"regexp_extract_all(text, '\\S+', 0)").alias("toks")
+    ).where(F.size("toks") >= CONTAM_NGRAM)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {CONTAM_NGRAM - 1}),"
+                f" p -> concat_ws(' ', slice(toks, p, {CONTAM_NGRAM})))"
+            )
+        ).alias("g"),
+    ).distinct()
+    bench = grams.where(F.col("doc_id") % CONTAM_BENCH_MOD == 0).select("g").distinct()
+    corpus = grams.where(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+    tot = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ngrams"))
+    hits = (
+        corpus.join(F.broadcast(bench), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0))
+    return tot.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_ngrams",
+        n_hits.cast("bigint").alias("n_hits"),
+        F.round(n_hits.cast("double") / F.col("n_ngrams"), 6).alias("contamination_rate"),
+        (n_hits * CONTAM_HIT_DEN >= F.col("n_ngrams")).alias("is_contaminated"),
+    )
 
 
 # --- IQR outlier detection ---------------------------------------------------

@@ -210,3 +210,55 @@ def test_quantize_int8_micro(spark):
     for j in range(4):
         qs = [got[(i, j + 1)]["q"] for i in range(3)]
         assert min(qs) == 0 and max(qs) == 255
+
+
+def test_decontaminate_micro(spark):
+    # doc 0 is the "benchmark" slice (doc_id % 20 == 0); its 8 tokens form
+    # exactly one 8-gram.  Full copy -> rate 1; disjoint -> 0; 16-token doc
+    # sharing only the benchmark prefix -> 1 hit of 9 grams; <8 tokens -> exempt.
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, bench_text, "en"),
+        (1, bench_text, "en"),
+        (2, "one two three four five six seven eight nine", "en"),
+        (3, "too short text", "en"),
+        (4, bench_text + " i1 i2 i3 i4 i5 i6 i7 i8", "en"),
+    ]
+    sf = _write_docs_fixture(rows, "decontam")
+    got = {r["doc_id"]: r for r in QS["decontaminate_ngram_overlap"](spark, sf).collect()}
+    assert set(got) == {1, 2, 4}, "benchmark docs and <8-token docs are excluded"
+    assert (got[1]["n_ngrams"], got[1]["n_hits"], got[1]["is_contaminated"]) == (1, 1, True)
+    assert got[1]["contamination_rate"] == 1.0
+    assert (got[2]["n_hits"], got[2]["is_contaminated"]) == (0, False)
+    assert (got[4]["n_ngrams"], got[4]["n_hits"], got[4]["is_contaminated"]) == (9, 1, False)
+
+
+def test_normalized_dedup_micro(spark):
+    rows = [
+        (0, "Hello, World!", "en"),
+        (1, "hello world", "en"),
+        (2, "HELLO  world.", "en"),
+        (3, "a different document", "en"),
+    ]
+    sf = _write_docs_fixture(rows, "normdedup")
+    got = {r["keeper_doc_id"]: r for r in QS["dedup_normalized_exact"](spark, sf).collect()}
+    assert set(got) == {0, 3}
+    assert (got[0]["n_copies"], got[0]["n_variants"], got[0]["is_duplicated"]) == (3, 3, True)
+    assert (got[3]["n_copies"], got[3]["n_variants"], got[3]["is_duplicated"]) == (1, 1, False)
+
+
+def test_cluster_keeper_micro(spark):
+    # docs 0/1 are near-dups (1 is strictly longer -> the keeper despite the
+    # higher doc_id); doc 2 is a singleton component and keeps itself.
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    rows = [
+        (0, base, "en"),
+        (1, base + "tail", "en"),
+        (2, "completely unrelated content about astronomy and telescopes", "en"),
+    ]
+    sf = _write_docs_fixture(rows, "keeper")
+    got = {r["doc_id"]: r for r in QS["dedup_cluster_keeper"](spark, sf).collect()}
+    assert len(got) == 3
+    assert got[0]["component_id"] == 0 and got[1]["component_id"] == 0
+    assert got[1]["keep"] and not got[0]["keep"], "longest doc wins the cluster"
+    assert got[2]["component_id"] == 2 and got[2]["keep"]
