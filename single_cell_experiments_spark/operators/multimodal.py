@@ -7,7 +7,8 @@ here stood in by ``encode(documents.text, 'utf-8')`` since the driver
 tables carry no real media.  What is REAL and verified:
 
 - the Spark-side plumbing: binary schema, Arrow ``mapInPandas`` decode with
-  a bounded batch size, metadata projection, frame explode;
+  a bounded batch size, metadata projection, frame explode, resize-dim
+  planning, and per-frame featurize→per-doc pool;
 - the determinism contract: the stub decoder derives metadata from integer
   hash arithmetic that the DuckDB oracle reproduces exactly — so even the
   Python-UDF path is value-hash-checked, not just smoke-checked.
@@ -179,6 +180,142 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frame_idx"
         ),
         "n_frames",
+    )
+
+
+# --- resize planning via mapInPandas (hash-checked Python path) --------------
+
+RESIZE_FIT = 224  # standard vision-model preprocess target (max side)
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("out_w", LongType()),
+        StructField("out_h", LongType()),
+    ]
+)
+
+
+def _resize_stub_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched resize planner: stub-decoded (width, height) ->
+    aspect-preserving dims fitting RESIZE_FIT on the long side, floor
+    division so both engines agree bit-for-bit.  A real implementation
+    replaces the dim arithmetic with ``img.resize((out_w, out_h))`` on the
+    decoded pixels; batch iteration and schema are the production shape.
+    """
+    for pdf in batches:
+        n_bytes = pdf["blob"].map(len).astype("int64")
+        meta = _stub_meta_from_nbytes(n_bytes)
+        w, h = meta["width"], meta["height"]
+        wide = w >= h
+        out_w = wide * RESIZE_FIT + (~wide) * (w * RESIZE_FIT // h).clip(lower=1)
+        out_h = (~wide) * RESIZE_FIT + wide * (h * RESIZE_FIT // w).clip(lower=1)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "width": w,
+                "height": h,
+                "out_w": out_w.astype("int64"),
+                "out_h": out_h.astype("int64"),
+            }
+        )
+
+
+_RESIZE_ORACLE = f"""
+WITH meta AS (
+  SELECT doc_id, h % 1920 + 1 AS width, (h // 1920) % 1080 + 1 AS height
+  FROM (SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) * {_H_MULT} % {_H_MOD} AS h
+        FROM documents)
+)
+SELECT doc_id, width, height,
+       CASE WHEN width >= height THEN {RESIZE_FIT}
+            ELSE greatest(width * {RESIZE_FIT} // height, 1) END AS out_w,
+       CASE WHEN width >= height THEN greatest(height * {RESIZE_FIT} // width, 1)
+            ELSE {RESIZE_FIT} END AS out_h
+FROM meta
+"""
+
+
+@query("multimodal_resize_plan", oracle=_RESIZE_ORACLE, tags=("multimodal", "udf"))
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize to fit 224 on the long side, as an
+    Arrow-batched ``mapInPandas`` over the binary column — the standard
+    vision-preprocess step with the decode stubbed but the Python batch
+    path itself oracle-verified (integer floor arithmetic both engines
+    reproduce).  Embarrassingly parallel, no shuffle; real pixels change
+    only the pandas function body."""
+    return _blobs(spark, sf_dir).mapInPandas(_resize_stub_batches, schema=_RESIZE_SCHEMA)
+
+
+# --- per-frame feature extraction + per-doc aggregation ----------------------
+
+_FEAT_K1, _FEAT_K2 = 2654435761, 40503  # independent Knuth-style mixers
+
+_FEAT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+def _frame_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched per-frame "feature extractor": a deterministic integer
+    energy per (doc, frame) standing in for a conv/fft feature — a real
+    extractor decodes the frame bytes instead; the fan-out input, batch
+    shape, and per-frame output schema are the production contract."""
+    for pdf in batches:
+        energy = (
+            pdf["doc_id"].astype("int64") * _FEAT_K1 + pdf["frame_idx"].astype("int64") * _FEAT_K2
+        ) % _H_MOD
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "frame_idx": pdf["frame_idx"].astype("int64"),
+                "energy": energy,
+            }
+        )
+
+
+_FEAT_ORACLE = f"""
+WITH meta AS (
+  SELECT doc_id, h % 30 + 1 AS n_frames
+  FROM (SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) * {_H_MULT} % {_H_MOD} AS h
+        FROM documents)
+),
+frames AS (
+  SELECT doc_id, unnest(range(0, n_frames, 5)) AS frame_idx FROM meta
+)
+SELECT doc_id,
+       COUNT(*) AS n_sampled,
+       CAST(SUM((doc_id * {_FEAT_K1} + frame_idx * {_FEAT_K2}) % {_H_MOD}) AS BIGINT)
+         AS energy_sum,
+       CAST(MAX((doc_id * {_FEAT_K1} + frame_idx * {_FEAT_K2}) % {_H_MOD}) AS BIGINT)
+         AS energy_max
+FROM frames
+GROUP BY doc_id
+"""
+
+
+@query("multimodal_frame_features", oracle=_FEAT_ORACLE, tags=("multimodal", "udf", "frames"))
+def multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame feature extraction over the frame-sample fan-out
+    (``mapInPandas``, one feature row per sampled frame) followed by a
+    JVM-side per-document aggregation — the decode→featurize→pool shape of
+    every video/audio ingestion pipeline, with the extractor stubbed
+    deterministic so the whole two-stage path hash-checks.  The UDF is
+    shuffle-free; the only exchange is the final O(docs) aggregation."""
+    frames = multimodal_frame_sample(spark, sf_dir).select("doc_id", "frame_idx")
+    feats = frames.mapInPandas(_frame_feature_batches, schema=_FEAT_SCHEMA)
+    return feats.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("energy").cast("bigint").alias("energy_sum"),
+        F.max("energy").cast("bigint").alias("energy_max"),
     )
 
 
