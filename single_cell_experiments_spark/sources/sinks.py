@@ -1,5 +1,5 @@
 """Sources & sinks beyond parquet scan (SURVEY.md §2.B "Scans/sources" /
-"Sinks"): CSV and JSON ingest, partitioned parquet write.
+"Sinks"): CSV, JSON, ORC and line-text ingest, partitioned parquet write.
 
 Each is registered as a *roundtrip* query — write the driver table out
 through the sink, read it back through the matching source with an explicit
@@ -90,6 +90,37 @@ def partitioned_write_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(path)
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"), money_sum("o_totalprice", "total")
+    )
+
+
+_TEXT_ORACLE = "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"
+
+
+@query("text_roundtrip_orders", oracle=_TEXT_ORACLE, tags=("sources", "text"))
+def text_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → delimited text lines (``df.write.text``) → read back with
+    ``spark.read.text`` + explicit ``split`` parse — the log-file ingestion
+    shape (the source every raw-crawl pipeline starts from).  Reads are
+    split-parallel by line like CSV; the parse is row-local codegen.  The
+    oracle is the original table: the hash passes only if serialize +
+    re-parse is lossless (doubles survive via Spark's shortest-round-trip
+    string rendering)."""
+    o = load_table(spark, sf_dir, "orders")
+    path = _scratch("text_orders", sf_dir)
+    o.select(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey"),
+            F.col("o_orderstatus"),
+            F.col("o_totalprice").cast("string"),
+        ).alias("value")
+    ).write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    parts = F.split(F.col("value"), r"\|")
+    return lines.select(
+        parts.getItem(0).cast("bigint").alias("o_orderkey"),
+        parts.getItem(1).alias("o_orderstatus"),
+        parts.getItem(2).cast("double").alias("o_totalprice"),
     )
 
 
