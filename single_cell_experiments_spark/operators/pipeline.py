@@ -17,6 +17,8 @@ The stages every large pretraining corpus goes through:
   stream — the measurement-quality twin of the text gate.
 - ``decontaminate_ngram_overlap``: word-8-gram overlap of every corpus doc
   against a held-out benchmark slice — the eval-set contamination check.
+- ``corpus_health_report``  : per-(source, lang) dup/short rates + mean
+  token/alpha stats — the source-admission dashboard rollup.
 
 Scale shapes: curation's only shuffle is the dup-grouping on ``text``
 (at 100 TB key it on ``xxhash64(text)`` to shrink shuffle width); shard
@@ -184,6 +186,65 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(DEFAULT_RATE),
     )
     return d.select("doc_id", "lang", h.alias("h")).where(F.col("h") < rate)
+
+
+# --- corpus health report ------------------------------------------------------
+
+_HEALTH_ORACLE = f"""
+WITH per_doc AS (
+  SELECT source, lang,
+         doc_id <> MIN(doc_id) OVER (PARTITION BY text) AS is_dup,
+         length(text) < {MIN_CHARS} AS too_short,
+         length(regexp_extract_all(text, '\\S+')) AS n_tokens,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000000
+           // greatest(length(text), 1) AS alpha_micro
+  FROM documents
+)
+SELECT source, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(SUM(CASE WHEN too_short THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+       round(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
+       round(CAST(SUM(alpha_micro) AS DOUBLE) / (COUNT(*) * 1000000), 6) AS avg_alpha
+FROM per_doc
+GROUP BY source, lang
+"""
+
+
+@query("corpus_health_report", oracle=_HEALTH_ORACLE, tags=("text", "pipeline", "report"))
+def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus health dashboard: doc counts, exact-dup and
+    too-short rates, mean token count, mean alphabetic ratio — the rollup a
+    pipeline team reviews before admitting a crawl source into the mixture.
+
+    One content-keyed window for the dup flag (shared shape with
+    ``doc_curation_flags``), then a single partial+final aggregation on the
+    bounded (source, lang) key.  Ratios ride integer micro-unit sums with
+    one final division, so the hash is order-insensitive at any scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source",
+        "lang",
+        (F.col("doc_id") != F.min("doc_id").over(W.partitionBy("text"))).alias("is_dup"),
+        (F.length("text") < MIN_CHARS).alias("too_short"),
+        F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).cast("bigint").alias("n_tokens"),
+        F.expr(
+            # integer `div`, never float `/`: floor semantics must match the
+            # oracle's `//` exactly at ratio boundaries
+            "CAST(length(regexp_replace(text, '[^A-Za-z]', '')) AS BIGINT) * 1000000"
+            " div greatest(length(text), 1)"
+        ).alias("alpha_micro"),
+    )
+    return per_doc.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("bigint").alias("n_dup"),
+        F.sum(F.when(F.col("too_short"), 1).otherwise(0)).cast("bigint").alias("n_short"),
+        F.round(F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 6).alias("avg_tokens"),
+        F.round(
+            F.sum("alpha_micro").cast("double") / (F.count(F.lit(1)) * 1000000), 6
+        ).alias("avg_alpha"),
+    )
 
 
 # --- benchmark decontamination -----------------------------------------------
