@@ -652,3 +652,99 @@ def upsert_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(src.select("o_orderkey")), "o_orderkey", "left_anti"
     ).withColumn("is_changed", F.lit(False))
     return kept.unionByName(src)
+
+
+# --- lag/lead event-sequence analytics ---------------------------------------
+
+_LAGLEAD_ORACLE = f"""
+SELECT user_id, event_id,
+       ({_DD_TS_S}) AS t_s,
+       ({_DD_TS_S}) - lag({_DD_TS_S}) OVER w AS gap_s,
+       lead(event_type) OVER w AS next_type,
+       first_value(event_type) OVER w AS first_type,
+       CAST(row_number() OVER w AS BIGINT) AS seq
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY {_DD_TS_S}, event_id)
+"""
+
+
+@query("window_lag_lead_events", oracle=_LAGLEAD_ORACLE, tags=("relational", "window", "sequence"))
+def window_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-sequence features via offset window functions:
+    inter-event gap (``lag``), next event type (``lead``), session-first
+    event type (``first_value``), and sequence position — the standard
+    feature block for behavioral / clickstream training data.
+
+    Scale: all four functions share ONE window spec, so Catalyst computes
+    them in a single Window operator over a single hash-exchange on
+    ``user_id`` — adding more offset features is free.  The sort inside
+    each partition is local (no global order).  Ties broken by event_id so
+    the frame is deterministic across partitionings.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts_s", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.col("ts_s").alias("t_s"),
+        (F.col("ts_s") - F.lag("ts_s").over(w)).alias("gap_s"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.first("event_type").over(w).alias("first_type"),
+        F.row_number().over(w).cast("bigint").alias("seq"),
+    )
+
+
+# --- multi-granularity time rollup (hypertable continuous aggregate) ---------
+
+_MULTIGRAIN_ORACLE = f"""
+SELECT CASE WHEN GROUPING(d) = 1 THEN -1 ELSE d END AS day_s,
+       CASE WHEN GROUPING(h) = 1 THEN -1 ELSE h END AS hour_s,
+       CAST(GROUPING(d) * 2 + GROUPING(h) AS INT) AS lvl,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS v
+FROM (
+  SELECT (({_DD_TS_S}) // 86400) * 86400 AS d,
+         (({_DD_TS_S}) // 3600) * 3600 AS h,
+         event_type, value
+  FROM events
+)
+GROUP BY GROUPING SETS ((d, h, event_type), (d, event_type), (event_type))
+"""
+
+
+@query("rollup_multigrain_events", oracle=_MULTIGRAIN_ORACLE, tags=("relational", "timeseries", "rollup"))
+def rollup_multigrain_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: hourly, daily, and
+    grand per-event-type totals from ONE scan via ``GROUPING SETS`` on
+    truncated time buckets — the materialized-rollup shape TimescaleDB /
+    Druid serve dashboards from.
+
+    Scale: Spark's Expand node replicates each row once per grouping set
+    BEFORE the exchange, and partial aggregation collapses the replicas
+    map-side, so the shuffle carries one row per (bucket, type) per set —
+    not 3x the fact table.  At 100 TB the hourly set dominates and is
+    bounded by cardinality(hour x type), not row count.  NULL bucket ids
+    from coarser sets are encoded as -1 (hash-stable across engines).
+    """
+    e = load_table(spark, sf_dir, "events")
+    d = (F.expr("ts_s div 86400") * 86400).alias("d")
+    h = (F.expr("ts_s div 3600") * 3600).alias("h")
+    base = e.select(d, h, "event_type", "value")
+    rolled = base.groupingSets(
+        [["d", "h", "event_type"], ["d", "event_type"], ["event_type"]],
+        "d", "h", "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round("value", 6).cast("decimal(18,6)")).cast("double").alias("v"),
+        F.grouping("d").alias("gd"),
+        F.grouping("h").alias("gh"),
+    )
+    return rolled.select(
+        F.when(F.col("gd") == 1, F.lit(-1)).otherwise(F.col("d")).alias("day_s"),
+        F.when(F.col("gh") == 1, F.lit(-1)).otherwise(F.col("h")).alias("hour_s"),
+        (F.col("gd") * 2 + F.col("gh")).cast("int").alias("lvl"),
+        "event_type",
+        "n",
+        F.col("v"),
+    )
