@@ -373,3 +373,69 @@ def events_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("value") > hi).alias("is_high"),
         )
     )
+
+
+# --- mixture rebalancing -------------------------------------------------------
+
+_MIX_ORACLE = f"""
+WITH n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_in FROM documents GROUP BY source),
+t AS (SELECT CAST(SUM(n_in) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS n_src FROM n),
+r AS (
+  SELECT source, n_in,
+         least(1000000, (t.total * 1000000) // (t.n_src * n_in)) AS rate_micro
+  FROM n, t
+),
+k AS (
+  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM documents d JOIN r USING (source)
+  WHERE (d.doc_id * {_KNUTH}) % {_P31} % 1000000 < r.rate_micro
+  GROUP BY d.source
+)
+SELECT r.source, r.n_in, CAST(r.rate_micro AS BIGINT) AS rate_micro,
+       COALESCE(k.n_kept, 0) AS n_kept
+FROM r LEFT JOIN k USING (source)
+"""
+
+
+@query("mixture_resample_sources", oracle=_MIX_ORACLE, tags=("text", "pipeline", "sampling"))
+def mixture_resample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus toward a uniform per-source mixture by
+    deterministic hash downsampling: each source's keep-rate is
+    ``min(1, total / (n_sources x n_source_docs))`` in integer micro-units,
+    so overrepresented crawls shrink to their fair share and small sources
+    pass through untouched — the mixture-weighting step between curation
+    and shard packing, auditable because the admit decision is the same
+    ``doc_id x K mod p`` hash as ``sample_stratified_hash`` (no RNG state,
+    stable under repartitioning).
+
+    Scale shape: the rate table is one tiny aggregate (O(sources) rows)
+    that broadcast-joins back to the fact scan; the admit filter is
+    row-local; the only full-width shuffle is the final per-source count,
+    which partial-aggregates map-side.  All arithmetic is integer-exact.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    n = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_in"))
+    t = n.agg(
+        F.sum("n_in").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_src"),
+    )
+    r = n.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_in",
+        F.least(
+            F.lit(1000000).cast("bigint"),
+            F.expr("(total * 1000000) div (n_src * n_in)"),
+        ).alias("rate_micro"),
+    )
+    kept = (
+        d.join(F.broadcast(r.select("source", "rate_micro")), "source")
+        .where((F.col("doc_id") * _KNUTH) % _P31 % 1000000 < F.col("rate_micro"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+    )
+    return r.join(kept, "source", "left").select(
+        "source",
+        "n_in",
+        F.col("rate_micro").cast("bigint").alias("rate_micro"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+    )

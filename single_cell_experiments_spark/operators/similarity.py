@@ -537,3 +537,92 @@ def embed_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("v32").cast("double") / F.sqrt(F.col("n2")), 6).alias("nv"),
         )
     )
+
+
+# --- LSH recall evaluation (ANN quality measurement) -------------------------
+
+_RECALL_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe, {_DOT_SELF} AS qn,
+         {_signbits_sql('embedding')} AS qb
+  FROM embeddings WHERE vec_id < {KNN_JOIN_NQ}
+),
+c AS (
+  SELECT vec_id, embedding, {_DOT_SELF} AS n2,
+         {_signbits_sql('embedding')} AS cb
+  FROM embeddings WHERE vec_id >= {KNN_JOIN_NQ}
+),
+topk AS (
+  SELECT qid, vec_id, qb, cb FROM (
+    SELECT q.qid, c.vec_id, q.qb, c.cb,
+           round(
+             list_aggregate(list_transform(range(1, len(c.embedding) + 1),
+                 i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)), 'sum')
+             / sqrt(c.n2 * q.qn), 6) AS sim
+    FROM c, q
+  )
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) <= {KNN_JOIN_K}
+)
+SELECT qid,
+       CAST(SUM(CASE WHEN qb = cb THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       CAST(SUM(CASE WHEN qb = cb THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+         AS recall_micro
+FROM topk GROUP BY qid
+"""
+
+
+@query("ann_recall_eval", oracle=_RECALL_ORACLE, tags=("similarity", "lsh", "eval"))
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the sign-bit LSH index against exact cosine ground
+    truth, per query: for each of the 20 ``knn_join_batch`` queries, the
+    fraction of its true top-3 neighbors that land in the query's LSH
+    bucket (i.e. that a bucket-local probe would even see).  This is the
+    measurement loop every production ANN deployment runs before trusting
+    an index — the same engine computes ground truth, index assignment,
+    and the recall join.
+
+    Scale shape: ground truth is the broadcast-batch scan of
+    ``knn_join_batch`` (WindowGroupLimit heaps); bucket ids are row-local
+    projections of the same scan; the final comparison joins a 60-row
+    result — recall costs nothing beyond the exact baseline it audits.
+    Recall rides integer micro-units, so the hash is engine-stable.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def signbits() -> "F.Column":
+        b = None
+        for i, p in enumerate(SIGN_BITS_POS):
+            bit = F.when(_dbl(F.element_at("embedding", p)) >= 0, F.lit(1 << i)).otherwise(
+                F.lit(0)
+            )
+            b = bit if b is None else b + bit
+        return b
+
+    q = e.where(F.col("vec_id") < KNN_JOIN_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        _norm2(F.col("embedding")).alias("qn"),
+        signbits().alias("qb"),
+    )
+    c = e.where(F.col("vec_id") >= KNN_JOIN_NQ).select(
+        "vec_id",
+        "embedding",
+        _norm2(F.col("embedding")).alias("n2"),
+        signbits().alias("cb"),
+    )
+    sim = F.round(
+        _dot(F.col("embedding"), F.col("qe")) / F.sqrt(F.col("n2") * F.col("qn")), 6
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "qid", "vec_id", "qb", "cb", sim.alias("sim")
+    )
+    rn = F.row_number().over(W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id")))
+    topk = scored.withColumn("rn", rn).where(F.col("rn") <= KNN_JOIN_K)
+    hit = F.sum(F.when(F.col("qb") == F.col("cb"), 1).otherwise(0))
+    return topk.groupBy("qid").agg(
+        hit.cast("bigint").alias("n_hit"),
+        F.expr(
+            "CAST(SUM(CASE WHEN qb = cb THEN 1 ELSE 0 END) * 1000000"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("recall_micro"),
+    )

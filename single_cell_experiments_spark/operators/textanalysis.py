@@ -365,3 +365,115 @@ def tfidf_doc_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("documents")
     return spark.sql("WITH " + _tfidf_base(_SP_TOKS) + _TFIDF_DOC_TAIL)
+
+
+# --- intra-document repetition (Gopher-style quality signals) ----------------
+
+_REP_ORACLE = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents
+),
+uc AS (
+  SELECT doc_id, word, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(ws) AS word FROM w)
+  GROUP BY doc_id, word
+),
+us AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(MAX(c) AS BIGINT) AS top_cnt
+  FROM uc GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+        FROM w WHERE len(ws) >= 2)
+),
+bs AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(COUNT(DISTINCT b) AS BIGINT) AS bg_types
+  FROM bg GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(n_words, 0) AS n_words,
+       COALESCE(n_types, 0) AS n_types,
+       COALESCE(top_cnt, 0) AS top_cnt,
+       (COALESCE(n_words, 0) - COALESCE(n_types, 0)) * 1000000
+         // greatest(COALESCE(n_words, 0), 1) AS rep_micro,
+       COALESCE(top_cnt, 0) * 1000000
+         // greatest(COALESCE(n_words, 0), 1) AS top_micro,
+       COALESCE(n_bigrams, 0) AS n_bigrams,
+       COALESCE(bg_types, 0) AS bg_types,
+       (COALESCE(n_bigrams, 0) - COALESCE(bg_types, 0)) * 1000000
+         // greatest(COALESCE(n_bigrams, 0), 1) AS bg_rep_micro
+FROM documents d LEFT JOIN us USING (doc_id) LEFT JOIN bs USING (doc_id)
+"""
+
+
+@query("doc_repetition_stats", oracle=_REP_ORACLE, tags=("text", "quality", "repetition"))
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals (the Gopher-rules repetition
+    block): duplicate-word mass, most-frequent-word share, and duplicate
+    bigram mass per document — the quality gate that catches boilerplate
+    and keyword-stuffed pages before they enter a training mixture.
+
+    Scale shape: ZERO shuffles.  Where the textbook implementation
+    explodes tokens and double-aggregates (two exchanges keyed on
+    (doc, token)), every statistic here is a row-local higher-order
+    expression: type counts via ``array_distinct``, the modal-word count
+    via a sequential fold over the *sorted* token array (run-length max —
+    ``aggregate`` over ``array_sort``), bigram stats via
+    ``zip_with``/``slice``.  The plan is scan → project; it scales with
+    input rows, not token count, and repartitions nothing.  Ratios ride
+    integer micro-units (exact in both engines).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.expr(r"regexp_extract_all(lower(text), '[a-z]+', 0)")
+    run = lambda acc, x: F.when(x == acc["prev"], acc["run"] + F.lit(1).cast("bigint")).otherwise(
+        F.lit(1).cast("bigint")
+    )
+    top_cnt = F.aggregate(
+        F.array_sort(ws),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("bigint").alias("run"),
+            F.lit(0).cast("bigint").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run(acc, x).alias("run"),
+            F.greatest(acc["best"], run(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    bg = F.when(
+        F.size(ws) >= 2,
+        F.expr(
+            r"zip_with(slice(regexp_extract_all(lower(text), '[a-z]+', 0), 1,"
+            r" size(regexp_extract_all(lower(text), '[a-z]+', 0)) - 1),"
+            r" slice(regexp_extract_all(lower(text), '[a-z]+', 0), 2,"
+            r" size(regexp_extract_all(lower(text), '[a-z]+', 0)) - 1),"
+            r" (a, b) -> concat(a, ' ', b))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_doc = d.select(
+        "doc_id",
+        F.size(ws).cast("bigint").alias("n_words"),
+        F.size(F.array_distinct(ws)).cast("bigint").alias("n_types"),
+        top_cnt.alias("top_cnt"),
+        F.size(bg).cast("bigint").alias("n_bigrams"),
+        F.size(F.array_distinct(bg)).cast("bigint").alias("bg_types"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        "n_types",
+        "top_cnt",
+        F.expr("(n_words - n_types) * 1000000 div greatest(n_words, 1)").alias("rep_micro"),
+        F.expr("top_cnt * 1000000 div greatest(n_words, 1)").alias("top_micro"),
+        "n_bigrams",
+        "bg_types",
+        F.expr(
+            "(n_bigrams - bg_types) * 1000000 div greatest(n_bigrams, 1)"
+        ).alias("bg_rep_micro"),
+    )
