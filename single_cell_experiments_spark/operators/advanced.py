@@ -748,3 +748,103 @@ def rollup_multigrain_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.col("v"),
     )
+
+
+# --- conversion funnel (ordered-step event analytics) ------------------------
+
+_FUNNEL_ORACLE = f"""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+v AS (
+  SELECT user_id, MIN({_DD_TS_S}) AS v_ts
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN({_DD_TS_S}) AS c_ts
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND ({_DD_TS_S}) >= v.v_ts
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN({_DD_TS_S}) AS p_ts
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND ({_DD_TS_S}) >= c.c_ts
+  GROUP BY e.user_id
+)
+SELECT u.user_id,
+       COALESCE(v.v_ts, -1) AS v_ts,
+       COALESCE(c.c_ts, -1) AS c_ts,
+       COALESCE(p.p_ts, -1) AS p_ts,
+       CAST(CASE WHEN p.p_ts IS NOT NULL THEN 3
+                 WHEN c.c_ts IS NOT NULL THEN 2
+                 WHEN v.v_ts IS NOT NULL THEN 1
+                 ELSE 0 END AS INT) AS stage
+FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+       LEFT JOIN p USING (user_id)
+"""
+
+
+@query("funnel_view_click_purchase", oracle=_FUNNEL_ORACLE, tags=("relational", "events", "funnel"))
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-step conversion funnel (view → click → purchase) per
+    user: the first view, the first click at-or-after it, the first
+    purchase at-or-after that, and the furthest stage reached — the
+    ``windowFunnel``-style sequence-match analytics engines advertise.
+
+    Scale shape: where the naive form runs one aggregation per step plus a
+    join per dependency (each step's predicate references the previous
+    step's result), this plan is ONE exchange: collect each user's funnel
+    events (bounded per user), sort the array, and run the step state
+    machine as a sequential ``aggregate`` fold — views sort before clicks
+    before purchases at equal timestamps (priority in the sort key), which
+    makes the fold bit-equal to the oracle's MIN-sequence CTEs.  Missing
+    stages surface as -1 sentinels so the output stays integer-typed.
+    """
+    e = load_table(spark, sf_dir, "events")
+    prio = (
+        F.when(F.col("event_type") == "view", 0)
+        .when(F.col("event_type") == "click", 1)
+        .otherwise(2)
+    )
+    steps = e.where(F.col("event_type").isin("view", "click", "purchase")).select(
+        "user_id", F.col("ts_s").alias("t"), prio.alias("prio")
+    )
+    neg1 = F.lit(-1).cast("bigint")
+    folded = (
+        steps.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(F.struct("t", "prio"))).alias("arr"))
+        .select(
+            "user_id",
+            F.aggregate(
+                F.col("arr"),
+                F.struct(neg1.alias("v"), neg1.alias("c"), neg1.alias("p")),
+                lambda acc, x: F.struct(
+                    F.when((acc["v"] == -1) & (x["prio"] == 0), x["t"])
+                    .otherwise(acc["v"])
+                    .alias("v"),
+                    F.when(
+                        (acc["c"] == -1) & (acc["v"] != -1) & (x["prio"] == 1), x["t"]
+                    )
+                    .otherwise(acc["c"])
+                    .alias("c"),
+                    F.when(
+                        (acc["p"] == -1) & (acc["c"] != -1) & (x["prio"] == 2), x["t"]
+                    )
+                    .otherwise(acc["p"])
+                    .alias("p"),
+                ),
+            ).alias("st"),
+        )
+    )
+    users = e.select("user_id").distinct()
+    return users.join(folded, "user_id", "left").select(
+        "user_id",
+        F.coalesce(F.col("st.v"), neg1).alias("v_ts"),
+        F.coalesce(F.col("st.c"), neg1).alias("c_ts"),
+        F.coalesce(F.col("st.p"), neg1).alias("p_ts"),
+        F.when(F.coalesce(F.col("st.p"), neg1) != -1, 3)
+        .when(F.coalesce(F.col("st.c"), neg1) != -1, 2)
+        .when(F.coalesce(F.col("st.v"), neg1) != -1, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("stage"),
+    )

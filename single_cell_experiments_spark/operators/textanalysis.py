@@ -477,3 +477,54 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(n_bigrams - bg_types) * 1000000 div greatest(n_bigrams, 1)"
         ).alias("bg_rep_micro"),
     )
+
+
+# --- BM25 retrieval scoring --------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("spark", "join", "window")
+
+_BM25_TAIL = f"""
+, dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+avgdl AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+qdf AS (SELECT w, df FROM df WHERE w IN {BM25_QUERY!r}),
+scored AS (
+  SELECT t.doc_id, t.w,
+         round(
+           ln(((SELECT n FROM n_docs) - q.df + 0.5) / (q.df + 0.5) + 1)
+           * (t.tf * {BM25_K1 + 1})
+           / (t.tf + {BM25_K1} * ({1 - BM25_B} + {BM25_B} * dl.dl
+              / (SELECT avgdl FROM avgdl))),
+         6) AS s
+  FROM tf t JOIN qdf q ON q.w = t.w JOIN dl ON dl.doc_id = t.doc_id
+)
+SELECT doc_id,
+       CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS bm25,
+       CAST(COUNT(*) AS BIGINT) AS n_terms
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+@query(
+    "bm25_rank_docs",
+    oracle="WITH " + _tfidf_base(_DD_TOKS) + _BM25_TAIL,
+    tags=("text", "retrieval", "bm25"),
+)
+def bm25_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 document ranking for a fixed 3-term query (k1=1.2,
+    b=0.75, Robertson smooth idf) — the lexical-retrieval scorer that
+    complements the embedding kNN family, sharing the TF-IDF CTE base.
+
+    Determinism: avgdl is an exact ratio of integer sums; each (doc, term)
+    score applies identical IEEE-double ops in both engines and is rounded
+    to 6 before the ≤3-term decimal sum, so no float accumulation order
+    exists.  Scale shape: the query-term df table is O(|query|) and
+    broadcasts; doc lengths join on doc_id (same key as tf — one
+    exchange); the final top-20 is TakeOrderedAndProject, no global sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    return spark.sql("WITH " + _tfidf_base(_SP_TOKS) + _BM25_TAIL)
