@@ -94,7 +94,7 @@ def _load_all_operator_modules() -> None:
     )
     from .functions import scalar  # noqa: F401
     from .sources import chunkstore, sinks  # noqa: F401
-    from .streaming import batch_equiv  # noqa: F401
+    from .streaming import batch_equiv, jobs  # noqa: F401
 
 
 #: Queries hash-verified green by the external driver in round 1

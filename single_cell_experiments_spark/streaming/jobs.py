@@ -25,6 +25,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..registry import query
 from ..session import tune
 
 
@@ -203,3 +204,61 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_timestamp("p_t") - F.unix_timestamp("c_t")).cast("bigint").alias("dt_s"),
     )
     return _drain_to_memory(joined, "ssjoin", "append")
+
+
+# --- checkpointed file sink (the exactly-once production path) ---------------
+
+def run_file_sink_stream(spark: SparkSession, sf_dir: str, clear: bool = True) -> str:
+    """Stream purchases to a parquet sink with a checkpoint — the
+    production delivery path: the file sink's transaction log plus the
+    checkpointed source offsets give end-to-end exactly-once (a restart
+    with the same checkpoint reprocesses nothing; asserted in
+    tests/test_streaming.py).  Stateless transform → append mode, so no
+    watermark-tail truncation exists and the sink equals the batch filter
+    bit-for-bit.  Returns the sink path.
+    """
+    import shutil
+
+    stream = _event_stream(spark, sf_dir)
+    base = Path(tempfile.gettempdir()) / (
+        f"sce_stream_sink_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    if clear:
+        shutil.rmtree(base, ignore_errors=True)
+    out = stream.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        _epoch_s("t").alias("t_s"),
+        F.round("value", 6).alias("v"),
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(base / "data"))
+        .option("checkpointLocation", str(base / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return str(base / "data")
+
+
+_FILE_SINK_ORACLE = """
+SELECT event_id, user_id,
+       epoch_us(ts) // 1000000 AS t_s,
+       round(value, 6) AS v
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+@query("stream_file_sink_roundtrip", oracle=_FILE_SINK_ORACLE, tags=("streaming", "sink"))
+def stream_file_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the checkpointed parquet-sink stream to completion, then read
+    the sink back — hash-equality with the batch filter proves the
+    streaming delivery lost and duplicated nothing (exactly-once), the
+    property every production pipeline builds on.  The sink+checkpoint
+    scratch dir is cleared up front so the check is deterministic per run;
+    a re-run that KEEPS the checkpoint appends zero rows (see
+    tests/test_streaming.py::test_file_sink_exactly_once).
+    """
+    return spark.read.parquet(run_file_sink_stream(spark, sf_dir, clear=True))

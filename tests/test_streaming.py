@@ -64,3 +64,20 @@ def test_stream_stream_join_matches_batch(spark):
     assert _rows(stream, "user_id", "click_id", "purchase_id", "dt_s") == _rows(
         batch, "user_id", "click_id", "purchase_id", "dt_s"
     )
+
+
+def test_file_sink_exactly_once(spark):
+    # First run (clear): sink == batch filter of purchases.
+    path = jobs.run_file_sink_stream(spark, SF_DIR, clear=True)
+    first = spark.read.parquet(path).count()
+    batch = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .where("event_type = 'purchase'")
+        .count()
+    )
+    assert first == batch > 0
+    # Restart against the SAME checkpoint: source offsets are committed, so
+    # the rerun must append nothing — end-to-end exactly-once.
+    path2 = jobs.run_file_sink_stream(spark, SF_DIR, clear=False)
+    assert path2 == path
+    assert spark.read.parquet(path).count() == first
