@@ -848,3 +848,105 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("stage"),
     )
+
+
+# --- sessionization (per-event session assignment) ---------------------------
+
+SESSION_GAP_S = 1800
+
+_SESSIONIZE_ORACLE = f"""
+WITH t AS (
+  SELECT user_id, event_id, ({_DD_TS_S}) AS t_s,
+         CASE WHEN ({_DD_TS_S}) - lag({_DD_TS_S})
+                OVER (PARTITION BY user_id ORDER BY {_DD_TS_S}, event_id)
+              > {SESSION_GAP_S} THEN 1
+              WHEN lag({_DD_TS_S})
+                OVER (PARTITION BY user_id ORDER BY {_DD_TS_S}, event_id) IS NULL THEN 1
+              ELSE 0 END AS is_new
+  FROM events
+)
+SELECT user_id, event_id, t_s,
+       CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY t_s, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+FROM t
+"""
+
+
+@query("sessionize_events", oracle=_SESSIONIZE_ORACLE, tags=("relational", "events", "session"))
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every event its per-user session ordinal under the 30-minute
+    inactivity rule — the event-level twin of ``session_window_events``
+    (which emits one row per session): a new session starts when the gap
+    from the previous event exceeds the threshold (strictly greater —
+    Spark's own ``session_window`` merges at exactly the gap), and the
+    session id is the running count of session starts.
+
+    Scale shape: one hash exchange on ``user_id``; both the ``lag`` flag
+    and the running sum ride the same window sort, so Catalyst plans a
+    single Window operator pair over one partitioning — no second shuffle.
+    Event-id tiebreak keeps equal-timestamp ordering deterministic.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts_s", "event_id")
+    prev = F.lag("ts_s").over(w)
+    is_new = (
+        F.when(F.col("ts_s") - prev > SESSION_GAP_S, 1)
+        .when(prev.isNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        e.select("user_id", "event_id", F.col("ts_s").alias("t_s"), is_new.alias("is_new"))
+        .withColumn(
+            "session_seq",
+            F.sum("is_new")
+            .over(
+                W.partitionBy("user_id")
+                .orderBy("t_s", "event_id")
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            )
+            .cast("bigint"),
+        )
+        .drop("is_new")
+    )
+
+
+# --- weekly cohort retention -------------------------------------------------
+
+_WEEK_S = 604800
+
+_RETENTION_ORACLE = f"""
+WITH uw AS (
+  SELECT DISTINCT user_id, ({_DD_TS_S}) // {_WEEK_S} AS wk FROM events
+),
+cohort AS (SELECT user_id, MIN(wk) AS wk0 FROM uw GROUP BY user_id)
+SELECT cohort.wk0 * {_WEEK_S} AS cohort_week_s,
+       CAST(uw.wk - cohort.wk0 AS BIGINT) AS week_offset,
+       CAST(COUNT(DISTINCT uw.user_id) AS BIGINT) AS n_users
+FROM uw JOIN cohort USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@query("retention_cohorts", oracle=_RETENTION_ORACLE, tags=("relational", "events", "retention"))
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users grouped by first-active
+    week, counted in each later week they return — the standard
+    growth-analytics rollup.
+
+    Scale shape: the (user, week) distinct and the per-user cohort min are
+    both keyed on ``user_id``, so AQE reuses one exchange across the agg
+    and the self-join; the final (cohort, offset) aggregation is tiny
+    (weeks x weeks).  Week ids are integer division of epoch seconds —
+    no calendar functions, so bucket edges are engine-exact.
+    """
+    e = load_table(spark, sf_dir, "events")
+    uw = e.select("user_id", F.expr(f"ts_s div {_WEEK_S}").alias("wk")).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("wk").alias("wk0"))
+    return (
+        uw.join(cohort, "user_id")
+        .groupBy(
+            (F.col("wk0") * _WEEK_S).alias("cohort_week_s"),
+            (F.col("wk") - F.col("wk0")).cast("bigint").alias("week_offset"),
+        )
+        .agg(F.count_distinct(F.col("user_id")).cast("bigint").alias("n_users"))
+    )
