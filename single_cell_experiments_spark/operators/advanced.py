@@ -792,22 +792,25 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: where the naive form runs one aggregation per step plus a
     join per dependency (each step's predicate references the previous
-    step's result), this plan is ONE exchange: collect each user's funnel
-    events (bounded per user), sort the array, and run the step state
-    machine as a sequential ``aggregate`` fold — views sort before clicks
-    before purchases at equal timestamps (priority in the sort key), which
-    makes the fold bit-equal to the oracle's MIN-sequence CTEs.  Missing
-    stages surface as -1 sentinels so the output stays integer-typed.
+    step's result), this plan is ONE exchange (asserted against PLANS.md):
+    every user's events collect in a single groupBy — non-funnel types ride
+    along with an inert priority so no separate distinct-users pass or join
+    exists — then the step state machine runs as a sequential ``aggregate``
+    fold over the sorted array.  Views sort before clicks before purchases
+    at equal timestamps (priority in the sort key), which makes the fold
+    bit-equal to the oracle's MIN-sequence CTEs.  Missing stages surface as
+    -1 sentinels so the output stays integer-typed.  Caveat at 100 TB: the
+    per-user array is bounded by that user's event count; for adversarially
+    hot keys pre-filter to funnel types or pre-aggregate per (user, day).
     """
     e = load_table(spark, sf_dir, "events")
     prio = (
         F.when(F.col("event_type") == "view", 0)
         .when(F.col("event_type") == "click", 1)
-        .otherwise(2)
+        .when(F.col("event_type") == "purchase", 2)
+        .otherwise(3)  # non-funnel events keep the user in scope, fold skips them
     )
-    steps = e.where(F.col("event_type").isin("view", "click", "purchase")).select(
-        "user_id", F.col("ts_s").alias("t"), prio.alias("prio")
-    )
+    steps = e.select("user_id", F.col("ts_s").alias("t"), prio.alias("prio"))
     neg1 = F.lit(-1).cast("bigint")
     folded = (
         steps.groupBy("user_id")
@@ -835,15 +838,14 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("st"),
         )
     )
-    users = e.select("user_id").distinct()
-    return users.join(folded, "user_id", "left").select(
+    return folded.select(
         "user_id",
-        F.coalesce(F.col("st.v"), neg1).alias("v_ts"),
-        F.coalesce(F.col("st.c"), neg1).alias("c_ts"),
-        F.coalesce(F.col("st.p"), neg1).alias("p_ts"),
-        F.when(F.coalesce(F.col("st.p"), neg1) != -1, 3)
-        .when(F.coalesce(F.col("st.c"), neg1) != -1, 2)
-        .when(F.coalesce(F.col("st.v"), neg1) != -1, 1)
+        F.col("st.v").alias("v_ts"),
+        F.col("st.c").alias("c_ts"),
+        F.col("st.p").alias("p_ts"),
+        F.when(F.col("st.p") != -1, 3)
+        .when(F.col("st.c") != -1, 2)
+        .when(F.col("st.v") != -1, 1)
         .otherwise(0)
         .cast("int")
         .alias("stage"),
@@ -933,17 +935,19 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     week, counted in each later week they return — the standard
     growth-analytics rollup.
 
-    Scale shape: the (user, week) distinct and the per-user cohort min are
-    both keyed on ``user_id``, so AQE reuses one exchange across the agg
-    and the self-join; the final (cohort, offset) aggregation is tiny
-    (weeks x weeks).  Week ids are integer division of epoch seconds —
-    no calendar functions, so bucket edges are engine-exact.
+    Scale shape: TWO exchanges total — the per-user cohort week is a
+    window ``min`` over the ``user_id`` partitioning (no groupBy+self-join
+    round trip), and the final (cohort, offset) distinct-count exchange is
+    keyed on a tiny weeks-x-weeks domain (Spark expands count_distinct into
+    a partial dedup on (cohort, offset, user), so the wide key never
+    concentrates).  Week ids are integer division of epoch seconds — no
+    calendar functions, so bucket edges are engine-exact.
     """
     e = load_table(spark, sf_dir, "events")
-    uw = e.select("user_id", F.expr(f"ts_s div {_WEEK_S}").alias("wk")).distinct()
-    cohort = uw.groupBy("user_id").agg(F.min("wk").alias("wk0"))
+    uw = e.select("user_id", F.expr(f"ts_s div {_WEEK_S}").alias("wk"))
+    wk0 = F.min("wk").over(W.partitionBy("user_id"))
     return (
-        uw.join(cohort, "user_id")
+        uw.withColumn("wk0", wk0)
         .groupBy(
             (F.col("wk0") * _WEEK_S).alias("cohort_week_s"),
             (F.col("wk") - F.col("wk0")).cast("bigint").alias("week_offset"),
