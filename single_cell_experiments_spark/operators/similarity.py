@@ -32,6 +32,7 @@ bucket sizes roughly constant, which is the standard LSH knob.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -626,3 +627,47 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div COUNT(*) AS BIGINT)"
         ).alias("recall_micro"),
     )
+
+
+# --- scalar pandas_udf scoring (integer-exact vectorized kernel) -------------
+
+#: deterministic integer weights, one per embedding dimension.
+_PW = [((i * 37) % 11) - 5 for i in range(64)]
+
+_PSCORE_ORACLE = f"""
+SELECT vec_id,
+       CAST(list_aggregate(list_transform(range(1, len(embedding) + 1),
+           i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+                * ([{', '.join(map(str, _PW))}][i])), 'sum') AS BIGINT) AS qscore
+FROM embeddings
+"""
+
+
+@query("pandas_scalar_quantized_dot", oracle=_PSCORE_ORACLE, tags=("similarity", "udf", "quantize"))
+def pandas_scalar_quantized_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar ``@pandas_udf`` surface (the one Arrow UDF flavor the rest of
+    the engine doesn't use — mapInPandas / applyInPandas / cogroup /
+    applyInPandasWithState are all exercised elsewhere): a vectorized numpy
+    kernel scoring every embedding against a fixed integer weight vector in
+    the milli-quantized space, ``Σ floor(x_i·1000)·w_i``.
+
+    The kernel stacks each Arrow batch into one (rows × dims) matrix and
+    does a single int64 matmul — no per-row Python.  Integer arithmetic
+    makes it hash-exact: ``floor(float64(x)·1000)`` is the same IEEE op in
+    both engines, and integer sums have no accumulation order.  Scale
+    shape: embarrassingly row-local; the UDF pipelines inside the scan
+    stage (no shuffle anywhere).
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    w = np.array(_PW, dtype=np.int64)
+
+    @pandas_udf("bigint")
+    def qscore(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy())
+        q = np.floor(m.astype(np.float64) * 1000.0).astype(np.int64)
+        return pd.Series(q @ w)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select("vec_id", qscore(F.col("embedding")).alias("qscore"))

@@ -528,3 +528,64 @@ def bm25_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("documents")
     return spark.sql("WITH " + _tfidf_base(_SP_TOKS) + _BM25_TAIL)
+
+
+# --- heavy hitters (Misra-Gries candidates + exact verify) -------------------
+
+HH_CAPACITY = 64   # per-partition summary size (counters kept)
+HH_SUPPORT = 50    # report words with freq > N / HH_SUPPORT
+
+_HH_ORACLE = f"""
+WITH toks AS ({_DD_TOKS}),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM toks)
+SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq, (SELECT total FROM n) AS total
+FROM toks
+GROUP BY w
+HAVING COUNT(*) * {HH_SUPPORT} > (SELECT total FROM n)
+"""
+
+
+@query("heavy_hitters_words", oracle=_HH_ORACLE, tags=("text", "sketch", "heavyhitters"))
+def heavy_hitters_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters (words with frequency > N/{support}) by the
+    two-pass candidate-and-verify pattern that survives a keyspace too big
+    to hash-aggregate: pass 1 runs a Misra-Gries summary (bounded
+    ``HH_CAPACITY`` counters, vectorized merge-and-prune per Arrow batch)
+    inside ``mapInPandas`` on each partition and emits only candidate
+    words; pass 2 exactly recounts the tiny candidate set via a broadcast
+    semi-join and applies the support threshold as an integer cross-
+    multiply (no division → no float boundary).
+
+    The final answer is EXACT: per-partition MG with capacity k never
+    evicts an item whose local count exceeds n_part/k, so every global
+    heavy hitter survives in at least one partition's summary (union ⊇
+    truth; the recount removes false positives).  Capacity here (64)
+    exceeds this corpus's vocabulary, so pass 1 is lossless outright —
+    the bound is what holds at 100 TB vocabularies.
+    """
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    toks = spark.sql(_SP_TOKS)
+
+    def _mg(batches):
+        counters = pd.Series(dtype="int64")
+        for b in batches:
+            counters = counters.add(b["w"].value_counts(), fill_value=0)
+            if len(counters) > HH_CAPACITY:
+                # MG prune: subtract the (cap+1)-th largest count, drop <= 0
+                cut = counters.nlargest(HH_CAPACITY + 1).iloc[-1]
+                counters = counters[counters > cut]
+        yield pd.DataFrame({"w": counters.index.astype(str)})
+
+    candidates = toks.mapInPandas(_mg, schema="w string").distinct()
+    total = toks.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    return (
+        toks.join(F.broadcast(candidates), "w")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("freq") * HH_SUPPORT > F.col("total"))
+        .select(F.col("w").alias("word"), "freq", "total")
+    )
