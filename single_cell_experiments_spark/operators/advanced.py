@@ -954,3 +954,151 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct(F.col("user_id")).cast("bigint").alias("n_users"))
     )
+
+
+# --- bloom-filter join pre-filter (confusion-matrix audit) -------------------
+
+_BLOOM_WORDS = 4      # 64-bit words in the filter
+_BLOOM_BITS = 62      # usable bits per word (stay positive under <<)
+_BLOOM_M = _BLOOM_WORDS * _BLOOM_BITS
+_BK1, _BK2 = 2654435761, 40503
+_BLOOM_BAL = 9000.0   # "big spender" threshold on c_acctbal
+
+_BLOOM_ORACLE = f"""
+WITH spenders AS (
+  SELECT c_custkey FROM customer WHERE c_acctbal > {_BLOOM_BAL}
+),
+bits AS (
+  SELECT (h // {_BLOOM_BITS}) AS word, bit_or(1::BIGINT << (h % {_BLOOM_BITS})) AS w
+  FROM (
+    SELECT (c_custkey * {_BK1}) % {_BLOOM_M} AS h FROM spenders
+    UNION ALL
+    SELECT (c_custkey * {_BK2}) % {_BLOOM_M} AS h FROM spenders
+  )
+  GROUP BY 1
+),
+bloom AS (
+  SELECT bit_or(CASE WHEN word = 0 THEN w ELSE 0 END) AS w0,
+         bit_or(CASE WHEN word = 1 THEN w ELSE 0 END) AS w1,
+         bit_or(CASE WHEN word = 2 THEN w ELSE 0 END) AS w2,
+         bit_or(CASE WHEN word = 3 THEN w ELSE 0 END) AS w3
+  FROM bits
+),
+probe AS (
+  SELECT o.o_orderkey, o.o_custkey,
+         ((CASE ((o.o_custkey * {_BK1}) % {_BLOOM_M}) // {_BLOOM_BITS}
+             WHEN 0 THEN b.w0 WHEN 1 THEN b.w1 WHEN 2 THEN b.w2 ELSE b.w3 END
+           >> ((o.o_custkey * {_BK1}) % {_BLOOM_M} % {_BLOOM_BITS})) & 1) = 1
+         AND
+         ((CASE ((o.o_custkey * {_BK2}) % {_BLOOM_M}) // {_BLOOM_BITS}
+             WHEN 0 THEN b.w0 WHEN 1 THEN b.w1 WHEN 2 THEN b.w2 ELSE b.w3 END
+           >> ((o.o_custkey * {_BK2}) % {_BLOOM_M} % {_BLOOM_BITS})) & 1) = 1
+         AS bloom_pass,
+         EXISTS (SELECT 1 FROM spenders s WHERE s.c_custkey = o.o_custkey)
+         AS exact_pass
+  FROM orders o, bloom b
+)
+SELECT bloom_pass, exact_pass, CAST(COUNT(*) AS BIGINT) AS n
+FROM probe GROUP BY bloom_pass, exact_pass
+"""
+
+
+@query("bloom_prefilter_orders", oracle=_BLOOM_ORACLE, tags=("relational", "join", "bloom"))
+def bloom_prefilter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-built bloom-filter join pre-filter, audited: hash big-spender
+    custkeys twice into a 248-bit filter (four 62-bit words via ``bit_or``
+    aggregation), broadcast the four words as one row, membership-test
+    every order with pure bit arithmetic, and cross-tab the bloom verdict
+    against the exact semi-join — the (bloom_pass, exact_pass) confusion
+    matrix whose FALSE/TRUE cell is the measured false-positive count.
+    This is the same mechanism as Spark's runtime row-level bloom
+    (pinned in session.py) made explicit, exact, and oracle-checkable.
+
+    Scale shape: the filter build aggregates to O(words) rows and the
+    probe is a broadcast nested-loop of a 1-row dimension — the fact scan
+    never shuffles; the exact-verify semi-join broadcasts the spender key
+    set.  All arithmetic is integer (62-bit shifts keep words positive),
+    so the hash matches bit-for-bit.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    spenders = c.where(F.col("c_acctbal") > _BLOOM_BAL).select("c_custkey")
+    h1 = (F.col("c_custkey") * _BK1) % _BLOOM_M
+    h2 = (F.col("c_custkey") * _BK2) % _BLOOM_M
+    hashes = spenders.select(h1.alias("h")).unionAll(spenders.select(h2.alias("h")))
+    bits = hashes.groupBy(F.expr(f"CAST(h div {_BLOOM_BITS} AS BIGINT)").alias("word")).agg(
+        F.expr(f"bit_or(shiftleft(CAST(1 AS BIGINT), CAST(h % {_BLOOM_BITS} AS INT)))").alias("w")
+    )
+    word_col = lambda i: F.bit_or(
+        F.when(F.col("word") == i, F.col("w")).otherwise(F.lit(0).cast("bigint"))
+    ).alias(f"w{i}")
+    bloom = bits.agg(*[word_col(i) for i in range(_BLOOM_WORDS)])
+
+    def member_sql(mult: int) -> str:
+        h = f"((o_custkey * {mult}) % {_BLOOM_M})"
+        w = (
+            f"(CASE CAST({h} div {_BLOOM_BITS} AS INT) WHEN 0 THEN w0 WHEN 1 THEN w1"
+            f" WHEN 2 THEN w2 ELSE w3 END)"
+        )
+        return f"((shiftright({w}, CAST({h} % {_BLOOM_BITS} AS INT)) & 1) = 1)"
+
+    probe = o.select("o_orderkey", "o_custkey").crossJoin(F.broadcast(bloom)).select(
+        "o_custkey",
+        F.expr(f"{member_sql(_BK1)} AND {member_sql(_BK2)}").alias("bloom_pass"),
+    )
+    exact = spenders.select(F.col("c_custkey").alias("o_custkey")).withColumn(
+        "exact_pass", F.lit(True)
+    )
+    return (
+        probe.join(F.broadcast(exact), "o_custkey", "left")
+        .select("bloom_pass", F.coalesce("exact_pass", F.lit(False)).alias("exact_pass"))
+        .groupBy("bloom_pass", "exact_pass")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+# --- equi-width histogram ----------------------------------------------------
+
+_NB = 20  # histogram buckets
+
+_HIST_ORACLE = f"""
+WITH b AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events)
+SELECT CAST(least({_NB} - 1, floor((e.value - b.mn) * {_NB} / (b.mx - b.mn))) AS INT)
+         AS bucket,
+       round(b.mn + least({_NB} - 1, floor((e.value - b.mn) * {_NB} / (b.mx - b.mn)))
+             * (b.mx - b.mn) / {_NB}, 6) AS lo,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events e, b
+GROUP BY 1, 2
+"""
+
+
+@query("value_histogram_events", oracle=_HIST_ORACLE, tags=("relational", "agg", "histogram"))
+def value_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bucket histogram of ``events.value`` — the profiling
+    primitive behind every optimizer statistic and monitoring dashboard.
+
+    The min/max bounds are one scalar aggregate broadcast into the
+    bucketing projection; bucket index and left edge apply identical IEEE
+    double ops in both engines (no interpolation search), and the bucket
+    aggregation partial-combines map-side, so the full scan shuffles only
+    O(buckets) rows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    b = e.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    bucket = F.least(
+        F.lit(_NB - 1),
+        F.floor((F.col("value") - F.col("mn")) * _NB / (F.col("mx") - F.col("mn"))),
+    )
+    return (
+        e.select("value")
+        .crossJoin(F.broadcast(b))
+        .select(
+            bucket.cast("int").alias("bucket"),
+            F.round(
+                F.col("mn") + bucket * (F.col("mx") - F.col("mn")) / _NB, 6
+            ).alias("lo"),
+        )
+        .groupBy("bucket", "lo")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
