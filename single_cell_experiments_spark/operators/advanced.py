@@ -1018,7 +1018,11 @@ def bloom_prefilter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe is a broadcast nested-loop of a 1-row dimension — the fact scan
     never shuffles; the exact-verify semi-join broadcasts the spender key
     set.  All arithmetic is integer (62-bit shifts keep words positive),
-    so the hash matches bit-for-bit.
+    so the hash matches bit-for-bit.  The demo filter is deliberately tiny
+    (248 bits): at sf0.01 it shows a real false-positive cell, and at
+    sf0.1 the key count saturates it (every probe passes) — the audit
+    measuring exactly why production sizes m ≈ 10·n bits per the standard
+    fill-factor math.
     """
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
