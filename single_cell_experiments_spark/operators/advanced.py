@@ -1106,3 +1106,96 @@ def value_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket", "lo")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+# --- SCD Type-2 history build (CDC interval construction) --------------------
+
+_SCD2_ORACLE = f"""
+WITH t1 AS (
+  SELECT user_id, event_id, event_type, ({_DD_TS_S}) AS t_s,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY {_DD_TS_S}, event_id)
+           AS prev
+  FROM events
+),
+t2 AS (
+  SELECT user_id, event_id, event_type, t_s FROM t1
+  WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type, t_s AS valid_from,
+       COALESCE(lead(t_s) OVER (PARTITION BY user_id ORDER BY t_s, event_id) - 1,
+                -1) AS valid_to
+FROM t2
+"""
+
+
+@query("scd2_intervals_events", oracle=_SCD2_ORACLE, tags=("relational", "cdc", "scd"))
+def scd2_intervals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build from a change
+    stream: collapse each user's event-type runs to their change points,
+    then stamp every version with a [valid_from, valid_to] interval
+    (current version carries -1) — the standard dimension-history
+    construction every CDC-fed lakehouse runs, and the batch complement of
+    ``upsert_merge_orders``.
+
+    Scale shape: the change-detection ``lag`` and the interval-closing
+    ``lead`` share the ``user_id`` partitioning, so the plan is ONE
+    exchange with two pipelined Window operators (the second runs on the
+    filtered change rows).  Event-id tiebreak keeps equal-timestamp runs
+    deterministic in both engines.
+    """
+    e = load_table(spark, sf_dir, "events")
+    changes = (
+        e.select("user_id", "event_id", "event_type", F.col("ts_s").alias("t_s"))
+        .withColumn("prev", F.lag("event_type").over(
+            W.partitionBy("user_id").orderBy("t_s", "event_id")))
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    )
+    w2 = W.partitionBy("user_id").orderBy("t_s", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("t_s").alias("valid_from"),
+        F.coalesce(F.lead("t_s").over(w2) - 1, F.lit(-1).cast("bigint")).alias("valid_to"),
+    )
+
+
+# --- Z-order (space-filling curve) layout key --------------------------------
+
+_Z_BITS = 10  # bits per dimension -> 20-bit z-value
+
+
+def _interleave_sql(x: str, y: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+_ZORDER_ORACLE = f"""
+SELECT o_orderkey,
+       {_interleave_sql(f"(o_custkey % {1 << _Z_BITS})",
+                        f"(CAST(floor(o_totalprice / 256) AS BIGINT) % {1 << _Z_BITS})")}
+         AS zval
+FROM orders
+"""
+
+
+@query("zorder_key_orders", oracle=_ZORDER_ORACLE, tags=("relational", "layout", "zorder"))
+def zorder_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) key over (customer, price-band): interleave 10
+    bits of each dimension into one 20-bit clustering value — the
+    space-filling-curve layout key behind multi-column data skipping
+    (Delta/Iceberg ``OPTIMIZE ZORDER BY``): sorting by ``zval`` co-locates
+    rows close in BOTH dimensions, so min/max file stats prune scans
+    filtered on either column.
+
+    Pure row-local integer bit arithmetic (same expression text in both
+    engines); at scale this projection feeds ``repartitionByRange(zval)``
+    + ``sortWithinPartitions`` ahead of the write — the sort, not the key,
+    is the only distributed cost.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    x = f"(o_custkey % {1 << _Z_BITS})"
+    y = f"(CAST(floor(o_totalprice / 256) AS BIGINT) % {1 << _Z_BITS})"
+    return o.select("o_orderkey", F.expr(_interleave_sql(x, y)).alias("zval"))
