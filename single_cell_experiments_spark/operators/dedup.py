@@ -612,3 +612,77 @@ def pagerank_edges(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
             )
         )
     return ranks
+
+
+# --- MinHash estimator quality audit -----------------------------------------
+
+def _minhash_quality_sql(shingles_cte: str, intdiv: str) -> str:
+    """Estimate-vs-exact Jaccard audit over the LSH candidate pairs.
+    ``intdiv``: 'div' (Spark) or '//' (DuckDB)."""
+    h = len(MINHASH_COEF)
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {sig} AS sig FROM sigs"
+        for b, sig in enumerate(_BAND_SIGS)
+    )
+    n_match = " + ".join(
+        f"(CASE WHEN s1.mh{i} = s2.mh{i} THEN 1 ELSE 0 END)" for i in range(h)
+    )
+    est = f"(e.n_match * 1000000 {intdiv} {h})"
+    exact = f"(COALESCE(i.i, 0) * 1000000 {intdiv} (z1.n + z2.n - COALESCE(i.i, 0)))"
+    return f"""
+WITH shingles_raw AS ({shingles_cte}),
+shingles AS (SELECT DISTINCT doc_id, h FROM shingles_raw),
+sigs AS (SELECT doc_id, {_MH_AGGS} FROM shingles GROUP BY doc_id),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
+  FROM bands b1 JOIN bands b2
+    ON b1.band = b2.band AND b1.sig = b2.sig AND b1.doc_id < b2.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc1, c.doc2, COUNT(*) AS i
+  FROM cand c
+  JOIN shingles s1 ON s1.doc_id = c.doc1
+  JOIN shingles s2 ON s2.doc_id = c.doc2 AND s2.h = s1.h
+  GROUP BY c.doc1, c.doc2
+),
+est AS (
+  SELECT c.doc1, c.doc2, ({n_match}) AS n_match
+  FROM cand c
+  JOIN sigs s1 ON s1.doc_id = c.doc1
+  JOIN sigs s2 ON s2.doc_id = c.doc2
+)
+SELECT e.doc1, e.doc2,
+       CAST(e.n_match AS BIGINT) AS n_match,
+       CAST({est} AS BIGINT) AS est_micro,
+       CAST({exact} AS BIGINT) AS exact_micro,
+       CAST(abs({est} - {exact}) AS BIGINT) AS err_micro
+FROM est e
+LEFT JOIN inter i ON i.doc1 = e.doc1 AND i.doc2 = e.doc2
+JOIN sizes z1 ON z1.doc_id = e.doc1
+JOIN sizes z2 ON z2.doc_id = e.doc2
+"""
+
+
+@query(
+    "dedup_minhash_quality",
+    oracle=_minhash_quality_sql(_DD_SHINGLES, "//"),
+    tags=("dedup", "lsh", "eval"),
+)
+def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator audit for the MinHash pipeline (the dedup twin of
+    ``ann_recall_eval``): for every LSH candidate pair, the 12-hash
+    signature agreement (the Jaccard estimate a production pipeline
+    thresholds on) next to the exact shingle Jaccard, with the absolute
+    error — the measurement that justifies H and the band/row split
+    before trusting the sketch at corpus scale.
+
+    Scale shape: identical to ``dedup_minhash_lsh`` — the banded self-join
+    bounds the pair set; the signature-agreement join touches only O(docs)
+    12-int rows; exact Jaccard is computed for candidates only.  All
+    ratios ride integer micro-units (floor division in both engines).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__docs")
+    return spark.sql(_minhash_quality_sql(_SPARK_SHINGLES, "div"))
