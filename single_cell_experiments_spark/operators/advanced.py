@@ -1199,3 +1199,122 @@ def zorder_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = f"(o_custkey % {1 << _Z_BITS})"
     y = f"(CAST(floor(o_totalprice / 256) AS BIGINT) % {1 << _Z_BITS})"
     return o.select("o_orderkey", F.expr(_interleave_sql(x, y)).alias("zval"))
+
+
+# --- time-based rolling feature window ---------------------------------------
+
+_ROLL_W_S = 3600
+
+_ROLLING_ORACLE = f"""
+SELECT user_id, event_id, ({_DD_TS_S}) AS t_s,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+       CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) OVER w AS DOUBLE) AS v_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY {_DD_TS_S}
+             RANGE BETWEEN {_ROLL_W_S} PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("rolling_1h_user_events", oracle=_ROLLING_ORACLE, tags=("relational", "window", "timeseries"))
+def rolling_1h_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-1-hour activity features (count and value sum
+    over a time-based RANGE frame per user) — the rolling-feature pattern
+    behind fraud/abuse scoring and ML feature engineering, where every
+    event needs its own trailing aggregate, not a bucketed one.
+
+    Scale shape: one exchange on ``user_id``; the RANGE frame slides two
+    pointers over each user's time-sorted partition (O(n) per partition,
+    never re-scanning the window).  The value sum rides the decimal path
+    so the trailing sum is order-exact; equal-timestamp events share a
+    frame (RANGE semantics), making the result tie-independent.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(-_ROLL_W_S, W.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.col("ts_s").alias("t_s"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_1h"),
+        F.sum(F.round("value", 6).cast("decimal(18,6)")).over(w).cast("double").alias("v_1h"),
+    )
+
+
+# --- incremental aggregate maintenance ---------------------------------------
+
+_INCR_ORACLE = f"""
+WITH base AS (
+  SELECT ({_DD_TS_S}) // 86400 AS day, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS v
+  FROM events WHERE event_id % 10 <> 0
+  GROUP BY 1, 2
+),
+delta AS (
+  SELECT ({_DD_TS_S}) // 86400 AS day, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS v
+  FROM events WHERE event_id % 10 = 0
+  GROUP BY 1, 2
+)
+SELECT COALESCE(b.day, d.day) AS day,
+       COALESCE(b.event_type, d.event_type) AS event_type,
+       COALESCE(b.n, 0) + COALESCE(d.n, 0) AS n,
+       CAST(COALESCE(b.v, 0) + COALESCE(d.v, 0) AS DOUBLE) AS v
+FROM base b FULL OUTER JOIN delta d
+  ON b.day = d.day AND b.event_type = d.event_type
+"""
+
+
+@query("incremental_agg_merge", oracle=_INCR_ORACLE, tags=("relational", "agg", "incremental"))
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: merge a new
+    micro-batch's partial rollup (here: every 10th event standing in for
+    the day's arrivals) into the standing daily rollup with a full-outer
+    coalesce-and-add — the update step of every incrementally maintained
+    dashboard table, equivalent to recomputing from scratch because count
+    and decimal-sum are commutative mergeable states.
+
+    Scale shape: both rollups aggregate partial/final down to the tiny
+    (day × type) domain BEFORE the merge join, so the full-outer join is
+    dimension-sized regardless of fact volume; at 100 TB the standing
+    side reads from the previous materialization, not the fact table.
+    """
+    e = load_table(spark, sf_dir, "events")
+
+    def rollup(pred):
+        return (
+            e.where(pred)
+            .groupBy(
+                F.expr("ts_s div 86400").alias("day"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(F.round("value", 6).cast("decimal(18,6)"))
+                .cast("decimal(28,6)")
+                .alias("v"),
+            )
+        )
+
+    base = rollup(F.col("event_id") % 10 != 0)
+    delta = rollup(F.col("event_id") % 10 == 0)
+    b, d = base.alias("b"), delta.alias("d")
+    return b.join(
+        d,
+        (F.col("b.day") == F.col("d.day"))
+        & (F.col("b.event_type") == F.col("d.event_type")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("b.day"), F.col("d.day")).alias("day"),
+        F.coalesce(F.col("b.event_type"), F.col("d.event_type")).alias("event_type"),
+        (F.coalesce(F.col("b.n"), F.lit(0)) + F.coalesce(F.col("d.n"), F.lit(0))).alias("n"),
+        (
+            F.coalesce(F.col("b.v"), F.lit(0).cast("decimal(28,6)"))
+            + F.coalesce(F.col("d.v"), F.lit(0).cast("decimal(28,6)"))
+        )
+        .cast("double")
+        .alias("v"),
+    )
