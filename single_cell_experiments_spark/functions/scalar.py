@@ -208,7 +208,7 @@ def json_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MAP_ORACLE = """
 SELECT event_id,
        CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
-       list_sort(json_keys(props)) AS key_list,
+       array_to_string(list_sort(json_keys(props)), ',') AS key_csv,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
        json_extract_string(props, '$.missing') IS NULL AS missing_absent
 FROM events
@@ -226,7 +226,9 @@ def map_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         big(F.size(F.map_keys(m)), "n_keys"),
-        F.array_sort(F.map_keys(m)).alias("key_list"),
+        # Scalar string, not array<string>: the driver's canonicalizer sorts
+        # on every output column and cannot hash array cells (r2 fail).
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("key_csv"),
         F.element_at(m, "k").cast("bigint").alias("k_val"),
         F.element_at(m, "missing").isNull().alias("missing_absent"),
     )

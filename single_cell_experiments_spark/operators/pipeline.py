@@ -148,12 +148,11 @@ def shard_pack_by_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         toks.join(F.broadcast(block_prefix), "blk")
-        .select(
-            "doc_id",
-            "n_tokens",
-            offset.alias("offset_tokens"),
-            (offset / TOKENS_PER_SHARD).cast("bigint").alias("shard"),
-        )
+        .select("doc_id", "n_tokens", offset.alias("offset_tokens"))
+        # Integer ``div`` (repo convention: never float "/" on a boundary
+        # computation) — float division only coincides with the oracle's
+        # "//" while offsets stay below 2^53, which a 100 TB corpus breaks.
+        .withColumn("shard", F.expr(f"offset_tokens div {TOKENS_PER_SHARD}"))
     )
 
 

@@ -545,6 +545,31 @@ HAVING COUNT(*) * {HH_SUPPORT} > (SELECT total FROM n)
 """
 
 
+def misra_gries_summary(batches):
+    """Misra-Gries candidate summary over Arrow batches of a ``w`` column.
+
+    Vectorized variant: value-count each batch into the counter table, and
+    when the table exceeds ``HH_CAPACITY``, subtract the (cap+1)-th largest
+    count from EVERY counter and drop the non-positive ones.  The
+    subtraction (not a bare ``counters[counters > cut]`` filter) is what
+    gives the n_part/(k+1) undercount bound: each prune removes its cut
+    from at least k+1 counters, so the per-item total decrement is at most
+    n_part/(k+1).  A bare filter would reset dropped words to zero and
+    could re-evict a thinly-spread true heavy hitter every batch, losing
+    unbounded mass.
+    """
+    import pandas as pd
+
+    counters = pd.Series(dtype="int64")
+    for b in batches:
+        counters = counters.add(b["w"].value_counts(), fill_value=0)
+        if len(counters) > HH_CAPACITY:
+            cut = counters.nlargest(HH_CAPACITY + 1).iloc[-1]
+            counters = counters - cut
+            counters = counters[counters > 0]
+    yield pd.DataFrame({"w": counters.index.astype(str)})
+
+
 @query("heavy_hitters_words", oracle=_HH_ORACLE, tags=("text", "sketch", "heavyhitters"))
 def heavy_hitters_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus heavy hitters (words with frequency > N/{support}) by the
@@ -556,30 +581,19 @@ def heavy_hitters_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-join and applies the support threshold as an integer cross-
     multiply (no division → no float boundary).
 
-    The final answer is EXACT: per-partition MG with capacity k never
-    evicts an item whose local count exceeds n_part/k, so every global
-    heavy hitter survives in at least one partition's summary (union ⊇
-    truth; the recount removes false positives).  Capacity here (64)
+    The final answer is EXACT: per-partition MG with capacity k undercounts
+    any item by at most n_part/(k+1), so an item whose local count exceeds
+    n_part/(k+1) ends with a positive counter — every global heavy hitter
+    survives in at least one partition's summary (union ⊇ truth; the
+    recount removes false positives).  Capacity here (64)
     exceeds this corpus's vocabulary, so pass 1 is lossless outright —
     the bound is what holds at 100 TB vocabularies.
     """
-    import pandas as pd
-
     docs = load_table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("documents")
     toks = spark.sql(_SP_TOKS)
 
-    def _mg(batches):
-        counters = pd.Series(dtype="int64")
-        for b in batches:
-            counters = counters.add(b["w"].value_counts(), fill_value=0)
-            if len(counters) > HH_CAPACITY:
-                # MG prune: subtract the (cap+1)-th largest count, drop <= 0
-                cut = counters.nlargest(HH_CAPACITY + 1).iloc[-1]
-                counters = counters[counters > cut]
-        yield pd.DataFrame({"w": counters.index.astype(str)})
-
-    candidates = toks.mapInPandas(_mg, schema="w string").distinct()
+    candidates = toks.mapInPandas(misra_gries_summary, schema="w string").distinct()
     total = toks.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
     return (
         toks.join(F.broadcast(candidates), "w")

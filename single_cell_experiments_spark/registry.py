@@ -46,36 +46,64 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+def query(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    cache: bool = True,
+):
     """Register a query implementation.
 
     ``oracle`` must alias every computed column to the same name the Spark
     DataFrame uses (driver hashes after sorting columns by name).
+
+    ``cache=False`` opts a query out of the per-session plan cache.  Required
+    for side-effectful queries (sink/stream roundtrips that write scratch
+    output at build time): caching them would make repeat calls re-read
+    scratch without re-writing it, so external mutation of the scratch dir
+    between calls would silently yield stale results and repeat-call timings
+    would no longer measure the write path.
     """
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
 
-        @functools.wraps(fn)
-        def cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-            try:
-                cache = _plan_cache[spark]
-            except KeyError:
-                cache = _plan_cache.setdefault(spark, {})
-            key = (name, sf_dir)
-            if key not in cache:
-                cache[key] = fn(spark, sf_dir)
-            return cache[key]
+        if cache:
+
+            @functools.wraps(fn)
+            def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+                try:
+                    c = _plan_cache[spark]
+                except KeyError:
+                    c = _plan_cache.setdefault(spark, {})
+                key = (name, sf_dir)
+                if key not in c:
+                    c[key] = fn(spark, sf_dir)
+                return c[key]
+
+        else:
+            wrapped = fn
 
         REGISTRY[name] = QuerySpec(
-            name=name, fn=cached, oracle=oracle, tags=tuple(tags), doc=(fn.__doc__ or "").strip()
+            name=name, fn=wrapped, oracle=oracle, tags=tuple(tags), doc=(fn.__doc__ or "").strip()
         )
         # Return the *uncached* builder: intra-module composition (e.g. the
         # CC query building on dedup_minhash_lsh) keeps explicit dataflow.
         return fn
 
     return deco
+
+
+def fresh_fn(name: str) -> QueryFn:
+    """The undecorated plan builder for ``name`` — bypasses the plan cache.
+
+    Used by ``bench.py`` to time full plan build + execution (the honest
+    fresh-run number); the cached path is what repeat production calls get.
+    """
+    _load_all_operator_modules()
+    spec = REGISTRY[name]
+    return spec.fn.__wrapped__ if hasattr(spec.fn, "__wrapped__") else spec.fn
 
 
 def _load_all_operator_modules() -> None:
@@ -100,9 +128,14 @@ def _load_all_operator_modules() -> None:
 #: Queries hash-verified green by the external driver in round 1
 #: (CORRECTNESS_r01.json).  The driver only checks the first 50 registry
 #: entries in iteration order, so ``_ordered`` front-loads everything NOT in
-#: this set — newly added queries and the round-1 back half (similarity,
-#: text analysis, multimodal, MLlib, scalar sweeps, sources/sinks, streaming,
-#: tail dedup) — so every query earns a hard correctness row across rounds.
+#: a verified set — newly added queries and anything never reached — so every
+#: query earns a hard correctness row across rounds.
+#:
+#: NOTE (regression protection): queries in a verified set sit past the
+#: driver's 50-entry window, so a regression there would ship without a hard
+#: driver row.  Before each round snapshot, ``tools/driver_mimic.py`` MUST be
+#: run over the FULL registry (no name filter) at sf0.01 — that is the local
+#: regression gate for the rotated-out verified tail.
 _R1_VERIFIED: frozenset[str] = frozenset(
     {
         "q1_pricing_summary", "q3_join_topk", "proj_filter_case",
@@ -127,38 +160,97 @@ _R1_VERIFIED: frozenset[str] = frozenset(
 )
 
 
-#: Queries that existed in round 1 but fell outside the driver's 50-query
-#: window (no correctness row yet).  They take priority over queries added
-#: in round 2+, so growing the registry can never push them back out.
-_R1_UNVERIFIED: frozenset[str] = frozenset(
+#: Queries hash-verified green by the driver in round 2
+#: (CORRECTNESS_r02.json).  Ordered after the r1-verified tail: their
+#: evidence is one round fresher.
+_R2_VERIFIED: frozenset[str] = frozenset(
     {
         "embed_centroid_per_label", "knn_cosine_to_vec0", "ann_ivf_probe",
         "ann_cosine_pairs_signlsh", "dedup_embedding_cosine",
         "dedup_connected_components", "doc_text_stats", "lang_id_ngram",
         "doc_quality_score", "token_stats", "doc_fingerprint",
         "tfidf_top_terms", "tfidf_doc_top3", "multimodal_blob_meta",
-        "multimodal_decode_stub", "multimodal_frame_sample", "sc_pca",
-        "mllib_minhash_dedup", "mllib_brp_lsh_neighbors",
-        "kmeans_embedding_clusters", "mllib_tfidf_features",
+        "multimodal_decode_stub", "multimodal_frame_sample",
         "str_funcs_documents", "date_funcs_orders", "math_funcs_lineitem",
-        "array_funcs_embeddings", "json_funcs_events", "map_funcs_events",
+        "array_funcs_embeddings", "json_funcs_events",
         "chunkstore_roundtrip", "csv_roundtrip_nation",
         "json_roundtrip_customer", "partitioned_write_orders",
         "tumbling_window_events", "sliding_window_events",
         "session_window_events", "watermark_late_drop",
-        "stateful_dedup_events",
+        "stateful_dedup_events", "skew_salted_join", "upsert_merge_orders",
+        "window_lag_lead_events", "rollup_multigrain_events",
+        "funnel_view_click_purchase", "sessionize_events",
+        "retention_cohorts", "bloom_prefilter_orders",
+        "value_histogram_events", "scd2_intervals_events",
+        "zorder_key_orders", "rolling_1h_user_events",
+        "incremental_agg_merge",
     }
+)
+
+#: Round-3 priority window.  First: ``map_funcs_events`` (the single r2 hard
+#: fail, fixed this round — scalar ``key_csv`` replaces the unhashable array
+#: column).  Then the 27 queries registered in r2 that fell past the driver's
+#: 50-entry window (no correctness row ever).  Then the rows-only sketches /
+#: MLlib twins — ``sc_pca`` and ``mllib_tfidf_features`` gained deterministic
+#: oracles this round.
+_R3_PRIORITY: tuple[str, ...] = (
+    "map_funcs_events",
+    # -- never driver-checked (registered r2, outside the window) --
+    "doc_curation_flags", "shard_pack_by_tokens", "sample_stratified_hash",
+    "corpus_health_report", "decontaminate_ngram_overlap",
+    "events_iqr_outliers", "mixture_resample_sources",
+    "dedup_normalized_exact", "dedup_cluster_keeper", "dedup_minhash_quality",
+    "pagerank_dedup_graph", "knn_join_batch", "embed_l2_normalize",
+    "embed_quantize_int8", "ann_quantized_topk", "ann_recall_eval",
+    "bm25_rank_docs", "doc_repetition_stats", "heavy_hitters_words",
+    "cogroup_merge_asof", "pandas_scalar_quantized_dot",
+    "multimodal_resize_plan", "multimodal_frame_features",
+    "orc_roundtrip_supplier", "text_roundtrip_orders",
+    "stream_join_click_purchase", "stream_file_sink_roundtrip",
+    # -- rows-only so far; two gained oracles this round --
+    "sc_pca", "mllib_tfidf_features", "agg_approx_percentiles",
+    "approx_distinct_parts", "mllib_minhash_dedup",
+    "mllib_brp_lsh_neighbors", "kmeans_embedding_clusters",
+)
+
+#: r1-verified queries to re-confirm first with the window slots left after
+#: ``_R3_PRIORITY`` (+ any round-3 additions): the ones exercising shared
+#: helpers (decimal compat paths, ``_minhash_sql``, Arrow UDF plumbing) where
+#: an edit would silently regress many queries at once.
+_RECHECK_FIRST: tuple[str, ...] = (
+    "q1_pricing_summary", "q3_join_topk", "agg_percentiles_lineitem",
+    "agg_corr_covar", "window_range_frame", "join_asof_purchase_signup",
+    "grouped_pandas_centroid", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_ngram_jaccard", "sc_log1p",
+    "sc_normalize_per_cell", "sc_hvg", "sc_recipe_zheng17",
 )
 
 
 def _ordered() -> list[QuerySpec]:
-    """Registry in driver-check priority order: r1-unverified first, then
-    queries new since r1, then the r1-verified tail."""
-    specs = list(REGISTRY.values())
-    first = [s for s in specs if s.name in _R1_UNVERIFIED]
-    new = [s for s in specs if s.name not in _R1_UNVERIFIED and s.name not in _R1_VERIFIED]
-    done = [s for s in specs if s.name in _R1_VERIFIED]
-    return first + new + done
+    """Registry in driver-check priority order.
+
+    1. ``_R3_PRIORITY`` — the fixed r2 fail, the 27 never-checked, the
+       rows-only tail (two newly oracled).
+    2. Queries new this round (in no verified/priority set).
+    3. r1-verified, ``_RECHECK_FIRST`` leading — evidence is two rounds old.
+    4. r2-verified (freshest evidence) last.
+    """
+    specs = {s.name: s for s in REGISTRY.values()}
+    prio = [specs[n] for n in _R3_PRIORITY if n in specs]
+    placed = set(_R3_PRIORITY) | _R1_VERIFIED | _R2_VERIFIED
+    new = [s for s in specs.values() if s.name not in placed]
+    r1_lead = [specs[n] for n in _RECHECK_FIRST if n in specs]
+    r1_rest = [
+        s
+        for s in specs.values()
+        if s.name in _R1_VERIFIED and s.name not in _R3_PRIORITY and s.name not in _RECHECK_FIRST
+    ]
+    r2 = [
+        s
+        for s in specs.values()
+        if s.name in _R2_VERIFIED and s.name not in _R3_PRIORITY
+    ]
+    return prio + new + r1_lead + r1_rest + r2
 
 
 def queries() -> dict[str, QueryFn]:

@@ -140,7 +140,7 @@ FROM embeddings
 """
 
 
-@query("chunkstore_roundtrip", oracle=_ROUNDTRIP_ORACLE, tags=("sources", "zarr"))
+@query("chunkstore_roundtrip", oracle=_ROUNDTRIP_ORACLE, tags=("sources", "zarr"), cache=False)
 def chunkstore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1+A2+A13 end-to-end: embeddings → chunk-aligned parallel write →
     parallel chunk read → COO.  Hash-equality with the parquet-derived COO

@@ -41,7 +41,7 @@ def _scratch(kind: str, sf_dir: str) -> str:
 _CSV_ORACLE = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
 
 
-@query("csv_roundtrip_nation", oracle=_CSV_ORACLE, tags=("sources", "csv"))
+@query("csv_roundtrip_nation", oracle=_CSV_ORACLE, tags=("sources", "csv"), cache=False)
 def csv_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nation → CSV (header) → read back with explicit schema.  Proves the
     CSV source/sink pair; schema is declared, not inferred."""
@@ -56,7 +56,7 @@ def csv_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JSON_ORACLE = "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer"
 
 
-@query("json_roundtrip_customer", oracle=_JSON_ORACLE, tags=("sources", "json"))
+@query("json_roundtrip_customer", oracle=_JSON_ORACLE, tags=("sources", "json"), cache=False)
 def json_roundtrip_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """customer → JSON lines → read back with explicit schema.  Doubles
     survive exactly (Spark writes shortest-round-trip representations)."""
@@ -74,7 +74,7 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
-@query("partitioned_write_orders", oracle=_PARTITIONED_ORACLE, tags=("sinks", "parquet"))
+@query("partitioned_write_orders", oracle=_PARTITIONED_ORACLE, tags=("sinks", "parquet"), cache=False)
 def partitioned_write_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders → parquet partitioned by o_orderstatus → read back →
     aggregate per partition.  The pre-write ``repartition`` on the
@@ -96,7 +96,7 @@ def partitioned_write_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TEXT_ORACLE = "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"
 
 
-@query("text_roundtrip_orders", oracle=_TEXT_ORACLE, tags=("sources", "text"))
+@query("text_roundtrip_orders", oracle=_TEXT_ORACLE, tags=("sources", "text"), cache=False)
 def text_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders → delimited text lines (``df.write.text``) → read back with
     ``spark.read.text`` + explicit ``split`` parse — the log-file ingestion
@@ -127,7 +127,7 @@ def text_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORC_ORACLE = "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"
 
 
-@query("orc_roundtrip_supplier", oracle=_ORC_ORACLE, tags=("sources", "orc"))
+@query("orc_roundtrip_supplier", oracle=_ORC_ORACLE, tags=("sources", "orc"), cache=False)
 def orc_roundtrip_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """supplier → ORC → read back with explicit schema.  Proves the ORC
     source/sink pair (the other columnar format Spark ships natively —

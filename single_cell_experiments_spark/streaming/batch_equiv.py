@@ -295,7 +295,9 @@ def stream_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested loop.
     """
     e = load_table(spark, sf_dir, "events")
-    bkt = (F.col("ts_s") / ATTRIB_WINDOW_S).cast("bigint")
+    # Integer ``div``, not float "/"+cast: exact at any ts magnitude (the
+    # float path only matches the oracle's "//" below 2^53).
+    bkt = F.expr(f"ts_s div {ATTRIB_WINDOW_S}")
     clicks = e.where(F.col("event_type") == "click").select(
         "user_id",
         F.col("event_id").alias("click_id"),

@@ -251,7 +251,7 @@ FROM events WHERE event_type = 'purchase'
 """
 
 
-@query("stream_file_sink_roundtrip", oracle=_FILE_SINK_ORACLE, tags=("streaming", "sink"))
+@query("stream_file_sink_roundtrip", oracle=_FILE_SINK_ORACLE, tags=("streaming", "sink"), cache=False)
 def stream_file_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the checkpointed parquet-sink stream to completion, then read
     the sink back — hash-equality with the batch filter proves the
