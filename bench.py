@@ -6,13 +6,29 @@ engine's registry at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1)
 on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 
     {"metric": "headline_total_sec", "value": N, "unit": "sec",
-     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+     "queries": {"q1_pricing_summary": sec, ...},
+     "warm_total_sec": N, "warm_queries": {...}, "sf": 0.1}
 
-Methodology (BASELINE.md contract): one warm-up execution per query
-(JIT/codegen/broadcast warm, matching DuckDB's in-process posture), then
-median of 5 timed runs; timing covers plan + execute + Arrow-materialize to
-a driver pandas frame (the same materialization BASELINE.md's DuckDB
-numbers pay via ``.df()``), per query, excluding session startup.
+Methodology (honest-fresh, r2 verdict):
+
+- **Primary** (``value`` / ``queries``): every timed sample builds the
+  DataFrame from scratch via the UNDECORATED builder (``registry.fresh_fn``
+  — the per-session plan cache is bypassed), so each sample pays Catalyst
+  analysis, optimization, fresh scan/shuffle stages, execution, and Arrow
+  materialization to a driver pandas frame — the same full pipeline
+  DuckDB's ``.df()`` re-runs per call.  Nothing from previous runs is
+  reusable: a fresh plan means fresh RDDs, so no shuffle map outputs carry
+  over.  Two untimed warm-up passes per query first (JIT/codegen/file-cache
+  warm, matching DuckDB's in-process posture; the JVM JIT keeps compiling
+  through the first), then median of ``RUNS`` interleaved rounds.
+- **Secondary** (``warm_*``): the registry's cached-plan path — what repeat
+  production calls get (plan reuse + still-registered shuffle outputs).
+  Reported separately and clearly labeled; it is NOT comparable to
+  DuckDB's full re-execution.
+- Bench session sizing: at a known small SF the deployment pre-sizes
+  ``shuffle.partitions`` (8) and split size (8m) and turns AQE off — AQE's
+  per-stage materialization jobs exist to discover sizes we already know
+  here; at 100 TB the engine default (AQE on) is the right posture.
 """
 
 from __future__ import annotations
@@ -36,38 +52,62 @@ HEADLINE = (
 
 RUNS = 5  # median of 5: robust to transient machine-load spikes
 
+#: Small-SF bench sizing (see module docstring).  Runtime-settable, applied
+#: on top of the engine defaults for the bench session only.
+BENCH_CONFS = {
+    "spark.sql.adaptive.enabled": "false",
+    "spark.sql.shuffle.partitions": "8",
+    "spark.sql.files.maxPartitionBytes": "8m",
+}
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     tail = os.path.basename(sf_dir.rstrip("/"))
     sf = float(tail[2:]) if tail.startswith("sf") else None
 
-    from single_cell_experiments_spark.registry import queries
+    from single_cell_experiments_spark.registry import fresh_fn, queries
     from single_cell_experiments_spark.session import get_spark
 
-    qs = queries()
+    qs = queries()  # cached path (warm column)
     spark = get_spark(app_name="sce-bench")
-    # Split the (small) local parquet files finer than the 128m cluster
-    # default so scans use more of local[32]'s threads — the same
-    # bytes-per-task sizing a real cluster gets from its many files.
-    spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
+    for k, v in BENCH_CONFS.items():
+        spark.conf.set(k, v)
 
     names = sys.argv[1:] or list(HEADLINE)
-    for name in names:
-        qs[name](spark, sf_dir).toPandas()  # warm-up (codegen, file listing, JIT)
+    fresh = {name: fresh_fn(name) for name in names}
+
+    for _ in range(2):  # two passes: JVM JIT keeps compiling through the first
+        for name in names:
+            fresh[name](spark, sf_dir).toPandas()  # warm-up (codegen, JIT, FS cache)
+
     # Interleave the timed runs round-robin so a transient VM load spike
     # lands on at most one sample of each query instead of sinking one
     # query's entire median.
-    times: dict[str, list[float]] = {name: [] for name in names}
+    fresh_times: dict[str, list[float]] = {name: [] for name in names}
+    for _ in range(RUNS):
+        for name in names:
+            t0 = time.perf_counter()
+            fresh[name](spark, sf_dir).toPandas()
+            fresh_times[name].append(time.perf_counter() - t0)
+
+    # Warm column: cached plan, shuffle-output reuse — repeat-call latency.
+    warm_times: dict[str, list[float]] = {name: [] for name in names}
+    for name in names:
+        qs[name](spark, sf_dir).toPandas()  # populate the plan cache
     for _ in range(RUNS):
         for name in names:
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).toPandas()
-            times[name].append(time.perf_counter() - t0)
-    per_query: dict[str, float] = {}
+            warm_times[name].append(time.perf_counter() - t0)
+
+    per_query = {n: round(statistics.median(fresh_times[n]), 4) for n in names}
+    warm_query = {n: round(statistics.median(warm_times[n]), 4) for n in names}
     for name in names:
-        per_query[name] = round(statistics.median(times[name]), 4)
-        print(f"  {name}: {per_query[name]:.3f}s", file=sys.stderr)
+        print(
+            f"  {name}: fresh {per_query[name]:.3f}s / warm {warm_query[name]:.3f}s",
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(
@@ -76,6 +116,8 @@ def main() -> int:
                 "value": round(sum(per_query.values()), 4),
                 "unit": "sec",
                 "queries": per_query,
+                "warm_total_sec": round(sum(warm_query.values()), 4),
+                "warm_queries": warm_query,
                 "sf": sf,
             }
         )
