@@ -28,6 +28,7 @@ from ..functions.compat import big
 from ..registry import query
 
 PCA_K = 16
+EMBED_DIM = 64  # driver embeddings table dimension (TESTDATA.md)
 
 
 def _vectorized(df: DataFrame) -> DataFrame:
@@ -41,19 +42,16 @@ def _vectorized(df: DataFrame) -> DataFrame:
     )
 
 
-@query("sc_pca", tags=("singlecell", "ml", "pca"))
-def sc_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A10 — PCA(k=16) scores per cell (Scanpy ``pp.pca`` semantics:
-    center, project onto top right-singular vectors; ref experiments [M,
-    low]).  MLlib PCA mean-centers internally; output is the per-cell score
-    vector exploded to (vec_id, component, score) long form.
-
-    Rows-only check (sign-ambiguous); tests/test_ml.py aligns signs and
-    asserts scores match ``numpy.linalg.svd`` of the centered matrix.
+def pca_scores(spark: SparkSession, sf_dir: str, k: int = PCA_K) -> DataFrame:
+    """PCA(k) scores per cell (Scanpy ``pp.pca`` semantics: center, project
+    onto top right-singular vectors; ref experiments [M, low]) in long form
+    (vec_id, component, score).
 
     MLlib's PCA derives axes from the (internally centered) covariance but
     projects the RAW vectors — an explicit mean-centering step
     (StandardScaler withMean) precedes it so scores are the Scanpy ones.
+    tests/test_ml.py aligns signs and asserts k=16 scores match
+    ``numpy.linalg.svd`` of the centered matrix.
     """
     from pyspark.ml.feature import PCA, StandardScaler
     from pyspark.ml.functions import vector_to_array
@@ -63,11 +61,49 @@ def sc_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         withMean=True, withStd=False, inputCol="features", outputCol="centered"
     ).fit(raw)
     e = centerer.transform(raw).drop("features").withColumnRenamed("centered", "features")
-    model = PCA(k=PCA_K, inputCol="features", outputCol="pcs").fit(e)
+    model = PCA(k=k, inputCol="features", outputCol="pcs").fit(e)
     return (
         model.transform(e)
         .select("vec_id", F.posexplode(vector_to_array("pcs")).alias("component", "score"))
-        .select("vec_id", big("component", "component"), F.round("score", 4).alias("score"))
+        .select("vec_id", big("component", "component"), F.col("score"))
+    )
+
+
+#: Full-rank PC-space norms are rotation/sign-invariant: with k = d the
+#: orthonormal eigenbasis is a pure rotation of the centered data, so each
+#: cell's squared score-norm equals its squared distance from the mean —
+#: which IS SQL-expressible.  Per-row float error between the two engines is
+#: O(1e-12) against a 1e-4 rounding grid, so the hash is stable.
+_PCA_ORACLE = f"""
+WITH cells AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+means AS (SELECT i, AVG(x) AS mu FROM cells GROUP BY i)
+SELECT c.vec_id, round(SUM((c.x - m.mu) * (c.x - m.mu)), 4) AS norm2_pc
+FROM cells c JOIN means m USING (i)
+GROUP BY c.vec_id
+"""
+
+
+@query("sc_pca", oracle=_PCA_ORACLE, tags=("singlecell", "ml", "pca"))
+def sc_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — PCA over embeddings, checked through a rotation-invariant
+    oracle: the registered query runs the FULL-RANK (k = d = 64) MLlib PCA
+    pipeline and emits each cell's squared PC-space norm, which must equal
+    the cell's squared distance from the column means (computable in plain
+    SQL) because an orthonormal full basis is a rotation.  Component-level
+    k=16 scores (sign-ambiguous, not SQL-expressible) are verified against
+    ``numpy.linalg.svd`` in tests/test_ml.py via ``pca_scores``.
+
+    Rounding to 4 decimals absorbs the O(1e-12) cross-engine float drift
+    from mean estimation, projection roundoff, and 64-term sum order.
+    """
+    scores = pca_scores(spark, sf_dir, k=EMBED_DIM)
+    return scores.groupBy("vec_id").agg(
+        F.round(F.sum(F.col("score") * F.col("score")), 4).alias("norm2_pc")
     )
 
 
