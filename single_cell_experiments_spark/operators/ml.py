@@ -169,12 +169,13 @@ def mllib_brp_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("kmeans_embedding_clusters", tags=("ml", "clustering"))
-def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMeans(k=10, fixed seed) over embeddings; emits per-cluster size and
-    the majority ``label`` with its purity — the clustering quality readout
-    for the AnnData-style annotation comparison.  Rows-only check
-    (centroid init is library-internal); inertia sanity in tests/test_ml.py.
+def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster KMeans(k=10, fixed seed) readout: size, majority
+    ``label`` and its purity — the clustering quality view for the
+    AnnData-style annotation comparison.  Seed-deterministic in Spark but
+    not SQL-reproducible (centroid init is library-internal), so this
+    detailed form stays unregistered; tests/test_ml.py checks it and the
+    registered ``kmeans_embedding_clusters`` hash-checks the invariants.
     """
     from pyspark.ml.clustering import KMeans
 
@@ -199,21 +200,100 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mllib_tfidf_features", tags=("text", "ml", "tfidf"))
+#: Cluster compositions depend on library-internal centroid init, but three
+#: invariants do not: exactly k non-empty clusters partition all N rows, and
+#: converged Lloyd inertia is bounded by the total sum of squares about the
+#: global mean (each cluster mean minimizes its cluster's SS, so per-cluster
+#: SS ≤ that cluster's SS about ANY point, in particular the global mean;
+#: summing gives inertia ≤ total SS).  All three are computed Spark-side
+#: from the live model and hash-checked against the oracle's literals.
+_KMEANS_ORACLE = """
+SELECT CAST(10 AS BIGINT) AS n_clusters,
+       COUNT(*) AS n_points,
+       TRUE AS inertia_le_total_ss
+FROM embeddings
+"""
+
+
+@query("kmeans_embedding_clusters", oracle=_KMEANS_ORACLE, tags=("ml", "clustering"))
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMeans(k=10, fixed seed) over embeddings, hash-oracled through its
+    partition + inertia invariants (see oracle note); the per-cluster
+    profile lives in ``kmeans_cluster_profile`` (tests/test_ml.py)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import vector_to_array
+
+    e = _vectorized(load_table(spark, sf_dir, "embeddings")).cache()
+    model = KMeans(k=10, seed=42, featuresCol="features", predictionCol="cluster").fit(e)
+    inertia = model.summary.trainingCost
+    arr = e.select(vector_to_array("features").alias("v"))
+    total_ss = (
+        arr.select(F.posexplode("v").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum("x").alias("s"), F.sum(F.col("x") * F.col("x")).alias("ss"), F.count("*").alias("n"))
+        .select(F.sum(F.col("ss") - F.col("s") * F.col("s") / F.col("n")).alias("tss"))
+    )
+    assigned = model.transform(e)
+    sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("n").alias("n_points"),
+    ).crossJoin(total_ss).select(
+        "n_clusters",
+        "n_points",
+        (F.lit(float(inertia)) <= F.col("tss") * (1 + 1e-9)).alias("inertia_le_total_ss"),
+    )
+
+
+#: MLlib IDF is log((N+1)/(df+1)) over raw CountVectorizer term counts, so
+#: with an EXACT vocabulary (CountVectorizer, not HashingTF — hashing
+#: collisions would make the feature space SQL-irreproducible) every per-doc
+#: quantity is plain relational algebra: unnest tokens, count distinct terms
+#: per doc, df per term, N docs.  Rounding to 4 decimals absorbs float
+#: sum-order drift between the two engines.
+_TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, t AS term
+  FROM documents, UNNEST(regexp_split_to_array(lower(text), '[^a-z]+')) AS u(t)
+  WHERE length(t) >= 3
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT tf.doc_id,
+       COUNT(*) AS n_active_terms,
+       round(sqrt(SUM(pow(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 2))), 4) AS l2_norm
+FROM tf JOIN df USING (term) CROSS JOIN n
+GROUP BY tf.doc_id
+"""
+
+
+@query("mllib_tfidf_features", oracle=_TFIDF_ORACLE, tags=("text", "ml", "tfidf"))
 def mllib_tfidf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MLlib TF-IDF pipeline (RegexTokenizer → HashingTF → IDF) — the
-    library twin of the SQL ``tfidf_top_terms``; emits per-doc feature-norm
-    summaries.  Rows-only check (feature hashing has no SQL oracle); the
-    exact-TF-IDF semantics are hash-verified on the SQL twin.
+    """MLlib TF-IDF pipeline (RegexTokenizer → CountVectorizer → IDF) — the
+    library twin of the SQL ``tfidf_top_terms``; emits per-doc active-term
+    count and TF-IDF L2 norm.
+
+    Hash-oracled: CountVectorizer gives an exact vocabulary (one feature per
+    real term — unlike HashingTF, whose murmur3 bucket collisions have no
+    SQL twin), so MLlib's weights (tf · ln((N+1)/(df+1))) are reproducible
+    in DuckDB from first principles.  Docs with zero qualifying tokens have
+    no active terms and are dropped to match the oracle's inner join shape.
+
+    Scale note: the vocabulary is a driver-side fit (CountVectorizer
+    collects distinct terms); cap with vocabSize/minDF at corpus scale, or
+    fall back to HashingTF when the exact vocabulary no longer fits — the
+    pipeline shape is unchanged.
     """
-    from pyspark.ml.feature import IDF, HashingTF, RegexTokenizer
+    from pyspark.ml.feature import IDF, CountVectorizer, RegexTokenizer
     from pyspark.ml.functions import vector_to_array
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", F.lower("text").alias("text"))
     toks = RegexTokenizer(
         inputCol="text", outputCol="words", pattern="[^a-z]+", minTokenLength=3
     ).transform(d)
-    tf = HashingTF(inputCol="words", outputCol="tf", numFeatures=1 << 14).transform(toks)
+    cv = CountVectorizer(inputCol="words", outputCol="tf", vocabSize=1 << 20, minDF=1.0).fit(toks)
+    tf = cv.transform(toks)
     idf = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
     arr = idf.transform(tf).select("doc_id", vector_to_array("tfidf").alias("w"))
     return arr.select(
@@ -222,4 +302,4 @@ def mllib_tfidf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sqrt(F.aggregate(F.col("w"), F.lit(0.0), lambda a, x: a + x * x)), 4
         ).alias("l2_norm"),
-    )
+    ).where(F.col("n_active_terms") > 0)

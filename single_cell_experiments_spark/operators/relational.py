@@ -492,15 +492,43 @@ def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_parts", oracle=None, tags=("relational", "agg", "approx"))
+#: HLL++ estimates are engine-specific, so the sketch VALUE has no DuckDB
+#: twin — but its accuracy contract does: the estimate must land within the
+#: configured relative error of the exact count (rsd 0.05; the flag allows
+#: 3·rsd, far beyond the sketch's high-probability band, and Spark's HLL
+#: hash is seedless so the outcome is deterministic per dataset).  The flag
+#: is COMPUTED Spark-side from the live sketch and hash-checked against the
+#: oracle's literal TRUE, so a broken sketch flips the hash.
+_APPROX_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS approx_within_bounds
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("approx_distinct_parts", oracle=_APPROX_DISTINCT_ORACLE, tags=("relational", "agg", "approx"))
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) — the 100 TB substitute for exact
-    distinct counts.  No SQL oracle (HLL estimates are engine-specific);
-    driver records a rows-only check."""
+    distinct counts — hash-oracled through its error bound: emits the exact
+    count (value-checked vs DuckDB) plus a bound flag asserting the HLL
+    estimate is within 3·rsd of it (sketch-checked; see oracle note)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.count_distinct("l_partkey").alias("exact_parts"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.05).alias("approx_parts"),
+            F.count_distinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                <= 0.15 * F.col("exact_parts")
+            ).alias("approx_within_bounds"),
+        )
     )
 
 
@@ -627,21 +655,58 @@ def agg_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_percentiles", oracle=None, tags=("relational", "agg", "percentile", "approx"))
+#: GK-sketch percentile values are engine-specific, but the sketch's
+#: guarantee is not: with accuracy a the returned value's RANK is within
+#: n/a of the target rank, so the value must lie between the exact
+#: interpolated percentiles at q ± ε for any ε ≥ 1/a.  The flags use
+#: ε = 0.01 (100× the configured 1/10000 rank error) and are computed
+#: Spark-side from the live sketch vs Spark's exact ``percentile``, then
+#: hash-checked against the oracle's literal TRUE — the exact p50/p90
+#: columns are value-checked against DuckDB ``quantile_cont`` directly.
+_APPROX_PCTL_ORACLE = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS price_p90,
+       TRUE AS ap50_in_bounds,
+       TRUE AS ap90_in_bounds
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query(
+    "agg_approx_percentiles",
+    oracle=_APPROX_PCTL_ORACLE,
+    tags=("relational", "agg", "percentile", "approx"),
+)
 def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB percentile path promised by ``agg_percentiles_lineitem``:
     ``approx_percentile`` (Greenwald-Khanna style mergeable sketch — a
     partial-agg-combinable summary, so no per-group sort and no single-node
-    bottleneck at any scale).
-
-    Rows-only correctness check (like ``approx_distinct_parts``): sketch
-    outputs are engine-specific, so there is no DuckDB value oracle; local
-    pytest bounds the error against the exact percentiles instead.
-    """
+    bottleneck at any scale), hash-oracled through the sketch's rank-error
+    bound (see oracle note)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    eps = 0.01
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_percentile("l_quantity", F.lit(0.5), F.lit(10000)).alias("ap50"),
         F.approx_percentile("l_extendedprice", F.lit(0.9), F.lit(10000)).alias("aprice_p90"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("price_p90"),
+        F.percentile("l_quantity", F.lit(0.5 - eps)).alias("q_lo"),
+        F.percentile("l_quantity", F.lit(0.5 + eps)).alias("q_hi"),
+        F.percentile("l_extendedprice", F.lit(0.9 - eps)).alias("p_lo"),
+        F.percentile("l_extendedprice", F.lit(0.9 + eps)).alias("p_hi"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "p50",
+        "price_p90",
+        ((F.col("ap50") >= F.col("q_lo")) & (F.col("ap50") <= F.col("q_hi"))).alias(
+            "ap50_in_bounds"
+        ),
+        ((F.col("aprice_p90") >= F.col("p_lo")) & (F.col("aprice_p90") <= F.col("p_hi"))).alias(
+            "ap90_in_bounds"
+        ),
     )
 
 

@@ -187,70 +187,81 @@ _R2_VERIFIED: frozenset[str] = frozenset(
     }
 )
 
-#: Round-3 priority window.  First: ``map_funcs_events`` (the single r2 hard
-#: fail, fixed this round — scalar ``key_csv`` replaces the unhashable array
-#: column).  Then the 27 queries registered in r2 that fell past the driver's
-#: 50-entry window (no correctness row ever).  Then the rows-only sketches /
-#: MLlib twins — ``sc_pca`` and ``mllib_tfidf_features`` gained deterministic
-#: oracles this round.
-_R3_PRIORITY: tuple[str, ...] = (
-    "map_funcs_events",
-    # -- never driver-checked (registered r2, outside the window) --
-    "doc_curation_flags", "shard_pack_by_tokens", "sample_stratified_hash",
-    "corpus_health_report", "decontaminate_ngram_overlap",
-    "events_iqr_outliers", "mixture_resample_sources",
-    "dedup_normalized_exact", "dedup_cluster_keeper", "dedup_minhash_quality",
-    "pagerank_dedup_graph", "knn_join_batch", "embed_l2_normalize",
-    "embed_quantize_int8", "ann_quantized_topk", "ann_recall_eval",
-    "bm25_rank_docs", "doc_repetition_stats", "heavy_hitters_words",
-    "cogroup_merge_asof", "pandas_scalar_quantized_dot",
-    "multimodal_resize_plan", "multimodal_frame_features",
-    "orc_roundtrip_supplier", "text_roundtrip_orders",
-    "stream_join_click_purchase", "stream_file_sink_roundtrip",
-    # -- rows-only so far; two gained oracles this round --
-    "sc_pca", "mllib_tfidf_features", "agg_approx_percentiles",
-    "approx_distinct_parts", "mllib_minhash_dedup",
-    "mllib_brp_lsh_neighbors", "kmeans_embedding_clusters",
+#: Queries hash-verified green by the driver in rounds 3/4
+#: (CORRECTNESS_r03.json == CORRECTNESS_r04.json: 44 hash rows; the
+#: remaining 6 window slots were the rows-only sketches, which stay in the
+#: round-5 priority list below because this round gives four of them real
+#: oracles).  ``sc_pca`` and the 15 ``_RECHECK_FIRST`` r1 re-confirmations
+#: land here too — their evidence is now the freshest on record.
+_R3_VERIFIED: frozenset[str] = frozenset(
+    {
+        "map_funcs_events", "doc_curation_flags", "shard_pack_by_tokens",
+        "sample_stratified_hash", "corpus_health_report",
+        "decontaminate_ngram_overlap", "events_iqr_outliers",
+        "mixture_resample_sources", "dedup_normalized_exact",
+        "dedup_cluster_keeper", "dedup_minhash_quality",
+        "pagerank_dedup_graph", "knn_join_batch", "embed_l2_normalize",
+        "embed_quantize_int8", "ann_quantized_topk", "ann_recall_eval",
+        "bm25_rank_docs", "doc_repetition_stats", "heavy_hitters_words",
+        "cogroup_merge_asof", "pandas_scalar_quantized_dot",
+        "multimodal_resize_plan", "multimodal_frame_features",
+        "orc_roundtrip_supplier", "text_roundtrip_orders",
+        "stream_join_click_purchase", "stream_file_sink_roundtrip",
+        "sc_pca",
+        # r1 re-confirmations that rode the r3 window's tail slots
+        "q1_pricing_summary", "q3_join_topk", "agg_percentiles_lineitem",
+        "agg_corr_covar", "window_range_frame", "join_asof_purchase_signup",
+        "grouped_pandas_centroid", "dedup_exact", "dedup_minhash_lsh",
+        "dedup_simhash", "dedup_ngram_jaccard", "sc_log1p",
+        "sc_normalize_per_cell", "sc_hvg", "sc_recipe_zheng17",
+    }
 )
 
-#: r1-verified queries to re-confirm first with the window slots left after
-#: ``_R3_PRIORITY`` (+ any round-3 additions): the ones exercising shared
-#: helpers (decimal compat paths, ``_minhash_sql``, Arrow UDF plumbing) where
-#: an edit would silently regress many queries at once.
-_RECHECK_FIRST: tuple[str, ...] = (
-    "q1_pricing_summary", "q3_join_topk", "agg_percentiles_lineitem",
-    "agg_corr_covar", "window_range_frame", "join_asof_purchase_signup",
-    "grouped_pandas_centroid", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_ngram_jaccard", "sc_log1p",
-    "sc_normalize_per_cell", "sc_hvg", "sc_recipe_zheng17",
+#: Round-5 priority window (oldest-driver-evidence-first rotation, per the
+#: r4 verdict).  First the sketch/ML queries — four gain genuine oracles
+#: this round (``mllib_tfidf_features`` via an exact CountVectorizer
+#: vocabulary, ``agg_approx_percentiles`` / ``approx_distinct_parts`` via
+#: hash-checked error-bound invariants, ``kmeans_embedding_clusters`` via
+#: rotation-safe global invariants); the two LSH joins stay rows-only
+#: (candidate sets depend on library-internal seeds).  The r2-verified tail
+#: (43 queries, driver evidence now three rounds old) fills the remaining
+#: window slots.
+_R5_PRIORITY: tuple[str, ...] = (
+    "mllib_tfidf_features", "agg_approx_percentiles",
+    "approx_distinct_parts", "kmeans_embedding_clusters",
+    "mllib_minhash_dedup", "mllib_brp_lsh_neighbors",
 )
 
 
 def _ordered() -> list[QuerySpec]:
     """Registry in driver-check priority order.
 
-    1. ``_R3_PRIORITY`` — the fixed r2 fail, the 27 never-checked, the
-       rows-only tail (two newly oracled).
+    1. ``_R5_PRIORITY`` — the rows-only tail, four newly oracled.
     2. Queries new this round (in no verified/priority set).
-    3. r1-verified, ``_RECHECK_FIRST`` leading — evidence is two rounds old.
-    4. r2-verified (freshest evidence) last.
+    3. r2-verified — the oldest driver evidence still on record.
+    4. r1-verified not re-confirmed since.
+    5. r3/r4-verified (freshest evidence) last.
     """
     specs = {s.name: s for s in REGISTRY.values()}
-    prio = [specs[n] for n in _R3_PRIORITY if n in specs]
-    placed = set(_R3_PRIORITY) | _R1_VERIFIED | _R2_VERIFIED
+    prio = [specs[n] for n in _R5_PRIORITY if n in specs]
+    placed = set(_R5_PRIORITY) | _R1_VERIFIED | _R2_VERIFIED | _R3_VERIFIED
     new = [s for s in specs.values() if s.name not in placed]
-    r1_lead = [specs[n] for n in _RECHECK_FIRST if n in specs]
-    r1_rest = [
+    prio_set = set(_R5_PRIORITY)
+    r2 = [s for s in specs.values() if s.name in _R2_VERIFIED and s.name not in prio_set]
+    r1 = [
         s
         for s in specs.values()
-        if s.name in _R1_VERIFIED and s.name not in _R3_PRIORITY and s.name not in _RECHECK_FIRST
+        if s.name in _R1_VERIFIED
+        and s.name not in prio_set
+        and s.name not in _R2_VERIFIED
+        and s.name not in _R3_VERIFIED
     ]
-    r2 = [
+    r3 = [
         s
         for s in specs.values()
-        if s.name in _R2_VERIFIED and s.name not in _R3_PRIORITY
+        if s.name in _R3_VERIFIED and s.name not in prio_set and s.name not in _R2_VERIFIED
     ]
-    return prio + new + r1_lead + r1_rest + r2
+    return prio + new + r2 + r1 + r3
 
 
 def queries() -> dict[str, QueryFn]:

@@ -30,7 +30,11 @@ def test_pca_matches_numpy_svd(spark, emb_matrix):
     _, _, vt = np.linalg.svd(Xc, full_matrices=False)
     expected = Xc @ vt.T[:, :16]
 
-    out = QS["sc_pca"](spark, SF_DIR).toPandas()
+    # The registered sc_pca now emits rotation-invariant norms for the SQL
+    # oracle; the component-level k=16 check runs on pca_scores directly.
+    from single_cell_experiments_spark.operators.ml import pca_scores
+
+    out = pca_scores(spark, SF_DIR, k=16).toPandas()
     got = (
         out.pivot(index="vec_id", columns="component", values="score")
         .sort_index()
@@ -69,8 +73,20 @@ def test_brp_lsh_neighbors_valid(spark, emb_matrix):
 
 
 def test_kmeans_clusters_cover_all_rows(spark, emb_matrix):
+    from single_cell_experiments_spark.operators.ml import kmeans_cluster_profile
+
     vec_ids, _ = emb_matrix
-    out = QS["kmeans_embedding_clusters"](spark, SF_DIR).toPandas()
+    out = kmeans_cluster_profile(spark, SF_DIR).toPandas()
     assert out["size"].sum() == len(vec_ids)
     assert out["cluster"].nunique() == len(out)
     assert ((out["purity"] > 0) & (out["purity"] <= 1)).all()
+
+
+def test_kmeans_invariants_hold(spark, emb_matrix):
+    vec_ids, _ = emb_matrix
+    out = QS["kmeans_embedding_clusters"](spark, SF_DIR).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["n_clusters"] == 10
+    assert r["n_points"] == len(vec_ids)
+    assert bool(r["inertia_le_total_ss"])

@@ -35,36 +35,23 @@ def test_rows_only_smoke(spark, name):
 
 
 def test_approx_percentile_error_bound(spark):
-    """agg_approx_percentiles (rows-only for the driver) is bounded locally:
-    with accuracy=10000 the GK sketch's rank error is ≤ n/10000, which on
-    these group sizes means the approx values must land within the exact
-    p45–p55 / p89–p91 envelopes."""
-    from single_cell_experiments_spark.operators.relational import (
-        agg_approx_percentiles,
-        agg_percentiles_lineitem,
-    )
-    from pyspark.sql import functions as F
+    """agg_approx_percentiles now hash-checks the GK rank-error bound
+    through its oracle (flags vs literal TRUE); this asserts the flags
+    directly so a bound violation reads as this test, not a hash diff."""
+    from single_cell_experiments_spark.operators.relational import agg_approx_percentiles
 
-    from single_cell_experiments_spark.catalog import load_table
+    for r in agg_approx_percentiles(spark, SF_DIR).collect():
+        assert r["ap50_in_bounds"], r
+        assert r["ap90_in_bounds"], r
 
-    approx = {r["l_returnflag"]: r for r in agg_approx_percentiles(spark, SF_DIR).collect()}
-    li = load_table(spark, SF_DIR, "lineitem")
-    envelope = {
-        r["l_returnflag"]: r
-        for r in li.groupBy("l_returnflag")
-        .agg(
-            F.percentile("l_quantity", F.lit(0.45)).alias("q_lo"),
-            F.percentile("l_quantity", F.lit(0.55)).alias("q_hi"),
-            F.percentile("l_extendedprice", F.lit(0.89)).alias("p_lo"),
-            F.percentile("l_extendedprice", F.lit(0.91)).alias("p_hi"),
-        )
-        .collect()
-    }
-    assert approx.keys() == envelope.keys()
-    for flag, a in approx.items():
-        e = envelope[flag]
-        assert e["q_lo"] <= a["ap50"] <= e["q_hi"], (flag, a["ap50"], e)
-        assert e["p_lo"] <= a["aprice_p90"] <= e["p_hi"], (flag, a["aprice_p90"], e)
+
+def test_approx_distinct_error_bound(spark):
+    """approx_distinct_parts' HLL estimate must sit within 3·rsd of the
+    exact count (the hash-checked flag), asserted directly here too."""
+    from single_cell_experiments_spark.operators.relational import approx_distinct_parts
+
+    for r in approx_distinct_parts(spark, SF_DIR).collect():
+        assert r["approx_within_bounds"], r
 
 
 def test_entry_smoke(spark):
