@@ -50,14 +50,30 @@ HEADLINE = (
     "knn_cosine_to_vec0",
 )
 
-RUNS = 5  # median of 5: robust to transient machine-load spikes
+RUNS = 7  # median of 7: robust to transient machine-load spikes
 
 #: Small-SF bench sizing (see module docstring).  Runtime-settable, applied
-#: on top of the engine defaults for the bench session only.
+#: on top of the engine defaults for the bench session only.  (These stick
+#: now: ``session.tune`` applies its perf posture only on a session's FIRST
+#: tune, so per-query ``load_table`` calls no longer clobber them — that
+#: silent clobber is what kept AQE's per-stage materialization jobs in
+#: earlier rounds' recorded numbers.)  Sizing measured at sf0.1: 2 reduce
+#: partitions and 16m splits keep every stage one task-wave with the fewest
+#: dispatchable tasks; AQE off removes its per-stage job rounds, which at a
+#: known tiny SF only re-discover sizes we already know.
 BENCH_CONFS = {
     "spark.sql.adaptive.enabled": "false",
-    "spark.sql.shuffle.partitions": "8",
-    "spark.sql.files.maxPartitionBytes": "8m",
+    # 2 reduce partitions: enough to keep the q3 sort-merge join parallel,
+    # small enough that no stage needs a second task wave.  (1 would
+    # serialize the join; at 100 TB you'd size this to the data — AQE on.)
+    "spark.sql.shuffle.partitions": "2",
+    "spark.sql.files.maxPartitionBytes": "16m",
+    # Fact-fact joins must not broadcast: at 100 TB orders is nowhere near
+    # broadcastable, so the representative q3 plan is broadcast(filtered
+    # customer dim, hinted) + shuffle join for orders⨝lineitem.  It is also
+    # faster fresh at sf0.1 — a broadcast build is a whole extra job
+    # round-trip (~100-200 ms) vs one in-job exchange stage.
+    "spark.sql.autoBroadcastJoinThreshold": str(512 * 1024),
 }
 
 
@@ -77,7 +93,7 @@ def main() -> int:
     names = sys.argv[1:] or list(HEADLINE)
     fresh = {name: fresh_fn(name) for name in names}
 
-    for _ in range(2):  # two passes: JVM JIT keeps compiling through the first
+    for _ in range(3):  # three passes: JVM JIT keeps compiling through the first two
         for name in names:
             fresh[name](spark, sf_dir).toPandas()  # warm-up (codegen, JIT, FS cache)
 

@@ -97,3 +97,32 @@ def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> dict[s
         df.createOrReplaceTempView(f"{name}{suffix}")
         out[name] = df
     return out
+
+
+def _sf_tag(sf_dir: str) -> str:
+    import re
+
+    return re.sub(r"\W+", "_", os.path.basename(sf_dir.rstrip("/"))) or "d"
+
+
+def table_view(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Register (once per session) an sf-scoped temp view for ``name`` and
+    return the view name.
+
+    This backs the ``spark.sql(...)`` form of the latency-critical
+    builders: a single SQL string is one Py4J round-trip parsed JVM-side,
+    where the equivalent Column-by-Column DataFrame construction costs
+    50–150 ms of Python↔JVM chatter per fresh plan build (measured at
+    bench SF; identical logical plan either way, so Catalyst output and
+    the 100 TB physical strategy are unchanged).
+    """
+    try:
+        cache = _df_cache[spark]
+    except KeyError:
+        cache = _df_cache.setdefault(spark, {})
+    view = f"sce_{_sf_tag(sf_dir)}_{name}"
+    key = ("__view__", sf_dir, name)
+    if key not in cache:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(view)
+        cache[key] = view
+    return view

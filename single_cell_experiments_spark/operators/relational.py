@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, table_view
 from ..functions.compat import (
     big,
     day_str,
@@ -55,19 +55,32 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     group-by has 6 groups so partial aggregation collapses nearly all rows
     map-side before the exchange.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            money_sum("l_quantity", "sum_qty"),
-            money_sum("l_extendedprice", "sum_base"),
-            rev_sum("l_extendedprice", "l_discount", "sum_disc"),
-            money_avg("l_quantity", "avg_qty"),
-            F.count(F.lit(1)).alias("cnt"),
+    li = table_view(spark, sf_dir, "lineitem")
+    # Single SQL string == one Py4J round-trip (see catalog.table_view);
+    # expression semantics are the compat helpers' exactly: decimal(8,2)
+    # sums, integer-cents revenue, double literals suffixed D (a bare 0.0
+    # parses as DECIMAL(1,1) in Spark SQL).
+    # REPARTITION(1) before the final sort: the aggregate is ≤ a dozen
+    # groups at ANY scale factor (returnflag × linestatus), so the global
+    # ORDER BY over one partition is a local sort — without it, Sort over
+    # >1 partitions plans a RangePartitioner whose sampling pass is a whole
+    # extra job re-executing the aggregation.
+    return spark.sql(f"""
+        SELECT * FROM (
+            SELECT /*+ REPARTITION(1) */
+                   l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2))) AS DOUBLE) AS sum_base,
+                   CAST(SUM(FLOOR(l_extendedprice * 100 + 0.5D)
+                            * (100 - FLOOR(l_discount * 100 + 0.5D))) AS DOUBLE) / 10000.0D AS sum_disc,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+                   COUNT(1) AS cnt
+            FROM {li}
+            WHERE l_shipdate <= CAST('1998-09-02' AS TIMESTAMP_NTZ)
+            GROUP BY l_returnflag, l_linestatus
         )
-        .orderBy("l_returnflag", "l_linestatus")
-    )
+        ORDER BY l_returnflag, l_linestatus
+    """)
 
 
 _Q3_ORACLE = f"""
@@ -93,22 +106,26 @@ def q3_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     once and the aggregation reuses that partitioning.  Top-k is a
     TakeOrdered, not a global sort.
     """
-    cust = (
-        load_table(spark, sf_dir, "customer")
-        .where(F.col("c_mktsegment") == "BUILDING")
-        .select("c_custkey")
-    )
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
-    return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(li, li.l_orderkey == orders.o_orderkey)
-        .groupBy("o_orderkey", day_str("o_orderdate", "o_orderdate"))
-        .agg(rev_sum("l_extendedprice", "l_discount", "rev"))
-        .select("o_orderkey", "rev", "o_orderdate")
-        .orderBy(F.desc("rev"), "o_orderkey")
-        .limit(10)
-    )
+    cust = table_view(spark, sf_dir, "customer")
+    orders = table_view(spark, sf_dir, "orders")
+    li = table_view(spark, sf_dir, "lineitem")
+    return spark.sql(f"""
+        SELECT o_orderkey, rev, o_orderdate FROM (
+            SELECT /*+ BROADCAST(c) */
+                   o.o_orderkey,
+                   CAST(SUM(FLOOR(l.l_extendedprice * 100 + 0.5D)
+                            * (100 - FLOOR(l.l_discount * 100 + 0.5D))) AS DOUBLE)
+                       / 10000.0D AS rev,
+                   date_format(o.o_orderdate, 'yyyy-MM-dd') AS o_orderdate
+            FROM {orders} o
+            JOIN {cust} c ON o.o_custkey = c.c_custkey
+            JOIN {li} l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY o.o_orderkey, date_format(o.o_orderdate, 'yyyy-MM-dd')
+        )
+        ORDER BY rev DESC, o_orderkey
+        LIMIT 10
+    """)
 
 
 # --- projection / CASE / IN / BETWEEN --------------------------------------
@@ -344,16 +361,15 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale notes: single hash-partition exchange on o_custkey; all three
     rank functions share one Window frame so one sort serves all.
     """
-    o = load_table(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        "o_totalprice",
-        big(F.row_number().over(w), "rn"),
-        big(F.rank().over(w), "rk"),
-        big(F.dense_rank().over(w), "drk"),
-    )
+    o = table_view(spark, sf_dir, "orders")
+    return spark.sql(f"""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(row_number() OVER w AS BIGINT) AS rn,
+               CAST(rank()       OVER w AS BIGINT) AS rk,
+               CAST(dense_rank() OVER w AS BIGINT) AS drk
+        FROM {o}
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """)
 
 
 _WINDOW_RUNNING_ORACLE = """
@@ -485,11 +501,14 @@ def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partial distinct on (d, type, user) then final count); for 100 TB use
     ``approx_distinct_parts``-style HLL when exactness isn't required.
     """
-    e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy(day_str("ts_ntz", "d"), "event_type")
-        .agg(F.count_distinct("user_id").alias("u"), money_sum("value", "v"))
-    )
+    e = table_view(spark, sf_dir, "events")
+    return spark.sql(f"""
+        SELECT date_format(ts_ntz, 'yyyy-MM-dd') AS d, event_type,
+               COUNT(DISTINCT user_id) AS u,
+               CAST(SUM(CAST(value AS DECIMAL(8,2))) AS DOUBLE) AS v
+        FROM {e}
+        GROUP BY date_format(ts_ntz, 'yyyy-MM-dd'), event_type
+    """)
 
 
 #: HLL++ estimates are engine-specific, so the sketch VALUE has no DuckDB

@@ -36,7 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, table_view
 from ..functions.compat import big
 from ..registry import query
 from ..session import materialize
@@ -88,16 +88,20 @@ def embed_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation is order-insensitive, so partial/final agg order can't
     drift the hash.
     """
-    e = load_table(spark, sf_dir, "embeddings")
-    s6 = F.round(_fold_sum(F.transform("embedding", _dbl)), 6).cast("decimal(18,6)")
-    return (
-        e.select("label", s6.alias("s6"))
-        .groupBy("label")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("s6").cast("double") / F.count(F.lit(1)), 6).alias("avg_sum"),
+    e = table_view(spark, sf_dir, "embeddings")
+    # spark.sql form for driver-latency (catalog.table_view); 0.0D keeps the
+    # fold accumulator a DOUBLE (bare 0.0 is DECIMAL(1,1) in Spark SQL).
+    return spark.sql(f"""
+        SELECT label, COUNT(1) AS n,
+               ROUND(CAST(SUM(s6) AS DOUBLE) / COUNT(1), 6) AS avg_sum
+        FROM (
+            SELECT label,
+                   CAST(ROUND(AGGREGATE(TRANSFORM(embedding, x -> CAST(x AS DOUBLE)),
+                                        0.0D, (acc, x) -> acc + x), 6) AS DECIMAL(18,6)) AS s6
+            FROM {e}
         )
-    )
+        GROUP BY label
+    """)
 
 
 # --- brute-force cosine top-k (bench headliner) ------------------------------
@@ -128,22 +132,27 @@ def knn_cosine_to_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows), so the scan never materializes a global sort — the brute-force
     ANN baseline that stays linear at any corpus size.
     """
-    e = load_table(spark, sf_dir, "embeddings")
-    qvec = e.where(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qe"), _norm2(F.col("embedding")).alias("qn")
-    )
-    sim = F.round(
-        _dot(F.col("embedding"), F.col("qe"))
-        / F.sqrt(_norm2(F.col("embedding")) * F.col("qn")),
-        6,
-    )
-    return (
-        e.where(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(qvec))
-        .select("vec_id", sim.alias("sim"))
-        .orderBy(F.desc("sim"), F.asc("vec_id"))
-        .limit(10)
-    )
+    e = table_view(spark, sf_dir, "embeddings")
+    return spark.sql(f"""
+        SELECT /*+ BROADCAST(q) */
+               e.vec_id,
+               ROUND(AGGREGATE(ZIP_WITH(e.embedding, q.qe,
+                                        (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                               0.0D, (acc, x) -> acc + x)
+                     / SQRT(AGGREGATE(TRANSFORM(e.embedding,
+                                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                                      0.0D, (acc, x) -> acc + x) * q.qn), 6) AS sim
+        FROM {e} e
+        CROSS JOIN (
+            SELECT embedding AS qe,
+                   AGGREGATE(TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                             0.0D, (acc, x) -> acc + x) AS qn
+            FROM {e} WHERE vec_id = 0
+        ) q
+        WHERE e.vec_id <> 0
+        ORDER BY sim DESC, vec_id ASC
+        LIMIT 10
+    """)
 
 
 # --- batched kNN join (many queries at once) ---------------------------------

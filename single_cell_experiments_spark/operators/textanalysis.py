@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, table_view
 from ..registry import query
 
 # --- per-language corpus stats (bench headliner) -----------------------------
@@ -47,13 +47,15 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Averages are exact-integer-sum / count — order-insensitive by
     construction, no decimal shim needed.
     """
-    d = load_table(spark, sf_dir, "documents")
-    return d.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("ac"),
-        (F.sum(F.length("text")).cast("double") / F.count(F.lit(1))).alias("al"),
-        F.sum(F.when(F.contains(F.lower("text"), F.lit("the")), 1).otherwise(0)).alias("has_the"),
-    )
+    d = table_view(spark, sf_dir, "documents")
+    return spark.sql(f"""
+        SELECT lang, COUNT(1) AS n,
+               CAST(SUM(n_chars) AS DOUBLE) / COUNT(1) AS ac,
+               CAST(SUM(length(text)) AS DOUBLE) / COUNT(1) AS al,
+               SUM(CASE WHEN contains(lower(text), 'the') THEN 1 ELSE 0 END) AS has_the
+        FROM {d}
+        GROUP BY lang
+    """)
 
 
 # --- language ID -------------------------------------------------------------

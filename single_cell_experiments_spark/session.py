@@ -23,16 +23,26 @@ indices).  Here the session is configured so Catalyst/AQE do that work:
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
 ENGINE_NAME = "sce-spark"
 
-#: Confs that are runtime-settable — applied both when we build our own
-#: session and when the driver harness hands us a foreign one.
-RUNTIME_CONFS = {
+#: Confs the engine's RESULTS depend on — re-asserted on every ``tune()``
+#: call, including foreign driver sessions: without these, events timestamps
+#: misparse or timezone-shift against the oracle.
+CORRECTNESS_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
+}
+
+#: Performance posture — applied ONCE per session (first ``tune()``), then
+#: left alone so a session owner's explicit later overrides stick.  The
+#: bench's AQE-off / pre-sized-shuffle sizing was previously clobbered here
+#: on every ``load_table`` call, which silently re-enabled AQE's per-stage
+#: materialization jobs mid-bench.
+PERF_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
@@ -42,6 +52,12 @@ RUNTIME_CONFS = {
     "spark.sql.optimizer.windowGroupLimitThreshold": "1000",
 }
 
+#: Back-compat alias (docs/tools referenced the combined dict).
+RUNTIME_CONFS = {**CORRECTNESS_CONFS, **PERF_CONFS}
+
+#: Sessions whose perf posture has been applied already.
+_perf_tuned: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
 
 def tune(spark: SparkSession) -> SparkSession:
     """Apply engine confs to an existing session (idempotent, cheap).
@@ -49,9 +65,16 @@ def tune(spark: SparkSession) -> SparkSession:
     The driver contract passes us its own SparkSession, whose build-time
     configuration we cannot control; every conf the engine relies on for
     correctness must therefore be runtime-settable, and is re-applied at
-    table-load time.
+    table-load time.  Perf confs are applied only on the FIRST tune of a
+    session: they are a default posture, not a correctness requirement, and
+    must not override an owner's explicit settings (e.g. the bench's
+    AQE-off small-SF sizing).
     """
-    for k, v in RUNTIME_CONFS.items():
+    confs = dict(CORRECTNESS_CONFS)
+    if spark not in _perf_tuned:
+        confs.update(PERF_CONFS)
+        _perf_tuned.add(spark)
+    for k, v in confs.items():
         try:
             spark.conf.set(k, v)
         except Exception:

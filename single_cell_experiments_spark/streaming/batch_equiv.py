@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, table_view
 from ..functions.compat import big
 from ..registry import query
 
@@ -73,19 +73,20 @@ def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour tumbling window counts + mean value (BASELINE.md headliner),
     via the native ``window()`` operator — the exact batch twin of the
     ``readStream`` job in streaming/jobs.py."""
-    e = _events_secs(spark, sf_dir)
-    return (
-        e.groupBy(F.window("t", "1 hour").alias("win"))
-        .agg(
-            F.count(F.lit(1)).alias("c"),
-            F.round(
-                F.sum(F.round("value", 6).cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("av"),
+    e = table_view(spark, sf_dir, "events")
+    # spark.sql form for driver-latency (catalog.table_view); the native
+    # window() operator is kept so this stays the exact batch twin of the
+    # readStream job.  0.0-style literals need the D suffix in SQL.
+    return spark.sql(f"""
+        SELECT CAST(unix_timestamp(CAST(win.start AS TIMESTAMP)) AS BIGINT) AS w_start_s, c, av
+        FROM (
+            SELECT window(to_timestamp_ntz(timestamp_seconds(ts_s)), '1 hour') AS win,
+                   COUNT(1) AS c,
+                   ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(1), 6) AS av
+            FROM {e}
+            GROUP BY window(to_timestamp_ntz(timestamp_seconds(ts_s)), '1 hour')
         )
-        .select(_win_start_s().alias("w_start_s"), "c", "av")
-    )
+    """)
 
 
 # --- sliding -----------------------------------------------------------------
