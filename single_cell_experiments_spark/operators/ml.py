@@ -107,8 +107,7 @@ def sc_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mllib_minhash_dedup", tags=("dedup", "ml", "lsh"))
-def mllib_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib MinHashLSH near-dup join over documents (the library twin of
     ``dedup_minhash_lsh``): word tokens → binary HashingTF vectors →
     ``approxSimilarityJoin`` at Jaccard distance ≤ 0.7, aggregated to
@@ -121,8 +120,10 @@ def mllib_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver.  Per-doc stats bound the result at O(docs) regardless of how
     permissive the threshold is.
 
-    Rows-only check (MLlib's hash coefficients are internal); recall vs the
-    exact-Jaccard pair set is asserted in tests/test_ml.py.
+    ``n_near_dups`` depends on LSH recall (library-internal hash
+    coefficients), so this detailed form stays unregistered (checked in
+    tests/test_ml.py); the registered ``mllib_minhash_dedup`` hash-checks
+    the family's recall GUARANTEE instead.
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH, RegexTokenizer
 
@@ -146,11 +147,68 @@ def mllib_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mllib_brp_lsh_neighbors", tags=("similarity", "ml", "lsh"))
-def mllib_brp_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: LSH gives no general recall guarantee, but it gives an ABSOLUTE one for
+#: identical inputs.  The binary HashingTF vector is a function of the
+#: doc's DISTINCT-token set, so two docs with equal token sets get
+#: identical vectors, identical MinHash signatures, land in the same
+#: bucket of every hash table, and their candidate pair's true Jaccard
+#: distance is 0 ≤ threshold — every such doc MUST surface with
+#: closest_dist = 0.  The oracle enumerates token-set-duplicate docs in
+#: SQL (87 docs at sf0.001, 75 at sf0.01 — non-vacuous) and asserts the
+#: flags the live join computes.
+_MINHASH_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+             t -> length(t) >= 1))) AS tset
+  FROM documents
+)
+SELECT doc_id, TRUE AS has_set_dup, TRUE AS closest_is_zero
+FROM toks
+WHERE len(tset) > 0
+  AND tset IN (SELECT tset FROM toks GROUP BY tset HAVING COUNT(*) > 1)
+"""
+
+
+@query("mllib_minhash_dedup", oracle=_MINHASH_ORACLE, tags=("dedup", "ml", "lsh"))
+def mllib_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib MinHashLSH dedup, hash-oracled through the identical-input
+    recall guarantee (see oracle note): every document whose distinct-token
+    set duplicates another's must be reported by the live LSH join with a
+    distance-0 nearest neighbor.  The full per-doc near-dup profile is
+    ``minhash_dedup_profile`` (tests/test_ml.py)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", F.lower("text").alias("lt"))
+    toks = d.select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(
+                F.filter(F.split("lt", "[^a-z0-9]+"), lambda t: F.length(t) >= 1)
+            )
+        ).alias("tset"),
+    ).where(F.size("tset") > 0)
+    dup_sets = toks.groupBy("tset").agg(F.count(F.lit(1)).alias("n")).where(F.col("n") > 1)
+    dup_docs = toks.join(F.broadcast(dup_sets.select("tset")), "tset").select("doc_id")
+    prof = minhash_dedup_profile(spark, sf_dir)
+    return (
+        dup_docs.join(prof, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.lit(True).alias("has_set_dup"),
+            (F.col("closest_dist") == 0.0).alias("closest_is_zero"),
+        )
+    )
+
+
+def brp_lsh_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane-bucketed euclidean neighbor pairs over embeddings
     (BucketedRandomProjectionLSH ``approxSimilarityJoin``, distance ≤ 1.2)
-    — the MLlib twin of ``ann_cosine_pairs_signlsh``.  Rows-only check.
+    — the MLlib twin of ``ann_cosine_pairs_signlsh``.
+
+    The pair SET depends on library-internal projection seeds, so this
+    detailed form stays unregistered (spot-checked vs numpy in
+    tests/test_ml.py); the registered ``mllib_brp_lsh_neighbors``
+    hash-checks the join's soundness properties instead.
     """
     from pyspark.ml.feature import BucketedRandomProjectionLSH
 
@@ -166,6 +224,54 @@ def mllib_brp_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("datasetB.vec_id").alias("vec2"),
             F.round("euclid_dist", 4).alias("euclid_dist"),
         )
+    )
+
+
+#: LSH recall is seed-dependent, but SOUNDNESS is not: every reported pair
+#: must (a) exist, (b) carry the TRUE euclidean distance (recomputed here
+#: from the raw embeddings in plain SQL arithmetic, tolerance = the 4-dp
+#: output rounding), (c) respect the 1.2 threshold, and (d) be in canonical
+#: vec1 < vec2 order.  All four are computed Spark-side from the live join
+#: and hash-checked against the oracle's literals.  An empty pair set turns
+#: ``found_pairs`` false (and the exactness flags NULL), so the check
+#: cannot pass vacuously.
+_BRP_ORACLE = """
+SELECT TRUE AS found_pairs, TRUE AS dists_exact,
+       TRUE AS within_threshold, TRUE AS canonical_order
+FROM embeddings LIMIT 1
+"""
+
+
+@query("mllib_brp_lsh_neighbors", oracle=_BRP_ORACLE, tags=("similarity", "ml", "lsh"))
+def mllib_brp_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BucketedRandomProjectionLSH neighbor join, hash-oracled through its
+    soundness invariants (see oracle note); the raw pair list is
+    ``brp_lsh_neighbor_pairs`` (tests/test_ml.py)."""
+    pairs = brp_lsh_neighbor_pairs(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    exact = (
+        pairs.join(emb.withColumnRenamed("vec_id", "vec1").withColumnRenamed("v", "v1"), "vec1")
+        .join(emb.withColumnRenamed("vec_id", "vec2").withColumnRenamed("v", "v2"), "vec2")
+        .select(
+            "vec1",
+            "vec2",
+            "euclid_dist",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with("v1", "v2", lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("exact_dist"),
+        )
+    )
+    return exact.agg(
+        (F.count(F.lit(1)) > 0).alias("found_pairs"),
+        (F.max(F.abs(F.col("euclid_dist") - F.col("exact_dist"))) <= 5.1e-5).alias("dists_exact"),
+        (F.max("euclid_dist") <= 1.2 + 1e-9).alias("within_threshold"),
+        (F.min(F.col("vec1") < F.col("vec2"))).alias("canonical_order"),
     )
 
 

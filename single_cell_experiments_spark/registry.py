@@ -218,14 +218,15 @@ _R3_VERIFIED: frozenset[str] = frozenset(
 )
 
 #: Round-5 priority window (oldest-driver-evidence-first rotation, per the
-#: r4 verdict).  First the sketch/ML queries — four gain genuine oracles
+#: r4 verdict).  First the sketch/ML queries — ALL SIX gain genuine oracles
 #: this round (``mllib_tfidf_features`` via an exact CountVectorizer
-#: vocabulary, ``agg_approx_percentiles`` / ``approx_distinct_parts`` via
-#: hash-checked error-bound invariants, ``kmeans_embedding_clusters`` via
-#: rotation-safe global invariants); the two LSH joins stay rows-only
-#: (candidate sets depend on library-internal seeds).  The r2-verified tail
-#: (43 queries, driver evidence now three rounds old) fills the remaining
-#: window slots.
+#: vocabulary; ``agg_approx_percentiles`` / ``approx_distinct_parts`` via
+#: hash-checked error-bound invariants; ``kmeans_embedding_clusters`` via
+#: partition+inertia invariants; ``mllib_minhash_dedup`` via the
+#: identical-input recall guarantee; ``mllib_brp_lsh_neighbors`` via
+#: soundness invariants) — leaving zero rows-only queries.  The r2-verified
+#: tail (43 queries, driver evidence now three rounds old) fills the
+#: remaining window slots.
 _R5_PRIORITY: tuple[str, ...] = (
     "mllib_tfidf_features", "agg_approx_percentiles",
     "approx_distinct_parts", "kmeans_embedding_clusters",

@@ -51,18 +51,27 @@ def test_pca_matches_numpy_svd(spark, emb_matrix):
 
 
 def test_minhash_dedup_pairs_valid(spark):
-    out = QS["mllib_minhash_dedup"](spark, SF_DIR).toPandas()
+    from single_cell_experiments_spark.operators.ml import minhash_dedup_profile
+
+    out = minhash_dedup_profile(spark, SF_DIR).toPandas()
     assert (out["closest_dist"] <= 0.7 + 1e-9).all()
     assert (out["n_near_dups"] >= 1).all()
     # exact-duplicate docs must surface as distance-0 neighbors
     exact = QS["dedup_exact"](spark, SF_DIR).toPandas()
     n_dup_docs = int((exact[exact["is_duplicated"]]["n_copies"]).sum())
     assert (out["closest_dist"] == 0).sum() >= n_dup_docs
+    # the registered invariant form must flag every token-set-dup doc at
+    # dist 0, non-vacuously (87 such docs at sf0.001)
+    reg = QS["mllib_minhash_dedup"](spark, SF_DIR).toPandas()
+    assert len(reg) > 0
+    assert reg["has_set_dup"].all() and reg["closest_is_zero"].all()
 
 
 def test_brp_lsh_neighbors_valid(spark, emb_matrix):
+    from single_cell_experiments_spark.operators.ml import brp_lsh_neighbor_pairs
+
     vec_ids, X = emb_matrix
-    out = QS["mllib_brp_lsh_neighbors"](spark, SF_DIR).toPandas()
+    out = brp_lsh_neighbor_pairs(spark, SF_DIR).toPandas()
     assert (out["euclid_dist"] <= 1.2 + 1e-9).all()
     assert (out["vec1"] < out["vec2"]).all()
     # spot-check reported distances against numpy
@@ -70,6 +79,9 @@ def test_brp_lsh_neighbors_valid(spark, emb_matrix):
     for _, r in out.head(20).iterrows():
         d = np.linalg.norm(X[idx[r["vec1"]]] - X[idx[r["vec2"]]])
         assert abs(d - r["euclid_dist"]) < 1e-3
+    # the registered soundness summary must be all-true (non-vacuous)
+    reg = QS["mllib_brp_lsh_neighbors"](spark, SF_DIR).toPandas()
+    assert len(reg) == 1 and reg.iloc[0].all()
 
 
 def test_kmeans_clusters_cover_all_rows(spark, emb_matrix):
