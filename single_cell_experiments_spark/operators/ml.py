@@ -113,12 +113,15 @@ def minhash_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``approxSimilarityJoin`` at Jaccard distance ≤ 0.7, aggregated to
     per-document neighbor stats (count + closest distance).
 
-    The aggregation is the scale contract: the raw pair list is
-    near-quadratic on a small-vocabulary corpus (word-level Jaccard ≥ 0.3
-    qualifies most pairs), which is fine as a distributed intermediate but
-    must never be collected — at sf0.1 the pair list alone OOMs a 1 GB
-    driver.  Per-doc stats bound the result at O(docs) regardless of how
-    permissive the threshold is.
+    Scale reality check (measured): on THIS corpus the library join
+    degenerates — a ~40-word vocabulary makes nearly all docs share MinHash
+    buckets, so the bucket self-join approaches all-pairs (8 tables ×
+    5000² at sf0.1 exceeds 9 min wall on local[32]; 500 docs at sf0.01
+    complete in seconds, which is the driver's correctness point).  The
+    SCALE path for MinHash dedup is the banded SQL implementation
+    (``dedup_minhash_lsh``, operators/dedup.py) whose shingled features
+    keep buckets selective; this MLlib twin exists for library parity and
+    stays per-doc-aggregated so the pair list is never collected.
 
     ``n_near_dups`` depends on LSH recall (library-internal hash
     coefficients), so this detailed form stays unregistered (checked in

@@ -1,0 +1,41 @@
+"""Regression tests for session.tune()'s conf-application contract.
+
+Round-5 bug class: tune() is called at every table load, and it used to
+re-apply the engine's AQE-on perf posture each time — silently clobbering
+confs a session owner (the bench, a driver harness) had set explicitly.
+The contract now: correctness confs are re-asserted on EVERY tune call;
+perf confs apply only on a session's FIRST tune.
+"""
+
+from __future__ import annotations
+
+from single_cell_experiments_spark.session import CORRECTNESS_CONFS, PERF_CONFS, tune
+
+
+def test_tune_preserves_owner_perf_overrides(spark):
+    tune(spark)  # ensure first-tune perf application already happened
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        tune(spark)
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false", (
+            "tune() must not clobber an explicitly-set perf conf after the "
+            "session's first tune"
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", PERF_CONFS["spark.sql.adaptive.enabled"])
+
+
+def test_tune_reasserts_correctness_confs(spark):
+    tune(spark)
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    tune(spark)
+    assert spark.conf.get("spark.sql.session.timeZone") == CORRECTNESS_CONFS[
+        "spark.sql.session.timeZone"
+    ], "tune() must re-assert correctness confs on every call"
+
+
+def test_perf_confs_applied_on_first_tune(spark):
+    # The shared session was tuned at build; its perf posture must hold
+    # unless a test explicitly overrode it.
+    for k, v in PERF_CONFS.items():
+        assert spark.conf.get(k) == v
