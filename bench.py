@@ -18,17 +18,20 @@ Methodology (honest-fresh, r2 verdict):
   materialization to a driver pandas frame — the same full pipeline
   DuckDB's ``.df()`` re-runs per call.  Nothing from previous runs is
   reusable: a fresh plan means fresh RDDs, so no shuffle map outputs carry
-  over.  Two untimed warm-up passes per query first (JIT/codegen/file-cache
-  warm, matching DuckDB's in-process posture; the JVM JIT keeps compiling
-  through the first), then median of ``RUNS`` interleaved rounds.
+  over.  Five untimed warm-up passes per query first (JIT/codegen/
+  file-cache warm, matching DuckDB's in-process posture; the JVM C2
+  compiler keeps improving fresh medians through ~4 passes), then median
+  of ``RUNS`` interleaved rounds.
 - **Secondary** (``warm_*``): the registry's cached-plan path — what repeat
   production calls get (plan reuse + still-registered shuffle outputs).
   Reported separately and clearly labeled; it is NOT comparable to
   DuckDB's full re-execution.
 - Bench session sizing: at a known small SF the deployment pre-sizes
-  ``shuffle.partitions`` (8) and split size (8m) and turns AQE off — AQE's
+  ``shuffle.partitions`` (2) and split size (16m), turns AQE off (its
   per-stage materialization jobs exist to discover sizes we already know
-  here; at 100 TB the engine default (AQE on) is the right posture.
+  here), and caps auto-broadcast so the q3 fact-fact join measures the
+  shuffle join it would run at 100 TB; the engine default (AQE on) is the
+  right posture at scale.  See ``BENCH_CONFS`` and BASELINE.md §round 5.
 """
 
 from __future__ import annotations
@@ -50,7 +53,7 @@ HEADLINE = (
     "knn_cosine_to_vec0",
 )
 
-RUNS = 7  # median of 7: robust to transient machine-load spikes
+RUNS = 9  # median of 9: robust to transient machine-load spikes
 
 #: Small-SF bench sizing (see module docstring).  Runtime-settable, applied
 #: on top of the engine defaults for the bench session only.  (These stick
@@ -93,7 +96,10 @@ def main() -> int:
     names = sys.argv[1:] or list(HEADLINE)
     fresh = {name: fresh_fn(name) for name in names}
 
-    for _ in range(3):  # three passes: JVM JIT keeps compiling through the first two
+    # Five passes: measured fresh medians keep improving through the first
+    # ~4 full passes as the JVM C2 compiler finishes with the scan/agg/
+    # exchange hot paths — an under-warmed JIT inflates every later sample.
+    for _ in range(5):
         for name in names:
             fresh[name](spark, sf_dir).toPandas()  # warm-up (codegen, JIT, FS cache)
 
