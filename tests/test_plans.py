@@ -40,6 +40,24 @@ def test_topk_per_group_uses_window_group_limit(spark):
     assert inspect.count_in_plan(df, "WindowGroupLimit", final=False) > 0
 
 
+def test_q1_no_range_sampling_sort(spark):
+    """q1's global ORDER BY must be a local sort over the REPARTITION(1)
+    coalesce — a rangepartitioning exchange would add a whole sampling job
+    re-running the aggregation (round-5 latency fix; scale-safe because
+    the aggregate is ≤ a dozen groups at any SF)."""
+    df = QS["q1_pricing_summary"](spark, SF_DIR)
+    plan = inspect.executed_plan(df)
+    assert "rangepartitioning" not in plan, plan
+    assert "SinglePartition" in plan, plan
+
+
+def test_q3_topk_is_take_ordered(spark):
+    """q3's ORDER BY + LIMIT must run as TakeOrderedAndProject (per-
+    partition heap + driver merge), never a global sort."""
+    df = QS["q3_join_topk"](spark, SF_DIR)
+    assert inspect.count_in_plan(df, "TakeOrderedAndProject", final=False) > 0
+
+
 def test_q1_single_shuffle(spark):
     # scan -> partial agg -> exchange -> final agg: exactly one shuffle.
     df = QS["q1_pricing_summary"](spark, SF_DIR)
