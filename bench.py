@@ -96,6 +96,19 @@ def main() -> int:
     names = sys.argv[1:] or list(HEADLINE)
     fresh = {name: fresh_fn(name) for name in names}
 
+    # Ambient-load probe: the median round-trip of an empty one-task job.
+    # Every fresh query pays 1-2 of these (BASELINE.md §round 5 has the
+    # per-query job counts), and the floor swings 85-155 ms with VM load —
+    # recording it alongside the totals makes a slow run attributable.
+    for _ in range(3):
+        spark.range(1).count()
+    floor_samples = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        spark.range(1).count()
+        floor_samples.append(time.perf_counter() - t0)
+    job_floor_ms = round(statistics.median(floor_samples) * 1000, 1)
+
     # Five passes: measured fresh medians keep improving through the first
     # ~4 full passes as the JVM C2 compiler finishes with the scan/agg/
     # exchange hot paths — an under-warmed JIT inflates every later sample.
@@ -140,6 +153,7 @@ def main() -> int:
                 "queries": per_query,
                 "warm_total_sec": round(sum(warm_query.values()), 4),
                 "warm_queries": warm_query,
+                "job_floor_ms": job_floor_ms,
                 "sf": sf,
             }
         )
