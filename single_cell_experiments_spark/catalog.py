@@ -100,9 +100,18 @@ def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> dict[s
 
 
 def _sf_tag(sf_dir: str) -> str:
+    """Unique, readable view-name tag for a data directory.
+
+    The basename alone is NOT unique (two roots can both end in
+    ``sf0.1``), and an aliased view name would silently re-point queries
+    at the other dataset — so a short hash of the FULL path disambiguates.
+    """
+    import hashlib
     import re
 
-    return re.sub(r"\W+", "_", os.path.basename(sf_dir.rstrip("/"))) or "d"
+    base = re.sub(r"\W+", "_", os.path.basename(sf_dir.rstrip("/"))) or "d"
+    digest = hashlib.sha1(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    return f"{base}_{digest}"
 
 
 def table_view(spark: SparkSession, sf_dir: str, name: str) -> str:

@@ -310,14 +310,16 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Cluster compositions depend on library-internal centroid init, but three
-#: invariants do not: exactly k non-empty clusters partition all N rows, and
-#: converged Lloyd inertia is bounded by the total sum of squares about the
-#: global mean (each cluster mean minimizes its cluster's SS, so per-cluster
-#: SS ≤ that cluster's SS about ANY point, in particular the global mean;
-#: summing gives inertia ≤ total SS).  All three are computed Spark-side
-#: from the live model and hash-checked against the oracle's literals.
+#: invariants do not: the non-empty clusters partition all N rows into
+#: between 1 and k groups (Lloyd may leave clusters empty, so exactly-k is
+#: NOT guaranteed and is not pinned), and converged Lloyd inertia is
+#: bounded by the total sum of squares about the global mean (each cluster
+#: mean minimizes its cluster's SS, so per-cluster SS ≤ that cluster's SS
+#: about ANY point, in particular the global mean; summing gives inertia ≤
+#: total SS).  All three are computed Spark-side from the live model and
+#: hash-checked against the oracle's literals.
 _KMEANS_ORACLE = """
-SELECT CAST(10 AS BIGINT) AS n_clusters,
+SELECT TRUE AS clusters_within_k,
        COUNT(*) AS n_points,
        TRUE AS inertia_le_total_ss
 FROM embeddings
@@ -348,7 +350,7 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         F.sum("n").alias("n_points"),
     ).crossJoin(total_ss).select(
-        "n_clusters",
+        ((F.col("n_clusters") >= 1) & (F.col("n_clusters") <= 10)).alias("clusters_within_k"),
         "n_points",
         (F.lit(float(inertia)) <= F.col("tss") * (1 + 1e-9)).alias("inertia_le_total_ss"),
     )
@@ -404,10 +406,15 @@ def mllib_tfidf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     cv = CountVectorizer(inputCol="words", outputCol="tf", vocabSize=1 << 20, minDF=1.0).fit(toks)
     tf = cv.transform(toks)
     idf = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
-    arr = idf.transform(tf).select("doc_id", vector_to_array("tfidf").alias("w"))
+    arr = idf.transform(tf).select("doc_id", "words", vector_to_array("tfidf").alias("w"))
+    # n_active_terms counts DISTINCT TERMS (tf >= 1), matching the oracle's
+    # per-(doc, term) rows — NOT positive weights: a term present in every
+    # document has idf = ln((N+1)/(N+1)) = 0, which the oracle still counts
+    # but a weight>0 filter would drop (its 0 weight contributes nothing to
+    # the l2 norm in either engine, so the norms agree regardless).
     return arr.select(
         "doc_id",
-        big(F.size(F.filter("w", lambda x: x > 0)), "n_active_terms"),
+        big(F.size(F.array_distinct("words")), "n_active_terms"),
         F.round(
             F.sqrt(F.aggregate(F.col("w"), F.lit(0.0), lambda a, x: a + x * x)), 4
         ).alias("l2_norm"),

@@ -693,17 +693,31 @@ GROUP BY l_returnflag
 """
 
 
+def approx_percentiles_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION percentile path at 100 TB: ``approx_percentile``
+    alone (Greenwald-Khanna style mergeable sketch — partial-agg
+    combinable, no per-group value buffering, no single-node bottleneck).
+    The registered ``agg_approx_percentiles`` wraps this with exact
+    percentiles purely to hash-verify the sketch's error bound — that
+    verification wrapper buffers values like any exact percentile and is a
+    correctness-gate artifact, not the scale plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_quantity", F.lit(0.5), F.lit(10000)).alias("ap50"),
+        F.approx_percentile("l_extendedprice", F.lit(0.9), F.lit(10000)).alias("aprice_p90"),
+    )
+
+
 @query(
     "agg_approx_percentiles",
     oracle=_APPROX_PCTL_ORACLE,
     tags=("relational", "agg", "percentile", "approx"),
 )
 def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB percentile path promised by ``agg_percentiles_lineitem``:
-    ``approx_percentile`` (Greenwald-Khanna style mergeable sketch — a
-    partial-agg-combinable summary, so no per-group sort and no single-node
-    bottleneck at any scale), hash-oracled through the sketch's rank-error
-    bound (see oracle note)."""
+    """Check wrapper over ``approx_percentiles_scale``'s sketch: runs the
+    GK sketch next to exact percentiles and hash-verifies the rank-error
+    bound (see oracle note).  The exact columns exist for the oracle gate
+    only; the unwrapped scale path is ``approx_percentiles_scale``."""
     li = load_table(spark, sf_dir, "lineitem")
     eps = 0.01
     agg = li.groupBy("l_returnflag").agg(

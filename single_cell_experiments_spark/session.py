@@ -41,16 +41,21 @@ CORRECTNESS_CONFS = {
 #: left alone so a session owner's explicit later overrides stick.  The
 #: bench's AQE-off / pre-sized-shuffle sizing was previously clobbered here
 #: on every ``load_table`` call, which silently re-enabled AQE's per-stage
-#: materialization jobs mid-bench.
-PERF_CONFS = {
-    "spark.sql.adaptive.enabled": "true",
-    "spark.sql.adaptive.coalescePartitions.enabled": "true",
-    "spark.sql.adaptive.skewJoin.enabled": "true",
-    "spark.sql.execution.arrow.pyspark.enabled": "true",
+#: materialization jobs mid-bench.  Values are (engine value, Spark
+#: default): even on the FIRST tune, a conf whose current value differs
+#: from the Spark default was set deliberately by the session owner and is
+#: left alone — the engine only upgrades defaults, never overrides choices.
+PERF_CONFS_WITH_DEFAULTS = {
+    "spark.sql.adaptive.enabled": ("true", "true"),
+    "spark.sql.adaptive.coalescePartitions.enabled": ("true", "true"),
+    "spark.sql.adaptive.skewJoin.enabled": ("true", "true"),
+    "spark.sql.execution.arrow.pyspark.enabled": ("true", "false"),
     # Top-k-per-group (rank<=k) benefits from WindowGroupLimit pushdown;
     # on by default in Spark >=3.5, pinned here for clarity.
-    "spark.sql.optimizer.windowGroupLimitThreshold": "1000",
+    "spark.sql.optimizer.windowGroupLimitThreshold": ("1000", "1000"),
 }
+
+PERF_CONFS = {k: v for k, (v, _) in PERF_CONFS_WITH_DEFAULTS.items()}
 
 #: Back-compat alias (docs/tools referenced the combined dict).
 RUNTIME_CONFS = {**CORRECTNESS_CONFS, **PERF_CONFS}
@@ -70,17 +75,22 @@ def tune(spark: SparkSession) -> SparkSession:
     must not override an owner's explicit settings (e.g. the bench's
     AQE-off small-SF sizing).
     """
-    confs = dict(CORRECTNESS_CONFS)
-    if spark not in _perf_tuned:
-        confs.update(PERF_CONFS)
-        _perf_tuned.add(spark)
-    for k, v in confs.items():
+    for k, v in CORRECTNESS_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             # Static conf on a locked session — engine paths that need it
             # (only the events ns shim) degrade via catalog fallbacks.
             pass
+    if spark not in _perf_tuned:
+        _perf_tuned.add(spark)
+        for k, (v, spark_default) in PERF_CONFS_WITH_DEFAULTS.items():
+            try:
+                current = spark.conf.get(k, spark_default)
+                if current == spark_default:  # owner hasn't chosen otherwise
+                    spark.conf.set(k, v)
+            except Exception:
+                pass
     return spark
 
 

@@ -99,6 +99,6 @@ def test_kmeans_invariants_hold(spark, emb_matrix):
     out = QS["kmeans_embedding_clusters"](spark, SF_DIR).toPandas()
     assert len(out) == 1
     r = out.iloc[0]
-    assert r["n_clusters"] == 10
+    assert bool(r["clusters_within_k"])
     assert r["n_points"] == len(vec_ids)
     assert bool(r["inertia_le_total_ss"])
