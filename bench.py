@@ -96,18 +96,12 @@ def main() -> int:
     names = sys.argv[1:] or list(HEADLINE)
     fresh = {name: fresh_fn(name) for name in names}
 
-    # Ambient-load probe: the median round-trip of an empty one-task job.
-    # Every fresh query pays 1-2 of these (BASELINE.md §round 5 has the
-    # per-query job counts), and the floor swings 85-155 ms with VM load —
-    # recording it alongside the totals makes a slow run attributable.
+    # Ambient-load probe warm-up (the floor itself is sampled INSIDE the
+    # timed section below, one per round, so the recorded floor reflects
+    # the load the timed samples actually experienced).
     for _ in range(3):
         spark.range(1).count()
-    floor_samples = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        spark.range(1).count()
-        floor_samples.append(time.perf_counter() - t0)
-    job_floor_ms = round(statistics.median(floor_samples) * 1000, 1)
+    floor_samples: list[float] = []
 
     # Five passes: measured fresh medians keep improving through the first
     # ~4 full passes as the JVM C2 compiler finishes with the scan/agg/
@@ -125,6 +119,14 @@ def main() -> int:
             t0 = time.perf_counter()
             fresh[name](spark, sf_dir).toPandas()
             fresh_times[name].append(time.perf_counter() - t0)
+        # One empty-job floor sample per round — every fresh query above
+        # pays 1-2 of these round-trips (BASELINE.md §round 5), and the
+        # floor swings 85-155 ms with ambient VM load; sampling it inside
+        # the timed section makes each recorded bench attributable.
+        t0 = time.perf_counter()
+        spark.range(1).count()
+        floor_samples.append(time.perf_counter() - t0)
+    job_floor_ms = round(statistics.median(floor_samples) * 1000, 1)
 
     # Warm column: cached plan, shuffle-output reuse — repeat-call latency.
     warm_times: dict[str, list[float]] = {name: [] for name in names}

@@ -90,7 +90,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> dict[str, DataFrame]:
-    """Register all tables as temp views (for ``spark.sql`` operators)."""
+    """Register all tables under their BARE names (plus ``suffix``) — the
+    interactive convenience for ad-hoc ``spark.sql`` over one dataset.
+
+    Bare names are session-global: registering a second sf_dir re-points
+    them at the new data (``createOrReplaceTempView`` semantics).  Engine
+    code must NOT use this — query builders go through ``table_view``,
+    whose names embed a hash of the full data path and therefore never
+    alias across datasets.
+    """
     out = {}
     for name in TABLES:
         df = load_table(spark, sf_dir, name)

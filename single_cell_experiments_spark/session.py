@@ -41,21 +41,34 @@ CORRECTNESS_CONFS = {
 #: left alone so a session owner's explicit later overrides stick.  The
 #: bench's AQE-off / pre-sized-shuffle sizing was previously clobbered here
 #: on every ``load_table`` call, which silently re-enabled AQE's per-stage
-#: materialization jobs mid-bench.  Values are (engine value, Spark
-#: default): even on the FIRST tune, a conf whose current value differs
-#: from the Spark default was set deliberately by the session owner and is
-#: left alone — the engine only upgrades defaults, never overrides choices.
-PERF_CONFS_WITH_DEFAULTS = {
-    "spark.sql.adaptive.enabled": ("true", "true"),
-    "spark.sql.adaptive.coalescePartitions.enabled": ("true", "true"),
-    "spark.sql.adaptive.skewJoin.enabled": ("true", "true"),
-    "spark.sql.execution.arrow.pyspark.enabled": ("true", "false"),
+#: materialization jobs mid-bench.  Even on the FIRST tune, a conf the
+#: owner has EXPLICITLY set — detected via ``SQLConf.contains`` (true only
+#: for explicitly-set entries, even when set to the Spark default; a
+#: ``conf.get``-with-sentinel probe can NOT distinguish set-to-default
+#: from unset, and throws on type-validated confs) — is left alone: the
+#: engine fills in defaults, never overrides choices.
+PERF_CONFS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Top-k-per-group (rank<=k) benefits from WindowGroupLimit pushdown;
     # on by default in Spark >=3.5, pinned here for clarity.
-    "spark.sql.optimizer.windowGroupLimitThreshold": ("1000", "1000"),
+    "spark.sql.optimizer.windowGroupLimitThreshold": "1000",
 }
 
-PERF_CONFS = {k: v for k, (v, _) in PERF_CONFS_WITH_DEFAULTS.items()}
+def _explicitly_set(spark: SparkSession, key: str) -> bool:
+    """True iff the session owner (or builder) explicitly set ``key``.
+
+    Uses the JVM ``SQLConf.settings`` map via ``contains`` — the only
+    probe that distinguishes "set to the default value" from "never set".
+    On any internal-API failure, returns False (treat as unset, apply the
+    engine default — the pre-round-5 behavior).
+    """
+    try:
+        return bool(spark._jsparkSession.sessionState().conf().contains(key))
+    except Exception:
+        return False
 
 #: Back-compat alias (docs/tools referenced the combined dict).
 RUNTIME_CONFS = {**CORRECTNESS_CONFS, **PERF_CONFS}
@@ -84,10 +97,9 @@ def tune(spark: SparkSession) -> SparkSession:
             pass
     if spark not in _perf_tuned:
         _perf_tuned.add(spark)
-        for k, (v, spark_default) in PERF_CONFS_WITH_DEFAULTS.items():
+        for k, v in PERF_CONFS.items():
             try:
-                current = spark.conf.get(k, spark_default)
-                if current == spark_default:  # owner hasn't chosen otherwise
+                if not _explicitly_set(spark, k):  # owner never chose a value
                     spark.conf.set(k, v)
             except Exception:
                 pass

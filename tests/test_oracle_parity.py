@@ -45,6 +45,16 @@ def test_approx_percentile_error_bound(spark):
         assert r["ap90_in_bounds"], r
 
 
+def test_approx_percentiles_scale_path(spark):
+    """The unwrapped production sketch path must emit the same GK values
+    the registered verification wrapper bounds (same agg expressions, no
+    exact-percentile buffering)."""
+    from single_cell_experiments_spark.operators.relational import approx_percentiles_scale
+
+    out = {r["l_returnflag"]: r for r in approx_percentiles_scale(spark, SF_DIR).collect()}
+    assert out and all(r["ap50"] is not None and r["aprice_p90"] is not None for r in out.values())
+
+
 def test_approx_distinct_error_bound(spark):
     """approx_distinct_parts' HLL estimate must sit within 3·rsd of the
     exact count (the hash-checked flag), asserted directly here too."""

@@ -34,6 +34,27 @@ def test_tune_reasserts_correctness_confs(spark):
     ], "tune() must re-assert correctness confs on every call"
 
 
+def test_first_tune_respects_explicit_default_value(spark):
+    """An owner who explicitly sets a perf conf to its Spark-default value
+    BEFORE the engine's first tune must not be clobbered either —
+    distinguishable from 'unset' only via SQLConf.contains."""
+    from single_cell_experiments_spark import session as S
+
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    original = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")  # == Spark default, explicit choice
+        S._perf_tuned.discard(spark)  # simulate a never-tuned session
+        tune(spark)
+        assert spark.conf.get(key) == "false", (
+            "first tune() must not override an explicitly-set perf conf, "
+            "even when its value equals the Spark default"
+        )
+    finally:
+        spark.conf.set(key, original)
+        _ = tune(spark)
+
+
 def test_perf_confs_applied_on_first_tune(spark):
     # The shared session was tuned at build; its perf posture must hold
     # unless a test explicitly overrode it.
