@@ -60,3 +60,33 @@ def test_perf_confs_applied_on_first_tune(spark):
     # unless a test explicitly overrode it.
     for k, v in PERF_CONFS.items():
         assert spark.conf.get(k) == v
+
+
+def test_materialize_local_and_reliable_checkpoint(spark, tmp_path):
+    """materialize() is the engine's lineage cut: localCheckpoint by
+    default, durable checkpoint() when spark.sce.reliableCheckpoint=true —
+    the cluster fault-tolerance switch SCALE.md promises.  Both paths must
+    return the same rows and actually truncate lineage (a checkpointed
+    plan no longer re-reads the source)."""
+    from single_cell_experiments_spark.session import materialize
+
+    def lineage_cut(df) -> bool:
+        # After checkpoint/localCheckpoint the logical plan is a LogicalRDD
+        # over the materialized blocks — the source scan is gone.
+        return "Scan ExistingRDD" in df._jdf.queryExecution().executedPlan().toString()
+
+    df = spark.range(100).withColumnRenamed("id", "v")
+    local = materialize(df)
+    assert local.count() == 100
+    assert lineage_cut(local)
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    spark.conf.set("spark.sce.reliableCheckpoint", "true")
+    try:
+        durable = materialize(spark.range(50).withColumnRenamed("id", "v"))
+        assert durable.count() == 50
+        assert lineage_cut(durable)
+        ckpt_files = list((tmp_path / "ckpt").rglob("*"))
+        assert ckpt_files, "reliable checkpoint must write durable files"
+    finally:
+        spark.conf.set("spark.sce.reliableCheckpoint", "false")
