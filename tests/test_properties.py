@@ -186,3 +186,40 @@ def test_blocked_prefix_scan_equals_global_window(spark, rows):
         .collect()
     }
     assert scanned == naive
+
+
+# 2-decimal money values as integer cents (the domain rev_sum assumes:
+# non-negative prices, discounts in [0, 1) at 2 decimals).
+_PRICES = st.lists(
+    st.tuples(st.integers(0, 11_000_000), st.integers(0, 99)),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(rows=_PRICES)
+@_SETTINGS
+def test_rev_sum_is_exact_integer_arithmetic(spark, rows):
+    """compat.rev_sum's floor(x*100+0.5) integer-cents path must equal the
+    exact Decimal Σ price·(1−disc) on arbitrary 2-decimal inputs — the
+    invariant that makes q1/q3 revenue order-insensitive and hash-stable
+    against DuckDB regardless of partitioning."""
+    from decimal import Decimal
+
+    from single_cell_experiments_spark.functions.compat import rev_sum
+
+    pdf = pd.DataFrame(
+        {
+            "price": [pc / 100.0 for pc, _ in rows],
+            "disc": [dc / 100.0 for _, dc in rows],
+        }
+    )
+    expected = sum(
+        (Decimal(pc) * (Decimal(100) - Decimal(dc))) for pc, dc in rows
+    ) / Decimal(10_000)
+    got = (
+        spark.createDataFrame(pdf)
+        .agg(rev_sum("price", "disc", "rev"))
+        .collect()[0]["rev"]
+    )
+    assert abs(Decimal(str(got)) - expected) <= Decimal("0.0001"), (got, expected)
