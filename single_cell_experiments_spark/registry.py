@@ -217,16 +217,9 @@ _R3_VERIFIED: frozenset[str] = frozenset(
     }
 )
 
-#: Round-5 priority window (oldest-driver-evidence-first rotation, per the
-#: r4 verdict).  First the sketch/ML queries — ALL SIX gain genuine oracles
-#: this round (``mllib_tfidf_features`` via an exact CountVectorizer
-#: vocabulary; ``agg_approx_percentiles`` / ``approx_distinct_parts`` via
-#: hash-checked error-bound invariants; ``kmeans_embedding_clusters`` via
-#: partition+inertia invariants; ``mllib_minhash_dedup`` via the
-#: identical-input recall guarantee; ``mllib_brp_lsh_neighbors`` via
-#: soundness invariants) — leaving zero rows-only queries.  The r2-verified
-#: tail (43 queries, driver evidence now three rounds old) fills the
-#: remaining window slots.
+#: Round-5 priority window (checked by the driver in round 5 alongside the
+#: r2-verified tail; all six sketch/ML queries earned genuine-oracle hash
+#: rows there — CORRECTNESS_r05.json).  Kept for evidence bookkeeping.
 _R5_PRIORITY: tuple[str, ...] = (
     "mllib_tfidf_features", "agg_approx_percentiles",
     "approx_distinct_parts", "kmeans_embedding_clusters",
@@ -235,21 +228,23 @@ _R5_PRIORITY: tuple[str, ...] = (
 
 
 def _ordered() -> list[QuerySpec]:
-    """Registry in driver-check priority order.
+    """Registry in driver-check priority order (round-6 rotation).
 
-    1. ``_R5_PRIORITY`` — the rows-only tail, four newly oracled.
+    The r5 verdict's #1 ask: the 34 queries whose only hard driver evidence
+    is round 1 (four rounds of code churn ago) must fill the 50-slot window.
+    Evidence freshness after round 5: r1-stale (oldest) < r3-set (checked
+    r4) < r5-priority + r2-set (checked r5, freshest).
+
+    1. r1-verified never re-confirmed since — the 34-query stale tail.
     2. Queries new this round (in no verified/priority set).
-    3. r2-verified — the oldest driver evidence still on record.
-    4. r1-verified not re-confirmed since.
-    5. r3/r4-verified (freshest evidence) last.
+    3. ``_R5_PRIORITY`` — the six sketch/ML queries whose oracles gain
+       independent numeric teeth this round; fresh rows re-certify them.
+    4. r3/r4-verified (evidence two rounds old).
+    5. r2-verified (re-checked in round 5, freshest evidence) last.
     """
     specs = {s.name: s for s in REGISTRY.values()}
-    prio = [specs[n] for n in _R5_PRIORITY if n in specs]
-    placed = set(_R5_PRIORITY) | _R1_VERIFIED | _R2_VERIFIED | _R3_VERIFIED
-    new = [s for s in specs.values() if s.name not in placed]
     prio_set = set(_R5_PRIORITY)
-    r2 = [s for s in specs.values() if s.name in _R2_VERIFIED and s.name not in prio_set]
-    r1 = [
+    r1_stale = [
         s
         for s in specs.values()
         if s.name in _R1_VERIFIED
@@ -257,12 +252,25 @@ def _ordered() -> list[QuerySpec]:
         and s.name not in _R2_VERIFIED
         and s.name not in _R3_VERIFIED
     ]
+    placed = prio_set | _R1_VERIFIED | _R2_VERIFIED | _R3_VERIFIED
+    new = [s for s in specs.values() if s.name not in placed]
+    prio = [specs[n] for n in _R5_PRIORITY if n in specs]
     r3 = [
         s
         for s in specs.values()
-        if s.name in _R3_VERIFIED and s.name not in prio_set and s.name not in _R2_VERIFIED
+        if s.name in _R3_VERIFIED and s.name not in prio_set and s.name not in _R1_VERIFIED
     ]
-    return prio + new + r2 + r1 + r3
+    r2 = [
+        s
+        for s in specs.values()
+        if s.name in _R2_VERIFIED and s.name not in prio_set and s.name not in _R3_VERIFIED
+    ]
+    r1_fresh = [
+        s
+        for s in specs.values()
+        if s.name in _R1_VERIFIED and s.name in _R3_VERIFIED and s.name not in prio_set
+    ]
+    return r1_stale + new + prio + r3 + r2 + r1_fresh
 
 
 def queries() -> dict[str, QueryFn]:
