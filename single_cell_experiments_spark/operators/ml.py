@@ -6,11 +6,17 @@ chunked SVD on the RDD matrix) map to ``pyspark.ml.feature.PCA`` over the
 ``embeddings`` array column; the LSH families are the MLlib twins of the
 hand-rolled SQL LSH in operators/dedup.py and operators/similarity.py.
 
-None of these have an exact SQL oracle (eigenvectors are sign/rotation
-ambiguous; MLlib's hash families use library-internal seeds), so they are
-registered **without** oracle SQL — the driver records a rows-only check
-(contract permits this) and tests/test_ml.py self-checks PCA against
-``numpy.linalg.svd`` and LSH recall against the exact pair sets.
+None of these have an exact point-for-point SQL oracle (eigenvectors are
+sign/rotation ambiguous; MLlib's hash families use library-internal
+seeds), so each is registered through an INVARIANT oracle instead — a
+hash-checked consequence that does not depend on library internals,
+anchored where possible by a cross-engine NUMBER DuckDB derives
+independently (PCA: rotation-invariant norms; MinHash: identical-input
+recall over a reproducible clone injection; BRP: soundness + the exact
+threshold pair count; KMeans: partition flags + the total sum of squares;
+TF-IDF: exact CountVectorizer vocabulary reproduced relationally).
+tests/test_ml.py additionally self-checks PCA against ``numpy.linalg.svd``
+and LSH recall against exact pair sets.
 
 Scale notes: MLlib PCA computes the Gramian via a single treeAggregate —
 O(d²) driver memory, fine for d ≲ 10⁴ (the AnnData regime; for wider
@@ -20,11 +26,13 @@ a bucket-join under the hood — the same LSH shape as the SQL variants.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.compat import big
+from ..functions.compat import big, stat6
 from ..registry import query
 
 PCA_K = 16
@@ -39,6 +47,32 @@ def _vectorized(df: DataFrame) -> DataFrame:
         "vec_id",
         "label",
         array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+
+
+#: per-session cache of MLlib input DataFrames: session -> {key: cached DF}.
+#: The LSH/KMeans fits iterate their input, so a storage-level cache is the
+#: right call — but a PER-BUILD ``.cache()`` leaks: every registry rebuild
+#: (driver correctness loop, bench rounds) pinned a fresh copy of the same
+#: blocks for the session's lifetime.  Memoizing the cached DataFrame per
+#: (session, key) pins each input exactly once.
+_fit_input_cache: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
+
+
+def _cached_input(spark: SparkSession, key: tuple, build) -> DataFrame:
+    try:
+        c = _fit_input_cache[spark]
+    except KeyError:
+        c = _fit_input_cache.setdefault(spark, {})
+    if key not in c:
+        c[key] = build().cache()
+    return c[key]
+
+
+def _vec_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached vectorized embeddings (shared LSH/KMeans fit input)."""
+    return _cached_input(
+        spark, ("emb_vec", sf_dir), lambda: _vectorized(load_table(spark, sf_dir, "embeddings"))
     )
 
 
@@ -107,99 +141,178 @@ def sc_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MLlib MinHashLSH near-dup join over documents (the library twin of
-    ``dedup_minhash_lsh``): word tokens → binary HashingTF vectors →
-    ``approxSimilarityJoin`` at Jaccard distance ≤ 0.7, aggregated to
-    per-document neighbor stats (count + closest distance).
+SHINGLE_K = 5  # char-shingle width — matches the SQL twin (dedup.py)
+MINHASH_TABLES = 12
+MINHASH_ROWS_PER_BAND = 4
+MINHASH_DIST_MAX = 0.7
+#: Deterministic duplicate injection for the recall oracle: docs with
+#: doc_id < N_CLONES are re-emitted verbatim under doc_id + CLONE_OFFSET.
+#: DuckDB reproduces the same union, so the oracle stays data-dependent
+#: and non-vacuous at every SF (the natural shingle-set duplicate count is
+#: 2 at sf0.001, 0 at sf0.01, 18 at sf0.1 — zero would make the sf0.01
+#: gate vacuous without the injection).
+MINHASH_N_CLONES = 25
+MINHASH_CLONE_OFFSET = 1_000_000_000
 
-    Scale reality check (measured): on THIS corpus the library join
-    degenerates — a ~40-word vocabulary makes nearly all docs share MinHash
-    buckets, so the bucket self-join approaches all-pairs (8 tables ×
-    5000² at sf0.1 exceeds 9 min wall on local[32]; 500 docs at sf0.01
-    complete in seconds, which is the driver's correctness point).  The
-    SCALE path for MinHash dedup is the banded SQL implementation
-    (``dedup_minhash_lsh``, operators/dedup.py) whose shingled features
-    keep buckets selective; this MLlib twin exists for library parity and
-    stays per-doc-aggregated so the pair list is never collected.
+
+def _shingled_docs(spark: SparkSession, sf_dir: str, augment: bool = False) -> DataFrame:
+    """documents -> (doc_id, shingles: array<string>) — distinct char-5-gram
+    shingles of the raw text, the same feature definition as the SQL scale
+    path (``dedup_minhash_lsh``).  ``augment=True`` unions in the clone
+    rows the recall oracle counts on."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    if augment:
+        clones = d.where(F.col("doc_id") < MINHASH_N_CLONES).select(
+            (F.col("doc_id") + F.lit(MINHASH_CLONE_OFFSET)).alias("doc_id"), "text"
+        )
+        d = d.unionByName(clones)
+    shingles = F.expr(
+        f"array_distinct(transform(sequence(1, length(text) - {SHINGLE_K - 1}),"
+        f" p -> substring(text, p, {SHINGLE_K})))"
+    )
+    return d.where(F.length("text") >= SHINGLE_K).select("doc_id", shingles.alias("shingles"))
+
+
+def _banded_minhash_neighbors(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles) -> per-doc near-dup stats via MLlib MinHash +
+    EXPLICIT banding.
+
+    MLlib's own ``approxSimilarityJoin`` is OR-amplification over
+    single-hash tables (r=1, b=numHashTables): candidate probability
+    1-(1-s)^b, which on this high-similarity corpus (31-word generator
+    vocabulary; measured mean pairwise shingle-Jaccard ≈ 0.46) makes ~94%
+    of ALL pairs candidates — the measured >9 min sf0.1 degeneracy of
+    round 5 was structural, not a feature-tokenization bug.  The fix
+    composes AND-amplification on top of the library's hash family: the
+    model's 12 MinHash values are grouped into 3 bands × 4 rows (the SQL
+    twin's banding), pairs must match a whole band, and the exact Jaccard
+    verify runs only on band-local candidates.  Identical feature sets
+    still collide in every band, so the identical-input recall guarantee
+    is preserved.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+    from pyspark.ml.functions import vector_to_array
+
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    ).transform(docs)
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=MINHASH_TABLES, seed=42
+    ).fit(tf)
+    hashed = model.transform(tf).select("doc_id", F.posexplode("hashes").alias("t", "hvec"))
+    bands = (
+        hashed.select(
+            "doc_id",
+            F.expr(f"t div {MINHASH_ROWS_PER_BAND}").alias("band"),
+            F.struct("t", vector_to_array("hvec")[0].cast("bigint").alias("h")).alias("th"),
+        )
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("th")), lambda s: s["h"].cast("string")),
+                ",",
+            ).alias("sig")
+        )
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    sh = docs.select("doc_id", "shingles")
+    pairs = (
+        cand.join(
+            sh.withColumnRenamed("doc_id", "d1").withColumnRenamed("shingles", "s1"), "d1"
+        )
+        .join(sh.withColumnRenamed("doc_id", "d2").withColumnRenamed("shingles", "s2"), "d2")
+        .select(
+            "d1",
+            "d2",
+            (
+                F.lit(1.0)
+                - F.size(F.array_intersect("s1", "s2"))
+                / F.size(F.array_union("s1", "s2")).cast("double")
+            ).alias("jaccard_dist"),
+        )
+        .where(F.col("jaccard_dist") <= MINHASH_DIST_MAX)
+    )
+    sym = pairs.select(
+        F.col("d1").alias("doc_id"), F.col("jaccard_dist").alias("jaccard_dist")
+    ).unionByName(pairs.select(F.col("d2").alias("doc_id"), "jaccard_dist"))
+    return sym.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_near_dups"),
+        F.round(F.min("jaccard_dist"), 4).alias("closest_dist"),
+    )
+
+
+def minhash_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib MinHashLSH near-dup profile over documents (the library twin
+    of ``dedup_minhash_lsh``): char-5-gram shingles → binary HashingTF →
+    MinHash(12) → 3×4 banded candidate join → exact Jaccard ≤ 0.7,
+    aggregated to per-document neighbor stats (count + closest distance).
 
     ``n_near_dups`` depends on LSH recall (library-internal hash
     coefficients), so this detailed form stays unregistered (checked in
     tests/test_ml.py); the registered ``mllib_minhash_dedup`` hash-checks
     the family's recall GUARANTEE instead.
     """
-    from pyspark.ml.feature import HashingTF, MinHashLSH, RegexTokenizer
-
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = RegexTokenizer(
-        inputCol="text", outputCol="words", pattern=r"[^a-z0-9]+", minTokenLength=1
-    ).transform(d.withColumn("text", F.lower("text")))
-    tf = HashingTF(
-        inputCol="words", outputCol="features", numFeatures=1 << 16, binary=True
-    ).transform(toks)
-    tf = tf.where(F.size("words") > 0).cache()
-    model = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42).fit(tf)
-    pairs = model.approxSimilarityJoin(tf, tf, 0.7, distCol="jaccard_dist")
-    return (
-        pairs.where(F.col("datasetA.doc_id") != F.col("datasetB.doc_id"))
-        .groupBy(F.col("datasetA.doc_id").alias("doc_id"))
-        .agg(
-            F.count(F.lit(1)).alias("n_near_dups"),
-            F.round(F.min("jaccard_dist"), 4).alias("closest_dist"),
-        )
-    )
+    return _banded_minhash_neighbors(_shingled_docs(spark, sf_dir))
 
 
 #: LSH gives no general recall guarantee, but it gives an ABSOLUTE one for
 #: identical inputs.  The binary HashingTF vector is a function of the
-#: doc's DISTINCT-token set, so two docs with equal token sets get
-#: identical vectors, identical MinHash signatures, land in the same
-#: bucket of every hash table, and their candidate pair's true Jaccard
-#: distance is 0 ≤ threshold — every such doc MUST surface with
-#: closest_dist = 0.  The oracle enumerates token-set-duplicate docs in
-#: SQL (87 docs at sf0.001, 75 at sf0.01 — non-vacuous) and asserts the
-#: flags the live join computes.
-_MINHASH_ORACLE = """
-WITH toks AS (
-  SELECT doc_id,
-         list_sort(list_distinct(list_filter(
-             regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-             t -> length(t) >= 1))) AS tset
-  FROM documents
+#: doc's distinct SHINGLE set, so two docs with equal shingle sets get
+#: identical vectors, identical MinHash signatures, collide in every band,
+#: and their candidate pair's true Jaccard distance is 0 ≤ threshold —
+#: every such doc MUST surface with closest_dist = 0.  The oracle
+#: reproduces the clone injection and enumerates shingle-set-duplicate
+#: docs in SQL (≥ 2·N_CLONES rows at every SF plus natural duplicates),
+#: asserting the flags the live banded join computes.
+_MINHASH_ORACLE = f"""
+WITH docs AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id + {MINHASH_CLONE_OFFSET} AS BIGINT), text
+  FROM documents WHERE doc_id < {MINHASH_N_CLONES}
+),
+sh AS (
+  SELECT doc_id, list_sort(list_distinct(list_transform(
+      range(1, length(text) - {SHINGLE_K - 2}),
+      p -> substr(text, p, {SHINGLE_K})))) AS sset
+  FROM docs WHERE length(text) >= {SHINGLE_K}
 )
 SELECT doc_id, TRUE AS has_set_dup, TRUE AS closest_is_zero
-FROM toks
-WHERE len(tset) > 0
-  AND tset IN (SELECT tset FROM toks GROUP BY tset HAVING COUNT(*) > 1)
+FROM sh
+WHERE sset IN (SELECT sset FROM sh GROUP BY sset HAVING COUNT(*) > 1)
 """
 
 
 @query("mllib_minhash_dedup", oracle=_MINHASH_ORACLE, tags=("dedup", "ml", "lsh"))
 def mllib_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib MinHashLSH dedup, hash-oracled through the identical-input
-    recall guarantee (see oracle note): every document whose distinct-token
-    set duplicates another's must be reported by the live LSH join with a
-    distance-0 nearest neighbor.  The full per-doc near-dup profile is
+    recall guarantee (see oracle note): every document whose distinct
+    char-5-gram shingle set duplicates another's — natural duplicates plus
+    the deterministic clone injection both engines reproduce — must be
+    reported by the live banded LSH join with a distance-0 nearest
+    neighbor.  The full per-doc near-dup profile is
     ``minhash_dedup_profile`` (tests/test_ml.py)."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", F.lower("text").alias("lt"))
-    toks = d.select(
+    docs = _shingled_docs(spark, sf_dir, augment=True)
+    ssets = docs.select("doc_id", F.array_sort("shingles").alias("sset"))
+    dup_sets = ssets.groupBy("sset").agg(F.count(F.lit(1)).alias("n")).where(F.col("n") > 1)
+    dup_docs = ssets.join(F.broadcast(dup_sets.select("sset")), "sset").select("doc_id")
+    prof = _banded_minhash_neighbors(docs)
+    return dup_docs.join(prof, "doc_id", "left").select(
         "doc_id",
-        F.array_sort(
-            F.array_distinct(
-                F.filter(F.split("lt", "[^a-z0-9]+"), lambda t: F.length(t) >= 1)
-            )
-        ).alias("tset"),
-    ).where(F.size("tset") > 0)
-    dup_sets = toks.groupBy("tset").agg(F.count(F.lit(1)).alias("n")).where(F.col("n") > 1)
-    dup_docs = toks.join(F.broadcast(dup_sets.select("tset")), "tset").select("doc_id")
-    prof = minhash_dedup_profile(spark, sf_dir)
-    return (
-        dup_docs.join(prof, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.lit(True).alias("has_set_dup"),
-            (F.col("closest_dist") == 0.0).alias("closest_is_zero"),
-        )
+        F.lit(True).alias("has_set_dup"),
+        (F.col("closest_dist") == 0.0).alias("closest_is_zero"),
     )
 
 
@@ -215,11 +328,11 @@ def brp_lsh_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.ml.feature import BucketedRandomProjectionLSH
 
-    e = _vectorized(load_table(spark, sf_dir, "embeddings")).cache()
+    e = _vec_embeddings(spark, sf_dir)
     model = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", bucketLength=0.5, numHashTables=4, seed=42
     ).fit(e)
-    pairs = model.approxSimilarityJoin(e, e, 1.2, distCol="euclid_dist")
+    pairs = model.approxSimilarityJoin(e, e, BRP_THRESHOLD, distCol="euclid_dist")
     return (
         pairs.where(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
         .select(
@@ -230,25 +343,55 @@ def brp_lsh_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: LSH recall is seed-dependent, but SOUNDNESS is not: every reported pair
-#: must (a) exist, (b) carry the TRUE euclidean distance (recomputed here
-#: from the raw embeddings in plain SQL arithmetic, tolerance = the 4-dp
-#: output rounding), (c) respect the 1.2 threshold, and (d) be in canonical
-#: vec1 < vec2 order.  All four are computed Spark-side from the live join
-#: and hash-checked against the oracle's literals.  An empty pair set turns
-#: ``found_pairs`` false (and the exactness flags NULL), so the check
-#: cannot pass vacuously.
-_BRP_ORACLE = """
+BRP_THRESHOLD = 1.2
+
+
+def _sq_dist2(v1: str | F.Column, v2: str | F.Column) -> F.Column:
+    """Index-ordered Σ(x−y)² over two array<double> columns — the exact
+    left-to-right IEEE sum DuckDB's list-lambda twin performs, so the
+    rounded value is bit-identical across engines."""
+    return F.aggregate(
+        F.zip_with(v1, v2, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+#: LSH recall is seed-dependent, but SOUNDNESS is not — and soundness has a
+#: cross-engine NUMERIC consequence: the reported pair count can never
+#: exceed the exact number of pairs within the threshold, which DuckDB
+#: computes independently from the raw embeddings (all-pairs squared
+#: distance, quantized to 6 dp before the threshold test so both engines
+#: make the identical boundary decision).  The hash row therefore carries
+#: ``exact_pair_ct`` — a data-dependent number each engine derives on its
+#: own — alongside the Spark-computed invariant flags: every reported pair
+#: (a) exists, (b) carries the true distance (re-derived via ``exact_dist``,
+#: tolerance = the 4-dp output rounding), (c) is within threshold BY THE
+#: RE-DERIVED distance (not the join's own pass-through column), and
+#: (d) ``n_reported ≤ exact_pair_ct`` (the soundness bound).  An empty pair
+#: set turns ``found_pairs`` false, so the check cannot pass vacuously.
+_BRP_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+pairs AS (
+  SELECT round(list_sum(list_transform(range(1, {EMBED_DIM + 1}),
+             i -> (a.e[i] - b.e[i]) * (a.e[i] - b.e[i]))), 6) AS d2
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+)
 SELECT TRUE AS found_pairs, TRUE AS dists_exact,
-       TRUE AS within_threshold, TRUE AS canonical_order
-FROM embeddings LIMIT 1
+       TRUE AS within_threshold, TRUE AS sound_pair_bound,
+       COUNT(*) FILTER (WHERE d2 <= {BRP_THRESHOLD * BRP_THRESHOLD}) AS exact_pair_ct
+FROM pairs
 """
 
 
 @query("mllib_brp_lsh_neighbors", oracle=_BRP_ORACLE, tags=("similarity", "ml", "lsh"))
 def mllib_brp_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BucketedRandomProjectionLSH neighbor join, hash-oracled through its
-    soundness invariants (see oracle note); the raw pair list is
+    soundness invariants plus an independently-computed cross-engine pair
+    count (see oracle note); the raw pair list is
     ``brp_lsh_neighbor_pairs`` (tests/test_ml.py)."""
     pairs = brp_lsh_neighbor_pairs(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -261,20 +404,34 @@ def mllib_brp_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec1",
             "vec2",
             "euclid_dist",
-            F.sqrt(
-                F.aggregate(
-                    F.zip_with("v1", "v2", lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            ).alias("exact_dist"),
+            F.sqrt(_sq_dist2("v1", "v2")).alias("exact_dist"),
         )
     )
-    return exact.agg(
+    flags = exact.agg(
         (F.count(F.lit(1)) > 0).alias("found_pairs"),
         (F.max(F.abs(F.col("euclid_dist") - F.col("exact_dist"))) <= 5.1e-5).alias("dists_exact"),
-        (F.max("euclid_dist") <= 1.2 + 1e-9).alias("within_threshold"),
-        (F.min(F.col("vec1") < F.col("vec2"))).alias("canonical_order"),
+        # Threshold checked on the RE-DERIVED distance (tolerance = output
+        # rounding), so the flag verifies the join rather than restating
+        # its own filter.
+        (F.max("exact_dist") <= BRP_THRESHOLD + 5.1e-5).alias("within_threshold"),
+        F.count(F.lit(1)).cast("bigint").alias("n_reported"),
+    )
+    all_pairs = (
+        emb.alias("a")
+        .join(emb.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.round(_sq_dist2("a.v", "b.v"), 6).alias("d2"))
+    )
+    exact_ct = all_pairs.agg(
+        F.sum(
+            F.when(F.col("d2") <= BRP_THRESHOLD * BRP_THRESHOLD, 1).otherwise(0)
+        ).cast("bigint").alias("exact_pair_ct")
+    )
+    return flags.crossJoin(exact_ct).select(
+        "found_pairs",
+        "dists_exact",
+        "within_threshold",
+        (F.col("n_reported") <= F.col("exact_pair_ct")).alias("sound_pair_bound"),
+        "exact_pair_ct",
     )
 
 
@@ -288,7 +445,7 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.ml.clustering import KMeans
 
-    e = _vectorized(load_table(spark, sf_dir, "embeddings")).cache()
+    e = _vec_embeddings(spark, sf_dir)
     model = KMeans(k=10, seed=42, featuresCol="features", predictionCol="cluster").fit(e)
     assigned = model.transform(e)
     per_label = assigned.groupBy("cluster", "label").agg(F.count(F.lit(1)).alias("n"))
@@ -309,40 +466,64 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Cluster compositions depend on library-internal centroid init, but three
-#: invariants do not: the non-empty clusters partition all N rows into
-#: between 1 and k groups (Lloyd may leave clusters empty, so exactly-k is
-#: NOT guaranteed and is not pinned), and converged Lloyd inertia is
-#: bounded by the total sum of squares about the global mean (each cluster
-#: mean minimizes its cluster's SS, so per-cluster SS ≤ that cluster's SS
-#: about ANY point, in particular the global mean; summing gives inertia ≤
-#: total SS).  All three are computed Spark-side from the live model and
-#: hash-checked against the oracle's literals.
+#: Cluster compositions depend on library-internal centroid init, but the
+#: invariants do not — and one of them has a cross-engine NUMERIC anchor:
+#: the total sum of squares about the global mean, which DuckDB computes
+#: independently from the raw embeddings.  Converged Lloyd inertia is
+#: bounded by it (each cluster mean minimizes its cluster's SS, so
+#: per-cluster SS ≤ that cluster's SS about ANY point, in particular the
+#: global mean; summing gives inertia ≤ total SS).  The hash row carries
+#: ``total_ss`` — each engine derives it on its own through the stat6
+#: decimal path (per-row 6-dp quantization → exact DECIMAL sums → one
+#: final rounding), so the doubles are bit-identical — plus the
+#: Spark-computed partition flags (non-empty clusters partition all N rows
+#: into 1..k groups; Lloyd may leave clusters empty, so exactly-k is NOT
+#: pinned) and the inertia bound against the live model's trainingCost.
 _KMEANS_ORACLE = """
+WITH x AS (
+  SELECT generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+dims AS (
+  SELECT i,
+         CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(18,6))) AS DOUBLE) AS ss,
+         CAST(SUM(CAST(round(x, 6) AS DECIMAL(18,6))) AS DOUBLE) AS s,
+         COUNT(*) AS n
+  FROM x GROUP BY i
+)
 SELECT TRUE AS clusters_within_k,
-       COUNT(*) AS n_points,
-       TRUE AS inertia_le_total_ss
-FROM embeddings
+       (SELECT COUNT(*) FROM embeddings) AS n_points,
+       TRUE AS inertia_le_total_ss,
+       round(CAST(SUM(CAST(round(ss - s * s / n, 6) AS DECIMAL(18,6))) AS DOUBLE), 4)
+         AS total_ss
+FROM dims
 """
 
 
 @query("kmeans_embedding_clusters", oracle=_KMEANS_ORACLE, tags=("ml", "clustering"))
 def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMeans(k=10, fixed seed) over embeddings, hash-oracled through its
-    partition + inertia invariants (see oracle note); the per-cluster
-    profile lives in ``kmeans_cluster_profile`` (tests/test_ml.py)."""
+    partition + inertia invariants anchored by a cross-engine ``total_ss``
+    (see oracle note); the per-cluster profile lives in
+    ``kmeans_cluster_profile`` (tests/test_ml.py)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import vector_to_array
 
-    e = _vectorized(load_table(spark, sf_dir, "embeddings")).cache()
+    e = _vec_embeddings(spark, sf_dir)
     model = KMeans(k=10, seed=42, featuresCol="features", predictionCol="cluster").fit(e)
     inertia = model.summary.trainingCost
     arr = e.select(vector_to_array("features").alias("v"))
     total_ss = (
         arr.select(F.posexplode("v").alias("i", "x"))
         .groupBy("i")
-        .agg(F.sum("x").alias("s"), F.sum(F.col("x") * F.col("x")).alias("ss"), F.count("*").alias("n"))
-        .select(F.sum(F.col("ss") - F.col("s") * F.col("s") / F.col("n")).alias("tss"))
+        .agg(
+            F.sum(stat6(F.col("x") * F.col("x"))).cast("double").alias("ss"),
+            F.sum(stat6("x")).cast("double").alias("s"),
+            F.count("*").alias("n"),
+        )
+        .select(stat6(F.col("ss") - F.col("s") * F.col("s") / F.col("n")).alias("c"))
+        .agg(F.round(F.sum("c").cast("double"), 4).alias("total_ss"))
     )
     assigned = model.transform(e)
     sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
@@ -352,7 +533,12 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(total_ss).select(
         ((F.col("n_clusters") >= 1) & (F.col("n_clusters") <= 10)).alias("clusters_within_k"),
         "n_points",
-        (F.lit(float(inertia)) <= F.col("tss") * (1 + 1e-9)).alias("inertia_le_total_ss"),
+        # The 1e-6 headroom covers the stat6 quantization of total_ss; the
+        # k=10 inertia sits far below total_ss, so the bound stays sharp.
+        (F.lit(float(inertia)) <= F.col("total_ss") * (1 + 1e-9) + 1e-4).alias(
+            "inertia_le_total_ss"
+        ),
+        "total_ss",
     )
 
 
@@ -370,12 +556,18 @@ WITH toks AS (
 ),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
 df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
-n AS (SELECT COUNT(*) AS n_docs FROM documents)
-SELECT tf.doc_id,
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+w AS (
+  SELECT tf.doc_id,
+         round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS w6
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id,
        COUNT(*) AS n_active_terms,
-       round(sqrt(SUM(pow(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 2))), 4) AS l2_norm
-FROM tf JOIN df USING (term) CROSS JOIN n
-GROUP BY tf.doc_id
+       round(sqrt(CAST(SUM(CAST(round(w6 * w6, 6) AS DECIMAL(18,6))) AS DOUBLE)), 4)
+         AS l2_norm
+FROM w
+GROUP BY doc_id
 """
 
 
@@ -412,10 +604,25 @@ def mllib_tfidf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # document has idf = ln((N+1)/(N+1)) = 0, which the oracle still counts
     # but a weight>0 filter would drop (its 0 weight contributes nothing to
     # the l2 norm in either engine, so the norms agree regardless).
-    return arr.select(
+    #
+    # l2_norm goes through the engine-wide decimal determinism path
+    # (compat.py hazard #1): each weight is a transcendental (ln), so it is
+    # 6-dp-rounded per row (hazard-#2 insurance), its square re-quantized,
+    # and the per-doc sum runs over exact DECIMAL(18,6) — order-insensitive
+    # where a raw double sum would differ between Spark's index-order array
+    # fold and DuckDB's scan-order row aggregation.  The dense vector is
+    # exploded to rows for the decimal sum; absent terms contribute an
+    # exact decimal 0, so the dense/sparse difference cannot drift the sum.
+    rows = arr.select(
         "doc_id",
         big(F.size(F.array_distinct("words")), "n_active_terms"),
-        F.round(
-            F.sqrt(F.aggregate(F.col("w"), F.lit(0.0), lambda a, x: a + x * x)), 4
-        ).alias("l2_norm"),
-    ).where(F.col("n_active_terms") > 0)
+        F.explode("w").alias("x"),
+    )
+    w6 = F.round(F.col("x"), 6)
+    return (
+        rows.groupBy("doc_id", "n_active_terms")
+        .agg(
+            F.round(F.sqrt(F.sum(stat6(w6 * w6)).cast("double")), 4).alias("l2_norm")
+        )
+        .where(F.col("n_active_terms") > 0)
+    )

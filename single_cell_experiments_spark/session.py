@@ -57,18 +57,38 @@ PERF_CONFS = {
     "spark.sql.optimizer.windowGroupLimitThreshold": "1000",
 }
 
+#: Spark's own built-in defaults for the perf confs — the Connect-session
+#: fallback probe compares against these (see ``_explicitly_set``).
+_SPARK_BUILTIN_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "false",
+    "spark.sql.optimizer.windowGroupLimitThreshold": "1000",
+}
+
+
 def _explicitly_set(spark: SparkSession, key: str) -> bool:
     """True iff the session owner (or builder) explicitly set ``key``.
 
-    Uses the JVM ``SQLConf.settings`` map via ``contains`` — the only
-    probe that distinguishes "set to the default value" from "never set".
-    On any internal-API failure, returns False (treat as unset, apply the
-    engine default — the pre-round-5 behavior).
+    Classic sessions: the JVM ``SQLConf.settings`` map via ``contains`` —
+    the only probe that distinguishes "set to the default value" from
+    "never set".  Spark Connect sessions have no ``_jsparkSession`` handle;
+    there the fallback compares the effective value against Spark's
+    built-in default: differing ⇒ someone set it ⇒ leave it alone.  The
+    residual blind spot (an owner explicitly pinning a conf AT its Spark
+    default, e.g. arrow=false, gets the engine default applied on first
+    tune) is unavoidable without server-side internals and documented here.
     """
     try:
         return bool(spark._jsparkSession.sessionState().conf().contains(key))
     except Exception:
-        return False
+        try:
+            current = spark.conf.get(key, None)
+        except Exception:
+            return False
+        builtin = _SPARK_BUILTIN_DEFAULTS.get(key)
+        return current is not None and builtin is not None and str(current).lower() != builtin
 
 #: Back-compat alias (docs/tools referenced the combined dict).
 RUNTIME_CONFS = {**CORRECTNESS_CONFS, **PERF_CONFS}

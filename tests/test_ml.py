@@ -60,10 +60,13 @@ def test_minhash_dedup_pairs_valid(spark):
     exact = QS["dedup_exact"](spark, SF_DIR).toPandas()
     n_dup_docs = int((exact[exact["is_duplicated"]]["n_copies"]).sum())
     assert (out["closest_dist"] == 0).sum() >= n_dup_docs
-    # the registered invariant form must flag every token-set-dup doc at
-    # dist 0, non-vacuously (87 such docs at sf0.001)
+    # the registered invariant form must flag every shingle-set-dup doc at
+    # dist 0, non-vacuously: ≥ 2·N_CLONES rows come from the deterministic
+    # clone injection (plus natural shingle-set duplicates at any SF)
+    from single_cell_experiments_spark.operators.ml import MINHASH_N_CLONES
+
     reg = QS["mllib_minhash_dedup"](spark, SF_DIR).toPandas()
-    assert len(reg) > 0
+    assert len(reg) >= 2 * MINHASH_N_CLONES
     assert reg["has_set_dup"].all() and reg["closest_is_zero"].all()
 
 
