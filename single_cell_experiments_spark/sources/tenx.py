@@ -1,0 +1,277 @@
+"""10x Genomics HDF5 (CSC) → distributed COO ingestion (SURVEY.md §2.A A3;
+ref converts the 10x ``matrix.h5`` feature-barcode matrix into its chunked
+store before any computation [M]).
+
+The CellRanger v3 layout (public 10x spec): HDF5 group ``matrix`` holding a
+CSC sparse matrix over columns=barcodes(cells), rows=features(genes):
+``data`` (nnz values), ``indices`` (nnz row ids), ``indptr``
+(n_cols+1 offsets), ``shape`` ([n_rows, n_cols]).
+
+Spark-first ingestion shape — the distributed work is format-agnostic:
+
+1. the driver reads ONLY ``indptr`` + ``shape`` (one small contiguous
+   dataset: n_cols+1 int64 — 80 MB at 10M cells; chunk it too past that);
+2. ``plan_csc_slices`` splits the column range into slices of roughly
+   equal **nnz** (not equal column count — 10x nnz-per-cell is skewed, and
+   task balance must follow bytes, not cells);
+3. a slice-spec DataFrame is repartitioned one-slice-per-task and
+   ``mapInPandas`` opens the store executor-side, reading exactly the
+   ``data``/``indices`` byte range its slice owns (HDF5 hyperslab /
+   npz array slice) and emitting COO rows as Arrow batches.
+
+No driver materialization of matrix data at any scale.  The HDF5
+container access itself is isolated behind ``CscStore``; ``h5py`` is not
+installed in this environment, so ``H5CscStore`` import-gates it with a
+clear error, and the npz-backed store (same CSC triplet, numpy's public
+container) exercises every line of the distributed path — the registered
+``tenx_csc_ingest`` roundtrip runs it against a deterministic CSC fixture
+derived from the embeddings parquet and is hash-checked by the plain
+relational oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+from ..catalog import load_table
+from ..registry import query
+
+
+def plan_csc_slices(indptr: np.ndarray, target_nnz: int) -> list[tuple[int, int]]:
+    """Split columns [0, n_cols) into contiguous slices of ≈``target_nnz``
+    stored entries each (every slice ≥ 1 column, all columns covered,
+    empty-tail columns included)."""
+    n_cols = len(indptr) - 1
+    if n_cols <= 0:
+        return []
+    slices = []
+    j0 = 0
+    while j0 < n_cols:
+        j1 = j0 + 1
+        while j1 < n_cols and indptr[j1 + 1] - indptr[j0] <= target_nnz:
+            j1 += 1
+        slices.append((j0, j1))
+        j0 = j1
+    return slices
+
+
+class CscStore:
+    """Column-sliced access to a CSC triplet.  ``indptr()`` is driver-side
+    and small; ``read_cols`` runs executor-side and must touch only its
+    slice's byte range."""
+
+    def indptr(self) -> np.ndarray:
+        raise NotImplementedError
+
+    def shape(self) -> tuple[int, int]:
+        raise NotImplementedError
+
+    def read_cols(self, p0: int, p1: int) -> tuple[np.ndarray, np.ndarray]:
+        """(indices[p0:p1], data[p0:p1]) for nnz offsets [p0, p1)."""
+        raise NotImplementedError
+
+
+class NpzCscStore(CscStore):
+    """CSC triplet in an npz container — the in-container test backend.
+
+    npz decompresses whole arrays on access, so slices are cheap only at
+    test scale; the HDF5 backend reads true hyperslabs.  The distributed
+    plan is identical either way.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def _z(self):
+        return np.load(self.path, allow_pickle=False)
+
+    def indptr(self) -> np.ndarray:
+        return self._z()["indptr"].astype(np.int64)
+
+    def shape(self) -> tuple[int, int]:
+        s = self._z()["shape"]
+        return int(s[0]), int(s[1])
+
+    def read_cols(self, p0: int, p1: int) -> tuple[np.ndarray, np.ndarray]:
+        z = self._z()
+        return z["indices"][p0:p1].astype(np.int64), z["data"][p0:p1]
+
+
+class H5CscStore(CscStore):
+    """CellRanger v3 ``matrix.h5`` backend (requires ``h5py``, absent in
+    this environment — every access raises a clear gate error rather than
+    failing mid-task)."""
+
+    GROUP = "matrix"
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def _open(self):
+        try:
+            import h5py
+        except ImportError as e:  # pragma: no cover - environment-dependent
+            raise NotImplementedError(
+                "10x HDF5 ingestion needs h5py, which is not installed in this "
+                "environment; the CSC ingestion path itself is exercised via "
+                "NpzCscStore (see tenx_csc_ingest)"
+            ) from e
+        return h5py.File(self.path, "r")
+
+    def indptr(self) -> np.ndarray:  # pragma: no cover - needs h5py
+        with self._open() as f:
+            return f[self.GROUP]["indptr"][:].astype(np.int64)
+
+    def shape(self) -> tuple[int, int]:  # pragma: no cover - needs h5py
+        with self._open() as f:
+            s = f[self.GROUP]["shape"][:]
+            return int(s[0]), int(s[1])
+
+    def read_cols(self, p0: int, p1: int):  # pragma: no cover - needs h5py
+        with self._open() as f:
+            g = f[self.GROUP]
+            return g["indices"][p0:p1].astype(np.int64), g["data"][p0:p1]
+
+
+_COO_SCHEMA = StructType(
+    [
+        StructField("row", LongType()),
+        StructField("col", LongType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def ingest_csc(
+    spark: SparkSession,
+    store: CscStore,
+    target_nnz_per_slice: int = 1 << 20,
+) -> DataFrame:
+    """CSC store → (row, col, value) COO DataFrame, one balanced column
+    slice per task (see module docstring for the scale contract)."""
+    indptr = store.indptr()
+    slices = plan_csc_slices(indptr, target_nnz_per_slice)
+    if not slices:
+        return spark.createDataFrame([], schema=_COO_SCHEMA)
+    specs = [
+        (int(j0), int(j1), int(indptr[j0]), int(indptr[j1]), indptr[j0:j1 + 1].tolist())
+        for j0, j1 in slices
+    ]
+    spec_schema = StructType(
+        [
+            StructField("j0", LongType()),
+            StructField("j1", LongType()),
+            StructField("p0", LongType()),
+            StructField("p1", LongType()),
+            StructField("colptr", ArrayType(LongType())),
+        ]
+    )
+    spec_df = spark.createDataFrame(specs, schema=spec_schema).repartition(len(specs))
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                colptr = np.asarray(r["colptr"], dtype=np.int64)
+                p0 = int(r["p0"])
+                indices, data = store.read_cols(p0, int(r["p1"]))
+                # column id per stored entry: repeat col j (counts from the
+                # slice-local indptr) — vectorized, no per-entry python.
+                counts = np.diff(colptr)
+                cols = np.repeat(
+                    np.arange(int(r["j0"]), int(r["j1"]), dtype=np.int64), counts
+                )
+                yield pd.DataFrame(
+                    {
+                        "row": indices,
+                        "col": cols,
+                        "value": np.asarray(data, dtype=np.float64),
+                    }
+                )
+
+    return spec_df.mapInPandas(_decode, schema=_COO_SCHEMA)
+
+
+def read_10x_h5(spark: SparkSession, path: str, target_nnz_per_slice: int = 1 << 20) -> DataFrame:
+    """10x ``matrix.h5`` → COO DataFrame (rows=features, cols=barcodes).
+
+    Requires ``h5py`` (import-gated; see ``H5CscStore``)."""
+    return ingest_csc(spark, H5CscStore(path), target_nnz_per_slice)
+
+
+def _embeddings_csc_fixture(sf_dir: str) -> str:
+    """Deterministic CSC fixture derived from the embeddings parquet:
+    matrix[gene=dim, cell=vec_id] = value where value > 0 (≈half the
+    entries, so the sparse path is non-trivial).  Driver-side FIXTURE
+    construction only — the operator under test is ``ingest_csc``."""
+    import pyarrow.parquet as pq
+
+    out = os.path.join(
+        "/tmp", f"sce_tenx_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}.npz"
+    )
+    if os.path.exists(out):
+        return out
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    vec_ids = t.column("vec_id").to_numpy()
+    x = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
+    order = np.argsort(vec_ids)
+    x = x[order]
+    n_cells, dim = x.shape
+    indptr = [0]
+    indices: list[np.ndarray] = []
+    data: list[np.ndarray] = []
+    for c in range(n_cells):
+        (nz,) = np.nonzero(x[c] > 0)
+        indices.append(nz.astype(np.int64))
+        data.append(x[c][nz])
+        indptr.append(indptr[-1] + len(nz))
+    tmp = out + ".tmp.npz"
+    np.savez(
+        tmp,
+        indptr=np.array(indptr, dtype=np.int64),
+        indices=np.concatenate(indices),
+        data=np.concatenate(data),
+        shape=np.array([dim, n_cells], dtype=np.int64),
+    )
+    os.replace(tmp, out)
+    return out
+
+
+_TENX_ORACLE = """
+SELECT vec_id, pos, round(CAST(v AS DOUBLE), 6) AS v
+FROM (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+)
+WHERE v > 0
+"""
+
+
+@query("tenx_csc_ingest", oracle=_TENX_ORACLE, tags=("sources", "tenx", "singlecell"), cache=False)
+def tenx_csc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 end-to-end minus the h5py container: a 10x-shaped CSC matrix
+    (genes × cells, deterministic fixture from the embeddings parquet) is
+    ingested by the balanced-slice distributed path and hash-checked
+    against the relational oracle.  ``read_10x_h5`` runs the identical
+    plan over a real ``matrix.h5`` when h5py is present.
+
+    The small slice target forces multiple slices at every SF so the
+    planner's balancing and the slice-local column reconstruction are both
+    on the verified path.
+    """
+    store = NpzCscStore(_embeddings_csc_fixture(sf_dir))
+    coo = ingest_csc(spark, store, target_nnz_per_slice=4096)
+    return coo.select(
+        F.col("col").alias("vec_id"),
+        (F.col("row") + 1).alias("pos"),
+        F.round(F.col("value").cast("double"), 6).alias("v"),
+    )
