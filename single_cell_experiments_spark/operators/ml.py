@@ -28,6 +28,8 @@ from __future__ import annotations
 
 import weakref
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -250,6 +252,77 @@ def _banded_minhash_neighbors(docs: DataFrame) -> DataFrame:
     return sym.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_near_dups"),
         F.round(F.min("jaccard_dist"), 4).alias("closest_dist"),
+    )
+
+
+def svd_project(e: DataFrame, k: int):
+    """Wide-matrix PCA route (A10 scale note): center, ``RowMatrix.
+    computeSVD(k, computeU=False)``, then project rows against the
+    broadcast V — driver memory O(d·k), never O(d²).
+
+    Why this is the d ≳ 10⁴ path: MLlib's ``PCA``/
+    ``computePrincipalComponents`` materializes the d×d Gramian on the
+    driver (8·d² bytes — 3.2 GB at d=2·10⁴).  ``computeSVD`` instead
+    selects its mode from (d, k): for d > 15000 with k ≤ d/2 it runs
+    distributed ARPACK, where each Lanczos step is a matrix-free
+    ``multiplyGramianMatrixBy`` treeAggregate over the rows and the driver
+    holds only O(d·ncv) work vectors (RowMatrix's documented dist-eigs
+    mode).  For small d it falls back to the local Gramian, so one code
+    path serves both regimes.
+
+    Returns ``(scores_df(vec_id, scores: array<double>), s: ndarray[k])``.
+    The projection re-reads the DataFrame column (not the RDD) with the
+    broadcast mean and V, so row keys survive without ``IndexedRowMatrix``
+    bookkeeping and the scores stay an Arrow-batched column.
+    """
+    import numpy as np
+    from pyspark.mllib.linalg import Vectors as OldVectors
+    from pyspark.mllib.linalg.distributed import RowMatrix
+    from pyspark.sql.functions import pandas_udf
+
+    spark = e.sparkSession
+    arr = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    mu_rows = (
+        arr.select(F.posexplode("v").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.avg("x").alias("mu"))
+        .collect()
+    )  # O(d) driver
+    mu = np.zeros(len(mu_rows))
+    for r in mu_rows:
+        mu[r["i"]] = r["mu"]
+    sc = spark.sparkContext
+    mu_b = sc.broadcast(mu)
+    rows = arr.select("v").rdd.map(
+        lambda r: OldVectors.dense(np.asarray(r[0], dtype=np.float64) - mu_b.value)
+    )
+    svd = RowMatrix(rows).computeSVD(k, computeU=False)
+    v_local = np.asarray(svd.V.toArray())  # d×k
+    v_b = sc.broadcast(v_local)
+
+    @pandas_udf("array<double>")
+    def _proj(col: pd.Series) -> pd.Series:
+        x = np.array(col.to_list(), dtype=np.float64) - mu_b.value
+        return pd.Series(list(x @ v_b.value))
+
+    scores = arr.select("vec_id", _proj("v").alias("scores"))
+    return scores, np.asarray(svd.s.toArray())
+
+
+@query("sc_pca_svd", oracle=_PCA_ORACLE, tags=("singlecell", "ml", "pca", "svd"))
+def sc_pca_svd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 wide-matrix PCA fallback, checked through the same
+    rotation-invariant oracle as ``sc_pca``: full-rank (k = d) SVD scores
+    are a rotation of the centered data, so each cell's squared score-norm
+    equals its squared distance from the column means.  The d ≳ 10⁴
+    no-Gramian regime itself is exercised by the synthetic-wide self-test
+    (tests/test_ml.py::test_svd_wide_path_avoids_gramian)."""
+    scores, _ = svd_project(load_table(spark, sf_dir, "embeddings"), EMBED_DIM)
+    return scores.select(
+        "vec_id",
+        F.round(
+            F.aggregate("scores", F.lit(0.0), lambda a, x: a + x * x), 4
+        ).alias("norm2_pc"),
     )
 
 

@@ -50,6 +50,39 @@ def test_pca_matches_numpy_svd(spark, emb_matrix):
         np.testing.assert_allclose(g, e, atol=5e-4)
 
 
+def test_pca_svd_norms_match_direct_oracle(spark, emb_matrix):
+    vec_ids, X = emb_matrix
+    Xc = X - X.mean(axis=0)
+    expected = np.sort((Xc * Xc).sum(axis=1).round(4))
+    out = QS["sc_pca_svd"](spark, SF_DIR).toPandas()
+    np.testing.assert_allclose(np.sort(out["norm2_pc"].to_numpy()), expected, atol=2e-4)
+
+
+def test_svd_wide_path_avoids_gramian(spark):
+    """d = 20001 > 15000 with k ≪ d/2 puts RowMatrix.computeSVD in its
+    distributed-ARPACK mode (matrix-free Gramian products; driver work
+    vectors O(d·ncv)) — the O(d²) Gramian of the PCA path would be 3.2 GB
+    here.  Singular values must still match numpy."""
+    from single_cell_experiments_spark.operators.ml import svd_project
+
+    rng = np.random.default_rng(11)
+    n, d, k = 256, 20001, 3
+    # low-rank structure + noise → well-separated top singular values
+    base = rng.standard_normal((n, k)) @ rng.standard_normal((k, d))
+    X = base + 0.01 * rng.standard_normal((n, d))
+    assert d > 15000 and k <= d / 2  # the documented dist-eigs condition
+
+    pdf = [(int(i), [float(v) for v in X[i]]) for i in range(n)]
+    df = spark.createDataFrame(pdf, "vec_id: long, embedding: array<double>")
+    scores, s = svd_project(df, k)
+
+    Xc = X - X.mean(axis=0)
+    expected_s = np.linalg.svd(Xc, compute_uv=False)[:k]
+    np.testing.assert_allclose(s, expected_s, rtol=1e-6)
+    got = scores.limit(5).toPandas()
+    assert all(len(r) == k for r in got["scores"])
+
+
 def test_minhash_dedup_pairs_valid(spark):
     from single_cell_experiments_spark.operators.ml import minhash_dedup_profile
 
