@@ -11,10 +11,14 @@ Usage: python tools/driver_mimic.py [sf_dir] [name ...]
 
 from __future__ import annotations
 
+import hashlib
+import json
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 import duckdb
 from pyspark.sql import SparkSession
@@ -25,6 +29,30 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:])
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+#: Stamp written after a FULL-registry, zero-fail run — the mechanical
+#: enforcement of registry.py's rotation safety net: queries past the
+#: driver's 50-slot window only have LOCAL evidence, so the full sweep
+#: MUST be re-run whenever engine code changes.  tests/test_mimic_gate.py
+#: fails until it is.  Content digests (not mtimes) keep the gate stable
+#: across checkouts.
+STAMP_PATH = os.path.join(REPO, "tools", ".mimic_stamp.json")
+
+
+def source_digest() -> str:
+    """sha256 over every engine source file's (relpath, bytes)."""
+    h = hashlib.sha256()
+    paths = [os.path.join(REPO, "__spark_entry__.py")]
+    pkg = os.path.join(REPO, "single_cell_experiments_spark")
+    for root, _dirs, files in os.walk(pkg):
+        for f in files:
+            if f.endswith(".py"):
+                paths.append(os.path.join(root, f))
+    for p in sorted(paths):
+        h.update(os.path.relpath(p, REPO).encode())
+        with open(p, "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()
 
 
 def main() -> int:
@@ -80,6 +108,22 @@ def main() -> int:
             print(f"  ✗ {name}: ERROR {type(ex).__name__}: {ex}")
             n_fail += 1
     print(f"PASS={n_pass} ROWS_ONLY={n_rows_only} FAIL={n_fail} @ {SF_DIR}")
+    if not ONLY and n_fail == 0:
+        with open(STAMP_PATH, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": SF_DIR,
+                    "n_pass": n_pass,
+                    "n_rows_only": n_rows_only,
+                    "n_fail": n_fail,
+                    "n_registered": len(qs),
+                    "source_digest": source_digest(),
+                    "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                },
+                f,
+                indent=1,
+            )
+        print(f"stamp -> {STAMP_PATH}")
     spark.stop()
     return 1 if n_fail else 0
 
