@@ -146,28 +146,38 @@ def _building_cust_view(spark: SparkSession, sf_dir: str) -> str:
 def q3_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-way join + agg + global top-k (TPC-H Q3 shape).
 
-    Scale notes: the filtered customer dimension is broadcast (no shuffle of
-    the fact tables on c_custkey) from a per-session prepared LocalRelation
-    (``_building_cust_view`` — no separate broadcast-build job);
-    orders⨝lineitem shuffles on the join key once and the aggregation
-    reuses that partitioning.  Top-k is a TakeOrdered, not a global sort.
+    Scale notes — eager-aggregation rewrite (r6): lineitem is pre-aggregated
+    by ``l_orderkey`` BELOW the join, so the fact-fact shuffle moves one
+    pre-summed row per orderkey (map-side partial agg first) instead of
+    every raw lineitem row — a 4:1 shuffle-byte cut at this schema's
+    lines-per-order, same ratio at 100 TB.  The SMJ then reuses the agg's
+    hash partitioning on the rev side (no extra exchange), and no post-join
+    re-aggregation exists at all.  The filtered customer dimension is
+    broadcast (no shuffle of the fact tables on c_custkey) from a
+    per-session prepared LocalRelation (``_building_cust_view`` — no
+    separate broadcast-build job) and applied to orders BEFORE the orderkey
+    join, shrinking the probe side ~5:1.  Top-k is a TakeOrdered, never a
+    global sort.
     """
     cust = _building_cust_view(spark, sf_dir)
     orders = table_view(spark, sf_dir, "orders")
     li = table_view(spark, sf_dir, "lineitem")
     return spark.sql(f"""
-        SELECT o_orderkey, rev, o_orderdate FROM (
-            SELECT /*+ BROADCAST(c) */
-                   o.o_orderkey,
-                   CAST(SUM(FLOOR(l.l_extendedprice * 100 + 0.5D)
-                            * (100 - FLOOR(l.l_discount * 100 + 0.5D))) AS DOUBLE)
-                       / 10000.0D AS rev,
-                   date_format(o.o_orderdate, 'yyyy-MM-dd') AS o_orderdate
-            FROM {orders} o
-            JOIN {cust} c ON o.o_custkey = c.c_custkey
-            JOIN {li} l ON l.l_orderkey = o.o_orderkey
-            GROUP BY o.o_orderkey, date_format(o.o_orderdate, 'yyyy-MM-dd')
-        )
+        SELECT fo.o_orderkey,
+               r.rev,
+               date_format(fo.o_orderdate, 'yyyy-MM-dd') AS o_orderdate
+        FROM (
+            SELECT /*+ BROADCAST(c) */ o.o_orderkey, o.o_orderdate
+            FROM {orders} o JOIN {cust} c ON o.o_custkey = c.c_custkey
+        ) fo
+        JOIN (
+            SELECT l_orderkey,
+                   CAST(SUM(FLOOR(l_extendedprice * 100 + 0.5D)
+                            * (100 - FLOOR(l_discount * 100 + 0.5D))) AS DOUBLE)
+                       / 10000.0D AS rev
+            FROM {li}
+            GROUP BY l_orderkey
+        ) r ON fo.o_orderkey = r.l_orderkey
         ORDER BY rev DESC, o_orderkey
         LIMIT 10
     """)
