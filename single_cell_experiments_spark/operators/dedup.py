@@ -361,20 +361,51 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- duplicate-cluster canonicalization (connected components) --------------------
 
+#: Round cap shared by the Spark fixpoint loop and the unrolled oracle.
+CC_MAX_ROUNDS = 32
+
+
+def _cc_labels_sql(rounds: int = CC_MAX_ROUNDS) -> str:
+    """CTE chain ``l0 .. l{rounds}`` of unrolled min-label propagation over
+    an ``edges(u, v)`` CTE (symmetric): ``l_k(u) = min(l_{k-1}(u),
+    min over edges(u,v) of l_{k-1}(v))``.
+
+    Replaces the recursive-CTE transitive closure the r5 oracles used: the
+    closure materializes O(Σ component_size²) reach rows — it exhausted
+    DuckDB temp disk on the sf0.1 dense pair graph (302k edges) — while
+    each propagation round here is exactly one n-node table.  Every CTE is
+    MATERIALIZED because ``l{k}`` is referenced twice by ``l{k+1}``;
+    inlining would re-expand the whole chain exponentially.
+
+    Exactness: identical per-round update to the Spark loop in
+    ``dedup_connected_components``; past the fixpoint further rounds are
+    no-ops, and the Spark side RAISES if the fixpoint is not reached within
+    the same ``CC_MAX_ROUNDS`` cap — so whenever the engine returns at all,
+    ``l{rounds}`` equals its labels exactly.
+    """
+    parts = ["l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS lbl FROM edges)"]
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+l{i} AS MATERIALIZED (
+  SELECT l.id, LEAST(l.lbl, COALESCE(m.m, l.lbl)) AS lbl
+  FROM l{i - 1} l LEFT JOIN (
+    SELECT e.u AS id, MIN(n.lbl) AS m
+    FROM edges e JOIN l{i - 1} n ON e.v = n.id
+    GROUP BY e.u
+  ) m ON m.id = l.id
+)""")
+    return ",\n".join(parts)
+
+
 _CC_ORACLE = f"""
-WITH RECURSIVE pairs AS ({_minhash_sql(_DD_SHINGLES)}),
-edges AS (
+WITH pairs AS MATERIALIZED ({_minhash_sql(_DD_SHINGLES)}),
+edges AS MATERIALIZED (
   SELECT doc1 AS u, doc2 AS v FROM pairs
   UNION
   SELECT doc2, doc1 FROM pairs
 ),
-reach(u, v) AS (
-  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
-  UNION
-  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
-)
-SELECT u AS doc_id, MIN(v) AS component_id
-FROM reach GROUP BY u
+{_cc_labels_sql()}
+SELECT id AS doc_id, lbl AS component_id FROM l{CC_MAX_ROUNDS}
 """
 
 
@@ -395,9 +426,12 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     Raises if the fixpoint is not reached within the round cap — silent
     non-convergence would return wrong labels.
 
-    Oracle: DuckDB recursive CTE transitive closure (min reachable id) —
-    one of the genuinely iterative algorithms the driver contract still
-    lets us hash-check end to end.
+    Oracle: the SAME min-label propagation unrolled as ``CC_MAX_ROUNDS``
+    materialized DuckDB CTE rounds (``_cc_labels_sql``) — one of the
+    genuinely iterative algorithms the driver contract still lets us
+    hash-check end to end.  (The r5 recursive-CTE transitive closure
+    blew DuckDB temp disk on the sf0.1 dense graph; propagation keeps
+    every intermediate at n rows.)
     """
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc1", "doc2")
     edges = pairs.union(
@@ -408,7 +442,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("doc1").alias("doc_id")).distinct().withColumn(
         "component_id", F.col("doc_id")
     )
-    max_rounds = 32  # ≥ graph diameter; breaks early at fixpoint
+    max_rounds = CC_MAX_ROUNDS  # ≥ graph diameter; breaks early at fixpoint
     converged = False
     for _ in range(max_rounds):
         neighbor_min = (
@@ -448,18 +482,14 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- per-cluster canonical keeper selection -----------------------------------
 
 _KEEPER_ORACLE = f"""
-WITH RECURSIVE pairs AS ({_minhash_sql(_DD_SHINGLES)}),
-edges AS (
+WITH pairs AS MATERIALIZED ({_minhash_sql(_DD_SHINGLES)}),
+edges AS MATERIALIZED (
   SELECT doc1 AS u, doc2 AS v FROM pairs
   UNION
   SELECT doc2, doc1 FROM pairs
 ),
-reach(u, v) AS (
-  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
-  UNION
-  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
-),
-labels AS (SELECT u AS doc_id, MIN(v) AS component_id FROM reach GROUP BY u),
+{_cc_labels_sql()},
+labels AS (SELECT id AS doc_id, lbl AS component_id FROM l{CC_MAX_ROUNDS}),
 membered AS (
   SELECT d.doc_id,
          COALESCE(l.component_id, d.doc_id) AS component_id,
@@ -523,7 +553,7 @@ def _pagerank_oracle() -> str:
     prev = "r0"
     for i in range(1, PR_ITERS + 1):
         rounds.append(f"""
-r{i} AS (
+r{i} AS MATERIALIZED (
   SELECT n.id,
          ({_PR_D_DEN - _PR_D_NUM} * ({PR_SCALE} // p.n)) // {_PR_D_DEN}
            + ({_PR_D_NUM} * COALESCE(s.s, 0)) // {_PR_D_DEN} AS r
@@ -536,16 +566,16 @@ r{i} AS (
 )""")
         prev = f"r{i}"
     return f"""
-WITH pairs AS ({_minhash_sql(_DD_SHINGLES)}),
-edges AS (
+WITH pairs AS MATERIALIZED ({_minhash_sql(_DD_SHINGLES)}),
+edges AS MATERIALIZED (
   SELECT doc1 AS src, doc2 AS dst FROM pairs
   UNION
   SELECT doc2, doc1 FROM pairs
 ),
-nodes AS (SELECT DISTINCT src AS id FROM edges),
-deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
 params AS (SELECT COUNT(*) AS n FROM nodes),
-r0 AS (SELECT id, {PR_SCALE} // p.n AS r FROM nodes, params p),
+r0 AS MATERIALIZED (SELECT id, {PR_SCALE} // p.n AS r FROM nodes, params p),
 {",".join(rounds)}
 SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_e12 FROM {prev}
 """
