@@ -223,3 +223,51 @@ def test_rev_sum_is_exact_integer_arithmetic(spark, rows):
         .collect()[0]["rev"]
     )
     assert abs(Decimal(str(got)) - expected) <= Decimal("0.0001"), (got, expected)
+
+
+_EDGES = st.lists(
+    st.tuples(st.integers(0, 24), st.integers(0, 24)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=80,
+)
+
+
+@given(edges=_EDGES)
+@_SETTINGS
+def test_unrolled_cc_oracle_equals_union_find(edges):
+    """The DuckDB side of the CC oracle — ``_cc_labels_sql``'s unrolled
+    min-label propagation — must assign every node the min id of its
+    connected component on arbitrary graphs (25 nodes keeps the worst-case
+    path diameter under the shared CC_MAX_ROUNDS cap, mirroring the regime
+    where the Spark loop returns instead of raising)."""
+    import duckdb
+
+    from single_cell_experiments_spark.operators.dedup import _cc_labels_sql
+
+    # Union-find reference.
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    expected = sorted((n, find(n)) for n in parent)
+
+    values = " UNION ALL ".join(f"SELECT {u} AS u, {v} AS v" for u, v in edges)
+    sql = f"""
+WITH raw AS ({values}),
+edges AS MATERIALIZED (
+  SELECT u, v FROM raw UNION SELECT v, u FROM raw
+),
+{_cc_labels_sql()}
+SELECT id, lbl FROM l32 ORDER BY id
+"""
+    got = [tuple(r) for r in duckdb.connect().execute(sql).fetchall()]
+    assert got == expected, (got, expected)
