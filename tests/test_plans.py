@@ -51,6 +51,20 @@ def test_q1_no_range_sampling_sort(spark):
     assert "SinglePartition" in plan, plan
 
 
+def test_q3_preaggregates_lineitem_below_join(spark):
+    """q3's eager-aggregation rewrite: lineitem revenue must be summed per
+    l_orderkey BELOW the orderkey join (partial agg before the exchange),
+    and no re-aggregation may exist above the join — the shape that cuts
+    the fact-fact shuffle ~4:1 at any scale."""
+    plan = inspect.formatted_plan(QS["q3_join_topk"](spark, SF_DIR))
+    aggs = [ln for ln in plan.splitlines() if "HashAggregate" in ln]
+    assert aggs, "expected hash aggregates in q3 plan"
+    keys = [ln for ln in plan.splitlines() if ln.strip().startswith("Keys")]
+    assert all("l_orderkey" in k for k in keys if "Keys [1]" in k), keys
+    # partial+final pair on l_orderkey only; nothing grouped on o_orderkey.
+    assert not any("o_orderkey" in k for k in keys), keys
+
+
 def test_q3_topk_is_take_ordered(spark):
     """q3's ORDER BY + LIMIT must run as TakeOrderedAndProject (per-
     partition heap + driver merge), never a global sort."""
