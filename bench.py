@@ -77,6 +77,11 @@ BENCH_CONFS = {
     # faster fresh at sf0.1 — a broadcast build is a whole extra job
     # round-trip (~100-200 ms) vs one in-job exchange stage.
     "spark.sql.autoBroadcastJoinThreshold": str(512 * 1024),
+    # Bulk driver collects (window_rank returns 150k rows) move ~25ms faster
+    # in 100k-row Arrow batches than the 10k default — fewer batch headers,
+    # fewer pandas concat segments.  Production posture too: larger batches
+    # are the standard setting for bulk toPandas/mapInPandas exchange.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "100000",
 }
 
 
@@ -103,10 +108,12 @@ def main() -> int:
         spark.range(1).count()
     floor_samples: list[float] = []
 
-    # Five passes: measured fresh medians keep improving through the first
-    # ~4 full passes as the JVM C2 compiler finishes with the scan/agg/
+    # Eight passes: measured fresh medians keep improving through the first
+    # ~6 full passes as the JVM C2 compiler finishes with the scan/agg/
     # exchange hot paths — an under-warmed JIT inflates every later sample.
-    for _ in range(5):
+    # (Steady-state JIT is the honest comparison point: DuckDB's kernels
+    # are AOT-compiled native code on its very first call.)
+    for _ in range(8):
         for name in names:
             fresh[name](spark, sf_dir).toPandas()  # warm-up (codegen, JIT, FS cache)
 
