@@ -479,6 +479,111 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels
 
 
+# --- connected components, O(log n) rounds: large-star / small-star ------------
+
+
+def cc_star_labels(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond" —
+    public algorithm), returning ``(doc_id, component_id)`` with
+    ``component_id`` = min node id of the component.
+
+    This is the 100 TB-scale CC: it converges in **O(log n) rounds**
+    regardless of graph diameter, where plain min-label propagation
+    (``dedup_connected_components``) needs O(diameter) rounds — on a
+    100 TB web-scale dup graph a long chain means hundreds of propagation
+    rounds but still only ~20 star rounds.  Per round: two node-keyed
+    groupBy/join pairs (large-star over the symmetric adjacency, small-star
+    over the high→low orientation); edge count is non-increasing after the
+    first round, so the shuffles shrink as the graph collapses to stars.
+
+    ``edges``: any (doc1, doc2) pair list (direction/duplication ignored).
+    Raises if the edge set has not stabilized within ``max_rounds``
+    (2^20 ≈ 10⁶ chain-length equivalent; convergence is checked by an
+    order-insensitive edge-set checksum, not just the count).
+    """
+    e = (
+        edges.select(F.col("doc1").alias("u"), F.col("doc2").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    e = materialize(e)
+
+    def _checksum(d: DataFrame):
+        # decimal(28,0) sum: exact and overflow-free for any realistic edge
+        # count (long-sum of xxhash64 values would overflow — an error
+        # under ANSI mode, silent wraparound otherwise).
+        row = d.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(28,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    def _large_star(d: DataFrame) -> DataFrame:
+        sym = d.union(d.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("mn", "u").alias("m"))
+        return (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def _small_star(d: DataFrame) -> DataFrame:
+        # orient every edge high→low, group the small neighbors per node
+        lo = d.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins = lo.groupBy("u").agg(F.min("v").alias("m"))
+        moved = (
+            lo.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        return moved
+
+    prev = None
+    converged = False
+    for _ in range(max_rounds):
+        e = materialize(_small_star(_large_star(e)))
+        cur = _checksum(e)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"cc_star_labels: star operations did not stabilize within "
+            f"{max_rounds} rounds; raising instead of returning a non-star forest"
+        )
+    # e is now a star forest rooted at each component's min id: every
+    # non-root appears exactly once as u with v = root; roots only as v.
+    roots = e.select("v").distinct().join(
+        e.select(F.col("u").alias("v")).distinct(), "v", "left_anti"
+    )
+    return e.select(F.col("u").alias("doc_id"), F.col("v").alias("component_id")).union(
+        roots.select(F.col("v").alias("doc_id"), F.col("v").alias("component_id"))
+    )
+
+
+@query("dedup_cc_star", oracle=_CC_ORACLE, tags=("dedup", "components", "iterative"))
+def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster canonicalization via large-star/small-star CC —
+    identical output contract to ``dedup_connected_components`` (every doc
+    in the near-dup graph → min reachable doc_id) through the O(log n)-
+    round algorithm that holds at 100 TB graph scale (see
+    ``cc_star_labels`` for the round-complexity argument).  Shares the
+    unrolled min-label-propagation DuckDB oracle: both algorithms provably
+    compute the same labels, so cross-checking them against one SQL text
+    is itself a Spark-vs-Spark algebraic test the driver hash-verifies.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc1", "doc2")
+    return cc_star_labels(pairs)
+
+
 # --- per-cluster canonical keeper selection -----------------------------------
 
 _KEEPER_ORACLE = f"""

@@ -271,3 +271,37 @@ SELECT id, lbl FROM l32 ORDER BY id
 """
     got = [tuple(r) for r in duckdb.connect().execute(sql).fetchall()]
     assert got == expected, (got, expected)
+
+
+@given(edges=_EDGES)
+@_SETTINGS
+def test_cc_star_labels_equals_union_find(spark, edges):
+    """large-star/small-star CC (the O(log n)-round 100 TB path) must
+    produce exactly the union-find component min-labels on arbitrary
+    graphs — including chains, whose diameter is what the star algorithm
+    exists to beat."""
+    from single_cell_experiments_spark.operators.dedup import cc_star_labels
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    expected = sorted((n, find(n)) for n in parent)
+
+    df = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["doc1", "doc2"])
+    )
+    got = sorted(
+        (r["doc_id"], r["component_id"])
+        for r in cc_star_labels(df).collect()
+    )
+    assert got == expected, (got, expected)
