@@ -605,3 +605,90 @@ def heavy_hitters_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("freq") * HH_SUPPORT > F.col("total"))
         .select(F.col("w").alias("word"), "freq", "total")
     )
+
+
+# --- cross-document boilerplate n-gram share ---------------------------------
+
+XDOC_NGRAM = 5  # word n-gram width for the cross-doc share signal
+
+_XDOC_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(ws, p, p + {XDOC_NGRAM - 1}), ' ') AS g
+  FROM (SELECT doc_id, ws, unnest(range(1, length(ws) - {XDOC_NGRAM} + 2)) AS p
+        FROM tok WHERE length(ws) >= {XDOC_NGRAM})
+),
+df AS (SELECT g, COUNT(*) AS docs_with FROM grams GROUP BY g),
+per AS (
+  SELECT gr.doc_id,
+         COUNT(*) AS n_grams,
+         SUM(CASE WHEN df.docs_with >= 2 THEN 1 ELSE 0 END) AS n_shared
+  FROM grams gr JOIN df ON gr.g = df.g
+  GROUP BY gr.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(per.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(per.n_shared, 0) AS BIGINT) AS n_shared,
+       CAST(CASE WHEN COALESCE(per.n_grams, 0) = 0 THEN 0
+            ELSE (COALESCE(per.n_shared, 0) * 1000000) // per.n_grams
+            END AS BIGINT) AS shared_ppm
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+"""
+
+
+@query("crossdoc_ngram_share", oracle=_XDOC_ORACLE, tags=("text", "quality", "dedup"))
+def crossdoc_ngram_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-document boilerplate signal: per document, the fraction (ppm)
+    of its distinct word 5-grams that also appear in at least one OTHER
+    document — the corpus-level repetition gate (headers, footers, licence
+    blocks, templated spam) that intra-doc stats (``doc_repetition_stats``)
+    cannot see.  Real curation pipelines threshold on exactly this before
+    training-mixture entry.
+
+    Scale shape: 5-gramming is a row-local higher-order expression (no
+    UDF); the document-frequency count is ONE gram-keyed shuffle with
+    map-side partial agg, the share join reuses that gram partitioning,
+    and the per-doc roll-up is one doc-keyed shuffle.  Never all-pairs —
+    cost is Σ grams, linear in corpus size.  At 100 TB, group on
+    ``xxhash64(gram)`` instead of the gram string to narrow the shuffle
+    (identical counts modulo 2⁻⁶⁴ collisions; kept as strings here so the
+    DuckDB oracle is exactly mirrorable).  The ppm ratio is integer
+    arithmetic — no float hash hazard.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.expr(r"regexp_extract_all(lower(text), '[a-z]+', 0)")
+    grams = F.when(
+        F.size(ws) >= XDOC_NGRAM,
+        F.expr(
+            f"transform(sequence(1, size(regexp_extract_all(lower(text), '[a-z]+', 0)) - {XDOC_NGRAM - 1}),"
+            f" i -> array_join(slice(regexp_extract_all(lower(text), '[a-z]+', 0), i, {XDOC_NGRAM}), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = d.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("g")
+    )
+    docs_with = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("docs_with"))
+    per = (
+        exploded.join(docs_with, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("docs_with") >= 2, 1).otherwise(0)).alias("n_shared"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+            F.when(F.coalesce("n_grams", F.lit(0)) == 0, F.lit(0).cast("bigint"))
+            .otherwise(F.expr("n_shared * 1000000 div n_grams"))
+            .cast("bigint")
+            .alias("shared_ppm"),
+        )
+    )

@@ -160,6 +160,94 @@ def run_stateful_counter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(counted, "stateful_counter", "update")
 
 
+def state_v2_available() -> bool:
+    """True iff Spark's state-v2 ``transformWithStateInPandas`` can run
+    here: its driver/worker protocol speaks protobuf (an optional PySpark
+    dependency not shipped in every environment — absent one, the stream
+    fails at START with a driver-worker crash, so we gate up front the
+    same way multimodal gates PIL and 10x ingestion gates h5py)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def run_state_v2_counter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``run_stateful_counter_stream`` twin on Spark 4's state-v2 API
+    (``transformWithStateInPandas`` + ``StatefulProcessor`` + typed
+    ``ValueState``), the successor to ``applyInPandasWithState``: state is
+    named and typed per processor, timers are first-class, and the state
+    store must be RocksDB (set per-session before start; at cluster scale
+    RocksDB is also what bounds executor memory for large keyed state).
+
+    Raises ImportError where the protobuf dependency is absent (see
+    ``state_v2_available``); the equivalence test skips there.
+    """
+    if not state_v2_available():
+        raise ImportError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(pyspark optional dependency); install it to run the state-v2 path"
+        )
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("v_sum_e6", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("v_e6", LongType())]
+    )
+
+    class _CounterProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState("counts", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, v_e6 = self._st.get() if self._st.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                v_e6 += int(
+                    (pdf["value"].astype("float64").round(6) * 10**6)
+                    .round()
+                    .astype("int64")
+                    .sum()
+                )
+            self._st.update((n, v_e6))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "v_sum_e6": [v_e6]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = _event_stream(spark, sf_dir)
+    counted = (
+        stream.withWatermark("t", "10 minutes")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_CounterProcessor(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    return _drain_to_memory(counted, "state_v2_counter", "update")
+
+
 def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream inner join: purchases within 30 min after a
     click by the same user — the live twin of

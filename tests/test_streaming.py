@@ -4,6 +4,8 @@ same semantics hold when executed as an actual stream)."""
 
 from __future__ import annotations
 
+import pytest
+
 from single_cell_experiments_spark.registry import queries
 from single_cell_experiments_spark.streaming import jobs
 from tests.conftest import SF_DIR
@@ -81,3 +83,38 @@ def test_file_sink_exactly_once(spark):
     path2 = jobs.run_file_sink_stream(spark, SF_DIR, clear=False)
     assert path2 == path
     assert spark.read.parquet(path).count() == first
+
+
+@pytest.mark.skipif(
+    not jobs.state_v2_available(),
+    reason="transformWithStateInPandas needs the optional protobuf dependency",
+)
+def test_state_v2_counter_matches_batch(spark):
+    """State-v2 twin of the applyInPandasWithState counter: identical
+    final per-user counts after availableNow replay."""
+    from pyspark.sql import functions as F
+
+    from single_cell_experiments_spark.catalog import load_table
+
+    stream = jobs.run_state_v2_counter_stream(spark, SF_DIR)
+    latest = {r["user_id"]: (r["n_events"], r["v_sum_e6"]) for r in stream.collect()}
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.round("value", 6) * 10**6).cast("bigint")).alias("v_e6"),
+        )
+        .collect()
+    )
+    expected = {r["user_id"]: (r["n"], r["v_e6"]) for r in batch}
+    assert latest == expected
+
+
+def test_state_v2_gate_reports_missing_dependency(spark):
+    """Where protobuf is absent the state-v2 job must fail fast with the
+    actionable ImportError, not a mid-stream driver-worker crash."""
+    if jobs.state_v2_available():
+        pytest.skip("protobuf present: gate inactive")
+    with pytest.raises(ImportError, match="protobuf"):
+        jobs.run_state_v2_counter_stream(spark, SF_DIR)
