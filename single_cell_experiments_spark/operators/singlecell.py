@@ -532,3 +532,93 @@ def grouped_pandas_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return e.select("label", "embedding").groupBy("label").applyInPandas(_centroid, schema)
+
+
+# --- regress_out (per-gene OLS on a per-cell covariate) -----------------------
+
+_REGRESS_ORACLE = f"""
+WITH coo AS ({_DD_COO}),
+cellx AS (
+  SELECT vec_id, CAST(SUM({_DD_STAT6}) AS DOUBLE) AS x
+  FROM coo GROUP BY vec_id
+),
+joined AS (
+  SELECT c.vec_id, c.pos, c.v, cx.x FROM coo c JOIN cellx cx USING (vec_id)
+),
+xstats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(round(x, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+  FROM cellx
+),
+gstats AS (
+  SELECT pos,
+         CAST(SUM({_DD_STAT6}) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(round(v * x, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sxy
+  FROM joined GROUP BY pos
+),
+fit AS (
+  SELECT pos,
+         (x.n * g.sxy - x.sx * g.sy) / (x.n * x.sxx - x.sx * x.sx) AS b,
+         (g.sy - ((x.n * g.sxy - x.sx * g.sy) / (x.n * x.sxx - x.sx * x.sx)) * x.sx)
+           / x.n AS a
+  FROM gstats g CROSS JOIN xstats x
+)
+SELECT j.vec_id, j.pos, round(j.v - (f.a + f.b * j.x), 6) AS resid
+FROM joined j JOIN fit f USING (pos)
+"""
+
+
+@query("sc_regress_out", oracle=_REGRESS_ORACLE, tags=("singlecell", "regression"))
+def sc_regress_out(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scanpy ``pp.regress_out`` with the standard single covariate (per-
+    cell total signal): per gene, OLS-fit expression against the cell
+    covariate over ALL cells, then emit the residual matrix — the step that
+    removes library-size / cell-cycle-style confounders after
+    normalization and before scaling/PCA.  (Beyond the reference's A4-A11
+    kernel set, but core Scanpy preprocessing a switching user expects;
+    the matrix here is dense, so the COO carries every (cell, gene) entry
+    and the residuals are the complete regressed matrix.)
+
+    Distributed shape — closed-form OLS via per-gene sufficient statistics,
+    never an iterative solver: one vec-keyed aggregation for the covariate
+    (x = Σv per cell), one vec-keyed join to annotate the matrix (co-
+    partitioned with the COO's natural key; exchange-free under vec_id
+    bucketing), one pos-keyed aggregation for (Σy, Σxy) per gene, a
+    broadcast O(1) covariate-moment row and a broadcast O(genes) fit table,
+    then a row-local residual projection.  Two keyed shuffles total at any
+    scale.
+
+    Determinism: every cross-row sum runs the stat6 decimal path
+    (order-insensitive exact), and slope/intercept/residual arithmetic is
+    plain IEEE double with the SAME expression shape in both engines, so
+    the 6-dp rounded residuals are bit-identical.
+    """
+    c = coo(spark, sf_dir)
+    cellx = c.groupBy("vec_id").agg(F.sum(stat6("v")).cast("double").alias("x"))
+    joined = c.join(cellx, "vec_id")
+    xstats = cellx.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(stat6("x")).cast("double").alias("sx"),
+        F.sum(stat6(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+    )
+    gstats = joined.groupBy("pos").agg(
+        F.sum(stat6("v")).cast("double").alias("sy"),
+        F.sum(stat6(F.col("v") * F.col("x"))).cast("double").alias("sxy"),
+    )
+    b = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fit = gstats.crossJoin(F.broadcast(xstats)).select(
+        "pos",
+        b.alias("b"),
+        ((F.col("sy") - b * F.col("sx")) / F.col("n")).alias("a"),
+    )
+    return (
+        joined.join(F.broadcast(fit), "pos")
+        .select(
+            "vec_id",
+            "pos",
+            F.round(F.col("v") - (F.col("a") + F.col("b") * F.col("x")), 6).alias("resid"),
+        )
+    )

@@ -138,3 +138,22 @@ def test_kmeans_invariants_hold(spark, emb_matrix):
     assert bool(r["clusters_within_k"])
     assert r["n_points"] == len(vec_ids)
     assert bool(r["inertia_le_total_ss"])
+
+
+def test_regress_out_matches_numpy_ols(spark, emb_matrix):
+    """sc_regress_out's closed-form per-gene fit must equal numpy's dense
+    OLS residuals (y regressed on the per-cell total) — the oracle proves
+    Spark==DuckDB; this proves the algebra is actually regress_out."""
+    vec_ids, X = emb_matrix  # cells x genes, rows sorted by vec_id
+    x = X.sum(axis=1)  # per-cell covariate
+    A = np.stack([np.ones_like(x), x], axis=1)
+    coef, *_ = np.linalg.lstsq(A, X, rcond=None)  # 2 x genes
+    expected = X - A @ coef
+
+    out = QS["sc_regress_out"](spark, SF_DIR).toPandas()
+    rowpos = {int(v): i for i, v in enumerate(vec_ids)}
+    got = np.zeros_like(expected)
+    got[
+        out["vec_id"].map(rowpos).to_numpy(), out["pos"].to_numpy() - 1
+    ] = out["resid"].to_numpy()
+    assert np.abs(got - expected).max() < 2e-3, np.abs(got - expected).max()
