@@ -622,3 +622,113 @@ def sc_regress_out(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("v") - (F.col("a") + F.col("b") * F.col("x")), 6).alias("resid"),
         )
     )
+
+
+# --- rank_genes_groups (marker genes: Welch t per label vs rest) --------------
+
+_RGG_ORACLE = f"""
+WITH coo AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+stats AS (
+  SELECT label, pos,
+         COUNT(*) AS n,
+         SUM({_DD_STAT6}) AS s_dec,
+         SUM(CAST(round(v * v, 6) AS DECIMAL(18,6))) AS ss_dec
+  FROM coo GROUP BY label, pos
+),
+tot AS (
+  SELECT pos, SUM(n) AS ntot, SUM(s_dec) AS st_dec, SUM(ss_dec) AS sst_dec
+  FROM stats GROUP BY pos
+),
+t AS (
+  SELECT s.label, s.pos,
+         CAST(s.n AS DOUBLE) AS n1,
+         CAST(t.ntot - s.n AS DOUBLE) AS n2,
+         CAST(s.s_dec AS DOUBLE) AS s1,
+         CAST(t.st_dec AS DOUBLE) - CAST(s.s_dec AS DOUBLE) AS s2,
+         CAST(s.ss_dec AS DOUBLE) AS q1,
+         CAST(t.sst_dec AS DOUBLE) - CAST(s.ss_dec AS DOUBLE) AS q2
+  FROM stats s JOIN tot t USING (pos)
+),
+tt AS (
+  SELECT label, pos,
+         round(
+           (s1 / n1 - s2 / n2)
+           / sqrt(((q1 - s1 * s1 / n1) / (n1 - 1)) / n1
+                  + ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2),
+           6) AS t6
+  FROM t
+)
+SELECT label, pos, t6,
+       CAST(row_number() OVER (PARTITION BY label ORDER BY t6 DESC NULLS LAST, pos)
+            AS BIGINT) AS rnk
+FROM tt
+"""
+
+
+@query("sc_rank_genes_groups", oracle=_RGG_ORACLE, tags=("singlecell", "stats"))
+def sc_rank_genes_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scanpy ``tl.rank_genes_groups`` (t-test flavor): per label, Welch's
+    t statistic of every gene against the rest of the cells, ranked per
+    label — the marker-gene step every single-cell analysis runs after
+    clustering.  (Beyond the reference's A4-A11 preprocessing set; the
+    ``label`` column stands in for cluster assignments, as in
+    ``grouped_pandas_centroid``.)
+
+    Distributed shape: ONE (label, pos)-keyed shuffle computes every
+    group's (n, Σy, Σy²) with map-side partial agg; the rest-group moments
+    come from re-aggregating those per-gene totals (O(labels × genes)
+    rows, broadcast back) rather than a second pass over the matrix; the
+    ranking window runs over the same tiny fit table.  At 100 TB the
+    matrix is touched exactly once.
+
+    Determinism: group sums ride the stat6 decimal path and stay DECIMAL
+    through the rest-group subtraction (exact), are cast to double once,
+    and the t arithmetic uses the same IEEE expression shape in both
+    engines; output t is 6-dp rounded, ranking orders by the rounded t
+    with an explicit NULLS LAST and pos tiebreak.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    c = e.select(
+        "label", F.posexplode("embedding").alias("pos0", "v32")
+    ).select(
+        "label", (F.col("pos0") + 1).alias("pos"), F.col("v32").cast("double").alias("v")
+    )
+    stats = c.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(stat6("v")).alias("s_dec"),
+        F.sum(stat6(F.col("v") * F.col("v"))).alias("ss_dec"),
+    )
+    tot = stats.groupBy("pos").agg(
+        F.sum("n").alias("ntot"),
+        F.sum("s_dec").alias("st_dec"),
+        F.sum("ss_dec").alias("sst_dec"),
+    )
+    j = stats.join(F.broadcast(tot), "pos").select(
+        "label",
+        "pos",
+        F.col("n").cast("double").alias("n1"),
+        (F.col("ntot") - F.col("n")).cast("double").alias("n2"),
+        F.col("s_dec").cast("double").alias("s1"),
+        (F.col("st_dec").cast("double") - F.col("s_dec").cast("double")).alias("s2"),
+        F.col("ss_dec").cast("double").alias("q1"),
+        (F.col("sst_dec").cast("double") - F.col("ss_dec").cast("double")).alias("q2"),
+    )
+    t6 = F.round(
+        (F.col("s1") / F.col("n1") - F.col("s2") / F.col("n2"))
+        / F.sqrt(
+            ((F.col("q1") - F.col("s1") * F.col("s1") / F.col("n1")) / (F.col("n1") - 1))
+            / F.col("n1")
+            + ((F.col("q2") - F.col("s2") * F.col("s2") / F.col("n2")) / (F.col("n2") - 1))
+            / F.col("n2")
+        ),
+        6,
+    ).alias("t6")
+    ranked = j.select("label", "pos", t6)
+    w = W.partitionBy("label").orderBy(F.col("t6").desc_nulls_last(), F.col("pos"))
+    return ranked.select(
+        "label", "pos", "t6", F.row_number().over(w).cast("bigint").alias("rnk")
+    )

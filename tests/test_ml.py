@@ -157,3 +157,25 @@ def test_regress_out_matches_numpy_ols(spark, emb_matrix):
         out["vec_id"].map(rowpos).to_numpy(), out["pos"].to_numpy() - 1
     ] = out["resid"].to_numpy()
     assert np.abs(got - expected).max() < 2e-3, np.abs(got - expected).max()
+
+
+def test_rank_genes_groups_matches_numpy_welch(spark):
+    """sc_rank_genes_groups' per-(label, gene) statistic must equal the
+    directly-computed Welch t (ddof=1 sample variances) from the dense
+    matrix — and the per-label ranking must follow the rounded t."""
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    X = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    labels = t.column("label").to_numpy()
+
+    out = QS["sc_rank_genes_groups"](spark, SF_DIR).toPandas()
+    for lab in np.unique(labels):
+        grp, rest = X[labels == lab], X[labels != lab]
+        m1, m2 = grp.mean(axis=0), rest.mean(axis=0)
+        v1 = grp.var(axis=0, ddof=1)
+        v2 = rest.var(axis=0, ddof=1)
+        t_exp = (m1 - m2) / np.sqrt(v1 / len(grp) + v2 / len(rest))
+        sub = out[out["label"] == lab].sort_values("pos")
+        assert np.abs(sub["t6"].to_numpy() - t_exp).max() < 1e-4
+        # ranking: rnk order == t6 descending (pos tiebreak)
+        by_rank = sub.sort_values("rnk")["t6"].to_numpy()
+        assert (np.diff(by_rank) <= 1e-12).all()
