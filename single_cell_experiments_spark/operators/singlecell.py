@@ -732,3 +732,70 @@ def sc_rank_genes_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "label", "pos", "t6", F.row_number().over(w).cast("bigint").alias("rnk")
     )
+
+
+# --- calculate_qc_metrics (per-cell block) ------------------------------------
+
+QC_TOP_K = 5  # pct_counts_in_top_N_genes N (scanpy default grid includes 50; 5 fits d=64)
+
+_QC_ORACLE = f"""
+WITH coo AS ({_DD_COO}),
+ranked AS (
+  SELECT vec_id, v, {_DD_STAT6} AS v6,
+         row_number() OVER (PARTITION BY vec_id ORDER BY v DESC, pos) AS rk
+  FROM coo
+),
+per AS (
+  SELECT vec_id,
+         CAST(SUM(v6) AS DOUBLE) AS total,
+         CAST(SUM(CASE WHEN rk <= {QC_TOP_K} THEN v6
+                       ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS topk,
+         SUM(CASE WHEN v > {EXPR_THRESHOLD} THEN 1 ELSE 0 END) AS n_expr
+  FROM ranked GROUP BY vec_id
+)
+SELECT vec_id,
+       round(total, 6) AS total6,
+       CAST(n_expr AS BIGINT) AS n_expressed,
+       round(topk / total, 6) AS pct_top{QC_TOP_K}
+FROM per
+"""
+
+
+@query("sc_qc_metrics", oracle=_QC_ORACLE, tags=("singlecell", "qc"))
+def sc_qc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scanpy ``pp.calculate_qc_metrics``, per-cell block: total signal,
+    expressed-gene count, and the top-{QC_TOP_K}-gene concentration share
+    (the library-complexity signal ``pct_counts_in_top_N_genes``) — the
+    first-look QC every single-cell pipeline runs before filtering.
+
+    Scale shape: **ZERO shuffles.**  Each metric is a row-local
+    higher-order fold over the cell's dense expression array — the decimal
+    total via ``aggregate`` over 6-dp-quantized elements (the stat6 path,
+    elementwise), the top-k share via ``sort_array`` + ``slice`` + the
+    same fold.  The plan is scan → project at any matrix height.  The
+    oracle computes the identical quantities through a COO window (its
+    top-k multiset equals the sorted-slice multiset even across value
+    ties, so the sums agree exactly).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    dec_fold = (
+        "aggregate({src}, CAST(0 AS DECIMAL(38,6)),"
+        " (a, x) -> a + CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(18,6)))"
+    )
+    total_dec = F.expr(dec_fold.format(src="embedding"))
+    topk_dec = F.expr(
+        dec_fold.format(
+            src=f"slice(sort_array(transform(embedding, x -> CAST(x AS DOUBLE)), false), 1, {QC_TOP_K})"
+        )
+    )
+    n_expr = F.expr(
+        f"size(filter(embedding, x -> CAST(x AS DOUBLE) > {EXPR_THRESHOLD}))"
+    )
+    return e.select(
+        "vec_id",
+        F.round(total_dec.cast("double"), 6).alias("total6"),
+        n_expr.cast("bigint").alias("n_expressed"),
+        F.round(topk_dec.cast("double") / total_dec.cast("double"), 6).alias(
+            f"pct_top{QC_TOP_K}"
+        ),
+    )

@@ -214,3 +214,10 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_qc_metrics_zero_shuffle(spark):
+    """sc_qc_metrics claims scan->project: every metric is a row-local
+    higher-order fold, so the plan must contain no shuffle exchange."""
+    df = QS["sc_qc_metrics"](spark, SF_DIR)
+    assert inspect.exchange_count(df) == 0
