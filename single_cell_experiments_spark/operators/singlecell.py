@@ -799,3 +799,98 @@ def sc_qc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"pct_top{QC_TOP_K}"
         ),
     )
+
+
+# --- calculate_qc_metrics (per-gene block) ------------------------------------
+
+_QCG_ORACLE = f"""
+WITH coo AS ({_DD_COO})
+SELECT pos,
+       CAST(SUM(CASE WHEN v > {EXPR_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT) AS n_cells,
+       round(CAST(SUM({_DD_STAT6}) AS DOUBLE) / COUNT(*), 6) AS mean6,
+       round(1.0 - CAST(SUM(CASE WHEN v > {EXPR_THRESHOLD} THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*), 6) AS pct_dropout
+FROM coo GROUP BY pos
+"""
+
+
+@query("sc_qc_metrics_genes", oracle=_QCG_ORACLE, tags=("singlecell", "qc"))
+def sc_qc_metrics_genes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scanpy ``pp.calculate_qc_metrics``, per-gene block: expressing-cell
+    count, mean expression, and dropout fraction per gene — the var-side
+    QC table (`n_cells_by_counts` / `mean_counts` / `pct_dropout_by_counts`
+    analogues on this continuous matrix).
+
+    Scale shape: ONE pos-keyed shuffle with map-side partial aggregation
+    (the same shape as `sc_filter_genes`/`sc_scale` stats); output is
+    O(genes) rows regardless of cell count.  Mean rides the exact decimal
+    sum / double count path.
+    """
+    c = coo(spark, sf_dir)
+    return c.groupBy("pos").agg(
+        F.sum(F.when(F.col("v") > EXPR_THRESHOLD, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cells"),
+        F.round(F.sum(stat6("v")).cast("double") / F.count(F.lit(1)), 6).alias("mean6"),
+        F.round(
+            1.0
+            - F.sum(F.when(F.col("v") > EXPR_THRESHOLD, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("pct_dropout"),
+    )
+
+
+# --- score_genes (deterministic signature-set scoring) ------------------------
+
+SCORE_SET_MOD = 7  # signature set = genes at pos % 7 == 0 (deterministic stand-in)
+
+_SCORE_ORACLE = f"""
+WITH coo AS ({_DD_COO}),
+per AS (
+  SELECT vec_id,
+         SUM(CASE WHEN pos % {SCORE_SET_MOD} = 0 THEN {_DD_STAT6}
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS s_set,
+         SUM(CASE WHEN pos % {SCORE_SET_MOD} = 0 THEN 1 ELSE 0 END) AS n_set,
+         SUM({_DD_STAT6}) AS s_all,
+         COUNT(*) AS n_all
+  FROM coo GROUP BY vec_id
+)
+SELECT vec_id,
+       round(CAST(s_set AS DOUBLE) / n_set - CAST(s_all AS DOUBLE) / n_all, 6) AS score6
+FROM per
+"""
+
+
+@query("sc_score_genes", oracle=_SCORE_ORACLE, tags=("singlecell", "scoring"))
+def sc_score_genes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scanpy ``tl.score_genes`` shape: per cell, mean expression of a gene
+    signature minus the mean over the reference pool (Scanpy samples a
+    random control bin; here the reference is the full gene pool and the
+    signature is the deterministic ``pos % {SCORE_SET_MOD} == 0`` set, so
+    the score is seed-free and cross-engine exact — swap in any broadcast
+    gene list in production).
+
+    Scale shape: **ZERO shuffles** — both means are row-local folds over
+    the cell's dense array (signature membership is a positional predicate;
+    a real gene list arrives as a broadcast array/set and stays row-local).
+    Sums ride the decimal path; the two means divide and subtract in
+    double with one expression shape in both engines.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    dec_fold = (
+        "aggregate({src}, CAST(0 AS DECIMAL(38,6)),"
+        " (a, x) -> a + CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(18,6)))"
+    )
+    idx = "transform(embedding, (x, i) -> struct(i + 1 AS pos, CAST(x AS DOUBLE) AS v))"
+    set_vals = f"transform(filter({idx}, s -> s.pos % {SCORE_SET_MOD} = 0), s -> s.v)"
+    s_set = F.expr(dec_fold.format(src=set_vals))
+    n_set = F.expr(f"size({set_vals})")
+    s_all = F.expr(dec_fold.format(src="embedding"))
+    n_all = F.expr("size(embedding)")
+    return e.select(
+        "vec_id",
+        F.round(
+            s_set.cast("double") / n_set - s_all.cast("double") / n_all, 6
+        ).alias("score6"),
+    )
