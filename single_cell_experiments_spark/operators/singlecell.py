@@ -582,12 +582,16 @@ def sc_regress_out(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Distributed shape — closed-form OLS via per-gene sufficient statistics,
     never an iterative solver: one vec-keyed aggregation for the covariate
-    (x = Σv per cell), one vec-keyed join to annotate the matrix (co-
-    partitioned with the COO's natural key; exchange-free under vec_id
-    bucketing), one pos-keyed aggregation for (Σy, Σxy) per gene, a
-    broadcast O(1) covariate-moment row and a broadcast O(genes) fit table,
-    then a row-local residual projection.  Two keyed shuffles total at any
-    scale.
+    (x = Σv per cell), a vec-keyed annotate join (AQE broadcasts the
+    O(cells)-row covariate side at small SF; co-partitioned shuffle join
+    otherwise), one pos-keyed aggregation for (Σy, Σxy), a broadcast O(1)
+    covariate-moment row and a broadcast O(genes) fit table, then a
+    row-local residual projection.  The measured plan carries 4 keyed
+    exchanges, and the annotated matrix is consumed by both the fit branch
+    and the residual branch — Spark rescans it once per branch; in a long
+    100 TB pipeline cut that with ``session.materialize`` at the annotate
+    point (deliberately not done here to keep the registered query a
+    single lazy plan).
 
     Determinism: every cross-row sum runs the stat6 decimal path
     (order-insensitive exact), and slope/intercept/residual arithmetic is

@@ -652,7 +652,10 @@ def crossdoc_ngram_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     UDF); the document-frequency count is ONE gram-keyed shuffle with
     map-side partial agg, the share join reuses that gram partitioning,
     and the per-doc roll-up is one doc-keyed shuffle.  Never all-pairs —
-    cost is Σ grams, linear in corpus size.  At 100 TB, group on
+    cost is Σ grams, linear in corpus size.  (The exploded gram stream
+    feeds both the document-frequency agg and the share join, so Spark
+    re-derives it once per branch; a long pipeline cuts that with
+    ``session.materialize`` at the explode point.)  At 100 TB, group on
     ``xxhash64(gram)`` instead of the gram string to narrow the shuffle
     (identical counts modulo 2⁻⁶⁴ collisions; kept as strings here so the
     DuckDB oracle is exactly mirrorable).  The ppm ratio is integer
