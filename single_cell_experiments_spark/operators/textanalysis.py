@@ -695,3 +695,106 @@ def crossdoc_ngram_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("shared_ppm"),
         )
     )
+
+
+# --- context-window chunking --------------------------------------------------
+
+CHUNK_TOKENS = 50  # window size (words)
+CHUNK_STRIDE = 40  # step between window starts (=> 10-token overlap)
+
+_CHUNK_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents
+),
+wins AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(length(toks) - {CHUNK_TOKENS}, 0) + 2, {CHUNK_STRIDE})) AS p
+  FROM tok WHERE length(toks) > 0
+)
+SELECT doc_id,
+       CAST((p - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       array_to_string(list_slice(toks, p, p + {CHUNK_TOKENS} - 1), ' ') AS chunk_text,
+       CAST(least({CHUNK_TOKENS}, length(toks) - p + 1) AS BIGINT) AS n_tokens
+FROM wins
+"""
+
+
+@query("doc_chunk_windows", oracle=_CHUNK_ORACLE, tags=("text", "chunking"))
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking: split every document into
+    {CHUNK_TOKENS}-token windows advancing by {CHUNK_STRIDE} tokens
+    ({CHUNK_TOKENS - CHUNK_STRIDE}-token overlap) — the retrieval/context
+    preparation step of RAG and long-context training pipelines (every
+    token appears in ≥1 chunk; the final partial window is kept with its
+    true length).
+
+    Scale shape: **ZERO shuffles** — tokenize, window-start enumeration
+    (``sequence`` stepping by the stride), slice, and join-back are all
+    row-local higher-order expressions inside whole-stage codegen; output
+    rows ≈ tokens/stride per document, linear in corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = "regexp_extract_all(text, '\\\\S+', 0)"
+    starts = (
+        f"sequence(1, greatest(size({toks}) - {CHUNK_TOKENS}, 0) + 1, {CHUNK_STRIDE})"
+    )
+    return (
+        d.where(F.expr(f"size({toks}) > 0"))
+        .select(
+            "doc_id",
+            F.explode(F.expr(starts)).alias("p"),
+            F.expr(toks).alias("toks"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"CAST((p - 1) / {CHUNK_STRIDE} AS BIGINT)").alias("chunk_id"),
+            F.expr(f"array_join(slice(toks, p, {CHUNK_TOKENS}), ' ')").alias("chunk_text"),
+            F.expr(f"CAST(least({CHUNK_TOKENS}, size(toks) - p + 1) AS BIGINT)").alias(
+                "n_tokens"
+            ),
+        )
+    )
+
+
+# --- PII-style scrubbing ------------------------------------------------------
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_URL = "https?://[^\\s,]+"
+
+_SCRUB_ORACLE = f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                      '{_PII_URL}', '<URL>', 'g') AS scrubbed,
+       CAST(length(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(length(regexp_extract_all(text, '{_PII_URL}')) AS BIGINT) AS n_urls
+FROM documents
+"""
+
+
+@query("doc_scrub_pii", oracle=_SCRUB_ORACLE, tags=("text", "curation"))
+def doc_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-based PII-style redaction: emails and URLs replaced with
+    typed placeholder tokens, plus per-document match counts for the
+    curation audit trail — the scrub step every public-corpus pipeline
+    runs before training-mixture entry.  (Regexes chosen to behave
+    identically under Java regex and RE2 so the oracle is exact; a
+    production scrubber extends the pattern set the same way.)
+
+    Scale shape: ZERO shuffles — regexp_replace / regexp_extract_all are
+    row-local, whole-stage-codegen expressions.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    email = _PII_EMAIL.replace("\\", "\\\\")
+    url = _PII_URL.replace("\\", "\\\\")
+    return d.select(
+        "doc_id",
+        F.expr(
+            f"regexp_replace(regexp_replace(text, '{email}', '<EMAIL>'), '{url}', '<URL>')"
+        ).alias("scrubbed"),
+        F.expr(f"CAST(size(regexp_extract_all(text, '{email}', 0)) AS BIGINT)").alias(
+            "n_emails"
+        ),
+        F.expr(f"CAST(size(regexp_extract_all(text, '{url}', 0)) AS BIGINT)").alias(
+            "n_urls"
+        ),
+    )
