@@ -227,6 +227,22 @@ _R5_PRIORITY: tuple[str, ...] = (
 )
 
 
+#: Round-6 verdict-ask queries that MUST land inside the 50-slot window
+#: ahead of the other new registrations: the native Zarr reader, 10x CSC
+#: ingestion, and wide-matrix PCA are the r5 verdict's items #4-6.
+_R6_CORE: tuple[str, ...] = ("zarr_roundtrip", "tenx_csc_ingest", "sc_pca_svd")
+
+#: Late round-6 additions that are derivative variants of already-windowed
+#: cousins — ordered LAST among the new queries so that, with the window
+#: at exactly 50, they are the ones relying on the local full-sweep gate
+#: (sc_qc_metrics_genes/sc_score_genes are the per-gene/scoring twins of
+#: the windowed sc_qc_metrics; chunk/scrub are zero-shuffle row-local ops
+#: with the weakest novelty-risk).
+_R6_DEFER: tuple[str, ...] = (
+    "doc_chunk_windows", "doc_scrub_pii", "sc_qc_metrics_genes", "sc_score_genes",
+)
+
+
 def _ordered() -> list[QuerySpec]:
     """Registry in driver-check priority order (round-6 rotation).
 
@@ -236,11 +252,14 @@ def _ordered() -> list[QuerySpec]:
     r4) < r5-priority + r2-set (checked r5, freshest).
 
     1. r1-verified never re-confirmed since — the 34-query stale tail.
-    2. Queries new this round (in no verified/priority set).
+    2. ``_R6_CORE`` — the verdict's asked-for new surfaces (Zarr/10x/SVD).
     3. ``_R5_PRIORITY`` — the six sketch/ML queries whose oracles gain
        independent numeric teeth this round; fresh rows re-certify them.
-    4. r3/r4-verified (evidence two rounds old).
-    5. r2-verified (re-checked in round 5, freshest evidence) last.
+    4. Remaining queries new this round (``_R6_DEFER`` last: 34+3+6 fills
+       43 slots, so only ~7 of the remaining new fit the 50-window; the
+       deferred tail keeps its local full-sweep evidence).
+    5. r3/r4-verified (evidence two rounds old).
+    6. r2-verified (re-checked in round 5, freshest evidence) last.
     """
     specs = {s.name: s for s in REGISTRY.values()}
     prio_set = set(_R5_PRIORITY)
@@ -253,7 +272,14 @@ def _ordered() -> list[QuerySpec]:
         and s.name not in _R3_VERIFIED
     ]
     placed = prio_set | _R1_VERIFIED | _R2_VERIFIED | _R3_VERIFIED
-    new = [s for s in specs.values() if s.name not in placed]
+    core = [specs[n] for n in _R6_CORE if n in specs]
+    defer_set = set(_R6_DEFER)
+    new = [
+        s
+        for s in specs.values()
+        if s.name not in placed and s.name not in _R6_CORE and s.name not in defer_set
+    ]
+    new += [specs[n] for n in _R6_DEFER if n in specs]
     prio = [specs[n] for n in _R5_PRIORITY if n in specs]
     r3 = [
         s
@@ -270,7 +296,7 @@ def _ordered() -> list[QuerySpec]:
         for s in specs.values()
         if s.name in _R1_VERIFIED and s.name in _R3_VERIFIED and s.name not in prio_set
     ]
-    return r1_stale + new + prio + r3 + r2 + r1_fresh
+    return r1_stale + core + prio + new + r3 + r2 + r1_fresh
 
 
 def queries() -> dict[str, QueryFn]:
