@@ -70,22 +70,33 @@ GROUP BY 1
 
 @query("tumbling_window_events", oracle=_TUMBLING_ORACLE, tags=("streaming", "headline"))
 def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1-hour tumbling window counts + mean value (BASELINE.md headliner),
-    via the native ``window()`` operator — the exact batch twin of the
-    ``readStream`` job in streaming/jobs.py."""
+    """1-hour tumbling window counts + mean value (BASELINE.md headliner).
+
+    The window key is the epoch-aligned integer bucket ``ts_s div 3600`` —
+    by definition identical to the ``start`` of Spark's native tumbling
+    ``window()`` for an epoch-aligned 1-hour width (the ``readStream`` twin
+    in streaming/jobs.py uses the native operator; tests assert the two
+    produce equal rows).  Integer bucketing keeps the whole scan stage in
+    long arithmetic: the r6 plan's per-row window-struct construction +
+    DECIMAL(18,6) sum (a BigDecimal-backed buffer — precision 28 after sum
+    promotion) cost ~100 ms of the 245 ms fresh time at sf0.1.  The value
+    sum aggregates exact integer MICROS (``round(value,6)`` is ≤ 6 dp, so
+    micros are integral; sums ≤ 2^53 keep the final double division
+    correctly rounded — bit-equal to the decimal-path result the oracle
+    computes).
+    """
     e = table_view(spark, sf_dir, "events")
-    # spark.sql form for driver-latency (catalog.table_view); the native
-    # window() operator is kept so this stays the exact batch twin of the
-    # readStream job.  0.0-style literals need the D suffix in SQL.
+    # spark.sql form for driver-latency (catalog.table_view).  The per-row
+    # micros conversion goes through DECIMAL(18,6) — same HALF_UP rounding
+    # the oracle's CAST does — but scale-shifted to a long BEFORE the agg,
+    # so only the (cheap) conversion is decimal, never the agg buffer.
     return spark.sql(f"""
-        SELECT CAST(unix_timestamp(CAST(win.start AS TIMESTAMP)) AS BIGINT) AS w_start_s, c, av
-        FROM (
-            SELECT window(to_timestamp_ntz(timestamp_seconds(ts_s)), '1 hour') AS win,
-                   COUNT(1) AS c,
-                   ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(1), 6) AS av
-            FROM {e}
-            GROUP BY window(to_timestamp_ntz(timestamp_seconds(ts_s)), '1 hour')
-        )
+        SELECT ts_s div 3600 * 3600 AS w_start_s,
+               COUNT(1) AS c,
+               ROUND(CAST(SUM(CAST(CAST(ROUND(value, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS DOUBLE)
+                     / 1000000.0D / COUNT(1), 6) AS av
+        FROM {e}
+        GROUP BY ts_s div 3600
     """)
 
 

@@ -25,9 +25,33 @@ def test_filter_and_pruning_reach_parquet_scan(spark):
     assert "l_returnflag" in schema and "l_quantity" in schema
 
 
-def test_q3_broadcasts_dimension_side(spark):
+def test_q3_inlines_small_dimension_as_inset(spark):
+    """Below the size gate the BUILDING-customer dim becomes an IN-set
+    predicate inside the orders scan stage — no customer scan, no
+    broadcast-build job, no exchange for the dim side."""
     df = QS["q3_join_topk"](spark, SF_DIR)
-    assert inspect.uses_broadcast_join(df), "customer/orders side should broadcast"
+    plan = inspect.formatted_plan(df)
+    assert "customer.parquet" not in plan, "dim should be inlined, not scanned"
+    assert "o_custkey" in plan  # the IN-set filter survives into the plan
+
+
+def test_q3_dim_fallback_joins_scan_above_gate(spark, monkeypatch):
+    """Above the inline gate (`_DIM_INLINE_MAX_KEYS`) the dim prep must NOT
+    collect keys to the driver: the plan joins the customer scan and the
+    planner picks the strategy (r6 verdict #2 — the guarded path)."""
+    from single_cell_experiments_spark.operators import relational
+    from single_cell_experiments_spark.registry import fresh_fn
+
+    monkeypatch.setattr(relational, "_DIM_INLINE_MAX_KEYS", 0)
+    relational._dim_cache.pop(spark, None)
+    try:
+        df = fresh_fn("q3_join_topk")(spark, SF_DIR)
+        plan = inspect.formatted_plan(df)
+        assert "customer.parquet" in plan, "fallback must join the dim scan"
+        assert "Join" in plan
+        df.limit(1).collect()  # fallback path executes
+    finally:
+        relational._dim_cache.pop(spark, None)
 
 
 def test_scale_stats_join_is_broadcast(spark):
@@ -41,14 +65,15 @@ def test_topk_per_group_uses_window_group_limit(spark):
 
 
 def test_q1_no_range_sampling_sort(spark):
-    """q1's global ORDER BY must be a local sort over the REPARTITION(1)
-    coalesce — a rangepartitioning exchange would add a whole sampling job
-    re-running the aggregation (round-5 latency fix; scale-safe because
-    the aggregate is ≤ a dozen groups at any SF)."""
+    """q1's global ORDER BY must be a local sort over a COALESCE(1) narrow
+    dependency — a rangepartitioning exchange would add a whole sampling
+    job re-running the aggregation, and a REPARTITION(1) would add a
+    shuffle stage (r7 latency fix; scale-safe because the aggregate is ≤ a
+    dozen groups at any SF)."""
     df = QS["q1_pricing_summary"](spark, SF_DIR)
     plan = inspect.executed_plan(df)
     assert "rangepartitioning" not in plan, plan
-    assert "SinglePartition" in plan, plan
+    assert "Coalesce 1" in plan or "SinglePartition" in plan, plan
 
 
 def test_q3_preaggregates_lineitem_below_join(spark):
