@@ -112,10 +112,19 @@ def main() -> int:
     # ~6 full passes as the JVM C2 compiler finishes with the scan/agg/
     # exchange hot paths — an under-warmed JIT inflates every later sample.
     # (Steady-state JIT is the honest comparison point: DuckDB's kernels
-    # are AOT-compiled native code on its very first call.)
-    for _ in range(8):
+    # are AOT-compiled native code on its very first call.)  The FIRST pass
+    # is additionally timed and reported as ``cold_queries`` so the
+    # cold-start number survives alongside the steady-state medians —
+    # r6 advice: the r6 warm-up increase (5→8 passes) shifted fresh medians
+    # without a comparable record; cold timings keep rounds auditable
+    # against any warm-up policy.
+    cold_query: dict[str, float] = {}
+    for pass_i in range(8):
         for name in names:
+            t0 = time.perf_counter()
             fresh[name](spark, sf_dir).toPandas()  # warm-up (codegen, JIT, FS cache)
+            if pass_i == 0:
+                cold_query[name] = round(time.perf_counter() - t0, 4)
 
     # Interleave the timed runs round-robin so a transient VM load spike
     # lands on at most one sample of each query instead of sinking one
@@ -162,6 +171,8 @@ def main() -> int:
                 "queries": per_query,
                 "warm_total_sec": round(sum(warm_query.values()), 4),
                 "warm_queries": warm_query,
+                "cold_total_sec": round(sum(cold_query.values()), 4),
+                "cold_queries": cold_query,
                 "job_floor_ms": job_floor_ms,
                 "sf": sf,
             }

@@ -379,12 +379,20 @@ def _cc_labels_sql(rounds: int = CC_MAX_ROUNDS) -> str:
 
     Exactness: identical per-round update to the Spark loop in
     ``dedup_connected_components``; past the fixpoint further rounds are
-    no-ops, and the Spark side RAISES if the fixpoint is not reached within
-    the same ``CC_MAX_ROUNDS`` cap — so whenever the engine returns at all,
-    ``l{rounds}`` equals its labels exactly.
+    no-ops.  The oracle is SELF-VERIFYING (r6 advice, medium): it runs one
+    round past the cap and raises (DuckDB ``error()``) if ``l{rounds+1}``
+    still differs from ``l{rounds}`` — without this, a consumer whose own
+    convergence proof is independent of the round cap (``dedup_cc_star``
+    converges in ≤20 star rounds for diameters up to ~2^20, far past 32)
+    could produce CORRECT labels on a diameter>{rounds} graph while the
+    unconverged oracle hash-mismatches, misattributing the failure to the
+    engine.  ``dedup_connected_components`` additionally raises Spark-side
+    at the same cap; for ``dedup_cc_star`` the oracle guard is the only —
+    and now sufficient — protection.  Final labels are exposed as
+    ``lchecked``.
     """
     parts = ["l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS lbl FROM edges)"]
-    for i in range(1, rounds + 1):
+    for i in range(1, rounds + 2):
         parts.append(f"""
 l{i} AS MATERIALIZED (
   SELECT l.id, LEAST(l.lbl, COALESCE(m.m, l.lbl)) AS lbl
@@ -393,6 +401,16 @@ l{i} AS MATERIALIZED (
     FROM edges e JOIN l{i - 1} n ON e.v = n.id
     GROUP BY e.u
   ) m ON m.id = l.id
+)""")
+    parts.append(f"""
+lchecked AS MATERIALIZED (
+  SELECT a.id,
+         CASE WHEN (SELECT count(*) FROM l{rounds + 1} x
+                    JOIN l{rounds} y ON x.id = y.id AND x.lbl <> y.lbl) = 0
+              THEN a.lbl
+              ELSE error('cc oracle: min-label propagation not converged within {rounds} rounds; raise CC_MAX_ROUNDS')
+         END AS lbl
+  FROM l{rounds} a
 )""")
     return ",\n".join(parts)
 
@@ -405,7 +423,7 @@ edges AS MATERIALIZED (
   SELECT doc2, doc1 FROM pairs
 ),
 {_cc_labels_sql()}
-SELECT id AS doc_id, lbl AS component_id FROM l{CC_MAX_ROUNDS}
+SELECT id AS doc_id, lbl AS component_id FROM lchecked
 """
 
 
@@ -576,9 +594,14 @@ def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the near-dup graph → min reachable doc_id) through the O(log n)-
     round algorithm that holds at 100 TB graph scale (see
     ``cc_star_labels`` for the round-complexity argument).  Shares the
-    unrolled min-label-propagation DuckDB oracle: both algorithms provably
-    compute the same labels, so cross-checking them against one SQL text
-    is itself a Spark-vs-Spark algebraic test the driver hash-verifies.
+    unrolled min-label-propagation DuckDB oracle; both algorithms compute
+    the true component min-labels, but their convergence regimes differ —
+    star rounds reach fixpoint in ≤20 rounds for diameters up to ~2^20,
+    while the propagation oracle needs diameter ≤ ``CC_MAX_ROUNDS`` — so
+    the oracle SELF-CHECKS convergence (``_cc_labels_sql``: raises rather
+    than hash-mismatch on a deeper graph).  Given convergence, the shared
+    SQL text makes this a Spark-vs-Spark algebraic cross-check the driver
+    hash-verifies.
     """
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc1", "doc2")
     return cc_star_labels(pairs)
@@ -594,7 +617,7 @@ edges AS MATERIALIZED (
   SELECT doc2, doc1 FROM pairs
 ),
 {_cc_labels_sql()},
-labels AS (SELECT id AS doc_id, lbl AS component_id FROM l{CC_MAX_ROUNDS}),
+labels AS (SELECT id AS doc_id, lbl AS component_id FROM lchecked),
 membered AS (
   SELECT d.doc_id,
          COALESCE(l.component_id, d.doc_id) AS component_id,

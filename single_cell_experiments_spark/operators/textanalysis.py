@@ -707,8 +707,10 @@ WITH tok AS (
   SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents
 ),
 wins AS (
+  -- exclusive bound +STRIDE+1: one extra (partial) window start past the
+  -- last full window whenever tokens remain, so every token is covered
   SELECT doc_id, toks,
-         unnest(range(1, greatest(length(toks) - {CHUNK_TOKENS}, 0) + 2, {CHUNK_STRIDE})) AS p
+         unnest(range(1, greatest(length(toks) - {CHUNK_TOKENS}, 0) + {CHUNK_STRIDE} + 1, {CHUNK_STRIDE})) AS p
   FROM tok WHERE length(toks) > 0
 )
 SELECT doc_id,
@@ -735,8 +737,13 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     toks = "regexp_extract_all(text, '\\\\S+', 0)"
+    # Inclusive sequence bound size-TOKENS+STRIDE: the start enumeration
+    # runs one stride past the last full window whenever tokens remain
+    # beyond it, so the tail lands in a final partial chunk (r6 advice fix
+    # — the former +1 bound silently dropped up to STRIDE-1 tail tokens;
+    # tests/test_properties.py now proves [1, len] coverage).
     starts = (
-        f"sequence(1, greatest(size({toks}) - {CHUNK_TOKENS}, 0) + 1, {CHUNK_STRIDE})"
+        f"sequence(1, greatest(size({toks}) - {CHUNK_TOKENS}, 0) + {CHUNK_STRIDE}, {CHUNK_STRIDE})"
     )
     return (
         d.where(F.expr(f"size({toks}) > 0"))
@@ -782,6 +789,14 @@ def doc_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ZERO shuffles — regexp_replace / regexp_extract_all are
     row-local, whole-stage-codegen expressions.
+
+    Audit-count semantics: ``n_emails``/``n_urls`` are independent RAW-TEXT
+    pattern-match counts, not placeholder counts in the scrubbed output —
+    the replacements are sequential, so a URL that itself contains an
+    email (``http://user@host.com/x``) counts once under each pattern yet
+    yields a single ``<URL>`` placeholder.  Both engines agree (the oracle
+    counts the same way); callers reconciling counts against placeholders
+    should count placeholders in ``scrubbed`` instead.
     """
     d = load_table(spark, sf_dir, "documents")
     email = _PII_EMAIL.replace("\\", "\\\\")

@@ -230,22 +230,36 @@ def run_state_v2_counter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         def close(self) -> None:
             pass
 
+    # transformWithStateInPandas requires the RocksDB provider; set it for
+    # THIS stream only and restore the session's prior value afterwards
+    # (r6 advice: leaving it set silently switched every later streaming
+    # job in the same session — e.g. the v1 counter twin — to RocksDB).
+    # The provider is captured at stream START, so restoring after
+    # _drain_to_memory (which starts and fully drains the query) is safe.
+    _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(_PROVIDER_KEY, None)
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+        _PROVIDER_KEY,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    stream = _event_stream(spark, sf_dir)
-    counted = (
-        stream.withWatermark("t", "10 minutes")
-        .groupBy("user_id")
-        .transformWithStateInPandas(
-            statefulProcessor=_CounterProcessor(),
-            outputStructType=out_schema,
-            outputMode="Update",
-            timeMode="None",
+    try:
+        stream = _event_stream(spark, sf_dir)
+        counted = (
+            stream.withWatermark("t", "10 minutes")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=_CounterProcessor(),
+                outputStructType=out_schema,
+                outputMode="Update",
+                timeMode="None",
+            )
         )
-    )
-    return _drain_to_memory(counted, "state_v2_counter", "update")
+        return _drain_to_memory(counted, "state_v2_counter", "update")
+    finally:
+        if prior is None:
+            spark.conf.unset(_PROVIDER_KEY)
+        else:
+            spark.conf.set(_PROVIDER_KEY, prior)
 
 
 def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -267,7 +267,7 @@ edges AS MATERIALIZED (
   SELECT u, v FROM raw UNION SELECT v, u FROM raw
 ),
 {_cc_labels_sql()}
-SELECT id, lbl FROM l32 ORDER BY id
+SELECT id, lbl FROM lchecked ORDER BY id
 """
     got = [tuple(r) for r in duckdb.connect().execute(sql).fetchall()]
     assert got == expected, (got, expected)
@@ -305,3 +305,48 @@ def test_cc_star_labels_equals_union_find(spark, edges):
         for r in cc_star_labels(df).collect()
     )
     assert got == expected, (got, expected)
+
+
+@given(
+    docs=st.lists(
+        st.integers(min_value=1, max_value=140),  # token counts incl. >CHUNK tails
+        min_size=1,
+        max_size=6,
+    )
+)
+@_SETTINGS
+def test_chunk_windows_cover_every_token(spark, docs):
+    """doc_chunk_windows coverage invariant (r6 advice, high): the union of
+    [p, p+n_tokens) over a document's chunks must equal [1, len] exactly —
+    no token dropped from the tail, no window past the end."""
+    from single_cell_experiments_spark.operators.textanalysis import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        doc_chunk_windows,
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [f"d{i}" for i in range(len(docs))],
+                "text": [" ".join(f"t{j}" for j in range(n)) for n in docs],
+            }
+        )
+        pdf.to_parquet(os.path.join(tmp, "documents.parquet"))
+        out = doc_chunk_windows(spark, tmp).collect()
+
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, n in enumerate(docs):
+        rows = by_doc[f"d{i}"]
+        covered = set()
+        for r in rows:
+            p = (r["chunk_id"] * CHUNK_STRIDE) + 1
+            assert 1 <= p <= n, (p, n)
+            assert r["n_tokens"] == min(CHUNK_TOKENS, n - p + 1)
+            assert len(r["chunk_text"].split(" ")) == r["n_tokens"]
+            covered.update(range(p, p + r["n_tokens"]))
+        assert covered == set(range(1, n + 1)), (sorted(covered), n)
