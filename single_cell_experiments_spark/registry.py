@@ -125,178 +125,75 @@ def _load_all_operator_modules() -> None:
     from .streaming import batch_equiv, jobs  # noqa: F401
 
 
-#: Queries hash-verified green by the external driver in round 1
-#: (CORRECTNESS_r01.json).  The driver only checks the first 50 registry
-#: entries in iteration order, so ``_ordered`` front-loads everything NOT in
-#: a verified set — newly added queries and anything never reached — so every
-#: query earns a hard correctness row across rounds.
+#: The external driver only hash-checks the first ~50 registry entries in
+#: iteration order, so ``_ordered`` front-loads the queries with the OLDEST
+#: (or no) external evidence — the rotation re-certifies the stalest tail
+#: every round and any brand-new query immediately earns a hard row.
 #:
-#: NOTE (regression protection): queries in a verified set sit past the
-#: driver's 50-entry window, so a regression there would ship without a hard
-#: driver row.  Before each round snapshot, ``tools/driver_mimic.py`` MUST be
-#: run over the FULL registry (no name filter) at sf0.01 — that is the local
-#: regression gate for the rotated-out verified tail.
-_R1_VERIFIED: frozenset[str] = frozenset(
-    {
-        "q1_pricing_summary", "q3_join_topk", "proj_filter_case",
-        "join_semi_big_spenders", "join_anti_no_orders", "join_left_order_counts",
-        "join_theta_part_pairs", "agg_rollup_orders", "agg_cube_lineitem",
-        "agg_grouping_sets", "agg_filtered_per_nation", "window_rank",
-        "window_running", "topk_per_group", "topn_orders_global",
-        "set_ops_customers", "distinct_users_daily", "approx_distinct_parts",
-        "pivot_status_by_segment", "scalar_subquery_above_avg",
-        "nullsafe_grouping", "agg_percentiles_lineitem", "set_ops_bag_semantics",
-        "window_range_frame", "exists_correlated_orders", "agg_corr_covar",
-        "string_agg_nations", "window_dist_funcs", "date_arith_orders",
-        "gapfill_time_spine", "skew_salted_agg", "join_range_bucketed",
-        "unpivot_part_metrics", "scalar_subquery_correlated_max",
-        "q5_local_supplier_volume", "window_ratio_to_report",
-        "join_asof_purchase_signup", "sc_log1p", "sc_normalize_per_cell",
-        "sc_filter_cells", "sc_filter_genes", "sc_scale", "sc_hvg",
-        "sc_recipe_zheng17", "sc_coo_to_wide", "grouped_pandas_centroid",
-        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-        "dedup_ngram_jaccard",
-    }
-)
+#: The ordering is GENERATED from the ``CORRECTNESS_r*.json`` files the
+#: driver writes into the repo root (r6 verdict #4: the previous six
+#: hand-maintained frozensets could silently drift from the actual evidence
+#: on disk; the files themselves are the single source of truth).
+#:
+#: NOTE (regression protection): queries past the driver's window would
+#: ship a regression without a hard driver row.  Before each round
+#: snapshot, ``tools/driver_mimic.py`` MUST be run over the FULL registry
+#: (no name filter) at sf0.01 — ``tests/test_mimic_gate.py`` enforces it.
 
 
-#: Queries hash-verified green by the driver in round 2
-#: (CORRECTNESS_r02.json).  Ordered after the r1-verified tail: their
-#: evidence is one round fresher.
-_R2_VERIFIED: frozenset[str] = frozenset(
-    {
-        "embed_centroid_per_label", "knn_cosine_to_vec0", "ann_ivf_probe",
-        "ann_cosine_pairs_signlsh", "dedup_embedding_cosine",
-        "dedup_connected_components", "doc_text_stats", "lang_id_ngram",
-        "doc_quality_score", "token_stats", "doc_fingerprint",
-        "tfidf_top_terms", "tfidf_doc_top3", "multimodal_blob_meta",
-        "multimodal_decode_stub", "multimodal_frame_sample",
-        "str_funcs_documents", "date_funcs_orders", "math_funcs_lineitem",
-        "array_funcs_embeddings", "json_funcs_events",
-        "chunkstore_roundtrip", "csv_roundtrip_nation",
-        "json_roundtrip_customer", "partitioned_write_orders",
-        "tumbling_window_events", "sliding_window_events",
-        "session_window_events", "watermark_late_drop",
-        "stateful_dedup_events", "skew_salted_join", "upsert_merge_orders",
-        "window_lag_lead_events", "rollup_multigrain_events",
-        "funnel_view_click_purchase", "sessionize_events",
-        "retention_cohorts", "bloom_prefilter_orders",
-        "value_histogram_events", "scd2_intervals_events",
-        "zorder_key_orders", "rolling_1h_user_events",
-        "incremental_agg_merge",
-    }
-)
+def _evidence_rounds() -> dict[str, int]:
+    """query name -> latest round with a GREEN external driver row.
 
-#: Queries hash-verified green by the driver in rounds 3/4
-#: (CORRECTNESS_r03.json == CORRECTNESS_r04.json: 44 hash rows; the
-#: remaining 6 window slots were the rows-only sketches, which stay in the
-#: round-5 priority list below because this round gives four of them real
-#: oracles).  ``sc_pca`` and the 15 ``_RECHECK_FIRST`` r1 re-confirmations
-#: land here too — their evidence is now the freshest on record.
-_R3_VERIFIED: frozenset[str] = frozenset(
-    {
-        "map_funcs_events", "doc_curation_flags", "shard_pack_by_tokens",
-        "sample_stratified_hash", "corpus_health_report",
-        "decontaminate_ngram_overlap", "events_iqr_outliers",
-        "mixture_resample_sources", "dedup_normalized_exact",
-        "dedup_cluster_keeper", "dedup_minhash_quality",
-        "pagerank_dedup_graph", "knn_join_batch", "embed_l2_normalize",
-        "embed_quantize_int8", "ann_quantized_topk", "ann_recall_eval",
-        "bm25_rank_docs", "doc_repetition_stats", "heavy_hitters_words",
-        "cogroup_merge_asof", "pandas_scalar_quantized_dot",
-        "multimodal_resize_plan", "multimodal_frame_features",
-        "orc_roundtrip_supplier", "text_roundtrip_orders",
-        "stream_join_click_purchase", "stream_file_sink_roundtrip",
-        "sc_pca",
-        # r1 re-confirmations that rode the r3 window's tail slots
-        "q1_pricing_summary", "q3_join_topk", "agg_percentiles_lineitem",
-        "agg_corr_covar", "window_range_frame", "join_asof_purchase_signup",
-        "grouped_pandas_centroid", "dedup_exact", "dedup_minhash_lsh",
-        "dedup_simhash", "dedup_ngram_jaccard", "sc_log1p",
-        "sc_normalize_per_cell", "sc_hvg", "sc_recipe_zheng17",
-    }
-)
+    Green = no error AND the strongest recorded comparison matched
+    (``hash_match`` when an oracle ran; ``rows_match`` for a rows-only
+    check).  Names absent from every file have no external evidence and
+    are ordered first by ``_ordered``.  Reads the repo-root
+    ``CORRECTNESS_r*.json`` files once per process (cached — they only
+    change between driver rounds, when the process restarts).
+    """
+    if _EVIDENCE_CACHE:
+        return _EVIDENCE_CACHE
+    import glob
+    import json
+    import os
+    import re
 
-#: Round-5 priority window (checked by the driver in round 5 alongside the
-#: r2-verified tail; all six sketch/ML queries earned genuine-oracle hash
-#: rows there — CORRECTNESS_r05.json).  Kept for evidence bookkeeping.
-_R5_PRIORITY: tuple[str, ...] = (
-    "mllib_tfidf_features", "agg_approx_percentiles",
-    "approx_distinct_parts", "kmeans_embedding_clusters",
-    "mllib_minhash_dedup", "mllib_brp_lsh_neighbors",
-)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict) or row.get("err") is not None:
+                continue
+            green = row.get("hash_match")
+            if green is None:  # rows-only check (no oracle that round)
+                green = row.get("rows_match")
+            if green:
+                _EVIDENCE_CACHE[name] = max(_EVIDENCE_CACHE.get(name, 0), rnd)
+    return _EVIDENCE_CACHE
 
 
-#: Round-6 verdict-ask queries that MUST land inside the 50-slot window
-#: ahead of the other new registrations: the native Zarr reader, 10x CSC
-#: ingestion, and wide-matrix PCA are the r5 verdict's items #4-6.
-_R6_CORE: tuple[str, ...] = ("zarr_roundtrip", "tenx_csc_ingest", "sc_pca_svd")
-
-#: Late round-6 additions that are derivative variants of already-windowed
-#: cousins — ordered LAST among the new queries so that, with the window
-#: at exactly 50, they are the ones relying on the local full-sweep gate
-#: (sc_qc_metrics_genes/sc_score_genes are the per-gene/scoring twins of
-#: the windowed sc_qc_metrics; chunk/scrub are zero-shuffle row-local ops
-#: with the weakest novelty-risk).
-_R6_DEFER: tuple[str, ...] = (
-    "doc_chunk_windows", "doc_scrub_pii", "sc_qc_metrics_genes", "sc_score_genes",
-)
+_EVIDENCE_CACHE: dict[str, int] = {}
 
 
 def _ordered() -> list[QuerySpec]:
-    """Registry in driver-check priority order (round-6 rotation).
+    """Registry in driver-check priority order: stalest evidence first.
 
-    The r5 verdict's #1 ask: the 34 queries whose only hard driver evidence
-    is round 1 (four rounds of code churn ago) must fill the 50-slot window.
-    Evidence freshness after round 5: r1-stale (oldest) < r3-set (checked
-    r4) < r5-priority + r2-set (checked r5, freshest).
-
-    1. r1-verified never re-confirmed since — the 34-query stale tail.
-    2. ``_R6_CORE`` — the verdict's asked-for new surfaces (Zarr/10x/SVD).
-    3. ``_R5_PRIORITY`` — the six sketch/ML queries whose oracles gain
-       independent numeric teeth this round; fresh rows re-certify them.
-    4. Remaining queries new this round (``_R6_DEFER`` last: 34+3+6 fills
-       43 slots, so only ~7 of the remaining new fit the 50-window; the
-       deferred tail keeps its local full-sweep evidence).
-    5. r3/r4-verified (evidence two rounds old).
-    6. r2-verified (re-checked in round 5, freshest evidence) last.
+    Sort key: (latest green round — 0 for never externally checked, name).
+    Never-checked queries (new registrations, or rows the driver has not
+    reached yet) therefore always land inside the checked window, followed
+    by the least-recently re-certified tail; freshly certified queries
+    rotate out until their evidence is the oldest again.
     """
-    specs = {s.name: s for s in REGISTRY.values()}
-    prio_set = set(_R5_PRIORITY)
-    r1_stale = [
-        s
-        for s in specs.values()
-        if s.name in _R1_VERIFIED
-        and s.name not in prio_set
-        and s.name not in _R2_VERIFIED
-        and s.name not in _R3_VERIFIED
-    ]
-    placed = prio_set | _R1_VERIFIED | _R2_VERIFIED | _R3_VERIFIED
-    core = [specs[n] for n in _R6_CORE if n in specs]
-    defer_set = set(_R6_DEFER)
-    new = [
-        s
-        for s in specs.values()
-        if s.name not in placed and s.name not in _R6_CORE and s.name not in defer_set
-    ]
-    new += [specs[n] for n in _R6_DEFER if n in specs]
-    prio = [specs[n] for n in _R5_PRIORITY if n in specs]
-    r3 = [
-        s
-        for s in specs.values()
-        if s.name in _R3_VERIFIED and s.name not in prio_set and s.name not in _R1_VERIFIED
-    ]
-    r2 = [
-        s
-        for s in specs.values()
-        if s.name in _R2_VERIFIED and s.name not in prio_set and s.name not in _R3_VERIFIED
-    ]
-    r1_fresh = [
-        s
-        for s in specs.values()
-        if s.name in _R1_VERIFIED and s.name in _R3_VERIFIED and s.name not in prio_set
-    ]
-    return r1_stale + core + prio + new + r3 + r2 + r1_fresh
+    evidence = _evidence_rounds()
+    return sorted(REGISTRY.values(), key=lambda s: (evidence.get(s.name, 0), s.name))
 
 
 def queries() -> dict[str, QueryFn]:
