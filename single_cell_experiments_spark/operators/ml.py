@@ -293,10 +293,29 @@ def svd_project(e: DataFrame, k: int):
         mu[r["i"]] = r["mu"]
     sc = spark.sparkContext
     mu_b = sc.broadcast(mu)
-    rows = arr.select("v").rdd.map(
-        lambda r: OldVectors.dense(np.asarray(r[0], dtype=np.float64) - mu_b.value)
+    # The legacy pyspark.mllib RDD API forces one per-row Python→JVM
+    # crossing here (no Arrow path exists for RowMatrix).  CACHING the
+    # mapped RDD is what bounds that cost: ARPACK's Lanczos loop runs one
+    # distributed multiplyGramianMatrixBy PER ITERATION, and uncached each
+    # iteration re-executes the whole Python map — measured at sf0.1
+    # (2000×64, k=64): 4.9 s uncached vs 1.2 s cached, the gap growing
+    # linearly with iteration count at real scale.  MEMORY_AND_DISK so a
+    # 1.3M×30k matrix (~300 GB distributed) spills instead of OOMing; the
+    # one-time crossing itself is ~0.3 s per 2k×64 partition batch
+    # (SCALE.md "sc_pca_svd" row).
+    from pyspark import StorageLevel
+
+    rows = (
+        arr.select("v")
+        .rdd.map(
+            lambda r: OldVectors.dense(np.asarray(r[0], dtype=np.float64) - mu_b.value)
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    svd = RowMatrix(rows).computeSVD(k, computeU=False)
+    try:
+        svd = RowMatrix(rows).computeSVD(k, computeU=False)
+    finally:
+        rows.unpersist()
     v_local = np.asarray(svd.V.toArray())  # d×k
     v_b = sc.broadcast(v_local)
 

@@ -84,3 +84,34 @@ def test_h5_gate_names_h5py(spark, tmp_path):
         pass
     with pytest.raises(NotImplementedError, match="h5py"):
         ingest_csc(spark, H5CscStore(str(tmp_path / "missing.h5")))
+
+
+def test_h5_store_ingest_matches_dense_reference(spark, tmp_path):
+    """The real-container twin of the npz test (r6 verdict #8): builds a
+    tiny genuine CellRanger-v3-layout ``matrix.h5`` and runs
+    ``read_10x_h5`` end-to-end.  Skipped while h5py is absent — the moment
+    the dependency appears in an environment, the H5CscStore layer gets
+    exercised with zero code changes (same gating pattern as the
+    protobuf/state-v2 tests)."""
+    h5py = pytest.importorskip("h5py")
+    from single_cell_experiments_spark.sources.tenx import read_10x_h5
+
+    rng = np.random.default_rng(13)
+    dense, indptr, indices, data = _random_csc(rng)
+    path = str(tmp_path / "matrix.h5")
+    with h5py.File(path, "w") as f:
+        g = f.create_group("matrix")
+        g.create_dataset("data", data=data)
+        g.create_dataset("indices", data=indices.astype(np.int64))
+        g.create_dataset("indptr", data=indptr.astype(np.int64))
+        g.create_dataset("shape", data=np.array(dense.shape, np.int64))
+    out = (
+        read_10x_h5(spark, path, target_nnz_per_slice=5)
+        .toPandas()
+        .sort_values(["col", "row"])
+        .reset_index(drop=True)
+    )
+    rows, cols = np.nonzero(dense.T)
+    assert out["col"].tolist() == rows.tolist()
+    assert out["row"].tolist() == cols.tolist()
+    np.testing.assert_allclose(out["value"].to_numpy(), dense.T[rows, cols])
