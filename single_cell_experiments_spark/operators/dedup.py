@@ -844,3 +844,56 @@ def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("__docs")
     return spark.sql(_minhash_quality_sql(_SPARK_SHINGLES, "div"))
+
+
+# --- triangle participation counts over the near-dup graph -------------------
+
+_TRIANGLE_ORACLE = f"""
+WITH pairs AS MATERIALIZED ({_minhash_sql(_DD_SHINGLES)}),
+e AS MATERIALIZED (SELECT doc1 AS u, doc2 AS v FROM pairs),
+tri AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e1.v = e2.u
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+members AS (
+  SELECT a AS doc_id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT doc_id, COUNT(*) AS n_triangles FROM members GROUP BY doc_id
+"""
+
+
+@query("dedup_triangle_count", oracle=_TRIANGLE_ORACLE, tags=("dedup", "graph"))
+def dedup_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle participation over the MinHash near-dup graph —
+    the cluster-density metric that separates tight duplicate cliques
+    (template spam, boilerplate farms: triangle-rich) from chance pairwise
+    collisions (triangle-free), used to pick aggressive-vs-lenient dedup
+    policy per cluster.
+
+    Shape: the id-ordered edge list (doc1 < doc2 from the LSH verify step)
+    makes each triangle enumerable exactly once as a<b<c via two
+    edge-joins — the standard distributed triangle count.  Both joins key
+    on node ids (shuffle = O(edges) each); at 100 TB scale orient edges by
+    DEGREE (low-degree endpoint first) instead of id so high-degree hubs
+    don't concentrate a partition — same plan, different orientation key,
+    noted here because the id orientation is what the fixed oracle can
+    reproduce.
+    """
+    e = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc1").alias("u"), F.col("doc2").alias("v")
+    )
+    e = materialize(e)
+    ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    bc = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    ac = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    members = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .unionAll(tri.select(F.col("c").alias("doc_id")))
+    )
+    return members.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_triangles"))

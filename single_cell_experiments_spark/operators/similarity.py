@@ -714,3 +714,94 @@ def pandas_scalar_quantized_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return e.select("vec_id", qscore(F.col("embedding")).alias("qscore"))
+
+
+# --- nearest-centroid label assignment (embedding-space label audit) ---------
+
+_NEAREST_CENTROID_ORACLE = """
+WITH dims AS MATERIALIZED (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE), 6) AS DECIMAL(18,6)) AS x6
+  FROM embeddings
+),
+per_dim AS MATERIALIZED (
+  SELECT label, pos, CAST(SUM(x6) AS DOUBLE) / COUNT(*) AS mu
+  FROM dims GROUP BY label, pos
+),
+cent AS MATERIALIZED (
+  SELECT label AS clabel, list(mu ORDER BY pos) AS mu_arr FROM per_dim GROUP BY label
+),
+scored AS (
+  SELECT e.vec_id, e.label, c.clabel,
+         round(list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - c.mu_arr[i])
+                  * (CAST(e.embedding[i] AS DOUBLE) - c.mu_arr[i])), 'sum'), 6) AS d2
+  FROM embeddings e, cent c
+)
+SELECT vec_id, CAST(label AS BIGINT) AS label,
+       CAST(clabel AS BIGINT) AS assigned_label,
+       d2 AS d2_assigned,
+       label = clabel AS label_agrees
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, clabel ASC) = 1
+"""
+
+
+@query(
+    "embed_nearest_centroid",
+    oracle=_NEAREST_CENTROID_ORACLE,
+    tags=("similarity", "curation", "labels"),
+)
+def embed_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid label assignment — the embedding-space label-noise
+    audit a curation pipeline runs before trusting labels for sampling or
+    mixture weighting: per-label centroids (exact decimal per-dimension
+    means), then each vector is assigned to its euclidean-nearest centroid
+    and flagged where the assignment disagrees with the stored label.
+
+    Scale shape: centroids are one posexplode + (label, pos)-keyed agg —
+    partial aggregation collapses map-side, output is labels×dim rows
+    (tiny at any corpus size) — then BROADCAST to a single scoring scan
+    (labels are a fixed vocabulary; the corpus never shuffles).  The
+    per-vector argmin is a rank-1 window WindowGroupLimit prunes
+    map-side.  Determinism: per-dim means go through the stat6 decimal
+    path; distance folds are sequential left-folds; assignment ranks on
+    the ROUNDED distance with a label tie-break.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos0", "x")
+    ).select("label", (F.col("pos0") + 1).alias("pos"), _stat6d(F.col("x").cast("double")).alias("x6"))
+    per_dim = dims.groupBy("label", "pos").agg(
+        (F.sum("x6").cast("double") / F.count(F.lit(1))).alias("mu")
+    )
+    cent = per_dim.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mu"))), lambda s: s["mu"]
+        ).alias("mu_arr")
+    )
+    diff2 = F.zip_with(
+        F.col("embedding"),
+        F.col("mu_arr"),
+        lambda x, m: (x.cast("double") - m) * (x.cast("double") - m),
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        F.col("label").cast("bigint").alias("label"),
+        F.col("clabel").cast("bigint").alias("assigned_label"),
+        F.round(F.aggregate(diff2, F.lit(0.0), lambda a, x: a + x), 6).alias("d2_assigned"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("vec_id").orderBy(F.asc("d2_assigned"), F.asc("assigned_label"))
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "label",
+            "assigned_label",
+            "d2_assigned",
+            (F.col("label") == F.col("assigned_label")).alias("label_agrees"),
+        )
+    )

@@ -898,3 +898,140 @@ def sc_score_genes(spark: SparkSession, sf_dir: str) -> DataFrame:
             s_set.cast("double") / n_set - s_all.cast("double") / n_all, 6
         ).alias("score6"),
     )
+
+
+# --- neighbors graph + graph clustering (Scanpy pp.neighbors / clustering) ---
+
+SC_NEIGHBORS_K = 4  # neighbors per cell (excl. self; Scanpy default 15)
+
+_SC_NB_DIST = """
+round(
+  list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')
+  + list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')
+  - 2 * list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'),
+  6)
+"""
+
+_SC_NEIGHBORS_ORACLE = f"""
+SELECT vec_id, nbr, d2, rk FROM (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
+         {_SC_NB_DIST} AS d2,
+         CAST(row_number() OVER (PARTITION BY a.vec_id
+                                 ORDER BY {_SC_NB_DIST} ASC, b.vec_id ASC) AS BIGINT) AS rk
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+)
+WHERE rk <= {SC_NEIGHBORS_K}
+"""
+
+
+def sc_neighbor_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact euclidean kNN edges over the embedding matrix (shared core of
+    ``sc_neighbors`` / ``sc_knn_clusters``)."""
+    from .similarity import _dot, _norm2
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select("vec_id", F.col("embedding").alias("ea"), _norm2(F.col("embedding")).alias("na"))
+    b = e.select(
+        F.col("vec_id").alias("nbr"),
+        F.col("embedding").alias("eb"),
+        _norm2(F.col("embedding")).alias("nb"),
+    )
+    d2 = F.round(F.col("na") + F.col("nb") - 2 * _dot(F.col("ea"), F.col("eb")), 6)
+    scored = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("vec_id") != F.col("nbr"))
+        .select("vec_id", "nbr", d2.alias("d2"))
+    )
+    rk = F.row_number().over(W.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("nbr")))
+    return scored.withColumn("rk", big(rk)).where(F.col("rk") <= SC_NEIGHBORS_K)
+
+
+@query("sc_neighbors", oracle=_SC_NEIGHBORS_ORACLE, tags=("singlecell", "knn", "graph"))
+def sc_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scanpy ``pp.neighbors`` twin: the exact euclidean kNN graph over the
+    cell×feature matrix (embeddings standing in for the PCA scores the
+    recipe produces) — (cell, neighbor, squared distance, rank), the
+    substrate every Scanpy downstream step (UMAP, clustering, pseudotime)
+    consumes.
+
+    Scale shape: corpus-as-index BROADCAST (one scan scores all cells; no
+    shuffle of the matrix) + WindowGroupLimit top-k on the rank window, so
+    the exchange carries O(cells × k), never the n² score matrix.  Exact
+    kNN is inherently O(n²) compute: the broadcast holds to ~10M small-d
+    rows; past that swap the candidate generator for the LSH/IVF variants
+    (``ann_ivf_probe``/``mllib_brp_lsh_neighbors``) keeping this same
+    rank-window head — the approximate twin every 100 TB pipeline runs.
+    Distances: d² = |a|²+|b|²−2a·b with sequential left-fold sums —
+    bit-identical in both engines; ranking on the ROUNDED distance with a
+    vec_id tie-break is deterministic under any partitioning.
+    """
+    return sc_neighbor_edges(spark, sf_dir)
+
+
+#: every prefix CTE MATERIALIZED: the propagation chain references
+#: ``edges`` in all 33 rounds, and an inlined CTE would re-run the n² kNN
+#: scoring per round (the PageRank-oracle pathology COVERAGE.md records).
+_SC_KNN_CLUSTERS_ORACLE = f"""
+WITH knn AS MATERIALIZED ({_SC_NEIGHBORS_ORACLE}),
+mutual AS MATERIALIZED (
+  SELECT x.vec_id AS u, x.nbr AS v
+  FROM knn x JOIN knn y ON x.vec_id = y.nbr AND x.nbr = y.vec_id
+),
+edges AS MATERIALIZED (SELECT u, v FROM mutual UNION SELECT v, u FROM mutual),
+{{cc_chain}}
+SELECT id AS vec_id, lbl AS cluster_id FROM lchecked
+"""
+
+
+@query(
+    "sc_knn_clusters",
+    oracle=_SC_KNN_CLUSTERS_ORACLE.format(
+        cc_chain="__CC_CHAIN__"
+    ),  # placeholder replaced below at import
+    tags=("singlecell", "graph", "clustering", "iterative"),
+)
+def sc_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-based cell clustering skeleton (the deterministic core of the
+    Scanpy leiden/louvain step): connected components of the MUTUAL-kNN
+    graph — cells that are each other's near neighbors cluster together;
+    cells with no mutual neighbor are excluded (singletons, as in the
+    reference's community detection over the same graph).
+
+    Deliberately seed-free: modularity optimizers are
+    initialization-dependent, so their exact partition is untestable
+    cross-engine; mutual-kNN components are the deterministic substrate
+    (and a real method — it is exactly how Scanpy prunes its neighbor
+    graph before community detection).
+
+    Scale shape: kNN edges as in ``sc_neighbors``; the mutual filter is a
+    self-join on the (k·n)-row edge list keyed by the pair; components run
+    through ``cc_star_labels`` — the O(log n)-round large-star/small-star
+    CC that holds at 100 TB graph scale.  Oracle: the same mutual-kNN SQL
+    feeding the convergence-checked unrolled min-label propagation chain
+    (``_cc_labels_sql``).
+    """
+    from .dedup import cc_star_labels
+
+    knn = sc_neighbor_edges(spark, sf_dir).select("vec_id", "nbr")
+    rev = knn.select(F.col("nbr").alias("vec_id"), F.col("vec_id").alias("nbr"))
+    mutual = knn.intersect(rev).where(F.col("vec_id") < F.col("nbr"))
+    labels = cc_star_labels(
+        mutual.select(F.col("vec_id").alias("doc1"), F.col("nbr").alias("doc2"))
+    )
+    return labels.select(
+        F.col("doc_id").alias("vec_id"), F.col("component_id").alias("cluster_id")
+    )
+
+
+def _finalize_knn_cluster_oracle() -> None:
+    """Inject the shared CC CTE chain into the clusters oracle (kept out of
+    the literal above so the chain stays single-sourced in dedup.py)."""
+    from ..registry import REGISTRY
+    from .dedup import _cc_labels_sql
+
+    spec = REGISTRY["sc_knn_clusters"]
+    spec.oracle = spec.oracle.replace("__CC_CHAIN__", _cc_labels_sql())
+
+
+_finalize_knn_cluster_oracle()
