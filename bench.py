@@ -55,6 +55,50 @@ HEADLINE = (
 
 RUNS = 9  # median of 9: robust to transient machine-load spikes
 
+#: BASELINE.md's DuckDB query texts, re-run LIVE inside the same
+#: interleaved timing rounds as the Spark samples (r7): the recorded
+#: BASELINE.md numbers were measured on an unloaded host, while each
+#: round's Spark numbers absorb whatever ambient co-tenant load exists at
+#: measurement time — observed floor swings of 53-103 ms and total swings
+#: of 1.7-3.1 s for identical code.  Sampling DuckDB under the SAME load,
+#: in the same process, in the same round-robin, yields a
+#: load-independent ratio (``vs_duckdb_live``) alongside the absolute
+#: numbers; the primary metric is unchanged.
+DUCKDB_SQL = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus, sum(l_quantity) sum_qty,
+               sum(l_extendedprice) sum_base, sum(l_extendedprice*(1-l_discount)) sum_disc,
+               avg(l_quantity) avg_qty, count(*) cnt
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY 1,2 ORDER BY 1,2""",
+    "q3_join_topk": """
+        SELECT o.o_orderkey, sum(l.l_extendedprice*(1-l.l_discount)) rev, o.o_orderdate
+        FROM customer c JOIN orders o ON c.c_custkey=o.o_custkey
+        JOIN lineitem l ON l.l_orderkey=o.o_orderkey
+        WHERE c.c_mktsegment='BUILDING' GROUP BY 1,3 ORDER BY rev DESC LIMIT 10""",
+    "window_rank": """
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER w rn, rank() OVER w rk, dense_rank() OVER w drk
+        FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""",
+    "distinct_users_daily": """
+        SELECT date_trunc('day', ts) d, event_type, count(DISTINCT user_id) u, sum(value) v
+        FROM events GROUP BY 1,2 ORDER BY 1,2""",
+    "tumbling_window_events": """
+        SELECT to_timestamp(floor(epoch(ts)/3600)*3600) w, count(*) c, avg(value) av
+        FROM events GROUP BY 1 ORDER BY 1""",
+    "doc_text_stats": """
+        SELECT lang, count(*) n, avg(n_chars) ac, avg(length(text)) al,
+               sum(CASE WHEN contains(lower(text),'the') THEN 1 ELSE 0 END) has_the
+        FROM documents GROUP BY 1 ORDER BY 1""",
+    "embed_centroid_per_label": """
+        SELECT label, count(*) n, avg(list_aggregate(embedding,'sum')) avg_sum
+        FROM embeddings GROUP BY 1 ORDER BY 1""",
+    "knn_cosine_to_vec0": """
+        WITH q AS (SELECT embedding e FROM embeddings WHERE vec_id=0)
+        SELECT vec_id, list_cosine_similarity(embedding, (SELECT e FROM q)) sim
+        FROM embeddings WHERE vec_id<>0 ORDER BY sim DESC LIMIT 10""",
+}
+
 #: Small-SF bench sizing (see module docstring).  Runtime-settable, applied
 #: on top of the engine defaults for the bench session only.  (These stick
 #: now: ``session.tune`` applies its perf posture only on a session's FIRST
@@ -126,15 +170,36 @@ def main() -> int:
             if pass_i == 0:
                 cold_query[name] = round(time.perf_counter() - t0, 4)
 
+    # Live DuckDB twin (see DUCKDB_SQL note): same tables, same process,
+    # sampled inside the same rounds.
+    import duckdb
+
+    ddb = duckdb.connect()
+    ddb.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        ddb.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{os.path.join(sf_dir, t)}.parquet')"
+        )
+    ddb_names = [n for n in names if n in DUCKDB_SQL]
+    for n in ddb_names:
+        ddb.sql(DUCKDB_SQL[n]).df()  # warm (FS cache; DuckDB is AOT-native)
+
     # Interleave the timed runs round-robin so a transient VM load spike
     # lands on at most one sample of each query instead of sinking one
     # query's entire median.
     fresh_times: dict[str, list[float]] = {name: [] for name in names}
+    ddb_times: dict[str, list[float]] = {name: [] for name in ddb_names}
     for _ in range(RUNS):
         for name in names:
             t0 = time.perf_counter()
             fresh[name](spark, sf_dir).toPandas()
             fresh_times[name].append(time.perf_counter() - t0)
+        for name in ddb_names:
+            t0 = time.perf_counter()
+            ddb.sql(DUCKDB_SQL[name]).df()
+            ddb_times[name].append(time.perf_counter() - t0)
         # One empty-job floor sample per round — every fresh query above
         # pays 1-2 of these round-trips (BASELINE.md §round 5), and the
         # floor swings 85-155 ms with ambient VM load; sampling it inside
@@ -143,6 +208,7 @@ def main() -> int:
         spark.range(1).count()
         floor_samples.append(time.perf_counter() - t0)
     job_floor_ms = round(statistics.median(floor_samples) * 1000, 1)
+    ddb_query = {n: round(statistics.median(ddb_times[n]), 4) for n in ddb_names}
 
     # Warm column: cached plan, shuffle-output reuse — repeat-call latency.
     warm_times: dict[str, list[float]] = {name: [] for name in names}
@@ -174,6 +240,13 @@ def main() -> int:
                 "cold_total_sec": round(sum(cold_query.values()), 4),
                 "cold_queries": cold_query,
                 "job_floor_ms": job_floor_ms,
+                "duckdb_live_total_sec": round(sum(ddb_query.values()), 4),
+                "duckdb_live_queries": ddb_query,
+                "vs_duckdb_live": (
+                    round(sum(per_query.values()) / sum(ddb_query.values()), 3)
+                    if ddb_query
+                    else None
+                ),
                 "sf": sf,
             }
         )
