@@ -1,0 +1,369 @@
+"""User-facing AnnData-style API: the switching surface for reference users.
+
+The reference's public API is an annotated-matrix OBJECT plus chainable
+kernels (SURVEY.md §3 [M]: ``anndata_spark.AnnDataRdd`` wrapping ``X`` as an
+RDD of row chunks, mutated by ``scanpy_spark.log1p(adata)`` /
+``normalize_per_cell`` / ``filter_cells`` / ``filter_genes`` / ``scale`` /
+``recipe_zheng17``; loaded via ``AnnDataRdd.from_zarr``).  The engine's
+registered queries prove each kernel's semantics against DuckDB; this module
+packages the same kernels as a chainable object so a reference user's
+program ports line-for-line:
+
+    reference                               this engine
+    ---------                               -----------
+    adata = AnnDataRdd.from_zarr(sc, p)     af = AnnFrame.from_zarr(spark, p)
+    scanpy_spark.filter_genes(adata, ...)   af = af.filter_genes(min_cells=...)
+    scanpy_spark.normalize_per_cell(adata)  af = af.normalize_per_cell()
+    scanpy_spark.log1p(adata)               af = af.log1p()
+    scanpy_spark.scale(adata)               af = af.scale(clip=10)
+    pca(adata, 50)                          scores = af.pca(50)
+    adata.to_zarr(path)                     af.to_zarr(path)
+
+Design (Spark-first, unlike the reference's chunk RDDs):
+
+- ``X`` is ONE wide DataFrame ``(row_id bigint, values array<double>)`` —
+  row-local kernels are higher-order expressions inside whole-stage
+  codegen, so chained steps FUSE into single projections (the reference
+  re-materializes an RDD per kernel).
+- ``obs`` / ``var`` are plain DataFrames keyed by ``row_id`` / ``pos``
+  (1-based gene position), annotated as kernels run (``n_genes``,
+  ``n_counts``, ``n_cells`` — the AnnData bookkeeping columns).
+- Per-gene statistics are O(genes) rows: collected/broadcast exactly like
+  the reference's ``sc.broadcast`` of var masks — the ONLY driver-side
+  state, never O(cells).
+- Instances are immutable; every kernel returns a new ``AnnFrame``.
+
+Numeric note: the registry's oracle queries quantize through the decimal
+paths for cross-engine hashing; this API keeps plain double math (the
+production posture).  ``tests/test_api.py`` asserts the API chain matches
+the registered kernels to 1e-9 on the driver tables.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+_DBL = lambda c: c.cast("double")  # noqa: E731
+
+
+class AnnFrame:
+    """Annotated matrix over Spark DataFrames (see module docstring)."""
+
+    def __init__(self, x: DataFrame, obs: DataFrame | None = None, var: DataFrame | None = None):
+        self.x = x  # (row_id, values: array<double>)
+        self.spark = x.sparkSession
+        self.obs = obs if obs is not None else x.select("row_id")
+        self.var = var  # (pos, ...) or None = trivial
+
+    # ---- constructors -------------------------------------------------------
+
+    @classmethod
+    def from_table(
+        cls, df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    ) -> "AnnFrame":
+        """Wrap any (id, array) DataFrame — e.g. the ``embeddings`` table."""
+        x = df.select(
+            F.col(id_col).cast("bigint").alias("row_id"),
+            F.transform(F.col(vec_col), _DBL).alias("values"),
+        )
+        obs = df.select(
+            F.col(id_col).cast("bigint").alias("row_id"),
+            *[c for c in df.columns if c not in (id_col, vec_col)],
+        )
+        return cls(x, obs)
+
+    @classmethod
+    def from_zarr(cls, spark: SparkSession, group_path: str) -> "AnnFrame":
+        """Load a Zarr v2 group written by ``to_zarr`` /
+        ``sources.zarrv2.write_zarr_group`` (``X`` matrix + ``vec_id``
+        index; ref ``AnnDataRdd.from_zarr`` [M]).  Chunk objects are
+        listed and decoded executor-side; column-chunked grids reassemble
+        on ``row``."""
+        from .sources.zarrv2 import read_zarr_matrix, read_zarr_vector
+
+        x_slices = read_zarr_matrix(spark, os.path.join(group_path, "X"))
+        ids = read_zarr_vector(spark, os.path.join(group_path, "vec_id")).select(
+            F.col("row"), F.col("value").alias("row_id")
+        )
+        # reassemble full rows from (possibly column-chunked) slices
+        coo = x_slices.select(
+            "row", "col0", F.posexplode("values").alias("p0", "v")
+        ).select("row", (F.col("col0") + F.col("p0") + 1).alias("pos"), "v")
+        wide = coo.groupBy("row").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
+            ).alias("values")
+        )
+        x = wide.join(ids, "row").select("row_id", "values")
+        return cls(x)
+
+    @classmethod
+    def from_10x(cls, spark: SparkSession, path: str, n_features: int | None = None, **kw) -> "AnnFrame":
+        """10x ``matrix.h5`` (CellRanger v3 CSC; needs h5py) → AnnFrame.
+        Features become array positions (dense, zero-filled); barcodes
+        become rows.  ``n_features`` defaults to ``max(feature)+1`` over
+        the stored entries (pass it explicitly if trailing features are
+        entirely zero)."""
+        from .sources.tenx import read_10x_h5
+
+        coo = read_10x_h5(spark, path, **kw)  # (row=feature, col=barcode, value)
+        if n_features is None:
+            n_features = int(coo.agg(F.max("row")).first()[0] or -1) + 1
+        entries = coo.select(
+            F.col("col").alias("row_id"), (F.col("row") + 1).alias("pos"), "value"
+        )
+        wide = entries.groupBy("row_id").agg(
+            F.map_from_entries(F.collect_list(F.struct("pos", "value"))).alias("m")
+        )
+        dense = F.transform(
+            F.sequence(F.lit(1), F.lit(int(n_features))),
+            lambda p: F.coalesce(F.element_at("m", p), F.lit(0.0)),
+        )
+        return cls(wide.select("row_id", dense.alias("values")))
+
+    # ---- introspection ------------------------------------------------------
+
+    @property
+    def n_obs(self) -> int:
+        return self.x.count()
+
+    @property
+    def n_vars(self) -> int:
+        row = self.x.select(F.size("values").alias("d")).first()
+        return int(row["d"]) if row else 0
+
+    def to_coo(self) -> DataFrame:
+        """(row_id, pos, v) long form — the relational twin of ``X``."""
+        return self.x.select("row_id", F.posexplode("values").alias("p0", "v")).select(
+            "row_id", (F.col("p0") + 1).alias("pos"), "v"
+        )
+
+    def to_zarr(self, path: str, rows_per_chunk: int = 64, **kw) -> dict:
+        """Write ``X`` + row index as a Zarr v2 group (ref
+        ``AnnDataRdd.to_zarr`` [M]).  Requires dense 0..n-1 row ids
+        (positional addressing — reindex first if filtered)."""
+        from .sources.zarrv2 import write_zarr_group
+
+        wide = self.x.select(
+            F.col("row_id").alias("vec_id"),
+            F.transform("values", lambda v: v.cast("float")).alias("embedding"),
+        )
+        return write_zarr_group(wide, path, rows_per_chunk=rows_per_chunk, **kw)
+
+    def reindex(self) -> "AnnFrame":
+        """Re-number rows densely 0..n-1 (after ``filter_cells``) so
+        positional sinks (Zarr) accept the matrix; original ids stay in
+        ``obs.orig_row_id``."""
+        w = W.orderBy("row_id")
+        m = self.x.select("row_id").withColumn("new_id", F.row_number().over(w) - 1)
+        x = self.x.join(m, "row_id").select(F.col("new_id").alias("row_id"), "values")
+        obs = (
+            self.obs.join(m, "row_id")
+            .withColumnRenamed("row_id", "orig_row_id")
+            .withColumnRenamed("new_id", "row_id")
+        )
+        return AnnFrame(x, obs, self.var)
+
+    # ---- elementwise / row-local kernels (zero shuffle) ---------------------
+
+    def map_values(self, fn: Callable[[Column], Column]) -> "AnnFrame":
+        """Elementwise ``X <- fn(X)`` (the chunk-map analogue; fuses with
+        adjacent row-local steps under whole-stage codegen)."""
+        x = self.x.select("row_id", F.transform("values", fn).alias("values"))
+        return AnnFrame(x, self.obs, self.var)
+
+    def log1p(self) -> "AnnFrame":
+        """A4 — ``X <- log(1+X)`` (Scanpy ``pp.log1p``)."""
+        return self.map_values(lambda v: F.log(F.lit(1.0) + _DBL(v)))
+
+    def normalize_per_cell(self, target: float = 1e4) -> "AnnFrame":
+        """A5 — scale each row to total ``target`` (Scanpy
+        ``pp.normalize_per_cell``).  Row-local fold + map; zero-sum rows
+        yield NULLs (Scanpy leaves them; filter first)."""
+        x = (
+            self.x.withColumn(
+                "s", F.aggregate("values", F.lit(0.0), lambda a, v: a + _DBL(v))
+            )
+            .select(
+                "row_id",
+                F.transform(
+                    "values", lambda v: F.try_divide(_DBL(v) * F.lit(target), F.col("s"))
+                ).alias("values"),
+            )
+        )
+        return AnnFrame(x, self.obs, self.var)
+
+    # ---- filters ------------------------------------------------------------
+
+    def filter_cells(self, min_genes: int, expr_threshold: float = 0.0) -> "AnnFrame":
+        """A6 — keep cells expressing ≥ ``min_genes`` genes; annotate
+        ``obs.n_genes`` (Scanpy ``pp.filter_cells``).  Row-local predicate:
+        no shuffle."""
+        ng = F.size(F.filter("values", lambda v: F.abs(_DBL(v)) > expr_threshold))
+        x = self.x.withColumn("n_genes", ng.cast("bigint")).where(
+            F.col("n_genes") >= min_genes
+        )
+        obs = self.obs.join(x.select("row_id", "n_genes"), "row_id")
+        return AnnFrame(x.select("row_id", "values"), obs, self.var)
+
+    def filter_genes(self, min_cells: int, expr_threshold: float = 0.0) -> "AnnFrame":
+        """A7 — keep genes expressed in ≥ ``min_cells`` cells (Scanpy
+        ``pp.filter_genes``).  Per-gene counts are one posexplode + agg
+        (O(genes) result); the kept-position mask is collected and applied
+        row-locally — the reference's broadcast-var-mask pattern [M], and
+        the only driver-side state in the API (never O(cells))."""
+        counts = (
+            self.to_coo()
+            .groupBy("pos")
+            .agg(F.count_if(F.abs(F.col("v")) > expr_threshold).alias("n_cells"))
+        )
+        kept = [
+            int(r["pos"])
+            for r in counts.where(F.col("n_cells") >= min_cells).select("pos").collect()
+        ]
+        kept.sort()
+        # cast: an EMPTY kept set must still type as array<int> (a bare
+        # array() literal is array<void> and fails element_at analysis)
+        kept_arr = F.array(*[F.lit(p) for p in kept]).cast("array<int>")
+        x = self.x.select(
+            "row_id",
+            F.transform(kept_arr, lambda p: F.element_at("values", p)).alias("values"),
+        )
+        new_var = counts.where(F.col("n_cells") >= min_cells).select(
+            F.col("pos").alias("orig_pos"), "n_cells"
+        )
+        w = W.orderBy("orig_pos")
+        new_var = new_var.withColumn("pos", F.row_number().over(w))
+        if self.var is not None:
+            new_var = new_var.join(
+                self.var.withColumnRenamed("pos", "orig_pos"), "orig_pos", "left"
+            )
+        return AnnFrame(x, self.obs, new_var)
+
+    # ---- per-gene statistics kernels ---------------------------------------
+
+    def _gene_stats(self) -> DataFrame:
+        """(pos, mu, sd) population stats per gene — one shuffle, O(genes)."""
+        return (
+            self.to_coo()
+            .groupBy("pos")
+            .agg(F.avg("v").alias("mu"), F.stddev_pop("v").alias("sd"))
+        )
+
+    def scale(self, clip: float | None = None) -> "AnnFrame":
+        """A8 — per-gene z-score (Scanpy ``pp.scale``), optional symmetric
+        ``clip``.  Stats are collected O(genes) and re-enter as ONE
+        broadcast row (array literals via a 1-row cross join), so the
+        matrix itself never shuffles."""
+        stats = self._gene_stats().orderBy("pos").collect()
+        mus = [float(r["mu"]) for r in stats]
+        sds = [float(r["sd"]) for r in stats]
+        stats_df = self.spark.createDataFrame(
+            [(mus, sds)], "mus array<double>, sds array<double>"
+        )
+        z = F.expr(
+            "transform(values, (v, i) -> try_divide(v - mus[i], sds[i]))"
+        )
+        if clip is not None:
+            z = F.expr(
+                "transform(values, (v, i) -> "
+                f"greatest(least(try_divide(v - mus[i], sds[i]), {float(clip)}D), {-float(clip)}D))"
+            )
+        x = self.x.crossJoin(F.broadcast(stats_df)).select("row_id", z.alias("values"))
+        return AnnFrame(x, self.obs, self.var)
+
+    def highly_variable_genes(self, n_top: int, n_bins: int = 5) -> DataFrame:
+        """A9 — dispersion-based HVG selection (Zheng17 flavor): per-gene
+        mean & dispersion, mean-binned z-scored dispersion, top-``n_top``.
+        Returns the ``var``-shaped selection table (pos, mu, disp_norm,
+        kept)."""
+        coo = self.to_coo()
+        stats = coo.groupBy("pos").agg(
+            F.avg("v").alias("mu"), F.var_pop("v").alias("var")
+        )
+        disp = stats.withColumn("disp", F.try_divide(F.col("var"), F.col("mu")))
+        nt = F.ntile(n_bins).over(W.orderBy("mu"))
+        binned = disp.withColumn("bin", nt)
+        bw = W.partitionBy("bin")
+        zd = F.try_divide(
+            F.col("disp") - F.avg("disp").over(bw), F.stddev_pop("disp").over(bw)
+        )
+        ranked = binned.withColumn("disp_norm", zd).withColumn(
+            "rk", F.row_number().over(W.orderBy(F.desc_nulls_last("disp_norm"), F.asc("pos")))
+        )
+        return ranked.select(
+            "pos", "mu", "disp_norm", (F.col("rk") <= n_top).alias("kept")
+        )
+
+    def subset_genes(self, kept_pos: list[int]) -> "AnnFrame":
+        """Column subset by (1-based) positions — e.g. the HVG set."""
+        kept = sorted(int(p) for p in kept_pos)
+        kept_arr = F.array(*[F.lit(p) for p in kept]).cast("array<int>")
+        x = self.x.select(
+            "row_id",
+            F.transform(kept_arr, lambda p: F.element_at("values", p)).alias("values"),
+        )
+        return AnnFrame(x, self.obs, None)
+
+    # ---- decomposition / graph ---------------------------------------------
+
+    def pca(self, k: int) -> DataFrame:
+        """A10 — centered PCA scores ``(row_id, scores array<double>)``.
+        Delegates to the wide-matrix SVD route (``operators.ml.svd_project``:
+        matrix-free ARPACK past d=15000, O(d·k) driver)."""
+        from .operators.ml import svd_project
+
+        wide = self.x.select(
+            F.col("row_id").alias("vec_id"), F.col("values").alias("embedding")
+        )
+        scores, _s = svd_project(wide, k)
+        return scores.select(F.col("vec_id").alias("row_id"), "scores")
+
+    def neighbors(self, k: int) -> DataFrame:
+        """Scanpy ``pp.neighbors`` — exact euclidean kNN edges
+        ``(row_id, nbr, d2, rk)``; broadcast corpus-as-index +
+        WindowGroupLimit (see ``operators.singlecell.sc_neighbors`` for the
+        scale contract and the LSH/IVF swap past broadcastable size)."""
+        a = self.x.select("row_id", F.col("values").alias("ea"))
+        b = self.x.select(F.col("row_id").alias("nbr"), F.col("values").alias("eb"))
+        d2 = F.aggregate(
+            F.zip_with("ea", "eb", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        scored = (
+            a.crossJoin(F.broadcast(b))
+            .where(F.col("row_id") != F.col("nbr"))
+            .select("row_id", "nbr", d2.alias("d2"))
+        )
+        rk = F.row_number().over(W.partitionBy("row_id").orderBy(F.asc("d2"), F.asc("nbr")))
+        return scored.withColumn("rk", rk.cast("bigint")).where(F.col("rk") <= k)
+
+    # ---- the flagship composition -------------------------------------------
+
+    def recipe_zheng17(
+        self,
+        min_gene_cells_pct: float = 2.0,
+        min_cell_genes: int = 20,
+        expr_threshold: float = 0.0,
+        clip: float = 10.0,
+        target: float = 1e4,
+    ) -> "AnnFrame":
+        """A11 — the composed pipeline (Scanpy ``pp.recipe_zheng17``):
+        filter_genes(expressed in ≥pct of cells) → filter_cells →
+        normalize_per_cell → log1p → scale(clip).  Pure chain of the
+        kernels above; Catalyst fuses the row-local steps between the two
+        O(genes) stats exchanges."""
+        n = self.n_obs
+        min_cells = -(-int(n * min_gene_cells_pct) // 100)  # ceil(pct% of n)
+        return (
+            self.filter_genes(min_cells=min_cells, expr_threshold=expr_threshold)
+            .filter_cells(min_genes=min_cell_genes, expr_threshold=expr_threshold)
+            .normalize_per_cell(target=target)
+            .log1p()
+            .scale(clip=clip)
+        )

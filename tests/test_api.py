@@ -1,0 +1,185 @@
+"""AnnFrame API-parity tests: the chainable object surface must compute the
+same kernels the registry hash-verifies, so a reference user switching to
+the object API inherits the oracle-checked semantics.
+
+Numeric posture: the registered queries quantize through decimal paths for
+cross-engine hashing; the API keeps raw double math, so comparisons here are
+tolerance-based (tight where only rounding differs, looser after the recipe's
+multiplicative chain) — EXACTNESS remains the registry's job."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from single_cell_experiments_spark.api import AnnFrame
+from single_cell_experiments_spark.catalog import load_table
+from tests.conftest import SF_DIR
+
+
+def _af(spark) -> AnnFrame:
+    return AnnFrame.from_table(load_table(spark, SF_DIR, "embeddings"))
+
+
+def _coo_map(df, val_col):
+    out = {}
+    for r in df.collect():
+        out[(int(r["row_id"] if "row_id" in r else r["vec_id"]), int(r["pos"]))] = r[val_col]
+    return out
+
+
+def test_log1p_matches_registered_kernel(spark):
+    from single_cell_experiments_spark.operators.singlecell import sc_log1p
+
+    api = _coo_map(_af(spark).log1p().to_coo(), "v")
+    reg = _coo_map(sc_log1p(spark, SF_DIR), "lv")
+    assert api.keys() == reg.keys()
+    for k, v in reg.items():
+        assert abs(api[k] - v) < 1e-6, k  # registered rounds to 6 dp
+
+
+def test_normalize_matches_registered_kernel(spark):
+    from single_cell_experiments_spark.operators.singlecell import sc_normalize_per_cell
+
+    api = _coo_map(_af(spark).map_values(F.abs).normalize_per_cell(1e4).to_coo(), "v")
+    reg = _coo_map(sc_normalize_per_cell(spark, SF_DIR), "nv")
+    assert api.keys() == reg.keys()
+    for k, v in reg.items():
+        assert abs(api[k] - v) < 1e-4, k  # decimal-path quantization in reg
+
+
+def test_filter_cells_matches_registered_kernel(spark):
+    from single_cell_experiments_spark.operators.singlecell import (
+        EXPR_THRESHOLD,
+        sc_filter_cells,
+    )
+
+    af = _af(spark).filter_cells(min_genes=25, expr_threshold=EXPR_THRESHOLD)
+    api = {int(r["row_id"]): int(r["n_genes"]) for r in af.obs.collect()}
+    reg = {int(r["vec_id"]): int(r["n_genes"]) for r in sc_filter_cells(spark, SF_DIR).collect()}
+    assert api == reg
+
+
+def test_filter_genes_prunes_columns_and_annotates_var(spark):
+    af = _af(spark)
+    d = af.n_vars
+    # adaptive cut: the median per-gene expressing-cell count keeps some
+    # genes and drops others regardless of the data's value scale
+    counts = sorted(
+        int(r["n_cells"])
+        for r in af.to_coo()
+        .groupBy("pos")
+        .agg(F.count_if(F.abs(F.col("v")) > 0.1).alias("n_cells"))
+        .collect()
+    )
+    cut = counts[len(counts) // 2]
+    assert counts[0] < cut <= counts[-1], "fixture must have count spread"
+    filtered = af.filter_genes(min_cells=cut, expr_threshold=0.1)
+    kept = filtered.n_vars
+    assert 0 < kept < d
+    var = filtered.var.orderBy("pos").collect()
+    assert [int(r["pos"]) for r in var] == list(range(1, kept + 1))
+    assert all(int(r["n_cells"]) >= cut for r in var)
+    # pruned arrays contain exactly the kept original positions' values
+    orig = {(int(r["row_id"]), int(r["pos"])): r["v"] for r in af.to_coo().collect()}
+    keep_map = {int(r["pos"]): int(r["orig_pos"]) for r in var}
+    for r in filtered.to_coo().limit(500).collect():
+        assert r["v"] == orig[(int(r["row_id"]), keep_map[int(r["pos"])])]
+
+
+def test_scale_zero_mean_unit_var(spark):
+    sc = _af(spark).scale()
+    pdf = sc.to_coo().groupBy("pos").agg(
+        F.avg("v").alias("mu"), F.stddev_pop("v").alias("sd")
+    ).toPandas()
+    assert np.allclose(pdf["mu"], 0.0, atol=1e-9)
+    assert np.allclose(pdf["sd"], 1.0, atol=1e-9)
+
+
+def test_scale_clip_bounds(spark):
+    sc = _af(spark).scale(clip=0.5)
+    mx = sc.to_coo().agg(F.max(F.abs(F.col("v")))).first()[0]
+    assert mx <= 0.5 + 1e-12
+
+
+def test_recipe_matches_registered_pipeline(spark):
+    from single_cell_experiments_spark.operators.singlecell import (
+        EXPR_THRESHOLD,
+        sc_recipe_zheng17,
+    )
+
+    reg_rows = sc_recipe_zheng17(spark, SF_DIR).collect()
+    reg = {(int(r["vec_id"]), int(r["pos"])): r["z"] for r in reg_rows}
+
+    af = (
+        _af(spark)
+        .map_values(F.abs)
+        .recipe_zheng17(expr_threshold=EXPR_THRESHOLD)
+    )
+    # registered pipeline keeps ORIGINAL gene positions; map back via var
+    pos_map = {int(r["pos"]): int(r["orig_pos"]) for r in af.var.collect()}
+    api = {
+        (int(r["row_id"]), pos_map[int(r["pos"])]): r["v"]
+        for r in af.to_coo().collect()
+    }
+    assert api.keys() == reg.keys()
+    diffs = [
+        abs(api[k] - v) for k, v in reg.items() if v is not None and api[k] is not None
+    ]
+    assert max(diffs) < 1e-3  # decimal-path quantization compounds through the chain
+    assert sum(1 for k, v in reg.items() if (v is None) != (api[k] is None)) == 0
+
+
+def test_zarr_roundtrip_through_api(spark, tmp_path):
+    af = _af(spark)
+    path = str(tmp_path / "grp")
+    info = af.to_zarr(path)
+    assert info["shape"][0] == af.n_obs
+    back = AnnFrame.from_zarr(spark, path)
+    a = {(int(r["row_id"]), int(r["pos"])): round(r["v"], 5) for r in af.to_coo().collect()}
+    b = {(int(r["row_id"]), int(r["pos"])): round(r["v"], 5) for r in back.to_coo().collect()}
+    assert a == b
+
+
+def test_neighbors_matches_registered_kernel(spark):
+    from single_cell_experiments_spark.operators.singlecell import (
+        SC_NEIGHBORS_K,
+        sc_neighbors,
+    )
+
+    api = {
+        (int(r["row_id"]), int(r["nbr"])): int(r["rk"])
+        for r in _af(spark).neighbors(SC_NEIGHBORS_K).collect()
+    }
+    reg = {
+        (int(r["vec_id"]), int(r["nbr"])): int(r["rk"])
+        for r in sc_neighbors(spark, SF_DIR).collect()
+    }
+    # ties broken on ROUNDED distance in reg vs raw in api can flip ranks
+    # only between equidistant candidates; membership agreement is the
+    # kernel contract
+    agree = sum(1 for k in reg if k in api)
+    assert agree >= 0.99 * len(reg)
+
+
+def test_pca_scores_norms_match_distance_from_mean(spark):
+    af = _af(spark)
+    k = af.n_vars
+    scores = af.pca(k).toPandas()
+    emb = load_table(spark, SF_DIR, "embeddings").toPandas()
+    x = np.array(emb["embedding"].to_list(), dtype=np.float64)
+    mu = x.mean(axis=0)
+    d2 = ((x - mu) ** 2).sum(axis=1)
+    got = {int(r): float(np.dot(s, s)) for r, s in zip(scores["row_id"], scores["scores"])}
+    want = {int(v): float(d) for v, d in zip(emb["vec_id"], d2)}
+    for key in want:
+        assert abs(got[key] - want[key]) < 1e-6 * (1 + want[key])
+
+
+def test_reindex_renumbers_densely(spark):
+    af = _af(spark).filter_cells(min_genes=25).reindex()
+    ids = sorted(int(r["row_id"]) for r in af.x.select("row_id").collect())
+    assert ids == list(range(len(ids)))
+    assert "orig_row_id" in af.obs.columns
