@@ -246,3 +246,22 @@ def test_qc_metrics_zero_shuffle(spark):
     higher-order fold, so the plan must contain no shuffle exchange."""
     df = QS["sc_qc_metrics"](spark, SF_DIR)
     assert inspect.exchange_count(df) == 0
+
+
+def test_sc_neighbors_broadcasts_corpus_index(spark):
+    """sc_neighbors' corpus-as-index must broadcast — an all-pairs scoring
+    cross join has no equi key, so the right shape is a
+    BroadcastNestedLoopJoin with the index side as build (the matrix
+    itself never shuffles for scoring) — and the top-k rank must prune
+    map-side via WindowGroupLimit."""
+    df = QS["sc_neighbors"](spark, SF_DIR)
+    plan = inspect.executed_plan(df)  # AQE-final: the broadcast conversion
+    assert "BroadcastNestedLoopJoin BuildRight" in plan, plan
+    assert inspect.count_in_plan(df, "WindowGroupLimit", final=False) > 0
+
+
+def test_nearest_centroid_broadcasts_stats_and_group_limits(spark):
+    df = QS["embed_nearest_centroid"](spark, SF_DIR)
+    plan = inspect.executed_plan(df)  # AQE-final: the broadcast conversion
+    assert "BroadcastNestedLoopJoin BuildRight" in plan, "centroids must broadcast"
+    assert inspect.count_in_plan(df, "WindowGroupLimit", final=False) > 0
