@@ -11,6 +11,7 @@ these in tests/test_streaming.py):
 - ``session_window_events``   : per-user 30-min-gap sessionization
 - ``watermark_late_drop``     : 10-min watermark late-arrival drop
 - ``stateful_dedup_events``   : first-event-wins keyed dedup
+- ``stream_static_enrich``    : static-dimension broadcast enrichment
 
 Time handling: ``events.ts`` is parquet TIMESTAMP(NANOS) — the catalog shim
 exposes integer ``ts_s``/``ts_us`` (catalog.py), and window starts are
@@ -332,4 +333,42 @@ def stream_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("p_ts") - F.col("c_ts")).alias("dt_s"),
         )
         .distinct()
+    )
+
+
+# --- stream-static broadcast enrichment --------------------------------------
+
+_ENRICH_ORACLE = """
+SELECT n.n_name AS nation, e.event_type,
+       COUNT(*) AS c,
+       CAST(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v_cents
+FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+GROUP BY 1, 2
+"""
+
+
+@query("stream_static_enrich", oracle=_ENRICH_ORACLE, tags=("streaming", "enrich"))
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment, batch twin: every event joins a
+    small static dimension (nation, keyed by ``user_id % 25`` — the
+    classic "enrich the click with the reference table" shape), then
+    aggregates per (nation, event_type).  The live ``readStream`` twin is
+    ``jobs.run_stream_static_enrich`` (stream-static joins re-resolve the
+    static side per micro-batch, which is exactly how slowly-changing
+    reference tables reach a stream without restarting it).
+
+    Scale: the dimension broadcasts (25 rows here; any true dim table);
+    the fact stream never shuffles for the join — only the final keyed
+    aggregation exchanges O(nations × types) partials.  The value sum is
+    exact integer cents (FLOOR(x·100+0.5) == HALF_UP for the non-negative
+    domain), so stream and batch agree bit-for-bit.
+    """
+    e = load_table(spark, sf_dir, "events")
+    n = load_table(spark, sf_dir, "nation")
+    joined = e.join(F.broadcast(n), e.user_id % 25 == n.n_nationkey)
+    return joined.groupBy(
+        F.col("n_name").alias("nation"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.expr("CAST(FLOOR(value * 100 + 0.5D) AS BIGINT)")).alias("v_cents"),
     )

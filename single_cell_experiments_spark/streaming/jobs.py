@@ -364,3 +364,20 @@ def stream_file_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py::test_file_sink_exactly_once).
     """
     return spark.read.parquet(run_file_sink_stream(spark, sf_dir, clear=True))
+
+
+def run_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live twin of ``batch_equiv.stream_static_enrich``: the event stream
+    joins the static nation dimension (broadcast; re-resolved per
+    micro-batch — the standard slowly-changing-reference pattern) and
+    aggregates per (nation, event_type) in complete mode."""
+    stream = _event_stream(spark, sf_dir)
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    joined = stream.join(
+        F.broadcast(nation), stream.user_id % 25 == nation.n_nationkey
+    )
+    agg = joined.groupBy(F.col("n_name").alias("nation"), "event_type").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.expr("CAST(FLOOR(value * 100 + 0.5D) AS BIGINT)")).alias("v_cents"),
+    )
+    return _drain_to_memory(agg, "static_enrich", "complete")

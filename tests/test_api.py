@@ -183,3 +183,23 @@ def test_reindex_renumbers_densely(spark):
     ids = sorted(int(r["row_id"]) for r in af.x.select("row_id").collect())
     assert ids == list(range(len(ids)))
     assert "orig_row_id" in af.obs.columns
+
+
+def test_hvg_selects_top_n_and_zscores_within_bins(spark):
+    af = _af(spark)
+    sel = af.highly_variable_genes(n_top=8).toPandas()
+    assert int(sel["kept"].sum()) == 8
+    assert len(sel) == af.n_vars
+    # kept genes are exactly the top-8 by normalized dispersion
+    ranked = sel.sort_values(["disp_norm", "pos"], ascending=[False, True])
+    assert set(ranked.head(8)["pos"]) == set(sel[sel["kept"]]["pos"])
+
+
+def test_subset_genes_keeps_requested_positions(spark):
+    af = _af(spark)
+    keep = [2, 5, 11]
+    sub = af.subset_genes(keep)
+    assert sub.n_vars == 3
+    orig = {(int(r["row_id"]), int(r["pos"])): r["v"] for r in af.to_coo().collect()}
+    for r in sub.to_coo().limit(300).collect():
+        assert r["v"] == orig[(int(r["row_id"]), keep[int(r["pos"]) - 1])]

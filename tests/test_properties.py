@@ -350,3 +350,25 @@ def test_chunk_windows_cover_every_token(spark, docs):
             assert len(r["chunk_text"].split(" ")) == r["n_tokens"]
             covered.update(range(p, p + r["n_tokens"]))
         assert covered == set(range(1, n + 1)), (sorted(covered), n)
+
+
+@given(
+    data=st.binary(min_size=0, max_size=4096),
+    typesize=st.sampled_from([1, 2, 4, 8, 16]),
+    cname=st.sampled_from(["zlib", "lz4", "memcpy"]),
+    shuffle=st.booleans(),
+    blocksize=st.sampled_from([0, 256, 1024]),
+)
+@settings(max_examples=150, deadline=None)  # pure-Python: no Spark jobs, go wide
+def test_blosc_codec_roundtrips_arbitrary_buffers(data, typesize, cname, shuffle, blocksize):
+    """blosc_py encode→decode identity over random buffers × codec ×
+    shuffle × block sizing (r7: the pure-Python Blosc v1 container).
+    Buffers are trimmed to a typesize multiple (the container contract —
+    numpy blocks always satisfy it)."""
+    from single_cell_experiments_spark.sources import blosc_py
+
+    data = data[: len(data) // typesize * typesize]
+    enc = blosc_py.compress(
+        data, typesize, cname=cname, shuffle=shuffle, blocksize=blocksize
+    )
+    assert blosc_py.decompress(enc) == data

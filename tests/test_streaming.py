@@ -118,3 +118,11 @@ def test_state_v2_gate_reports_missing_dependency(spark):
         pytest.skip("protobuf present: gate inactive")
     with pytest.raises(ImportError, match="protobuf"):
         jobs.run_state_v2_counter_stream(spark, SF_DIR)
+
+
+def test_stream_static_enrich_matches_batch(spark):
+    stream = jobs.run_stream_static_enrich(spark, SF_DIR)
+    batch = QS["stream_static_enrich"](spark, SF_DIR)
+    assert _rows(stream, "nation", "event_type", "c", "v_cents") == _rows(
+        batch, "nation", "event_type", "c", "v_cents"
+    )
