@@ -133,6 +133,10 @@ BENCH_CONFS = {
     # q3 642 -> 574 ms.  Standard high-cardinality-agg tuning, same knob
     # you'd set on a cluster for per-key rollups.
     "spark.sql.codegen.aggregate.fastHashMap.capacityBit": "19",
+    # Arrow->pandas conversion without the defensive copy (~25 ms off the
+    # window_rank 150k-row fetch; self-destruct hands each Arrow buffer to
+    # pandas and frees it immediately — the documented bulk-collect mode).
+    "spark.sql.execution.arrow.pyspark.selfDestruct.enabled": "true",
 }
 
 
