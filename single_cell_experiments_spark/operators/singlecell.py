@@ -1035,3 +1035,58 @@ def _finalize_knn_cluster_oracle() -> None:
 
 
 _finalize_knn_cluster_oracle()
+
+
+# --- COO matrix multiply (relational GEMM) -----------------------------------
+
+MATMUL_OUT_COLS = 4  # output width of the deterministic projection W
+
+#: W[pos, j] = ((pos*31 + j*17) mod 7) - 3 — a deterministic integer
+#: projection both engines generate from pure arithmetic (no data shipping,
+#: no seed).  Integer entries keep the product sums exact through the
+#: decimal path.
+
+_MATMUL_ORACLE = f"""
+WITH x AS ({_DD_COO}),
+dims AS (SELECT DISTINCT pos FROM x),
+w AS (
+  SELECT d.pos, j.j, CAST(((d.pos * 31 + j.j * 17) % 7) - 3 AS BIGINT) AS w
+  FROM dims d, (SELECT unnest(range(1, {MATMUL_OUT_COLS} + 1)) AS j) j
+)
+SELECT x.vec_id, w.j,
+       round(CAST(SUM(CAST(round(x.v, 6) AS DECIMAL(18,6)) * w.w) AS DOUBLE), 6) AS s
+FROM x JOIN w ON w.pos = x.pos
+GROUP BY x.vec_id, w.j
+"""
+
+
+@query("sc_matmul_coo", oracle=_MATMUL_ORACLE, tags=("singlecell", "linalg"))
+def sc_matmul_coo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational GEMM: the COO form of ``S = X · W`` — the linear-algebra
+    primitive behind signature scoring, random projection, and every
+    "project the matrix through a small weight table" step, expressed as
+    the classic join-on-contraction-key + group-by (this IS how sparse
+    matmul distributes: shuffle both operands on the contracted dimension,
+    partial-sum map-side, one exchange keyed on the output cell).
+
+    Here W is a deterministic integer matrix generated from arithmetic on
+    (pos, j) — identical in both engines with nothing shipped — and small
+    enough to BROADCAST (the X side never shuffles for the join; only the
+    per-(row, j) partial sums exchange).  At 100 TB: W tables up to ~1 GB
+    broadcast (d×k ≤ 10⁸ entries); beyond that the same query runs as a
+    shuffle join on ``pos`` — one hint away, same semantics.  Exactness:
+    per-element 6-dp decimal quantization × integer weights keeps every
+    product exact; the sum is order-insensitive decimal.
+    """
+    x = coo(spark, sf_dir)
+    dims = x.select("pos").distinct()
+    j = spark.range(1, MATMUL_OUT_COLS + 1).select(F.col("id").alias("j"))
+    w = dims.crossJoin(j).select(
+        "pos", "j", (((F.col("pos") * 31 + F.col("j") * 17) % 7) - 3).alias("w")
+    )
+    prod = x.join(F.broadcast(w), "pos").select(
+        "vec_id", "j", (stat6(F.col("v")) * F.col("w")).alias("t")
+    )
+    return prod.groupBy("vec_id", "j").agg(
+        F.round(F.sum("t").cast("double"), 6).alias("s")
+    )

@@ -203,3 +203,44 @@ def test_subset_genes_keeps_requested_positions(spark):
     orig = {(int(r["row_id"]), int(r["pos"])): r["v"] for r in af.to_coo().collect()}
     for r in sub.to_coo().limit(300).collect():
         assert r["v"] == orig[(int(r["row_id"]), keep[int(r["pos"]) - 1])]
+
+
+def test_annframe_chain_matches_numpy_reference(spark):
+    """AnnFrame kernels vs a plain-numpy reference on a small random
+    matrix (seeded): filters, normalize, log1p, scale — the object API's
+    math must be numpy's math, independent of the driver tables."""
+    rng = np.random.default_rng(42)
+    n, d = 40, 12
+    x = np.abs(rng.standard_normal((n, d))).astype(np.float64)
+    x[x < 0.3] = 0.0  # sparsity so the filters bite
+    pdf = pd.DataFrame({"vec_id": np.arange(n), "embedding": [row for row in x]})
+    af = AnnFrame.from_table(spark.createDataFrame(pdf))
+
+    # filter_genes(min_cells=10, thr=0): numpy mask
+    gmask = (x > 0).sum(axis=0) >= 10
+    ref = x[:, gmask]
+    # filter_cells(min_genes=4)
+    cmask = (ref > 0).sum(axis=1) >= 4
+    kept_ids = np.arange(n)[cmask]
+    ref = ref[cmask]
+    # normalize rows to 100
+    sums = ref.sum(axis=1, keepdims=True)
+    ref = ref * 100.0 / sums
+    # log1p
+    ref = np.log1p(ref)
+    # scale (population std), clip 2
+    mu = ref.mean(axis=0)
+    sd = ref.std(axis=0)
+    ref = np.clip((ref - mu) / sd, -2.0, 2.0)
+
+    out = (
+        af.filter_genes(min_cells=10, expr_threshold=0.0)
+        .filter_cells(min_genes=4, expr_threshold=0.0)
+        .normalize_per_cell(100.0)
+        .log1p()
+        .scale(clip=2.0)
+    )
+    got_rows = {int(r["row_id"]): np.array(r["values"]) for r in out.x.collect()}
+    assert set(got_rows) == set(int(i) for i in kept_ids)
+    for i, rid in enumerate(kept_ids):
+        np.testing.assert_allclose(got_rows[int(rid)], ref[i], rtol=1e-9, atol=1e-9)
