@@ -157,7 +157,15 @@ class AnnFrame:
     def reindex(self) -> "AnnFrame":
         """Re-number rows densely 0..n-1 (after ``filter_cells``) so
         positional sinks (Zarr) accept the matrix; original ids stay in
-        ``obs.orig_row_id``."""
+        ``obs.orig_row_id``.
+
+        Scale note: the global ``row_number`` window funnels the id column
+        through one task — fine to ~10M rows (ids only, not the matrix).
+        Past that, use the sort + partition-offset pattern (range-partition
+        by row_id, count per partition, add exclusive-prefix offsets — the
+        zipWithIndex construction, fully parallel); kept simple here
+        because reindex only ever precedes a positional WRITE, whose
+        chunk-grouping shuffle dominates it."""
         w = W.orderBy("row_id")
         m = self.x.select("row_id").withColumn("new_id", F.row_number().over(w) - 1)
         x = self.x.join(m, "row_id").select(F.col("new_id").alias("row_id"), "values")

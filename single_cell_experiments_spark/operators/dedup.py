@@ -14,6 +14,8 @@ Each tier is a ``queries()`` entry with a full DuckDB oracle:
   canonicalization and connectivity ranking (iterative, integer-exact)
 - cluster keeper  : longest-doc-per-component keep/drop verdict (CC labels
   joined back onto the corpus)
+- triangle counts : per-doc triangle participation over the pair graph
+  (cluster-density metric for per-cluster dedup policy)
 
 Cross-engine determinism: every hash is a *polynomial codepoint hash*
 computed with plain integer SQL arithmetic (Spark ``ascii``/DuckDB

@@ -14,6 +14,8 @@ operator family:
 - ``ann_cosine_pairs_signlsh``  : the scale path — random-hyperplane-style
   sign-bit LSH bucketing, cosine verified only within buckets.
 - ``ann_ivf_probe``             : IVF coarse-quantize + probe-cell scan.
+- ``embed_nearest_centroid``    : nearest-centroid label assignment (the
+  embedding-space label-noise audit; broadcast centroids, rank-1 argmin).
 - ``embed_quantize_int8`` / ``ann_quantized_topk`` : int8 compression and
   all-integer candidate search in the quantized space.
 - ``embed_l2_normalize``        : unit-L2 preprocessing (cosine → dot).

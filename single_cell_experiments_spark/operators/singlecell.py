@@ -18,6 +18,11 @@ AnnData ``X`` matrix (FIXTURES.md §1: vec_id ≈ cell, array position ≈ gene,
   **broadcast-joined** back, which is exactly the reference's
   ``sc.broadcast`` of per-gene vectors done by the planner.
 
+Beyond A4-A11 the module carries the graph/linear-algebra substrate the
+Scanpy workflow consumes next: ``sc_neighbors`` (exact euclidean kNN
+graph), ``sc_knn_clusters`` (mutual-kNN connected components), and
+``sc_matmul_coo`` (relational COO GEMM).
+
 Scale: the COO exchange keys on ``pos`` (gene) — at 30k genes × any number
 of cells this is a bounded-cardinality shuffle; stats tables are O(genes)
 and always broadcast.  Nothing is collected to the driver.
