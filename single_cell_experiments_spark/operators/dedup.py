@@ -7,6 +7,8 @@ Each tier is a ``queries()`` entry with a full DuckDB oracle:
 - normalized exact: casefold + punctuation-collapse, then hash-groupBy
 - MinHash + LSH   : char-5-gram shingles → H permuted min-hashes → banded
                     bucket join → exact-Jaccard verification of candidates
+- containment     : asymmetric |A∩B|/|A| scoring over the LSH candidates
+                    (quote/subset/boilerplate-wrapper duplication)
 - SimHash         : sign-aggregated shingle-hash bits → blocked hamming join
 - n-gram Jaccard  : word-trigram Jaccard within a (lang) block
 - embedding-cosine: sign-LSH candidate pairs → keeper/removal list
@@ -95,8 +97,10 @@ _BAND_SIGS = [
 ]
 
 
-def _minhash_sql(shingles_cte: str) -> str:
-    """Dialect-shared core of the MinHash-LSH query (post-shingling)."""
+def _lsh_core_sql(shingles_cte: str) -> str:
+    """Dialect-shared LSH candidate pipeline (shingles → signatures →
+    banded buckets → candidate pairs → intersection counts + set sizes).
+    Consumers append their scoring SELECT (Jaccard, containment, ...)."""
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, {sig} AS sig FROM sigs" for b, sig in enumerate(_BAND_SIGS)
     )
@@ -117,13 +121,38 @@ inter AS (
   JOIN shingles s1 ON s1.doc_id = c.doc1
   JOIN shingles s2 ON s2.doc_id = c.doc2 AND s2.h = s1.h
   GROUP BY c.doc1, c.doc2
-)
+)"""
+
+
+def _minhash_sql(shingles_cte: str) -> str:
+    """Dialect-shared core of the MinHash-LSH query (post-shingling)."""
+    return f"""{_lsh_core_sql(shingles_cte)}
 SELECT i.doc1, i.doc2,
        round(CAST(i.i AS DOUBLE) / (z1.n + z2.n - i.i), 6) AS jaccard
 FROM inter i
 JOIN sizes z1 ON z1.doc_id = i.doc1
 JOIN sizes z2 ON z2.doc_id = i.doc2
 WHERE CAST(i.i AS DOUBLE) / (z1.n + z2.n - i.i) >= {MINHASH_JACCARD_MIN}
+"""
+
+
+#: minimum max-directional containment to emit a pair.
+CONTAINMENT_MIN = 0.5
+
+
+def _containment_sql(shingles_cte: str) -> str:
+    """Containment scoring over the LSH candidate set: |A∩B|/|A| and
+    |A∩B|/|B| — the asymmetric near-dup measure (quotes, subsets,
+    boilerplate wrappers) that symmetric Jaccard under-reports."""
+    return f"""{_lsh_core_sql(shingles_cte)}
+SELECT i.doc1, i.doc2,
+       round(CAST(i.i AS DOUBLE) / z1.n, 6) AS c_fwd,
+       round(CAST(i.i AS DOUBLE) / z2.n, 6) AS c_rev,
+       CAST(CASE WHEN z1.n <= z2.n THEN i.doc1 ELSE i.doc2 END AS BIGINT) AS contained_doc
+FROM inter i
+JOIN sizes z1 ON z1.doc_id = i.doc1
+JOIN sizes z2 ON z2.doc_id = i.doc2
+WHERE CAST(i.i AS DOUBLE) / LEAST(z1.n, z2.n) >= {CONTAINMENT_MIN}
 """
 
 
@@ -899,3 +928,31 @@ def dedup_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("c").alias("doc_id")))
     )
     return members.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+# --- containment (asymmetric) near-dup ---------------------------------------
+
+@query(
+    "dedup_containment",
+    oracle=_containment_sql(_DD_SHINGLES),
+    tags=("dedup", "containment"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection via shingle CONTAINMENT — |A∩B|/|A|
+    and |A∩B|/|B| over the LSH candidate pairs, keeping pairs where the
+    smaller side is ≥50% contained in the other and naming the contained
+    document.  Containment is what catches quote/subset/boilerplate-wrapper
+    duplication that symmetric Jaccard under-reports (a 200-char doc fully
+    embedded in a 2000-char doc has Jaccard ≈ 0.1 but containment 1.0).
+
+    Honest recall note: candidates come from the Jaccard-tuned MinHash
+    bands, whose collision probability FALLS with size asymmetry — extreme
+    subset pairs can be missed at the candidate stage.  Production-grade
+    asymmetric recall uses size-stratified banding or seeded shingle
+    sampling on the small side; the scoring and thresholds here are exact
+    over whatever candidate generator feeds them (same Σ(bucket²) scale
+    bound as ``dedup_minhash_lsh``).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__docs")
+    return spark.sql(_containment_sql(_SPARK_SHINGLES))
