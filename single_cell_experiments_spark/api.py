@@ -89,6 +89,17 @@ class AnnFrame:
         ids = read_zarr_vector(spark, os.path.join(group_path, "vec_id")).select(
             F.col("row"), F.col("value").alias("row_id")
         )
+        # sibling obs_* 1-D arrays -> obs annotation columns
+        obs = None
+        for entry in sorted(os.listdir(group_path)):
+            if not entry.startswith("obs_"):
+                continue
+            col = read_zarr_vector(spark, os.path.join(group_path, entry)).select(
+                "row", F.col("value").alias(entry[4:])
+            )
+            obs = col if obs is None else obs.join(col, "row")
+        if obs is not None:
+            obs = obs.join(ids, "row").drop("row")
         # reassemble full rows from (possibly column-chunked) slices
         coo = x_slices.select(
             "row", "col0", F.posexplode("values").alias("p0", "v")
@@ -99,7 +110,7 @@ class AnnFrame:
             ).alias("values")
         )
         x = wide.join(ids, "row").select("row_id", "values")
-        return cls(x)
+        return cls(x, obs)
 
     @classmethod
     def from_10x(cls, spark: SparkSession, path: str, n_features: int | None = None, **kw) -> "AnnFrame":
@@ -143,16 +154,28 @@ class AnnFrame:
         )
 
     def to_zarr(self, path: str, rows_per_chunk: int = 64, **kw) -> dict:
-        """Write ``X`` + row index as a Zarr v2 group (ref
-        ``AnnDataRdd.to_zarr`` [M]).  Requires dense 0..n-1 row ids
-        (positional addressing — reindex first if filtered)."""
+        """Write ``X`` + row index + numeric ``obs`` annotation columns as
+        a Zarr v2 group (ref ``AnnDataRdd.to_zarr`` [M]; annotations land
+        as ``obs_<name>`` 1-D arrays and round-trip through
+        ``from_zarr``).  Requires dense 0..n-1 row ids (positional
+        addressing — reindex first if filtered)."""
         from .sources.zarrv2 import write_zarr_group
 
+        numeric = ("bigint", "int", "smallint", "tinyint", "long", "double", "float")
+        obs_cols = tuple(
+            c for c, t in self.obs.dtypes if c != "row_id" and t in numeric
+        )
         wide = self.x.select(
             F.col("row_id").alias("vec_id"),
             F.transform("values", lambda v: v.cast("float")).alias("embedding"),
         )
-        return write_zarr_group(wide, path, rows_per_chunk=rows_per_chunk, **kw)
+        if obs_cols:
+            wide = wide.join(
+                self.obs.select(F.col("row_id").alias("vec_id"), *obs_cols), "vec_id"
+            )
+        return write_zarr_group(
+            wide, path, rows_per_chunk=rows_per_chunk, obs_cols=obs_cols, **kw
+        )
 
     def reindex(self) -> "AnnFrame":
         """Re-number rows densely 0..n-1 (after ``filter_cells``) so

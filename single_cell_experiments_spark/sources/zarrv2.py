@@ -144,14 +144,17 @@ def write_zarr_group(
     rows_per_chunk: int = ROWS_PER_CHUNK,
     compressor: dict | None = _DEFAULT_COMPRESSOR,
     cols_per_chunk: int | None = None,
+    obs_cols: tuple[str, ...] = (),
 ) -> dict:
     """Write (vec_id, embedding) rows as a Zarr v2 group at ``path``:
     ``X`` (2-D float32, chunks ``[rows_per_chunk, cols_per_chunk or dim]``)
-    + ``vec_id`` (1-D int64, chunks ``[rows_per_chunk]``).
+    + ``vec_id`` (1-D int64, chunks ``[rows_per_chunk]``) + one 1-D array
+    per ``obs_cols`` entry (``obs_<name>``; int64 for integer columns,
+    float64 otherwise — the AnnData per-cell annotation arrays).
 
     Chunk grid position is ``vec_id div rows_per_chunk`` (positional
     semantics — see module docstring); each ``applyInPandas`` task
-    scatters its rows into a padded block and writes both arrays' chunk
+    scatters its rows into a padded block and writes every array's chunk
     objects — with ``cols_per_chunk`` set, one object per (row, col) grid
     cell (``"{r}.{c}"``), edge chunks padded on BOTH axes per the spec.
     Returns the group metadata (shape, chunks, n_chunks).
@@ -177,6 +180,14 @@ def write_zarr_group(
         x_path, [n_rows, dim], [rows_per_chunk, cpc], "<f4", compressor, 0.0
     )
     _write_zarray_meta(id_path, [n_rows], [rows_per_chunk], "<i8", compressor, 0)
+    dtypes = dict(wide.dtypes)
+    obs_meta: dict[str, tuple[str, np.dtype]] = {}
+    for col in obs_cols:
+        is_int = dtypes.get(col) in ("bigint", "int", "smallint", "tinyint", "long")
+        zdt, npdt = ("<i8", np.dtype("<i8")) if is_int else ("<f8", np.dtype("<f8"))
+        apath = os.path.join(path, f"obs_{col}")
+        _write_zarray_meta(apath, [n_rows], [rows_per_chunk], zdt, compressor, 0)
+        obs_meta[col] = (apath, npdt)
     with open(os.path.join(path, ".zgroup"), "w") as f:
         json.dump({"zarr_format": 2}, f)
 
@@ -203,10 +214,15 @@ def write_zarr_group(
                 )
         with open(os.path.join(id_path, f"{chunk_id}"), "wb") as f:
             f.write(_compress(id_block.tobytes(order="C"), compressor, 8))
+        for col, (apath, npdt) in obs_meta.items():
+            block = np.zeros(rows_per_chunk, dtype=npdt)
+            block[offs] = pdf[col].to_numpy(dtype=npdt)
+            with open(os.path.join(apath, f"{chunk_id}"), "wb") as f:
+                f.write(_compress(block.tobytes(order="C"), compressor, npdt.itemsize))
         return pd.DataFrame({"chunk_id": [chunk_id], "n_rows": [len(pdf)]})
 
     n_chunks = (
-        wide.select("vec_id", "embedding")
+        wide.select("vec_id", "embedding", *obs_cols)
         .withColumn("chunk_id", F.expr(f"vec_id div {rows_per_chunk}"))
         .groupBy("chunk_id")
         .applyInPandas(_write_chunk, schema=result_schema)

@@ -244,3 +244,19 @@ def test_annframe_chain_matches_numpy_reference(spark):
     assert set(got_rows) == set(int(i) for i in kept_ids)
     for i, rid in enumerate(kept_ids):
         np.testing.assert_allclose(got_rows[int(rid)], ref[i], rtol=1e-9, atol=1e-9)
+
+
+def test_zarr_roundtrip_carries_obs_annotations(spark, tmp_path):
+    """AnnData-group completeness: numeric obs columns (here ``label``)
+    round-trip as obs_* 1-D zarr arrays through to_zarr/from_zarr."""
+    af = _af(spark)  # embeddings carries a label obs column
+    assert "label" in af.obs.columns
+    path = str(tmp_path / "grp_obs")
+    af.to_zarr(path)
+    import os
+
+    assert os.path.isdir(os.path.join(path, "obs_label"))
+    back = AnnFrame.from_zarr(spark, path)
+    a = {int(r["row_id"]): int(r["label"]) for r in af.obs.collect()}
+    b = {int(r["row_id"]): int(r["label"]) for r in back.obs.collect()}
+    assert a == b
