@@ -100,6 +100,14 @@ class AnnFrame:
             obs = col if obs is None else obs.join(col, "row")
         if obs is not None:
             obs = obs.join(ids, "row").drop("row")
+        var = None
+        for entry in sorted(os.listdir(group_path)):
+            if not entry.startswith("var_"):
+                continue
+            col = read_zarr_vector(spark, os.path.join(group_path, entry)).select(
+                (F.col("row") + 1).alias("pos"), F.col("value").alias(entry[4:])
+            )
+            var = col if var is None else var.join(col, "pos")
         # reassemble full rows from (possibly column-chunked) slices
         coo = x_slices.select(
             "row", "col0", F.posexplode("values").alias("p0", "v")
@@ -110,7 +118,7 @@ class AnnFrame:
             ).alias("values")
         )
         x = wide.join(ids, "row").select("row_id", "values")
-        return cls(x, obs)
+        return cls(x, obs, var)
 
     @classmethod
     def from_10x(cls, spark: SparkSession, path: str, n_features: int | None = None, **kw) -> "AnnFrame":
@@ -173,9 +181,35 @@ class AnnFrame:
             wide = wide.join(
                 self.obs.select(F.col("row_id").alias("vec_id"), *obs_cols), "vec_id"
             )
-        return write_zarr_group(
+        info = write_zarr_group(
             wide, path, rows_per_chunk=rows_per_chunk, obs_cols=obs_cols, **kw
         )
+        # var annotations are O(genes): written driver-side as var_* 1-D
+        # arrays (the reference broadcasts var the same way — per-gene data
+        # never needs a distributed write)
+        if self.var is not None:
+            import numpy as np
+
+            from .sources.zarrv2 import _compress, _write_zarray_meta
+
+            rows = self.var.orderBy("pos").collect()
+            numeric_var = [
+                c for c, t in self.var.dtypes if c != "pos" and t in numeric
+            ]
+            comp = kw.get("compressor", {"id": "zlib", "level": 1})
+            for c in numeric_var:
+                is_int = dict(self.var.dtypes)[c] in (
+                    "bigint", "int", "smallint", "tinyint", "long",
+                )
+                npdt = np.dtype("<i8") if is_int else np.dtype("<f8")
+                arr = np.array([r[c] for r in rows], dtype=npdt)
+                apath = os.path.join(path, f"var_{c}")
+                _write_zarray_meta(
+                    apath, [len(arr)], [max(len(arr), 1)], str(npdt.str), comp, 0
+                )
+                with open(os.path.join(apath, "0"), "wb") as f:
+                    f.write(_compress(arr.tobytes(order="C"), comp, npdt.itemsize))
+        return info
 
     def reindex(self) -> "AnnFrame":
         """Re-number rows densely 0..n-1 (after ``filter_cells``) so

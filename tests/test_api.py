@@ -260,3 +260,24 @@ def test_zarr_roundtrip_carries_obs_annotations(spark, tmp_path):
     a = {int(r["row_id"]): int(r["label"]) for r in af.obs.collect()}
     b = {int(r["row_id"]): int(r["label"]) for r in back.obs.collect()}
     assert a == b
+
+
+def test_zarr_roundtrip_carries_var_annotations(spark, tmp_path):
+    """var (per-gene) numeric annotations round-trip as var_* 1-D arrays:
+    filter_genes creates a var table (orig_pos, n_cells, pos) whose
+    numeric columns must survive to_zarr -> from_zarr keyed by pos."""
+    af = _af(spark).filter_genes(min_cells=1, expr_threshold=0.1).reindex()
+    assert af.var is not None
+    path = str(tmp_path / "grp_var")
+    af.to_zarr(path)
+    back = AnnFrame.from_zarr(spark, path)
+    assert back.var is not None
+    want = {
+        int(r["pos"]): (int(r["n_cells"]), int(r["orig_pos"]))
+        for r in af.var.collect()
+    }
+    got = {
+        int(r["pos"]): (int(r["n_cells"]), int(r["orig_pos"]))
+        for r in back.var.collect()
+    }
+    assert got == want
