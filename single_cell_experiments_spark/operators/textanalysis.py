@@ -813,3 +813,56 @@ def doc_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_urls"
         ),
     )
+
+
+# --- token-stream segmentation via Python UDTF (Spark 4 UDF surface) ----------
+
+_TOKENS_UDTF_ORACLE = """
+SELECT doc_id, tok_idx, token, CAST(length(token) AS BIGINT) AS n_chars
+FROM (
+  SELECT doc_id,
+         CAST(generate_subscripts(parts, 1) AS BIGINT) AS tok_idx,
+         unnest(parts) AS token
+  FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents)
+)
+WHERE length(token) > 0
+"""
+
+
+@query("doc_tokens_udtf", oracle=_TOKENS_UDTF_ORACLE, tags=("text", "udtf", "udf"))
+def doc_tokens_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-stream segmentation through a Python **UDTF** (Spark 4's
+    user-defined TABLE function — one input row, many output rows, lateral
+    joined) — the last UDF class the engine had not exercised (pandas_udf /
+    applyInPandas / mapInPandas / cogroup / applyInPandasWithState are
+    covered elsewhere; SURVEY.md §2.B "UDF surface").
+
+    Like ``grouped_pandas_centroid``, this is explicitly a UDF-SURFACE
+    demonstration with an exact oracle: the whitespace split has a native
+    equivalent (``posexplode(split(...))``) a production pipeline should
+    prefer — the UDTF lane exists for segmenters that are REAL Python
+    (BPE/SentencePiece tokenizers, spaCy sentencizers, markup-aware
+    chunkers), and this query proves the lane is plumbed and hash-exact.
+    The UDTF is row-parallel (zero shuffles): the operator scales with the
+    scan.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="tok_idx: bigint, token: string, n_chars: bigint")
+    class _SplitTokens:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, part in enumerate(text.split(" ")):
+                if part:
+                    yield i + 1, part, len(part)
+
+    d = load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("__docs_udtf")
+    spark.udtf.register("sce_split_tokens", _SplitTokens)
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.tok_idx, s.token, s.n_chars
+        FROM __docs_udtf d, LATERAL sce_split_tokens(d.text) s
+        """
+    )
