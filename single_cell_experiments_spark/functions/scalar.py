@@ -232,3 +232,42 @@ def map_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "k").cast("bigint").alias("k_val"),
         F.element_at(m, "missing").isNull().alias("missing_absent"),
     )
+
+
+# --- VARIANT semi-structured lane (Spark 4 type surface) ----------------------
+
+_VARIANT_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS c,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(COUNT(*) FILTER (json_extract(props, '$.missing') IS NOT NULL) AS BIGINT) AS n_missing_key
+FROM events GROUP BY event_type
+"""
+
+
+@query("variant_props_rollup", oracle=_VARIANT_ORACLE, tags=("functions", "variant", "json"))
+def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured rollup through Spark 4's **VARIANT** type:
+    ``parse_json`` ingests the raw ``props`` JSON once into the binary
+    variant encoding, ``try_variant_get`` path-extracts typed values, and
+    absent paths degrade to NULL instead of erroring — the modern lane for
+    schema-on-read event payloads (``json_funcs_events`` covers the
+    classic get_json_object/from_json string lane).
+
+    Scale: variant parse + path extraction are row-local (one scan
+    projection); the rollup is a bounded-key groupBy with native partial
+    aggregation.  Integer payloads keep the oracle exact.
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "bigint")
+    missing = F.try_variant_get(v, "$.missing", "bigint")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.count(missing).alias("n_missing_key"),
+    )
