@@ -376,6 +376,25 @@ class AnnFrame:
 
     # ---- decomposition / graph ---------------------------------------------
 
+    def project(self, w: "list[list[float]]") -> "AnnFrame":
+        """Dense ``X · W`` for a small weight matrix ``w`` (d × k rows-major)
+        — signature scoring / random projection / learned linear heads.
+        ``w`` enters as ONE broadcast row (array-of-arrays literal via a
+        1-row cross join, the same O(d·k) driver state as the reference's
+        broadcast weights); each output coordinate is a row-local fold, so
+        the matrix never shuffles.  The COO twin with the exact oracle is
+        ``operators.singlecell.sc_matmul_coo``."""
+        k = len(w[0]) if w else 0
+        # transpose once driver-side: per-output-column folds want W^T rows
+        wt = [[float(w[i][j]) for i in range(len(w))] for j in range(k)]
+        w_df = self.spark.createDataFrame([(wt,)], "wt array<array<double>>")
+        proj = F.expr(
+            "transform(wt, col -> aggregate(zip_with(values, col, (x, m) -> x * m),"
+            " 0.0D, (a, t) -> a + t))"
+        )
+        x = self.x.crossJoin(F.broadcast(w_df)).select("row_id", proj.alias("values"))
+        return AnnFrame(x, self.obs, None)
+
     def pca(self, k: int) -> DataFrame:
         """A10 — centered PCA scores ``(row_id, scores array<double>)``.
         Delegates to the wide-matrix SVD route (``operators.ml.svd_project``:

@@ -281,3 +281,19 @@ def test_zarr_roundtrip_carries_var_annotations(spark, tmp_path):
         for r in back.var.collect()
     }
     assert got == want
+
+
+def test_project_matches_numpy_matmul(spark):
+    af = _af(spark)
+    d = af.n_vars
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal((d, 5)).round(3)
+    out = af.project(w.tolist())
+    assert out.n_vars == 5
+    emb = load_table(spark, SF_DIR, "embeddings").toPandas()
+    x = np.array(emb["embedding"].to_list(), dtype=np.float64)
+    want = x @ w
+    got = {int(r["row_id"]): np.array(r["values"]) for r in out.x.collect()}
+    ids = emb["vec_id"].to_numpy()
+    for i, rid in enumerate(ids):
+        np.testing.assert_allclose(got[int(rid)], want[i], rtol=1e-9, atol=1e-9)
