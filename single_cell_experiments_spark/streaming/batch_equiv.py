@@ -372,3 +372,61 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("c"),
         F.sum(F.expr("CAST(FLOOR(value * 100 + 0.5D) AS BIGINT)")).alias("v_cents"),
     )
+
+
+# --- event-time disorder profile ----------------------------------------------
+
+#: deterministic LCG permutation of event_id == the simulated arrival
+#: order: the synthetic feed is pre-sorted by event time (n_late would be
+#: identically zero under its own order — vacuous), so arrival is a fixed
+#: pseudo-random shuffle both engines compute identically; real feeds use
+#: their ingestion offset here.
+_ARRIVAL = "(event_id * 1103515245 + 12345) % 2147483648"
+
+_DISORDER_ORACLE = f"""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN ts_s < run_max THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(MAX(CASE WHEN ts_s < run_max THEN run_max - ts_s ELSE 0 END) AS BIGINT) AS max_lateness_s
+FROM (
+  SELECT user_id, ts_s,
+         MAX(ts_s) OVER (PARTITION BY user_id ORDER BY arrival
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_max
+  FROM (SELECT user_id, {_ARRIVAL} AS arrival, {_DD_TS} AS ts_s FROM events)
+)
+GROUP BY user_id
+"""
+
+
+@query("event_disorder_profile", oracle=_DISORDER_ORACLE, tags=("streaming", "quality"))
+def event_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key event-time DISORDER profile: how many events arrive with an
+    event time behind the key's running maximum, and the worst observed
+    lateness — exactly the statistic that sizes a stream's watermark delay
+    (``watermark_late_drop`` applies a fixed 10-minute delay; this
+    measures what the data actually needs).  Arrival order is a
+    deterministic LCG permutation of event_id (see ``_ARRIVAL``): the
+    synthetic feed is pre-sorted by time, so under its own order every
+    lateness column would be identically zero and the check vacuous.
+
+    Scale: one shuffle keyed on user_id; the running max is a single
+    partition-ordered window pass (same shape as the as-of join); outputs
+    are O(keys).  All-integer arithmetic — exact on both engines.
+    """
+    e = load_table(spark, sf_dir, "events")
+    arrival = F.expr(_ARRIVAL)
+    run_max = F.max("ts_s").over(
+        W.partitionBy("user_id").orderBy("arrival").rowsBetween(W.unboundedPreceding, -1)
+    )
+    marked = e.select("user_id", "ts_s", arrival.alias("arrival")).select(
+        "user_id", "ts_s", run_max.alias("run_max")
+    )
+    late = F.when(F.col("ts_s") < F.col("run_max"), 1).otherwise(0)
+    lateness = F.when(
+        F.col("ts_s") < F.col("run_max"), F.col("run_max") - F.col("ts_s")
+    ).otherwise(F.lit(0))
+    return marked.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(late).cast("bigint").alias("n_late"),
+        F.max(lateness).cast("bigint").alias("max_lateness_s"),
+    )
