@@ -15,6 +15,8 @@ Layout
 - ``session``    : SparkSession construction / runtime tuning (UTC, AQE, Arrow)
 - ``catalog``    : loaders for the 10 driver parquet tables; ns-timestamp shim
 - ``registry``   : QuerySpec registry backing ``__spark_entry__`` contract
+- ``api``        : ``AnnFrame`` — the chainable AnnData-style user object
+                   (the reference ``AnnDataRdd`` switching surface)
 - ``operators/`` : relational core, single-cell kernels, dedup, similarity,
                    text analysis, as-of join, multimodal plumbing, MLlib ops
 - ``functions/`` : cross-engine-deterministic helpers (decimal aggregation,
@@ -24,6 +26,7 @@ Layout
 - ``streaming/`` : Structured Streaming jobs + batch-equivalent oracles
 """
 
+from .api import AnnFrame  # noqa: F401
 from .session import get_spark, tune  # noqa: F401
 from .catalog import load_table, register_views, TABLES  # noqa: F401
 from .registry import REGISTRY, queries, oracle_sql  # noqa: F401

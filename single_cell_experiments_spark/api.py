@@ -427,6 +427,24 @@ class AnnFrame:
         rk = F.row_number().over(W.partitionBy("row_id").orderBy(F.asc("d2"), F.asc("nbr")))
         return scored.withColumn("rk", rk.cast("bigint")).where(F.col("rk") <= k)
 
+    def clusters(self, k: int) -> DataFrame:
+        """Graph clustering skeleton (Scanpy leiden/louvain substrate):
+        connected components of the MUTUAL-kNN graph over this matrix —
+        ``(row_id, cluster_id)``; cells without a mutual neighbor are
+        excluded (see ``operators.singlecell.sc_knn_clusters`` for the
+        determinism rationale and the oracle-backed twin)."""
+        from .operators.dedup import cc_star_labels
+
+        knn = self.neighbors(k).select("row_id", "nbr")
+        rev = knn.select(F.col("nbr").alias("row_id"), F.col("row_id").alias("nbr"))
+        mutual = knn.intersect(rev).where(F.col("row_id") < F.col("nbr"))
+        labels = cc_star_labels(
+            mutual.select(F.col("row_id").alias("doc1"), F.col("nbr").alias("doc2"))
+        )
+        return labels.select(
+            F.col("doc_id").alias("row_id"), F.col("component_id").alias("cluster_id")
+        )
+
     # ---- the flagship composition -------------------------------------------
 
     def recipe_zheng17(

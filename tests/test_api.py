@@ -297,3 +297,25 @@ def test_project_matches_numpy_matmul(spark):
     ids = emb["vec_id"].to_numpy()
     for i, rid in enumerate(ids):
         np.testing.assert_allclose(got[int(rid)], want[i], rtol=1e-9, atol=1e-9)
+
+
+def test_clusters_matches_registered_kernel(spark):
+    from single_cell_experiments_spark.operators.singlecell import (
+        SC_NEIGHBORS_K,
+        sc_knn_clusters,
+    )
+
+    api = {
+        int(r["row_id"]): int(r["cluster_id"])
+        for r in _af(spark).clusters(SC_NEIGHBORS_K).collect()
+    }
+    reg = {
+        int(r["vec_id"]): int(r["cluster_id"])
+        for r in sc_knn_clusters(spark, SF_DIR).collect()
+    }
+    # rounded-vs-raw distance ties can flip edge membership for a few
+    # nodes; the overwhelming majority of cluster assignments must agree
+    common = set(api) & set(reg)
+    assert len(common) >= 0.98 * len(reg)
+    agree = sum(1 for n in common if api[n] == reg[n])
+    assert agree >= 0.98 * len(common)
