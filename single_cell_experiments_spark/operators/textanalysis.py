@@ -866,3 +866,60 @@ def doc_tokens_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __docs_udtf d, LATERAL sce_split_tokens(d.text) s
         """
     )
+
+
+# --- character-entropy quality signal ------------------------------------------
+
+def _char_entropy_sql(chars_cte: str) -> str:
+    """Dialect-shared entropy core over a (doc_id, ch) character stream.
+
+    H = -Σ (n_c/L)·ln(n_c/L).  Each ln is rounded to 6 dp and quantized to
+    DECIMAL(18,6) BEFORE the Σ n_c·ln term, so the cross-row sum is exact
+    integer-scaled decimal arithmetic — order-insensitive (a raw double
+    sum would drift a ulp between engines); only the final /L division and
+    display rounding happen in double, identically on both sides.
+    """
+    return f"""
+WITH chars AS ({chars_cte}),
+counts AS (
+  SELECT doc_id, ch, COUNT(*) AS n FROM chars GROUP BY doc_id, ch
+),
+lens AS (SELECT doc_id, CAST(SUM(n) AS DOUBLE) AS len FROM counts GROUP BY doc_id)
+SELECT c.doc_id,
+       CAST(l.len AS BIGINT) AS n_chars,
+       COUNT(*) AS n_distinct_chars,
+       round(CAST(-SUM(CAST(round(ln(c.n / l.len), 6) AS DECIMAL(18,6)) * c.n) AS DOUBLE)
+             / l.len, 6) AS char_entropy
+FROM counts c JOIN lens l ON l.doc_id = c.doc_id
+GROUP BY c.doc_id, l.len
+"""
+
+
+_DD_CHARS = """
+SELECT doc_id, substr(text, unnest(range(1, length(text) + 1)), 1) AS ch
+FROM documents WHERE length(text) > 0
+"""
+
+_SPARK_CHARS = """
+SELECT doc_id, substr(text, p, 1) AS ch
+FROM __docs_entropy LATERAL VIEW explode(sequence(1, length(text))) AS p
+WHERE length(text) > 0
+"""
+
+
+@query("doc_char_entropy", oracle=_char_entropy_sql(_DD_CHARS), tags=("text", "quality"))
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution entropy — the cheap
+    repetitiveness signal (templated/boilerplate text has low entropy,
+    natural prose sits near the language's ~4 bits/char): character
+    explode → (doc, char) counts → exact decimal-quantized Σ n·ln(n/L).
+
+    Scale: one shuffle keyed on (doc_id, ch) with native partial
+    aggregation (the within-doc char alphabet is ≤ a few hundred, so
+    map-side combine collapses hard), then an O(docs×alphabet) re-agg.
+    Complements ``doc_repetition_stats`` (n-gram level) and
+    ``doc_quality_score`` (token level) at the character level.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__docs_entropy")
+    return spark.sql(_char_entropy_sql(_SPARK_CHARS))
