@@ -909,10 +909,11 @@ WHERE length(text) > 0
 
 @query("doc_char_entropy", oracle=_char_entropy_sql(_DD_CHARS), tags=("text", "quality"))
 def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document character-distribution entropy — the cheap
-    repetitiveness signal (templated/boilerplate text has low entropy,
-    natural prose sits near the language's ~4 bits/char): character
-    explode → (doc, char) counts → exact decimal-quantized Σ n·ln(n/L).
+    """Per-document character-distribution entropy in NATS (ln base; ×1/ln2
+    for bits — English prose sits near ~4 bits ≈ 2.8 nats/char) — the
+    cheap repetitiveness signal (templated/boilerplate text scores low):
+    character explode → (doc, char) counts → exact decimal-quantized
+    Σ n·ln(n/L).
 
     Scale: one shuffle keyed on (doc_id, ch) with native partial
     aggregation (the within-doc char alphabet is ≤ a few hundred, so
