@@ -121,15 +121,15 @@ class AnnFrame:
         return cls(x, obs, var)
 
     @classmethod
-    def from_10x(cls, spark: SparkSession, path: str, n_features: int | None = None, **kw) -> "AnnFrame":
-        """10x ``matrix.h5`` (CellRanger v3 CSC; needs h5py) → AnnFrame.
-        Features become array positions (dense, zero-filled); barcodes
-        become rows.  ``n_features`` defaults to ``max(feature)+1`` over
-        the stored entries (pass it explicitly if trailing features are
-        entirely zero)."""
-        from .sources.tenx import read_10x_h5
-
-        coo = read_10x_h5(spark, path, **kw)  # (row=feature, col=barcode, value)
+    def from_coo(
+        cls, coo: DataFrame, n_features: int | None = None
+    ) -> "AnnFrame":
+        """Sparse COO ``(row=feature, col=cell, value)`` → dense AnnFrame
+        (zero-filled; features become 1-based array positions, cells
+        become rows).  ``n_features`` defaults to ``max(feature)+1`` over
+        the stored entries — pass it explicitly if trailing features are
+        entirely zero.  One cell-keyed shuffle; densification is a
+        row-local map lookup over the feature range."""
         if n_features is None:
             n_features = int(coo.agg(F.max("row")).first()[0] or -1) + 1
         entries = coo.select(
@@ -143,6 +143,15 @@ class AnnFrame:
             lambda p: F.coalesce(F.element_at("m", p), F.lit(0.0)),
         )
         return cls(wide.select("row_id", dense.alias("values")))
+
+    @classmethod
+    def from_10x(cls, spark: SparkSession, path: str, n_features: int | None = None, **kw) -> "AnnFrame":
+        """10x ``matrix.h5`` (CellRanger v3 CSC; needs h5py) → AnnFrame via
+        ``read_10x_h5`` + ``from_coo`` (which is container-agnostic and
+        tested against the npz CSC store without h5py)."""
+        from .sources.tenx import read_10x_h5
+
+        return cls.from_coo(read_10x_h5(spark, path, **kw), n_features)
 
     # ---- introspection ------------------------------------------------------
 

@@ -319,3 +319,37 @@ def test_clusters_matches_registered_kernel(spark):
     assert len(common) >= 0.98 * len(reg)
     agree = sum(1 for n in common if api[n] == reg[n])
     assert agree >= 0.98 * len(common)
+
+
+def test_from_coo_densifies_csc_store(spark, tmp_path):
+    """from_coo (the container-agnostic half of from_10x): a sparse CSC
+    store ingested through ingest_csc densifies to the exact matrix,
+    implicit zeros filled."""
+    from single_cell_experiments_spark.sources.tenx import NpzCscStore, ingest_csc
+
+    rng = np.random.default_rng(5)
+    dense = rng.standard_normal((6, 9))  # features x cells
+    dense[np.abs(dense) < 0.8] = 0.0
+    indptr = [0]
+    indices, data = [], []
+    for j in range(dense.shape[1]):
+        nz = np.nonzero(dense[:, j])[0]
+        indices.extend(nz)
+        data.extend(dense[nz, j])
+        indptr.append(len(indices))
+    path = str(tmp_path / "m.npz")
+    np.savez(
+        path,
+        indptr=np.array(indptr, np.int64),
+        indices=np.array(indices, np.int64),
+        data=np.array(data, np.float64),
+        shape=np.array(dense.shape, np.int64),
+    )
+    coo = ingest_csc(spark, NpzCscStore(path), target_nnz_per_slice=4)
+    af = AnnFrame.from_coo(coo, n_features=dense.shape[0])
+    got = {int(r["row_id"]): np.array(r["values"]) for r in af.x.collect()}
+    for j in range(dense.shape[1]):
+        if j in got:  # all-zero cells emit no COO entries -> absent rows
+            np.testing.assert_allclose(got[j], dense[:, j])
+        else:
+            assert not dense[:, j].any()
