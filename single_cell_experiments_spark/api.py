@@ -131,7 +131,10 @@ class AnnFrame:
         entirely zero.  One cell-keyed shuffle; densification is a
         row-local map lookup over the feature range."""
         if n_features is None:
-            n_features = int(coo.agg(F.max("row")).first()[0] or -1) + 1
+            # test for None explicitly: a legitimate max feature index of 0
+            # is falsy, and `or -1` would compute n_features=0 for it
+            m = coo.agg(F.max("row")).first()[0]
+            n_features = 0 if m is None else int(m) + 1
         entries = coo.select(
             F.col("col").alias("row_id"), (F.col("row") + 1).alias("pos"), "value"
         )
@@ -225,15 +228,41 @@ class AnnFrame:
         positional sinks (Zarr) accept the matrix; original ids stay in
         ``obs.orig_row_id``.
 
-        Scale note: the global ``row_number`` window funnels the id column
-        through one task — fine to ~10M rows (ids only, not the matrix).
-        Past that, use the sort + partition-offset pattern (range-partition
-        by row_id, count per partition, add exclusive-prefix offsets — the
-        zipWithIndex construction, fully parallel); kept simple here
-        because reindex only ever precedes a positional WRITE, whose
-        chunk-grouping shuffle dominates it."""
-        w = W.orderBy("row_id")
-        m = self.x.select("row_id").withColumn("new_id", F.row_number().over(w) - 1)
+        Scale: the zipWithIndex construction — range-partition the id
+        column by ``row_id``, count per partition (O(partitions) to the
+        driver), add exclusive-prefix offsets, and number within each
+        partition.  Every window is PARTITIONED (by ``spark_partition_id``),
+        so no task ever sees more than one range's ids — unlike a global
+        ``row_number()`` window, which funnels all ids through one task.
+        The id column is pinned with ``localCheckpoint`` so the count pass
+        and the numbering pass see identical range boundaries."""
+        n_part = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        ids = (
+            self.x.select("row_id")
+            .repartitionByRange(n_part, "row_id")
+            .withColumn("pid", F.spark_partition_id())
+            .localCheckpoint(eager=True)
+        )
+        counts = {
+            int(r["pid"]): int(r["n"])
+            for r in ids.groupBy("pid").agg(F.count("*").alias("n")).collect()
+        }
+        offs, acc = [], 0
+        for p in range(max(counts, default=-1) + 1):
+            offs.append(acc)
+            acc += counts.get(p, 0)
+        offs_df = self.spark.createDataFrame([(offs,)], "offs array<bigint>")
+        m = (
+            ids.crossJoin(F.broadcast(offs_df))
+            .select(
+                "row_id",
+                (
+                    F.element_at("offs", F.col("pid") + 1)
+                    + F.row_number().over(W.partitionBy("pid").orderBy("row_id"))
+                    - 1
+                ).alias("new_id"),
+            )
+        )
         x = self.x.join(m, "row_id").select(F.col("new_id").alias("row_id"), "values")
         obs = (
             self.obs.join(m, "row_id")
@@ -300,13 +329,7 @@ class AnnFrame:
             for r in counts.where(F.col("n_cells") >= min_cells).select("pos").collect()
         ]
         kept.sort()
-        # cast: an EMPTY kept set must still type as array<int> (a bare
-        # array() literal is array<void> and fails element_at analysis)
-        kept_arr = F.array(*[F.lit(p) for p in kept]).cast("array<int>")
-        x = self.x.select(
-            "row_id",
-            F.transform(kept_arr, lambda p: F.element_at("values", p)).alias("values"),
-        )
+        x = self._subset_values(kept)
         new_var = counts.where(F.col("n_cells") >= min_cells).select(
             F.col("pos").alias("orig_pos"), "n_cells"
         )
@@ -373,14 +396,30 @@ class AnnFrame:
             "pos", "mu", "disp_norm", (F.col("rk") <= n_top).alias("kept")
         )
 
+    def _subset_values(self, kept: list[int]) -> DataFrame:
+        """Column-subset ``X`` to the sorted 1-based positions ``kept``.
+
+        The mask re-enters as ONE broadcast row (a 1-row DataFrame cross
+        join, same pattern as ``scale``), NOT as an ``F.array(*lits)``
+        expression: at Zheng17 scale (~30k genes) an inline literal array
+        is a 30k-node Catalyst expression tree — plan bloat + codegen
+        limits.  As data it is a single Arrow-shipped array value."""
+        kept_df = self.spark.createDataFrame(
+            [([int(p) for p in kept],)], "kept_pos array<int>"
+        )
+        return (
+            self.x.crossJoin(F.broadcast(kept_df))
+            .select(
+                "row_id",
+                F.transform(
+                    "kept_pos", lambda p: F.element_at("values", p)
+                ).alias("values"),
+            )
+        )
+
     def subset_genes(self, kept_pos: list[int]) -> "AnnFrame":
         """Column subset by (1-based) positions — e.g. the HVG set."""
-        kept = sorted(int(p) for p in kept_pos)
-        kept_arr = F.array(*[F.lit(p) for p in kept]).cast("array<int>")
-        x = self.x.select(
-            "row_id",
-            F.transform(kept_arr, lambda p: F.element_at("values", p)).alias("values"),
-        )
+        x = self._subset_values(sorted(int(p) for p in kept_pos))
         return AnnFrame(x, self.obs, None)
 
     # ---- decomposition / graph ---------------------------------------------
@@ -469,8 +508,12 @@ class AnnFrame:
         normalize_per_cell → log1p → scale(clip).  Pure chain of the
         kernels above; Catalyst fuses the row-local steps between the two
         O(genes) stats exchanges."""
+        import math
+
         n = self.n_obs
-        min_cells = -(-int(n * min_gene_cells_pct) // 100)  # ceil(pct% of n)
+        # ceil on the exact product: -(-int(n*pct)//100) truncates n*pct
+        # first, so e.g. n=401, pct=0.5 (200.5) would yield 2, not ceil=3
+        min_cells = math.ceil(n * min_gene_cells_pct / 100)
         return (
             self.filter_genes(min_cells=min_cells, expr_threshold=expr_threshold)
             .filter_cells(min_genes=min_cell_genes, expr_threshold=expr_threshold)

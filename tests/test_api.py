@@ -183,6 +183,54 @@ def test_reindex_renumbers_densely(spark):
     ids = sorted(int(r["row_id"]) for r in af.x.select("row_id").collect())
     assert ids == list(range(len(ids)))
     assert "orig_row_id" in af.obs.columns
+    # order-preserving: new ids sort identically to the originals
+    pairs = af.obs.select("orig_row_id", "row_id").collect()
+    by_orig = sorted(pairs, key=lambda r: int(r["orig_row_id"]))
+    assert [int(r["row_id"]) for r in by_orig] == list(range(len(by_orig)))
+
+
+def test_reindex_has_no_unpartitioned_window(spark):
+    """r7 verdict #2: reindex must use the partition-offset (zipWithIndex)
+    construction — every Window in the plan is partitioned, so no single
+    task ever receives the full id set."""
+    import re
+
+    from single_cell_experiments_spark.plans import inspect
+
+    af = _af(spark).reindex()
+    plan = inspect.formatted_plan(af.x)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected the partition-local row_number window in the plan"
+    for spec in specs:
+        # an unpartitioned spec starts straight at the ORDER BY column;
+        # the partition-offset pattern always leads with the pid key
+        assert spec.split(",")[0].strip().startswith("pid#"), plan
+
+
+def test_wide_gene_subset_avoids_literal_expression_tree(spark):
+    """r7 verdict #1: a >=20k-position kept mask must enter as broadcast
+    DATA (1-row DF cross join), not an O(genes) F.array literal — the
+    literal form is a 20k-node Catalyst expression tree that hits plan
+    bloat / codegen limits at Zheng17 scale."""
+    d = 20_000
+    wide = spark.range(3).select(
+        F.col("id").alias("row_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(d)), lambda p: p.cast("double")
+        ).alias("values"),
+    )
+    af = AnnFrame(wide)
+    keep = list(range(1, d + 1, 1))  # keep all 20k positions
+    sub = af.subset_genes(keep)
+    # plan stays small: the mask is one broadcast row, not 20k literals
+    from single_cell_experiments_spark.plans import inspect
+
+    plan = inspect.formatted_plan(sub.x)
+    assert len(plan) < 100_000, f"plan blew up to {len(plan)} chars"
+    row = sub.x.where(F.col("row_id") == 1).select(
+        F.size("values").alias("n"), F.element_at("values", d).alias("last")
+    ).first()
+    assert int(row["n"]) == d and float(row["last"]) == float(d)
 
 
 def test_hvg_selects_top_n_and_zscores_within_bins(spark):
