@@ -242,7 +242,7 @@ SELECT event_type,
        CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
        CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
-       CAST(COUNT(*) FILTER (json_extract(props, '$.missing') IS NOT NULL) AS BIGINT) AS n_missing_key
+       CAST(COUNT(*) FILTER (json_extract(props, '$.missing') IS NOT NULL) AS BIGINT) AS n_present_key
 FROM events GROUP BY event_type
 """
 
@@ -263,11 +263,18 @@ def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     v = F.parse_json("props")
     k = F.try_variant_get(v, "$.k", "bigint")
-    missing = F.try_variant_get(v, "$.missing", "bigint")
+    # key-presence count: extract as VARIANT (no cast) and exclude JSON
+    # null via is_variant_null — probed identical to DuckDB's
+    # `json_extract(...) IS NOT NULL` on all four cases (absent / JSON
+    # null / integer / non-integer); a bigint-cast count would miss
+    # non-integer values the oracle counts
+    present = F.try_variant_get(v, "$.missing", "variant")
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("c"),
         F.sum(k).alias("sum_k"),
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
-        F.count(missing).alias("n_missing_key"),
+        F.count_if(present.isNotNull() & ~F.is_variant_null(present)).alias(
+            "n_present_key"
+        ),
     )

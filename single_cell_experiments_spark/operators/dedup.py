@@ -905,25 +905,54 @@ def dedup_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     collisions (triangle-free), used to pick aggressive-vs-lenient dedup
     policy per cluster.
 
-    Shape: the id-ordered edge list (doc1 < doc2 from the LSH verify step)
-    makes each triangle enumerable exactly once as a<b<c via two
-    edge-joins — the standard distributed triangle count.  Both joins key
-    on node ids (shuffle = O(edges) each); at 100 TB scale orient edges by
-    DEGREE (low-degree endpoint first) instead of id so high-degree hubs
-    don't concentrate a partition — same plan, different orientation key,
-    noted here because the id orientation is what the fixed oracle can
-    reproduce.
+    Shape: DEGREE-ORIENTED enumeration (r7 verdict #3) — each undirected
+    edge points from its lower-(degree, id) endpoint to the higher, so a
+    node's out-degree is bounded by O(√m) regardless of its real degree;
+    wedges are generated from out-edge pairs and closed against the
+    oriented edge list.  This is what keeps 100 TB hub nodes (a viral
+    boilerplate doc with 10⁶ near-dup edges) from concentrating one
+    reducer: the hub's edges orient INTO it, so it anchors no wedges.
+    All shuffles are keyed (degree agg, two degree joins, wedge self-join
+    on the anchor, closure join on the wedge pair).
+
+    Oracle: per-doc triangle counts are orientation-INVARIANT, so the
+    DuckDB twin keeps the independent id-ordered a<b<c enumeration — a
+    different algorithm reaching the same set, which is a stronger check
+    than mirroring the orientation on both sides.
     """
     e = dedup_minhash_lsh(spark, sf_dir).select(
         F.col("doc1").alias("u"), F.col("doc2").alias("v")
     )
     e = materialize(e)
-    ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    bc = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    ac = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
-    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = (
+        e.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("x"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("y"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dy"),
+    )
+    oriented = materialize(oriented)
+    o1 = oriented.select("x", F.col("y").alias("b"), F.col("dy").alias("db"))
+    o2 = oriented.select("x", F.col("y").alias("c"), F.col("dy").alias("dc"))
+    wedges = o1.join(o2, "x").where(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    closure = oriented.select(F.col("x").alias("b"), F.col("y").alias("c"))
+    tri = wedges.join(closure, ["b", "c"]).select("x", "b", "c")
     members = (
-        tri.select(F.col("a").alias("doc_id"))
+        tri.select(F.col("x").alias("doc_id"))
         .unionAll(tri.select(F.col("b").alias("doc_id")))
         .unionAll(tri.select(F.col("c").alias("doc_id")))
     )

@@ -380,8 +380,13 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: order: the synthetic feed is pre-sorted by event time (n_late would be
 #: identically zero under its own order — vacuous), so arrival is a fixed
 #: pseudo-random shuffle both engines compute identically; real feeds use
-#: their ingestion offset here.
-_ARRIVAL = "(event_id * 1103515245 + 12345) % 2147483648"
+#: their ingestion offset here.  event_id is reduced mod 2^31 BEFORE the
+#: multiply so the int64 product never overflows (DuckDB errors where
+#: Spark would wrap, at event_id ≈ 8.4e9); the key is a bijection only
+#: for event_id < 2^31 — beyond that arrival ties are possible, so both
+#: window orderings carry an explicit event_id tiebreak to stay
+#: order-deterministic across engines.
+_ARRIVAL = "((event_id % 2147483648) * 1103515245 + 12345) % 2147483648"
 
 _DISORDER_ORACLE = f"""
 SELECT user_id,
@@ -390,9 +395,9 @@ SELECT user_id,
        CAST(MAX(CASE WHEN ts_s < run_max THEN run_max - ts_s ELSE 0 END) AS BIGINT) AS max_lateness_s
 FROM (
   SELECT user_id, ts_s,
-         MAX(ts_s) OVER (PARTITION BY user_id ORDER BY arrival
+         MAX(ts_s) OVER (PARTITION BY user_id ORDER BY arrival, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_max
-  FROM (SELECT user_id, {_ARRIVAL} AS arrival, {_DD_TS} AS ts_s FROM events)
+  FROM (SELECT user_id, event_id, {_ARRIVAL} AS arrival, {_DD_TS} AS ts_s FROM events)
 )
 GROUP BY user_id
 """
@@ -416,9 +421,11 @@ def event_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     arrival = F.expr(_ARRIVAL)
     run_max = F.max("ts_s").over(
-        W.partitionBy("user_id").orderBy("arrival").rowsBetween(W.unboundedPreceding, -1)
+        W.partitionBy("user_id")
+        .orderBy("arrival", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
     )
-    marked = e.select("user_id", "ts_s", arrival.alias("arrival")).select(
+    marked = e.select("user_id", "event_id", "ts_s", arrival.alias("arrival")).select(
         "user_id", "ts_s", run_max.alias("run_max")
     )
     late = F.when(F.col("ts_s") < F.col("run_max"), 1).otherwise(0)
