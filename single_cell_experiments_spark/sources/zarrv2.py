@@ -78,8 +78,9 @@ def _compress(block: bytes, compressor: dict | None, typesize: int = 1) -> bytes
         from . import blosc_py
 
         # numcodecs Blosc config: cname/clevel/shuffle (0 none, 1 byte,
-        # 2 bit) / blocksize.  blosc_py encodes zlib-cname splits or
-        # lz4-cname stored splits — both spec-valid for any real decoder.
+        # 2 bit) / blocksize.  blosc_py encodes zlib/lz4 splits in pure
+        # Python and zstd when a zstd module is importable — all
+        # spec-valid for any real decoder.
         if compressor.get("shuffle", 1) == 2:
             raise NotImplementedError("blosc bit-shuffle needs the native library")
         return blosc_py.compress(
