@@ -10,7 +10,6 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from single_cell_experiments_spark.sources.tenx import (
-    H5CscStore,
     NpzCscStore,
     ingest_csc,
     plan_csc_slices,
@@ -75,36 +74,45 @@ def test_empty_store_yields_empty_frame(spark, tmp_path):
     assert ingest_csc(spark, NpzCscStore(path)).count() == 0
 
 
-def test_h5_gate_names_h5py(spark, tmp_path):
+def _write_matrix_h5(path, dense, indptr, indices, data, **minih5_kw):
+    """CellRanger-v3-layout matrix.h5 via h5py when present, else minih5."""
     try:
-        import h5py  # noqa: F401
-
-        pytest.skip("h5py present; gate not reachable")
+        import h5py
     except ImportError:
-        pass
-    with pytest.raises(NotImplementedError, match="h5py"):
-        ingest_csc(spark, H5CscStore(str(tmp_path / "missing.h5")))
+        from single_cell_experiments_spark.sources.minih5 import write_h5
 
-
-def test_h5_store_ingest_matches_dense_reference(spark, tmp_path):
-    """The real-container twin of the npz test (r6 verdict #8): builds a
-    tiny genuine CellRanger-v3-layout ``matrix.h5`` and runs
-    ``read_10x_h5`` end-to-end.  Skipped while h5py is absent — the moment
-    the dependency appears in an environment, the H5CscStore layer gets
-    exercised with zero code changes (same gating pattern as the
-    protobuf/state-v2 tests)."""
-    h5py = pytest.importorskip("h5py")
-    from single_cell_experiments_spark.sources.tenx import read_10x_h5
-
-    rng = np.random.default_rng(13)
-    dense, indptr, indices, data = _random_csc(rng)
-    path = str(tmp_path / "matrix.h5")
+        write_h5(
+            path,
+            {
+                "matrix": {
+                    "data": data,
+                    "indices": indices.astype(np.int64),
+                    "indptr": indptr.astype(np.int64),
+                    "shape": np.array(dense.shape, np.int64),
+                }
+            },
+            **minih5_kw,
+        )
+        return
     with h5py.File(path, "w") as f:
         g = f.create_group("matrix")
         g.create_dataset("data", data=data)
         g.create_dataset("indices", data=indices.astype(np.int64))
         g.create_dataset("indptr", data=indptr.astype(np.int64))
         g.create_dataset("shape", data=np.array(dense.shape, np.int64))
+
+
+def test_h5_store_ingest_matches_dense_reference(spark, tmp_path):
+    """The real-container twin of the npz test (r6 verdict #8, r7 verdict
+    #7): builds a genuine CellRanger-v3-layout ``matrix.h5`` (h5py when
+    installed, else the pure-Python minih5 writer) and runs
+    ``read_10x_h5`` end-to-end — no longer skipped without h5py."""
+    from single_cell_experiments_spark.sources.tenx import read_10x_h5
+
+    rng = np.random.default_rng(13)
+    dense, indptr, indices, data = _random_csc(rng)
+    path = str(tmp_path / "matrix.h5")
+    _write_matrix_h5(path, dense, indptr, indices, data)
     out = (
         read_10x_h5(spark, path, target_nnz_per_slice=5)
         .toPandas()
@@ -115,3 +123,76 @@ def test_h5_store_ingest_matches_dense_reference(spark, tmp_path):
     assert out["col"].tolist() == rows.tolist()
     assert out["row"].tolist() == cols.tolist()
     np.testing.assert_allclose(out["value"].to_numpy(), dense.T[rows, cols])
+
+
+def test_h5_store_ingest_chunked_gzip(spark, tmp_path):
+    """Chunked + deflate + shuffle datasets — the storage real CellRanger
+    files use — through the minih5 fallback end-to-end (partial chunk
+    reads included: target_nnz forces sub-chunk slices)."""
+    try:
+        import h5py  # noqa: F401
+
+        pytest.skip("h5py present; this exercises the minih5 fallback")
+    except ImportError:
+        pass
+    from single_cell_experiments_spark.sources.tenx import read_10x_h5
+
+    rng = np.random.default_rng(29)
+    dense, indptr, indices, data = _random_csc(rng, n_rows=11, n_cols=31)
+    path = str(tmp_path / "matrix.h5")
+    _write_matrix_h5(
+        path, dense, indptr, indices, data, chunk_len=16, gzip=4, shuffle=True
+    )
+    out = (
+        read_10x_h5(spark, path, target_nnz_per_slice=7)
+        .toPandas()
+        .sort_values(["col", "row"])
+        .reset_index(drop=True)
+    )
+    rows, cols = np.nonzero(dense.T)
+    assert out["col"].tolist() == rows.tolist()
+    assert out["row"].tolist() == cols.tolist()
+    np.testing.assert_allclose(out["value"].to_numpy(), dense.T[rows, cols])
+
+
+def test_minih5_rejects_non_hdf5_and_unknown_constructs(tmp_path):
+    from single_cell_experiments_spark.sources.minih5 import MiniH5File
+
+    bad = tmp_path / "not.h5"
+    bad.write_bytes(b"PK\x03\x04 definitely a zip")
+    with pytest.raises(ValueError, match="not an HDF5 file"):
+        MiniH5File(str(bad))
+
+
+def test_minih5_h5py_interop(tmp_path):
+    """Bidirectional byte-level interop with libhdf5 — the authoritative
+    check that minih5 emits/reads standard HDF5.  Gated on h5py (absent
+    in this container); the pure-Python roundtrips above cover the same
+    code paths against the public spec meanwhile."""
+    h5py = pytest.importorskip("h5py")
+    from single_cell_experiments_spark.sources.minih5 import MiniH5File, write_h5
+
+    rng = np.random.default_rng(31)
+    arrs = {
+        "data": rng.random(257),
+        "indices": rng.integers(0, 99, 257).astype(np.int64),
+        "indptr": np.arange(0, 258, 3, dtype=np.int64),
+        "shape": np.array([99, 85], np.int64),
+    }
+    ours = str(tmp_path / "ours.h5")
+    write_h5(ours, {"matrix": arrs})
+    with h5py.File(ours, "r") as f:  # h5py reads our bytes
+        for k, v in arrs.items():
+            np.testing.assert_array_equal(f["matrix"][k][:], v)
+    theirs = str(tmp_path / "theirs.h5")
+    with h5py.File(theirs, "w") as f:  # we read h5py bytes (default + chunked)
+        g = f.create_group("matrix")
+        for k, v in arrs.items():
+            g.create_dataset(k, data=v)
+        g.create_dataset(
+            "chunked", data=arrs["data"], chunks=(64,), compression="gzip", shuffle=True
+        )
+    with MiniH5File(theirs) as f:
+        for k, v in arrs.items():
+            np.testing.assert_array_equal(f.dataset(f"matrix/{k}"), v)
+        np.testing.assert_array_equal(f.dataset("matrix/chunked"), arrs["data"])
