@@ -930,9 +930,17 @@ WHERE rk <= {SC_NEIGHBORS_K}
 """
 
 
-def sc_neighbor_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact euclidean kNN edges over the embedding matrix (shared core of
-    ``sc_neighbors`` / ``sc_knn_clusters``)."""
+def sc_neighbor_edges(
+    spark: SparkSession, sf_dir: str, cells: DataFrame | None = None
+) -> DataFrame:
+    """Euclidean kNN edges over the embedding matrix (shared core of
+    ``sc_neighbors`` / ``sc_knn_clusters``), with a PLUGGABLE candidate
+    generator (r7 verdict #8): ``cells=None`` scores every pair (exact —
+    the default and the oracle); a ``(vec_id, cell)`` assignment restricts
+    scoring to pairs sharing a coarse cell (IVF nprobe=1), turning the
+    broadcast cross join into a bucket-equi join whose work is Σ(cell²)
+    — the >10M-row path (``sc_ivf_cells`` is the deterministic built-in
+    generator; any LSH/IVF assignment with the same schema plugs in)."""
     from .similarity import _dot, _norm2
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -943,10 +951,16 @@ def sc_neighbor_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         _norm2(F.col("embedding")).alias("nb"),
     )
     d2 = F.round(F.col("na") + F.col("nb") - 2 * _dot(F.col("ea"), F.col("eb")), 6)
-    scored = (
-        a.crossJoin(F.broadcast(b))
-        .where(F.col("vec_id") != F.col("nbr"))
-        .select("vec_id", "nbr", d2.alias("d2"))
+    if cells is None:
+        scored = a.crossJoin(F.broadcast(b))
+    else:
+        a = a.join(cells, "vec_id")
+        b = b.join(
+            cells.select(F.col("vec_id").alias("nbr"), "cell"), "nbr"
+        )
+        scored = a.join(b, "cell")
+    scored = scored.where(F.col("vec_id") != F.col("nbr")).select(
+        "vec_id", "nbr", d2.alias("d2")
     )
     rk = F.row_number().over(W.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("nbr")))
     return scored.withColumn("rk", big(rk)).where(F.col("rk") <= SC_NEIGHBORS_K)
@@ -972,6 +986,131 @@ def sc_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id tie-break is deterministic under any partitioning.
     """
     return sc_neighbor_edges(spark, sf_dir)
+
+
+def sc_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic IVF coarse quantization for the kNN candidate
+    generator: per-label mean vectors are the 10 centroids (so the oracle
+    can mirror the index build exactly, as in ``ann_ivf_probe``); each
+    vector is assigned to its nearest centroid by EUCLIDEAN distance
+    (the ``sc_neighbors`` metric) → ``(vec_id, cell)``.
+
+    Scale: centroid build is one pos-keyed aggregation (O(labels·d) rows,
+    broadcast back); assignment is an n·d×(labels·d) broadcast join — the
+    textbook IVF index cost.  All cross-row sums ride the 6-decimal
+    DECIMAL path and the final ranking uses rounded d² + label tie-break,
+    so the assignment is bit-stable across engines and partitionings."""
+    e = load_table(spark, sf_dir, "embeddings")
+    c = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "v32")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("v32").cast("double").alias("v"),
+    )
+    c = materialize(c)
+    centroids = c.groupBy("label", "pos").agg(
+        F.round(F.sum(stat6("v")).cast("double") / F.count(F.lit(1)), 6).alias("c6")
+    )
+    cnorm = centroids.groupBy("label").agg(
+        F.sum(stat6(F.col("c6") * F.col("c6"))).cast("double").alias("cn2")
+    )
+    vnorm = c.groupBy("vec_id").agg(
+        F.sum(stat6(F.col("v") * F.col("v"))).cast("double").alias("vn2")
+    )
+    dots = (
+        c.join(F.broadcast(centroids.withColumnRenamed("label", "clabel")), "pos")
+        .groupBy("vec_id", "clabel")
+        .agg(F.sum(stat6(F.col("v") * F.col("c6"))).cast("double").alias("dot"))
+    )
+    d2 = F.round(F.col("vn2") + F.col("cn2") - 2 * F.col("dot"), 6)
+    rn = F.row_number().over(
+        W.partitionBy("vec_id").orderBy(d2.asc(), F.col("clabel").asc())
+    )
+    return (
+        dots.join(vnorm, "vec_id")
+        .join(F.broadcast(cnorm.withColumnRenamed("label", "clabel")), "clabel")
+        .withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("clabel").alias("cell"))
+    )
+
+
+_SC_IVF_RECALL_ORACLE = f"""
+WITH coo AS MATERIALIZED ({_DD_COO.replace("SELECT vec_id,", "SELECT vec_id, label,")}),
+centroids AS MATERIALIZED (
+  SELECT label, pos,
+         round(CAST(SUM(CAST(round(v, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS c6
+  FROM coo GROUP BY label, pos
+),
+cnorm AS (
+  SELECT label, CAST(SUM(CAST(round(c6 * c6, 6) AS DECIMAL(18,6))) AS DOUBLE) AS cn2
+  FROM centroids GROUP BY label
+),
+vnorm AS (
+  SELECT vec_id, CAST(SUM(CAST(round(v * v, 6) AS DECIMAL(18,6))) AS DOUBLE) AS vn2
+  FROM coo GROUP BY vec_id
+),
+assign AS MATERIALIZED (
+  SELECT vec_id, label AS cell,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY round(vn2 + cn2 - 2 * dot, 6) ASC, label ASC
+         ) AS rn
+  FROM (
+    SELECT c.vec_id, ct.label,
+           CAST(SUM(CAST(round(c.v * ct.c6, 6) AS DECIMAL(18,6))) AS DOUBLE) AS dot
+    FROM coo c JOIN centroids ct USING (pos)
+    GROUP BY c.vec_id, ct.label
+  ) d JOIN vnorm USING (vec_id) JOIN cnorm USING (label)
+),
+cells AS MATERIALIZED (SELECT vec_id, cell FROM assign WHERE rn = 1),
+exact AS MATERIALIZED ({_SC_NEIGHBORS_ORACLE})
+SELECT e.vec_id,
+       CAST(SUM(CASE WHEN ca.cell = cb.cell THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       CAST(SUM(CASE WHEN ca.cell = cb.cell THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+            AS BIGINT) AS recall_micro
+FROM exact e
+JOIN cells ca ON ca.vec_id = e.vec_id
+JOIN cells cb ON cb.vec_id = e.nbr
+GROUP BY e.vec_id
+"""
+
+
+@query(
+    "sc_neighbors_ivf_recall",
+    oracle=_SC_IVF_RECALL_ORACLE,
+    tags=("singlecell", "knn", "ivf", "eval"),
+)
+def sc_neighbors_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of the IVF candidate generator against the exact
+    ``sc_neighbors`` graph (the single-cell twin of ``ann_recall_eval``,
+    r7 verdict #8): per cell, how many of its exact top-k euclidean
+    neighbors share its coarse IVF cell — i.e. how many an nprobe=1
+    bucket-local probe (``sc_neighbor_edges(cells=sc_ivf_cells(...))``)
+    can possibly return.  This is the measurement that licenses swapping
+    the exact generator for the IVF one past broadcastable size.
+
+    Scale shape: the IVF assignment is the ``sc_ivf_cells`` broadcast
+    join; ground truth is the exact graph this audits (already the cost
+    ceiling); the comparison joins O(cells·k) edges against the O(cells)
+    assignment — recall costs nothing beyond the baseline.  Recall rides
+    integer micro-units for engine-stable hashing.
+    """
+    exact = sc_neighbor_edges(spark, sf_dir)
+    cells = materialize(sc_ivf_cells(spark, sf_dir))
+    ca = cells.select("vec_id", F.col("cell").alias("cell_a"))
+    cb = cells.select(F.col("vec_id").alias("nbr"), F.col("cell").alias("cell_b"))
+    joined = exact.join(ca, "vec_id").join(cb, "nbr")
+    hit = F.sum(F.when(F.col("cell_a") == F.col("cell_b"), 1).otherwise(0))
+    return joined.groupBy("vec_id").agg(
+        hit.cast("bigint").alias("n_hit"),
+        F.expr(
+            "CAST(SUM(CASE WHEN cell_a = cell_b THEN 1 ELSE 0 END) * 1000000"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("recall_micro"),
+    )
 
 
 #: every prefix CTE MATERIALIZED: the propagation chain references
