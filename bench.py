@@ -110,10 +110,13 @@ DUCKDB_SQL = {
 #: known tiny SF only re-discover sizes we already know.
 BENCH_CONFS = {
     "spark.sql.adaptive.enabled": "false",
-    # 2 reduce partitions: enough to keep the q3 sort-merge join parallel,
-    # small enough that no stage needs a second task wave.  (1 would
-    # serialize the join; at 100 TB you'd size this to the data — AQE on.)
-    "spark.sql.shuffle.partitions": "2",
+    # 8 reduce partitions (r8, interleaved A/B vs 2/4/6/16/32): the
+    # sort-heavy reduce stages (window_rank's per-key sort, q3's hash
+    # build) are CPU-bound and scale with reduce parallelism — 8 cuts
+    # window_rank ~290→~200 ms while the tiny-agg queries are unchanged;
+    # 16+ regresses on task-dispatch overhead.  Still one task wave on 32
+    # cores.  (At 100 TB you'd size this to the data — AQE on.)
+    "spark.sql.shuffle.partitions": "8",
     "spark.sql.files.maxPartitionBytes": "16m",
     # Fact-fact joins must not broadcast: at 100 TB orders is nowhere near
     # broadcastable, so the representative q3 plan is broadcast(filtered
