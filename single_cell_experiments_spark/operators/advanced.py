@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, table_view
 from ..functions.compat import big, day_str, dd_money_sum, money, money_sum, rev_sum
 from ..registry import query
 
@@ -1318,3 +1318,145 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("v"),
     )
+
+
+# --- exact percentile as a WINDOW aggregate (trailing median) ---------------
+
+_WINDOW_MEDIAN_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       median(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med_cents
+FROM (SELECT o_custkey, o_orderkey,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders)
+"""
+
+
+@query("window_median_trailing", oracle=_WINDOW_MEDIAN_ORACLE, tags=("relational", "window", "percentile"))
+def window_median_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact EXACT-percentile aggregate as a window function: per customer,
+    the trailing-5-order median order value — the robust rolling
+    center-line a monitoring pipeline prefers over a mean that outliers
+    drag (``rolling_1h_user_events`` covers the sum/count frame; this is
+    the order-statistic frame).
+
+    Scale: one exchange keyed on ``o_custkey``, then a single ordered
+    window pass; the ROWS frame holds ≤5 values per step so the per-row
+    selection is O(frame log frame) with constant memory — unlike a
+    whole-partition percentile, this never buffers a key's full history.
+    Values ride integer CENTS (HALF_UP, the engine's money convention);
+    both engines interpolate the even-count median as the mean of the two
+    middle values, exact in double at cent granularity.
+    """
+    o = table_view(spark, sf_dir, "orders")
+    return spark.sql(f"""
+        SELECT o_custkey, o_orderkey,
+               percentile(cents, 0.5D) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderkey
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med_cents
+        FROM (SELECT o_custkey, o_orderkey,
+                     CAST(FLOOR(o_totalprice * 100 + 0.5D) AS BIGINT) AS cents
+              FROM {o})
+    """)
+
+
+# --- LATERAL correlated subquery (per-row dependent top-k) ------------------
+
+_LATERAL_ORACLE = """
+SELECT c.c_custkey, t.o_orderkey, t.cents
+FROM customer c,
+     LATERAL (SELECT o_orderkey,
+                     CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+              FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+              ORDER BY cents DESC, o_orderkey ASC
+              LIMIT 3) t
+WHERE c.c_custkey % 50 = 0
+"""
+
+
+@query("lateral_topk_per_customer", oracle=_LATERAL_ORACLE, tags=("relational", "lateral", "topk"))
+def lateral_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (Spark 4 lateral join): each sampled
+    customer pairs with its own top-3 orders by value — the dependent-
+    subquery surface ANSI/DuckDB users expect, distinct from the window
+    formulation (``topk_per_group``) even though Catalyst decorrelates it
+    into a join + per-key limit rather than a per-row loop.
+
+    Scale: the decorrelated plan joins the (filtered) outer keys to the
+    orders scan on ``o_custkey`` and applies the group limit — one keyed
+    shuffle, no nested-loop re-execution; the ``% 50`` sample bounds the
+    outer side the way a real probe query would.  Money rides integer
+    cents; ORDER BY carries the orderkey tie-break for determinism.
+    """
+    c = table_view(spark, sf_dir, "customer")
+    o = table_view(spark, sf_dir, "orders")
+    return spark.sql(f"""
+        SELECT c.c_custkey, t.o_orderkey, t.cents
+        FROM {c} c,
+             LATERAL (SELECT o_orderkey,
+                             CAST(FLOOR(o.o_totalprice * 100 + 0.5D) AS BIGINT) AS cents
+                      FROM {o} o
+                      WHERE o.o_custkey = c.c_custkey
+                      ORDER BY cents DESC, o_orderkey ASC
+                      LIMIT 3) t
+        WHERE c.c_custkey % 50 = 0
+    """)
+
+
+# --- recursive CTE (iteration INSIDE one SQL statement) ---------------------
+
+_RECURSIVE_SPINE_ORACLE = """
+WITH RECURSIVE bounds AS (
+  SELECT min(epoch_us(ts) // 1000000 // 86400) AS d0,
+         max(epoch_us(ts) // 1000000 // 86400) AS d1
+  FROM events
+),
+spine(day, d1) AS (
+  SELECT d0, d1 FROM bounds
+  UNION ALL
+  SELECT day + 1, d1 FROM spine WHERE day < d1
+),
+agg AS (
+  SELECT epoch_us(ts) // 1000000 // 86400 AS day, COUNT(*) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT spine.day, COALESCE(agg.n_events, 0) AS n_events
+FROM spine LEFT JOIN agg USING (day)
+"""
+
+
+@query("recursive_day_spine", oracle=_RECURSIVE_SPINE_ORACLE, tags=("relational", "recursive", "timeseries"))
+def recursive_day_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (``WITH RECURSIVE``, Spark 4): generate the dense day
+    spine over the events span by iteration inside one SQL statement,
+    left-join the daily counts, zero-fill — the declarative-iteration
+    surface (hierarchies, reachability, sequence generation) that the
+    engine's driver-loop fixpoints (CC, PageRank) deliberately avoid; for
+    a BOUNDED recursion like a date spine it belongs in SQL.
+    ``gapfill_time_spine`` is the ``sequence()`` twin of the same result —
+    prefer it when the bound is a plain range; the recursive form is the
+    general one (step logic can depend on the previous row).
+
+    Scale: the recursion carries the max bound as a column (no correlated
+    scalar subquery in the step — portable and evaluated once); each
+    iteration emits one row, the spine is O(days), and the only real
+    shuffle is the daily aggregate.  All-integer day arithmetic — exact.
+    """
+    e = table_view(spark, sf_dir, "events")
+    return spark.sql(f"""
+        WITH RECURSIVE bounds AS (
+          SELECT min(ts_s div 86400) AS d0, max(ts_s div 86400) AS d1 FROM {e}
+        ),
+        spine(day, d1) AS (
+          SELECT d0, d1 FROM bounds
+          UNION ALL
+          SELECT day + 1, d1 FROM spine WHERE day < d1
+        ),
+        agg AS (
+          SELECT ts_s div 86400 AS day, COUNT(*) AS n_events
+          FROM {e} GROUP BY 1
+        )
+        SELECT spine.day, COALESCE(agg.n_events, 0) AS n_events
+        FROM spine LEFT JOIN agg USING (day)
+    """)

@@ -807,3 +807,61 @@ def embed_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("label") == F.col("assigned_label")).alias("label_agrees"),
         )
     )
+
+
+# --- grouped-aggregate pandas_udf (the last Arrow UDF flavor) ----------------
+
+_GROUPED_AGG_ORACLE = """
+SELECT label,
+       CAST(SUM(CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)
+                * (vec_id % 7 + 1)) AS BIGINT) AS qwsum,
+       CAST(SUM(vec_id % 7 + 1) AS BIGINT) AS wsum
+FROM embeddings
+GROUP BY label
+"""
+
+
+@query(
+    "grouped_agg_pandas_wsum",
+    oracle=_GROUPED_AGG_ORACLE,
+    tags=("similarity", "udf", "quantize"),
+)
+def grouped_agg_pandas_wsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG ``pandas_udf`` — the one Arrow UDF flavor the engine
+    did not yet exercise (scalar / mapInPandas / applyInPandas / cogroup /
+    applyInPandasWithState / UDTF are covered elsewhere): a custom
+    vectorized aggregate, usable directly inside ``groupBy().agg()``
+    alongside built-ins, computing the milli-quantized first-coordinate
+    weighted sum per label with deterministic integer weights.
+
+    The kernel receives each group's columns as whole pandas Series and
+    reduces them with one int64 numpy dot — no per-row Python, no state
+    across groups.  Integer arithmetic end-to-end (floor(x·1000) is the
+    same IEEE op in both engines; int sums have no accumulation order), so
+    the oracle is a plain SQL SUM.  Scale shape: one shuffle on ``label``
+    (bounded vocabulary), each group reduced in one Arrow batch stream.
+    Spark refuses to MIX grouped-agg pandas UDFs with built-in aggregates
+    in one ``agg()`` (INVALID_PANDAS_UDF_PLACEMENT — the UDAF path has no
+    partial-agg plan to share), so the companion weight total is a second
+    pandas aggregate on the same exchange.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def qwsum(q: pd.Series, w: pd.Series) -> int:
+        return int(np.dot(q.to_numpy(np.int64), w.to_numpy(np.int64)))
+
+    @pandas_udf("bigint")
+    def wsum(w: pd.Series) -> int:
+        return int(w.to_numpy(np.int64).sum())
+
+    e = load_table(spark, sf_dir, "embeddings")
+    # element_at is 1-based like DuckDB's list index (bare [1] is 0-based)
+    q = F.expr("CAST(FLOOR(CAST(element_at(embedding, 1) AS DOUBLE) * 1000) AS BIGINT)")
+    w = F.expr("vec_id % 7 + 1")
+    return (
+        e.select("label", q.alias("q"), w.alias("w"))
+        .groupBy("label")
+        .agg(qwsum("q", "w").alias("qwsum"), wsum("w").alias("wsum"))
+    )
