@@ -345,6 +345,86 @@ def sc_pca_svd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gram_project(e: DataFrame, k: int):
+    """Mid-d PCA via the RELATIONAL Gram matrix — the Arrow-era
+    alternative to ``svd_project``'s legacy-mllib route (whose per-row
+    Python→JVM crossing is the one irreducible residue of the RowMatrix
+    contract, SCALE.md §6): the d×d Gram ``G = ΣᵢxᵢxᵢT`` is ONE plain
+    DataFrame self-join + aggregation (pure JVM, partial aggregation
+    map-side), the centered eigenproblem ``G − n·μμT`` is solved with
+    ``numpy.linalg.eigh`` on the driver, and the projection is one Arrow
+    batch matmul.  No RDD, no per-row crossing anywhere.
+
+    Regime: driver memory is O(d²) (8·d² bytes — ~200 MB at d=5000), so
+    this is the d ≲ 5·10³ path; ``svd_project`` (matrix-free ARPACK) takes
+    over beyond.  Compute is O(cells·d²) total, distributed, one shuffle
+    keyed on the (i, j) dimension pair (bounded d² cardinality).
+
+    Returns ``(scores_df(vec_id, scores: array<double>), eigvals[k])``
+    with eigenvalues descending (= squared singular values of centered X).
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from ..session import materialize
+
+    spark = e.sparkSession
+    arr = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    coo = materialize(arr.select("vec_id", F.posexplode("v").alias("i", "x")))
+    n = arr.count()
+    mu_rows = coo.groupBy("i").agg(F.avg("x").alias("mu")).collect()  # O(d)
+    d = max(int(r["i"]) for r in mu_rows) + 1
+    mu = np.zeros(d)
+    for r in mu_rows:
+        mu[int(r["i"])] = float(r["mu"])
+    a = coo.select("vec_id", F.col("i").alias("gi"), F.col("x").alias("gx"))
+    b = coo.select("vec_id", F.col("i").alias("gj"), F.col("x").alias("gy"))
+    gram_rows = (
+        a.join(b, "vec_id")
+        .where(F.col("gi") <= F.col("gj"))
+        .groupBy("gi", "gj")
+        .agg(F.sum(F.col("gx") * F.col("gy")).alias("g"))
+        .collect()
+    )  # O(d²) driver — the regime bound above
+    g = np.zeros((d, d))
+    for r in gram_rows:
+        g[int(r["gi"]), int(r["gj"])] = g[int(r["gj"]), int(r["gi"])] = float(r["g"])
+    gc = g - n * np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(gc)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    v_local = evecs[:, order]  # d×k orthonormal
+    sc = spark.sparkContext
+    mu_b, v_b = sc.broadcast(mu), sc.broadcast(v_local)
+
+    @pandas_udf("array<double>")
+    def _proj(col: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        x = _np.array(col.to_list(), dtype=_np.float64) - mu_b.value
+        return pd.Series(list(x @ v_b.value))
+
+    scores = arr.select("vec_id", _proj("v").alias("scores"))
+    return scores, np.maximum(evals[order], 0.0)
+
+
+@query("sc_pca_gram", oracle=_PCA_ORACLE, tags=("singlecell", "ml", "pca", "gram"))
+def sc_pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 mid-d PCA via the relational Gram matrix (``gram_project``),
+    checked through the same rotation-invariant oracle as ``sc_pca`` /
+    ``sc_pca_svd``: full-rank scores against an orthonormal eigenbasis
+    preserve each cell's squared distance from the column means.  This is
+    the PCA route with ZERO per-row Python crossings — the answer to the
+    sc_pca_svd mllib-contract residue for every d the driver can hold a
+    d×d Gram for."""
+    scores, _ = gram_project(load_table(spark, sf_dir, "embeddings"), EMBED_DIM)
+    return scores.select(
+        "vec_id",
+        F.round(
+            F.aggregate("scores", F.lit(0.0), lambda a, x: a + x * x), 4
+        ).alias("norm2_pc"),
+    )
+
+
 def minhash_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib MinHashLSH near-dup profile over documents (the library twin
     of ``dedup_minhash_lsh``): char-5-gram shingles → binary HashingTF →

@@ -83,6 +83,30 @@ def test_svd_wide_path_avoids_gramian(spark):
     assert all(len(r) == k for r in got["scores"])
 
 
+def test_gram_project_matches_numpy_and_svd(spark):
+    """gram_project (relational Gram + driver eigh, zero per-row Python
+    crossings) must agree with numpy ground truth: eigenvalues equal the
+    squared singular values of the centered matrix, and per-row score
+    norms are rotation-invariantly equal to centered row norms."""
+    from single_cell_experiments_spark.operators.ml import gram_project
+
+    rng = np.random.default_rng(17)
+    n, d, k = 300, 24, 24
+    X = rng.standard_normal((n, d))
+    pdf = [(int(i), [float(v) for v in X[i]]) for i in range(n)]
+    df = spark.createDataFrame(pdf, "vec_id: long, embedding: array<double>")
+    scores, evals = gram_project(df, k)
+
+    Xc = X - X.mean(axis=0)
+    s = np.linalg.svd(Xc, compute_uv=False)
+    np.testing.assert_allclose(np.sort(evals)[::-1], (s**2)[:k], rtol=1e-8)
+    got = scores.toPandas().set_index("vec_id")["scores"]
+    want = (Xc * Xc).sum(axis=1)
+    for i in range(n):
+        norm2 = float(np.dot(got[i], got[i]))
+        assert abs(norm2 - want[i]) < 1e-8 * (1 + want[i])
+
+
 def test_minhash_dedup_pairs_valid(spark):
     from single_cell_experiments_spark.operators.ml import minhash_dedup_profile
 
