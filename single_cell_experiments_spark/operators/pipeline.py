@@ -438,3 +438,29 @@ def mixture_resample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rate_micro").cast("bigint").alias("rate_micro"),
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
     )
+
+
+def curation_with_observed_qc(spark: SparkSession, sf_dir: str):
+    """``doc_curation_flags`` with an attached ``Observation`` collecting
+    the run's QC counters (total / kept / per-reason drop counts) as
+    JOB-SIDE metrics — the production pattern for pipeline health
+    telemetry: the counters ride the SAME job as the output (accumulator
+    semantics, zero extra scans or jobs), where a separate ``count()``
+    per metric would re-execute the pipeline once per counter.
+
+    Returns ``(df, observation)``; ``observation.get`` blocks until an
+    action on ``df`` has run.  Asserted against independently recomputed
+    aggregates in ``tests/test_micro_fixtures.py``.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("curation_qc")
+    df = doc_curation_flags(spark, sf_dir).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("keep")).alias("n_keep"),
+        F.count_if(F.col("is_dup")).alias("n_dup"),
+        F.count_if(F.col("too_short")).alias("n_short"),
+        F.count_if(F.col("low_alpha")).alias("n_low_alpha"),
+    )
+    return df, obs

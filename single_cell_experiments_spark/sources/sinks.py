@@ -140,3 +140,48 @@ def orc_roundtrip_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double"
     ).orc(path)
+
+
+_EVOLUTION_ORACLE = """
+SELECT s_suppkey, s_name,
+       CASE WHEN s_suppkey % 2 = 0 THEN s_acctbal END AS s_acctbal
+FROM supplier
+"""
+
+
+@query(
+    "parquet_schema_evolution",
+    oracle=_EVOLUTION_ORACLE,
+    tags=("sources", "parquet", "schema"),
+    cache=False,
+)
+def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet file generations — the situation
+    every long-lived 100 TB table is in: generation v1 wrote
+    ``(s_suppkey, s_name)``, a later v2 added ``s_acctbal``; reading the
+    whole tree with ``mergeSchema`` unions the footers and v1 rows
+    surface NULL for the added column.  The deterministic key-parity
+    split lets the oracle reconstruct exactly which rows carry the new
+    column.
+
+    Scale: schema merge reads FOOTERS only (one small metadata read per
+    file, distributed); data pages are untouched until the scan, and
+    column pruning/pushdown still apply per file.  ``mergeSchema`` is
+    opt-in per read because the footer pass costs a listing — production
+    tables pin the merged schema in a catalog instead of re-deriving it
+    every query (the read-side contract this query demonstrates).
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    root = _scratch("schema_evo", sf_dir)
+    v1 = s.where(F.col("s_suppkey") % 2 == 1).select("s_suppkey", "s_name")
+    v2 = s.where(F.col("s_suppkey") % 2 == 0).select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(root, "v1"))
+    v2.write.mode("overwrite").parquet(os.path.join(root, "v2"))
+    return (
+        spark.read.option("mergeSchema", True)
+        .option("recursiveFileLookup", True)
+        .parquet(root)
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )

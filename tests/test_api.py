@@ -401,3 +401,55 @@ def test_from_coo_densifies_csc_store(spark, tmp_path):
             np.testing.assert_allclose(got[j], dense[:, j])
         else:
             assert not dense[:, j].any()
+
+
+def test_from_10x_reads_matrix_h5_without_h5py(spark, tmp_path):
+    """AnnFrame.from_10x end-to-end over a real CellRanger-v3-layout
+    matrix.h5 (minih5 fallback when h5py is absent): the dense matrix
+    reconstructed through CSC ingest + from_coo must equal the source."""
+    import numpy as np
+
+    rng = np.random.default_rng(41)
+    n_genes, n_cells = 9, 17
+    dense = rng.random((n_genes, n_cells)) * (rng.random((n_genes, n_cells)) < 0.5)
+    indptr, indices, data = [0], [], []
+    for c in range(n_cells):
+        (nz,) = np.nonzero(dense[:, c])
+        indices.extend(int(i) for i in nz)
+        data.extend(float(v) for v in dense[nz, c])
+        indptr.append(len(indices))
+    path = str(tmp_path / "matrix.h5")
+    try:
+        import h5py
+
+        with h5py.File(path, "w") as f:
+            g = f.create_group("matrix")
+            g.create_dataset("data", data=np.array(data))
+            g.create_dataset("indices", data=np.array(indices, np.int64))
+            g.create_dataset("indptr", data=np.array(indptr, np.int64))
+            g.create_dataset("shape", data=np.array([n_genes, n_cells], np.int64))
+    except ImportError:
+        from single_cell_experiments_spark.sources.minih5 import write_h5
+
+        write_h5(
+            path,
+            {
+                "matrix": {
+                    "data": np.array(data),
+                    "indices": np.array(indices, np.int64),
+                    "indptr": np.array(indptr, np.int64),
+                    "shape": np.array([n_genes, n_cells], np.int64),
+                }
+            },
+            chunk_len=8,
+            gzip=3,
+            shuffle=True,
+        )
+    af = AnnFrame.from_10x(spark, path, n_features=n_genes)
+    assert af.n_vars == n_genes
+    got = {int(r["row_id"]): np.array(r["values"]) for r in af.x.collect()}
+    for c in range(n_cells):
+        if not dense[:, c].any():
+            assert c not in got  # all-zero cells have no stored entries
+            continue
+        np.testing.assert_allclose(got[c], dense[:, c], rtol=1e-12)

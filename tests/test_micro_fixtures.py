@@ -262,3 +262,22 @@ def test_cluster_keeper_micro(spark):
     assert got[0]["component_id"] == 0 and got[1]["component_id"] == 0
     assert got[1]["keep"] and not got[0]["keep"], "longest doc wins the cluster"
     assert got[2]["component_id"] == 2 and got[2]["keep"]
+
+
+def test_observed_qc_counters_match_result(spark):
+    """Observation metrics (job-side accumulators, zero extra jobs) must
+    equal aggregates recomputed from the returned rows."""
+    from tests.conftest import SF_DIR
+
+    from single_cell_experiments_spark.operators.pipeline import (
+        curation_with_observed_qc,
+    )
+
+    df, obs = curation_with_observed_qc(spark, SF_DIR)
+    rows = df.collect()  # the action the observation rides
+    m = obs.get
+    assert m["n_docs"] == len(rows)
+    assert m["n_keep"] == sum(1 for r in rows if r["keep"])
+    assert m["n_dup"] == sum(1 for r in rows if r["is_dup"])
+    assert m["n_short"] == sum(1 for r in rows if r["too_short"])
+    assert m["n_low_alpha"] == sum(1 for r in rows if r["low_alpha"])

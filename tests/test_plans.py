@@ -265,3 +265,30 @@ def test_nearest_centroid_broadcasts_stats_and_group_limits(spark):
     plan = inspect.executed_plan(df)  # AQE-final: the broadcast conversion
     assert "BroadcastNestedLoopJoin BuildRight" in plan, "centroids must broadcast"
     assert inspect.count_in_plan(df, "WindowGroupLimit", final=False) > 0
+
+
+def test_lateral_decorrelates_to_window_group_limit(spark):
+    """r8: the LATERAL correlated top-k must decorrelate — a per-outer-row
+    nested-loop re-execution would be a scale killer; the physical plan
+    must carry the group-limit + join shape instead."""
+    df = QS["lateral_topk_per_customer"](spark, SF_DIR)
+    plan = inspect.formatted_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_recursive_spine_uses_union_loop(spark):
+    """r8: WITH RECURSIVE plans as a UnionLoop (one row per iteration over
+    an O(days) spine), and the daily aggregate still partial-aggregates."""
+    df = QS["recursive_day_spine"](spark, SF_DIR)
+    plan = inspect.formatted_plan(df)
+    assert "UnionLoop" in plan, plan
+    assert "HashAggregate" in plan
+
+
+def test_window_median_single_exchange(spark):
+    """r8: the trailing-median window is one partition-keyed exchange —
+    no extra shuffle, no whole-partition percentile buffering."""
+    df = QS["window_median_trailing"](spark, SF_DIR)
+    assert inspect.exchange_count(df) == 1

@@ -126,3 +126,29 @@ def test_stream_static_enrich_matches_batch(spark):
     assert _rows(stream, "nation", "event_type", "c", "v_cents") == _rows(
         batch, "nation", "event_type", "c", "v_cents"
     )
+
+
+def test_foreach_batch_merge_multi_batch_and_idempotent_restart(spark):
+    """The foreachBatch merge must see ≥3 genuine micro-batches
+    (maxFilesPerTrigger=1 over the 3-file split), and a restart that
+    KEEPS the checkpoint must merge zero new batches — the exactly-once
+    contract of the programmable sink."""
+    from tests.conftest import SF_DIR
+
+    from single_cell_experiments_spark.streaming.jobs import (
+        run_foreach_batch_merge,
+    )
+
+    path = run_foreach_batch_merge(spark, SF_DIR, clear=True)
+    assert run_foreach_batch_merge.last_batch_count >= 3
+    before = {
+        (r["user_id"], r["n_purchases"], r["v_cents"])
+        for r in spark.read.parquet(path).collect()
+    }
+    path2 = run_foreach_batch_merge(spark, SF_DIR, clear=False)
+    assert run_foreach_batch_merge.last_batch_count == 0
+    after = {
+        (r["user_id"], r["n_purchases"], r["v_cents"])
+        for r in spark.read.parquet(path2).collect()
+    }
+    assert before == after
