@@ -422,6 +422,132 @@ class AnnFrame:
         x = self._subset_values(sorted(int(p) for p in kept_pos))
         return AnnFrame(x, self.obs, None)
 
+    # ---- QC / annotation kernels -------------------------------------------
+
+    def qc_metrics(self, top_k: int = 5, expr_threshold: float = 0.0) -> DataFrame:
+        """Scanpy ``pp.calculate_qc_metrics`` per-cell block: total
+        signal, expressed-gene count, top-``top_k``-gene concentration
+        share — ``(row_id, total, n_expressed, pct_top_k)``.  ZERO
+        shuffles: every metric is a row-local fold (the registered
+        ``sc_qc_metrics`` carries the decimal-path oracle)."""
+        total = F.aggregate("values", F.lit(0.0), lambda a, v: a + _DBL(v))
+        n_expr = F.size(F.filter("values", lambda v: _DBL(v) > expr_threshold))
+        topk = F.aggregate(
+            F.slice(F.sort_array(F.transform("values", _DBL), asc=False), 1, top_k),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        return self.x.select(
+            "row_id",
+            total.alias("total"),
+            n_expr.cast("bigint").alias("n_expressed"),
+            F.try_divide(topk, total).alias("pct_top_k"),
+        )
+
+    def qc_metrics_genes(self, expr_threshold: float = 0.0) -> DataFrame:
+        """Per-gene QC block: expressing-cell count, mean, dropout rate —
+        ``(pos, n_cells, mean, dropout)``.  One pos-keyed shuffle,
+        O(genes) output (registered twin: ``sc_qc_metrics_genes``)."""
+        n_all = F.count(F.lit(1))
+        n_cells = F.count_if(F.col("v") > expr_threshold)
+        return self.to_coo().groupBy("pos").agg(
+            n_cells.cast("bigint").alias("n_cells"),
+            F.avg("v").alias("mean"),
+            (F.lit(1.0) - n_cells / n_all).alias("dropout"),
+        )
+
+    def score_genes(self, gene_pos: "list[int]", name: str = "score") -> "AnnFrame":
+        """Scanpy ``tl.score_genes`` shape: per cell, mean expression of
+        the (1-based) signature positions minus the mean over the full
+        gene pool, annotated into ``obs[name]``.  ZERO shuffles beyond
+        the obs annotate join: the signature enters as ONE broadcast row
+        (the ``_subset_values`` pattern) and both means are row-local
+        folds (registered twin: ``sc_score_genes``)."""
+        sig = sorted({int(p) for p in gene_pos})
+        sig_df = self.spark.createDataFrame([(sig,)], "sig_pos array<int>")
+        sig_vals = F.transform("sig_pos", lambda p: _DBL(F.element_at("values", p)))
+        s_sig = F.aggregate(sig_vals, F.lit(0.0), lambda a, v: a + v)
+        s_all = F.aggregate("values", F.lit(0.0), lambda a, v: a + _DBL(v))
+        score = s_sig / F.size("sig_pos") - s_all / F.size("values")
+        scored = self.x.crossJoin(F.broadcast(sig_df)).select(
+            "row_id", score.alias(name)
+        )
+        return AnnFrame(self.x, self.obs.join(scored, "row_id"), self.var)
+
+    def regress_out(self) -> "AnnFrame":
+        """Scanpy ``pp.regress_out`` with the standard per-cell-total
+        covariate: per-gene closed-form OLS against the cell total, then
+        the residual matrix.  The per-gene fit is collected O(genes) and
+        re-enters as ONE broadcast row of (intercept, slope) arrays — the
+        ``scale`` pattern — so the matrix itself never shuffles; the only
+        exchange is the O(genes) sufficient-statistics aggregation
+        (registered twin with the decimal-path oracle:
+        ``sc_regress_out``)."""
+        xv = F.aggregate("values", F.lit(0.0), lambda a, v: a + _DBL(v))
+        ann = self.x.select("row_id", "values", xv.alias("xv"))
+        xstats = ann.agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("xv").alias("sx"),
+            F.sum(F.col("xv") * F.col("xv")).alias("sxx"),
+        ).first()
+        n, sx, sxx = float(xstats["n"]), float(xstats["sx"]), float(xstats["sxx"])
+        gstats = (
+            ann.select("xv", F.posexplode("values").alias("p0", "v"))
+            .groupBy((F.col("p0") + 1).alias("pos"))
+            .agg(
+                F.sum("v").alias("sy"),
+                F.sum(F.col("v") * F.col("xv")).alias("sxy"),
+            )
+            .orderBy("pos")
+            .collect()
+        )  # O(genes) driver state, like scale's stats
+        denom = n * sxx - sx * sx
+        slopes, intercepts = [], []
+        for r in gstats:
+            b = (n * float(r["sxy"]) - sx * float(r["sy"])) / denom
+            slopes.append(b)
+            intercepts.append((float(r["sy"]) - b * sx) / n)
+        fit_df = self.spark.createDataFrame(
+            [(intercepts, slopes)], "f_a array<double>, f_b array<double>"
+        )
+        resid = F.expr(
+            "transform(values, (v, i) -> v - (f_a[i] + f_b[i] * xv))"
+        )
+        x = (
+            ann.crossJoin(F.broadcast(fit_df))
+            .select("row_id", resid.alias("values"))
+        )
+        return AnnFrame(x, self.obs, self.var)
+
+    def rank_genes_groups(self, key: str = "label") -> DataFrame:
+        """Scanpy ``tl.rank_genes_groups`` (t-test flavor): Welch's t of
+        every gene per ``obs[key]`` group against the rest, ranked per
+        group — ``(group, pos, t, rnk)``.  ONE (group, pos)-keyed shuffle;
+        rest-group moments re-aggregate the per-gene totals instead of a
+        second matrix pass (registered twin: ``sc_rank_genes_groups``)."""
+        lbl = self.obs.select("row_id", F.col(key).alias("grp"))
+        c = self.to_coo().join(lbl, "row_id")
+        stats = c.groupBy("grp", "pos").agg(
+            F.count(F.lit(1)).cast("double").alias("n1"),
+            F.sum("v").alias("s1"),
+            F.sum(F.col("v") * F.col("v")).alias("q1"),
+        )
+        tot = stats.groupBy("pos").agg(
+            F.sum("n1").alias("nt"), F.sum("s1").alias("st"), F.sum("q1").alias("qt")
+        )
+        j = stats.join(F.broadcast(tot), "pos")
+        n2 = F.col("nt") - F.col("n1")
+        s2 = F.col("st") - F.col("s1")
+        q2 = F.col("qt") - F.col("q1")
+        var1 = (F.col("q1") - F.col("s1") * F.col("s1") / F.col("n1")) / (F.col("n1") - 1)
+        var2 = (q2 - s2 * s2 / n2) / (n2 - 1)
+        t = (F.col("s1") / F.col("n1") - s2 / n2) / F.sqrt(
+            var1 / F.col("n1") + var2 / n2
+        )
+        ranked = j.select("grp", "pos", t.alias("t"))
+        w = W.partitionBy("grp").orderBy(F.desc_nulls_last("t"), F.asc("pos"))
+        return ranked.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+
     # ---- decomposition / graph ---------------------------------------------
 
     def project(self, w: "list[list[float]]") -> "AnnFrame":

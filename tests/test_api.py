@@ -453,3 +453,89 @@ def test_from_10x_reads_matrix_h5_without_h5py(spark, tmp_path):
             assert c not in got  # all-zero cells have no stored entries
             continue
         np.testing.assert_allclose(got[c], dense[:, c], rtol=1e-12)
+
+
+def test_qc_metrics_match_registered_kernel(spark):
+    from single_cell_experiments_spark.operators.singlecell import (
+        EXPR_THRESHOLD,
+        QC_TOP_K,
+        sc_qc_metrics,
+    )
+
+    api = {
+        int(r["row_id"]): (r["total"], int(r["n_expressed"]), r["pct_top_k"])
+        for r in _af(spark)
+        .qc_metrics(top_k=QC_TOP_K, expr_threshold=EXPR_THRESHOLD)
+        .collect()
+    }
+    reg = {
+        int(r["vec_id"]): (r["total6"], int(r["n_expressed"]), r[f"pct_top{QC_TOP_K}"])
+        for r in sc_qc_metrics(spark, SF_DIR).collect()
+    }
+    assert api.keys() == reg.keys()
+    for k, (t, n, p) in reg.items():
+        at, an, ap = api[k]
+        # reg quantizes each ELEMENT to 6dp before folding — compounds
+        # to ~1e-3 over 64-element sums; api keeps raw doubles.  pct is
+        # topk/total with near-zero totals on this zero-centered fixture,
+        # so its comparison must be RELATIVE (the division amplifies the
+        # quantization unboundedly as total -> 0)
+        assert abs(at - t) < 1e-3 and an == n, k
+        assert abs(ap - p) < 1e-3 * (1 + abs(p)), k
+
+
+def test_score_genes_matches_registered_kernel(spark):
+    from single_cell_experiments_spark.operators.singlecell import (
+        SCORE_SET_MOD,
+        sc_score_genes,
+    )
+
+    af = _af(spark)
+    sig = [p for p in range(1, af.n_vars + 1) if p % SCORE_SET_MOD == 0]
+    scored = af.score_genes(sig, name="score")
+    assert "score" in scored.obs.columns
+    api = {int(r["row_id"]): r["score"] for r in scored.obs.collect()}
+    reg = {int(r["vec_id"]): r["score6"] for r in sc_score_genes(spark, SF_DIR).collect()}
+    assert api.keys() == reg.keys()
+    for k, v in reg.items():
+        assert abs(api[k] - v) < 1e-4, k
+
+
+def test_regress_out_matches_registered_kernel(spark):
+    from single_cell_experiments_spark.operators.singlecell import sc_regress_out
+
+    api = _coo_map(_af(spark).regress_out().to_coo(), "v")
+    reg = _coo_map(sc_regress_out(spark, SF_DIR), "resid")
+    assert api.keys() == reg.keys()
+    diffs = [abs(api[k] - v) for k, v in reg.items()]
+    assert max(diffs) < 1e-3  # decimal-path quantization in reg
+
+
+def test_rank_genes_groups_matches_registered_kernel(spark):
+    from single_cell_experiments_spark.operators.singlecell import (
+        sc_rank_genes_groups,
+    )
+
+    api = {
+        (int(r["grp"]), int(r["pos"])): r["t"]
+        for r in _af(spark).rank_genes_groups("label").collect()
+    }
+    reg = {
+        (int(r["label"]), int(r["pos"])): r["t6"]
+        for r in sc_rank_genes_groups(spark, SF_DIR).collect()
+    }
+    assert api.keys() == reg.keys()
+    for k, v in reg.items():
+        if v is None or api[k] is None:
+            assert v is None and api[k] is None, k
+        else:
+            assert abs(api[k] - v) < 1e-3, k
+
+
+def test_qc_metrics_genes_dropout_consistent(spark):
+    af = _af(spark)
+    rows = af.qc_metrics_genes(expr_threshold=0.1).collect()
+    assert len(rows) == af.n_vars
+    n = af.n_obs
+    for r in rows:
+        assert abs(r["dropout"] - (1 - r["n_cells"] / n)) < 1e-12
