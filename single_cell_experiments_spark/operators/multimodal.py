@@ -319,21 +319,146 @@ def multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- gated real decoder ------------------------------------------------------
+# --- real decoder (pure-numpy BMP/PPM; PIL for everything else) --------------
+
+def encode_bmp(pixels) -> bytes:
+    """(h, w, 3) uint8 RGB → uncompressed 24-bpp BMP bytes (BITMAPINFOHEADER,
+    bottom-up rows padded to 4 bytes) — the fixture generator for the real
+    decode path; any image viewer/PIL opens the output."""
+    import struct
+
+    import numpy as np
+
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    row = w * 3
+    pad = (-row) % 4
+    body = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up
+        body += px[r, :, ::-1].tobytes()  # BGR order
+        body += b"\x00" * pad
+    pixel_off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", pixel_off + len(body), 0, 0, pixel_off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return bytes(header) + dib + bytes(body)
+
+
+def _decode_bmp(blob: bytes) -> dict:
+    import struct
+
+    import numpy as np
+
+    pixel_off = struct.unpack_from("<I", blob, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", blob, 14)
+    planes, bpp = struct.unpack_from("<HH", blob, 26)
+    compression = struct.unpack_from("<I", blob, 30)[0]
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"BMP decode supports uncompressed 24-bpp (got bpp={bpp}, "
+            f"compression={compression}) — use PIL for other variants"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    row = w * 3
+    stride = row + ((-row) % 4)
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for r in range(h):
+        src = pixel_off + r * stride
+        line = np.frombuffer(blob, np.uint8, row, src).reshape(w, 3)[:, ::-1]  # BGR→RGB
+        out[h - 1 - r if bottom_up else r] = line
+    return {"width": w, "height": h, "channels": 3, "pixels": out}
+
+
+def _decode_ppm(blob: bytes) -> dict:
+    """Binary PPM (P6), maxval ≤ 255."""
+    import numpy as np
+
+    fields: list[bytes] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(blob) and blob[i : i + 1].isspace():
+            i += 1
+        if blob[i : i + 1] == b"#":  # comment line
+            i = blob.index(b"\n", i) + 1
+            continue
+        j = i
+        while j < len(blob) and not blob[j : j + 1].isspace():
+            j += 1
+        fields.append(blob[i:j])
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = (int(f) for f in fields)
+    if maxval > 255:
+        raise NotImplementedError("PPM decode supports maxval <= 255")
+    px = np.frombuffer(blob, np.uint8, w * h * 3, i).reshape(h, w, 3)
+    return {"width": w, "height": h, "channels": 3, "pixels": px.copy()}
+
+
+_REAL_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("channels", LongType()),
+        StructField("sum_px", LongType()),
+    ]
+)
+
+
+def real_decode_meta(blobs: DataFrame) -> DataFrame:
+    """REAL image decode over a ``(doc_id, blob)`` DataFrame via
+    ``mapInPandas`` — identical plumbing (schema, Arrow batching,
+    zero-shuffle) to the oracle-checked ``multimodal_decode_stub``, but
+    the batch body runs ``decode_image_real`` on genuine image bytes
+    (BMP/PPM in-env, PIL formats where installed) and emits dimensions
+    plus the exact integer pixel sum (the deterministic stand-in for a
+    feature vector).  Tested end-to-end on generated BMP fixtures in
+    ``tests/test_multimodal.py`` — the decode step is no longer
+    stub-only in this container."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decode_image_real(b) for b in pdf["blob"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": [m["width"] for m in metas],
+                    "height": [m["height"] for m in metas],
+                    "channels": [m["channels"] for m in metas],
+                    "sum_px": [int(m["pixels"].sum(dtype="int64")) for m in metas],
+                }
+            )
+
+    return blobs.mapInPandas(_batches, schema=_REAL_DECODE_SCHEMA)
+
 
 def decode_image_real(blob: bytes) -> dict:
-    """Real image decode — requires PIL, which this environment does not
-    ship.  Kept so the swap-in point is explicit and unit-tested."""
+    """Real image decode.  Uncompressed 24-bpp BMP and binary PPM (P6)
+    decode in pure numpy — real formats, zero dependencies, so the
+    swap-in point is exercised end-to-end in this container (see
+    ``tests/test_multimodal.py``); every other format (PNG/JPEG/...)
+    needs PIL and raises a clear gate error without it.  Returns
+    ``{width, height, channels, pixels}`` (pixels = (h, w, c) uint8)."""
+    if blob[:2] == b"BM":
+        return _decode_bmp(blob)
+    if blob[:2] == b"P6":
+        return _decode_ppm(blob)
     try:
         from PIL import Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - the only path here
+    except ImportError as exc:  # pragma: no cover - environment-dependent
         raise NotImplementedError(
-            "image decoding requires Pillow; install it and replace "
-            "_decode_stub_batches' arithmetic with Image.open(BytesIO(blob))"
+            "decoding non-BMP/PPM images requires Pillow (BMP and binary "
+            "PPM decode here in pure numpy)"
         ) from exc
     import io
 
+    import numpy as np
     from PIL import Image
 
     img = Image.open(io.BytesIO(blob))
-    return {"width": img.width, "height": img.height, "channels": len(img.getbands())}
+    return {
+        "width": img.width,
+        "height": img.height,
+        "channels": len(img.getbands()),
+        "pixels": np.asarray(img),
+    }
