@@ -628,22 +628,34 @@ class AnnFrame:
         expr_threshold: float = 0.0,
         clip: float = 10.0,
         target: float = 1e4,
+        n_top_genes: int | None = None,
     ) -> "AnnFrame":
         """A11 — the composed pipeline (Scanpy ``pp.recipe_zheng17``):
         filter_genes(expressed in ≥pct of cells) → filter_cells →
-        normalize_per_cell → log1p → scale(clip).  Pure chain of the
-        kernels above; Catalyst fuses the row-local steps between the two
-        O(genes) stats exchanges."""
+        normalize_per_cell [→ HVG top-``n_top_genes`` subset →
+        re-normalize] → log1p → scale(clip).  Pure chain of the kernels
+        above; Catalyst fuses the row-local steps between the O(genes)
+        stats exchanges.
+
+        ``n_top_genes=None`` (default) skips the HVG subset — the
+        registered ``sc_recipe_zheng17`` twin's shape, kept as the
+        default so the oracle-checked parity holds.  Setting it (Scanpy's
+        own default is 1000) runs the full published recipe order:
+        dispersion-selected genes are subset between the two
+        normalizations exactly as ``pp.recipe_zheng17`` does."""
         import math
 
         n = self.n_obs
         # ceil on the exact product: -(-int(n*pct)//100) truncates n*pct
         # first, so e.g. n=401, pct=0.5 (200.5) would yield 2, not ceil=3
         min_cells = math.ceil(n * min_gene_cells_pct / 100)
-        return (
+        out = (
             self.filter_genes(min_cells=min_cells, expr_threshold=expr_threshold)
             .filter_cells(min_genes=min_cell_genes, expr_threshold=expr_threshold)
             .normalize_per_cell(target=target)
-            .log1p()
-            .scale(clip=clip)
         )
+        if n_top_genes is not None:
+            sel = out.highly_variable_genes(n_top=n_top_genes)
+            kept = [int(r["pos"]) for r in sel.where(F.col("kept")).collect()]
+            out = out.subset_genes(kept).normalize_per_cell(target=target)
+        return out.log1p().scale(clip=clip)

