@@ -372,3 +372,64 @@ def test_blosc_codec_roundtrips_arbitrary_buffers(data, typesize, cname, shuffle
         data, typesize, cname=cname, shuffle=shuffle, blocksize=blocksize
     )
     assert blosc_py.decompress(enc) == data
+
+
+@given(data=st.binary(min_size=0, max_size=4096))
+@settings(max_examples=300, deadline=None)
+def test_lz4_compress_decompress_roundtrip(data):
+    """The pure-Python LZ4 block encoder must be inverted by the decoder
+    for arbitrary bytes (r8: real match sequences replaced stored-raw
+    splits, so the match/overlap branches need adversarial coverage)."""
+    from single_cell_experiments_spark.sources.blosc_py import (
+        lz4_block_compress,
+        lz4_block_decompress,
+    )
+
+    assert lz4_block_decompress(lz4_block_compress(data), len(data)) == data
+
+
+@given(
+    data=st.binary(min_size=8, max_size=2048).map(lambda b: b[: len(b) // 8 * 8]),
+    cname=st.sampled_from(["lz4", "zlib", "memcpy"]),
+    shuffle=st.booleans(),
+    blocksize=st.sampled_from([0, 64, 256]),
+)
+@settings(max_examples=150, deadline=None)
+def test_blosc_chunk_roundtrip_property(data, cname, shuffle, blocksize):
+    from single_cell_experiments_spark.sources import blosc_py
+
+    enc = blosc_py.compress(data, 8, cname=cname, shuffle=shuffle, blocksize=blocksize)
+    assert blosc_py.decompress(enc) == data
+
+
+@given(
+    n=st.integers(min_value=0, max_value=500),
+    dtype=st.sampled_from(["<i8", "<f8", "<i4", "<u1", "<f4"]),
+    chunk_len=st.sampled_from([0, 7, 64]),
+    gzip=st.sampled_from([0, 3]),
+    shuf=st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_minih5_roundtrip_property(tmp_path_factory, n, dtype, chunk_len, gzip, shuf):
+    """write_h5 ∘ MiniH5File.dataset is identity across dtypes, sizes,
+    and storage layouts (contiguous / chunked+deflate+shuffle), including
+    partial reads of random slices."""
+    import numpy as np
+
+    from single_cell_experiments_spark.sources.minih5 import MiniH5File, write_h5
+
+    rng = np.random.default_rng(n + chunk_len + gzip)
+    if dtype.startswith("<f"):
+        arr = rng.standard_normal(n).astype(dtype)
+    else:
+        arr = rng.integers(0, 100, n).astype(dtype)
+    path = str(tmp_path_factory.mktemp("h5") / "p.h5")
+    write_h5(path, {"g": {"d": arr}}, chunk_len=chunk_len, gzip=gzip, shuffle=shuf)
+    with MiniH5File(path) as f:
+        got = f.dataset("g/d")
+        assert got.dtype == arr.dtype
+        np.testing.assert_array_equal(got, arr)
+        if n:
+            lo = int(rng.integers(0, n))
+            hi = int(rng.integers(lo, n + 1))
+            np.testing.assert_array_equal(f.read_slice("g/d", lo, hi), arr[lo:hi])
