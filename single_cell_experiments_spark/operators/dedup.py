@@ -11,6 +11,8 @@ Each tier is a ``queries()`` entry with a full DuckDB oracle:
                     (quote/subset/boilerplate-wrapper duplication)
 - SimHash         : sign-aggregated shingle-hash bits → blocked hamming join
 - n-gram Jaccard  : word-trigram Jaccard within a (lang) block
+- edit distance   : blocked levenshtein join on fixed-length prefixes
+                    (typo/OCR-level duplication the set tiers miss)
 - embedding-cosine: sign-LSH candidate pairs → keeper/removal list
 - connected components / PageRank over the near-dup pair graph: cluster
   canonicalization and connectivity ranking (iterative, integer-exact)
@@ -985,3 +987,54 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("__docs")
     return spark.sql(_containment_sql(_SPARK_SHINGLES))
+
+
+# --- edit-distance near-dup tier (blocked levenshtein join) -------------------
+
+_FUZZY_ORACLE = """
+WITH p AS (
+  SELECT doc_id, substr(text, 1, 40) AS pfx, substr(text, 1, 10) AS blk
+  FROM documents WHERE lang = 'en'
+)
+SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS lev
+FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.pfx, b.pfx) <= 2
+"""
+
+
+@query("dedup_fuzzy_prefix_pairs", oracle=_FUZZY_ORACLE, tags=("dedup", "fuzzy", "levenshtein"))
+def dedup_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDIT-DISTANCE near-dup tier (blocked levenshtein join): document
+    pairs whose 40-char prefixes are within edit distance 2, candidates
+    blocked on the 10-char prefix — the fuzzy-matching shape (typo-level
+    duplicates, OCR noise, near-identical headers) that the set-similarity
+    tiers (MinHash/SimHash/n-gram Jaccard) structurally miss, because a
+    single in-word edit changes every shingle that crosses it while edit
+    distance counts it once.
+
+    Scale: the self-join is block-equi — pair work is Σ(block²), tuned by
+    the block prefix length exactly like LSH band width; levenshtein runs
+    only inside blocks and on fixed-length prefixes, so per-pair cost is
+    O(40²) constant.  A production blocker adds a length band and
+    multi-pass blocking keys (first/last k chars) for recall; the scoring
+    and threshold here are exact over whatever blocker feeds them.
+    Restricted to one language (en): blocking across scripts is
+    meaningless and byte-vs-codepoint edit-distance semantics stay
+    engine-identical on ASCII.
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.col("lang") == "en")
+    p = d.select(
+        "doc_id",
+        F.substring("text", 1, 40).alias("pfx"),
+        F.substring("text", 1, 10).alias("blk"),
+    )
+    a = p.select(F.col("doc_id").alias("doc1"), F.col("pfx").alias("p1"), "blk")
+    b = p.select(F.col("doc_id").alias("doc2"), F.col("pfx").alias("p2"), "blk")
+    lev = F.levenshtein(F.col("p1"), F.col("p2"))
+    return (
+        a.join(b, "blk")
+        .where(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2", lev.cast("bigint").alias("lev"))
+        .where(F.col("lev") <= 2)
+    )
