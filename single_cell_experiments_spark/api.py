@@ -581,11 +581,16 @@ class AnnFrame:
         scores, _s = svd_project(wide, k)
         return scores.select(F.col("vec_id").alias("row_id"), "scores")
 
-    def neighbors(self, k: int) -> DataFrame:
-        """Scanpy ``pp.neighbors`` — exact euclidean kNN edges
-        ``(row_id, nbr, d2, rk)``; broadcast corpus-as-index +
-        WindowGroupLimit (see ``operators.singlecell.sc_neighbors`` for the
-        scale contract and the LSH/IVF swap past broadcastable size)."""
+    def neighbors(self, k: int, cells: DataFrame | None = None) -> DataFrame:
+        """Scanpy ``pp.neighbors`` — euclidean kNN edges
+        ``(row_id, nbr, d2, rk)``.  Default is exact: broadcast
+        corpus-as-index + WindowGroupLimit (see
+        ``operators.singlecell.sc_neighbors`` for the scale contract).
+        Pass a ``(row_id, cell)`` coarse assignment (e.g. from
+        ``operators.singlecell.sc_ivf_cells``, or any LSH/IVF quantizer
+        with that schema) to restrict scoring to bucket-local pairs —
+        the IVF nprobe=1 swap past broadcastable size, recall-audited by
+        the registered ``sc_neighbors_ivf_recall``."""
         a = self.x.select("row_id", F.col("values").alias("ea"))
         b = self.x.select(F.col("row_id").alias("nbr"), F.col("values").alias("eb"))
         d2 = F.aggregate(
@@ -593,10 +598,20 @@ class AnnFrame:
             F.lit(0.0),
             lambda acc, t: acc + t,
         )
-        scored = (
-            a.crossJoin(F.broadcast(b))
-            .where(F.col("row_id") != F.col("nbr"))
-            .select("row_id", "nbr", d2.alias("d2"))
+        if cells is None:
+            scored = a.crossJoin(F.broadcast(b))
+        else:
+            # bucket-equi restriction first, vectors joined after
+            scored = (
+                a.join(cells, "row_id")
+                .join(
+                    cells.select(F.col("row_id").alias("nbr"), F.col("cell").alias("cell_b")),
+                    F.col("cell") == F.col("cell_b"),
+                )
+                .join(b, "nbr")
+            )
+        scored = scored.where(F.col("row_id") != F.col("nbr")).select(
+            "row_id", "nbr", d2.alias("d2")
         )
         rk = F.row_number().over(W.partitionBy("row_id").orderBy(F.asc("d2"), F.asc("nbr")))
         return scored.withColumn("rk", rk.cast("bigint")).where(F.col("rk") <= k)

@@ -40,3 +40,24 @@ def test_ivf_generator_restricts_to_cells_and_matches_exact_where_local(spark):
             assert ivf.get(v) == ex, v
             checked += 1
     assert checked > 0, "no fully-local query to compare (fixture too scattered)"
+
+
+def test_annframe_neighbors_accepts_cells_generator(spark):
+    """The object API inherits the pluggable generator: bucket contract
+    holds and ranks are contiguous per query."""
+    from pyspark.sql import functions as F
+
+    from single_cell_experiments_spark.api import AnnFrame
+    from single_cell_experiments_spark.catalog import load_table
+
+    af = AnnFrame.from_table(load_table(spark, SF_DIR, "embeddings"))
+    cells = sc_ivf_cells(spark, SF_DIR).withColumnRenamed("vec_id", "row_id")
+    cmap = {int(r["row_id"]): int(r["cell"]) for r in cells.collect()}
+    edges = af.neighbors(SC_NEIGHBORS_K, cells=cells).collect()
+    assert edges
+    per_query = {}
+    for r in edges:
+        assert cmap[int(r["row_id"])] == cmap[int(r["nbr"])]
+        per_query.setdefault(int(r["row_id"]), []).append(int(r["rk"]))
+    for v, rks in per_query.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1)), v
