@@ -464,3 +464,66 @@ def curation_with_observed_qc(spark: SparkSession, sf_dir: str):
         F.count_if(F.col("low_alpha")).alias("n_low_alpha"),
     )
     return df, obs
+
+
+# --- table profiling (the ANALYZE/stats-collection shape) --------------------
+
+_PROFILE_COLS = (
+    ("o_orderkey", "CAST({c} AS STRING)"),
+    ("o_custkey", "CAST({c} AS STRING)"),
+    ("o_orderstatus", "{c}"),
+    # doubles stringify via DECIMAL(18,2): both engines render the same
+    # text (raw double->string scientific-notation thresholds differ)
+    ("o_totalprice", "CAST(CAST({c} AS DECIMAL(18,2)) AS STRING)"),
+    ("o_orderdate", "CAST({c} AS STRING)"),
+    ("o_orderpriority", "{c}"),
+)
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_null,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       MIN({fmt.format(c=c)}) AS min_s, MAX({fmt.format(c=c)}) AS max_s
+FROM orders"""
+    for c, fmt in _PROFILE_COLS
+)
+
+
+@query("profile_orders_columns", oracle=_PROFILE_ORACLE, tags=("profiling", "stats"))
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column table profile (the ANALYZE / stats-collection shape every
+    catalog and data-quality pipeline runs): row count, null count, exact
+    distinct count, and min/max per column, melted to one row per column.
+
+    Scale shape: ONE scan — all 6×4 aggregates ride a single global
+    aggregation (the oracle's 6-scan UNION is the naive twin).  Multiple
+    exact COUNT(DISTINCT col) in one agg makes Spark EXPAND the input
+    6× before the exchange (the documented multi-distinct cost): fine for
+    a profile job; at 100 TB swap exact distincts for
+    ``approx_count_distinct`` (single-pass HLL sketches, no Expand) and
+    keep exact counts only where contractual.  String renderings of
+    doubles go through DECIMAL(18,2) so both engines print identical text.
+    """
+    from ..catalog import table_view
+
+    o = table_view(spark, sf_dir, "orders")
+    agg_exprs = []
+    for c, fmt in _PROFILE_COLS:
+        s = fmt.format(c=c)
+        agg_exprs += [
+            f"COUNT({c}) AS cnt_{c}",
+            f"COUNT(DISTINCT {c}) AS nd_{c}",
+            f"MIN({s}) AS mn_{c}",
+            f"MAX({s}) AS mx_{c}",
+        ]
+    stack_args = ", ".join(
+        f"'{c}', n_total - cnt_{c}, nd_{c}, mn_{c}, mx_{c}" for c, _ in _PROFILE_COLS
+    )
+    return spark.sql(f"""
+        SELECT col, n_total AS n_rows, n_null, n_distinct, min_s, max_s
+        FROM (
+            SELECT COUNT(*) AS n_total, {", ".join(agg_exprs)} FROM {o}
+        )
+        LATERAL VIEW stack({len(_PROFILE_COLS)}, {stack_args})
+            AS col, n_null, n_distinct, min_s, max_s
+    """)
