@@ -114,19 +114,24 @@ class MiniH5File:
         if ver != 1:
             raise NotImplementedError(f"object header version {ver} unsupported")
         out: list[tuple[int, bytes]] = []
-        # v1 prefix is 12 bytes; messages are 8-byte aligned → 4 pad bytes
+        # v1 prefix is 12 bytes; messages are 8-byte aligned → 4 pad bytes.
+        # nmsg counts EVERY header message — NILs and continuations
+        # included — so the consumed-message counter must too, or a file
+        # with continuation/NIL messages would over- or under-read.
         blocks = [(addr + 16, hsize)]
-        while blocks and len(out) < nmsg:
+        seen = 0
+        while blocks and seen < nmsg:
             pos, remaining = blocks.pop(0)
-            while remaining >= 8 and len(out) < nmsg:
+            while remaining >= 8 and seen < nmsg:
                 mtype, msize, _mflags = struct.unpack("<HHB", self._read_at(pos, 5))
                 body = self._read_at(pos + 8, msize)
                 pos += 8 + msize
                 remaining -= 8 + msize
+                seen += 1
                 if mtype == 0x0010:  # continuation
                     caddr, clen = struct.unpack("<QQ", body[:16])
                     blocks.append((caddr, clen))
-                else:
+                elif mtype != 0x0000:  # skip NIL
                     out.append((mtype, body))
         return out
 
