@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Scale-stress measurement: run headline queries at a multiple of the
+bench scale factor, against synthetic data DERIVED from the driver tables
+(never touching /root/testdata), under the engine's cluster posture
+(AQE on — not the small-SF bench sizing), with DuckDB timed on the same
+files as the control.
+
+    python tools/scale_stress.py [multiplier]   # default 20 (~sf2)
+
+The synthesis unions K key-shifted copies of sf0.1's lineitem / orders /
+events, keeping keys unique (rank windows and distinct counts stay
+honest) while value distributions repeat.  Queries run through the SAME
+registry builders the driver checks — this measures the verified code at
+20× the verified scale, where per-job dispatch floors amortize away and
+the data path dominates: the regime BENCH_r*.json's caveats point to.
+Results land in SCALE.md §5.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import DUCKDB_SQL  # noqa: E402
+
+QUERIES = ("q1_pricing_summary", "window_rank", "distinct_users_daily",
+           "tumbling_window_events")
+TABLES = ("lineitem", "orders", "events")
+
+
+def synthesize(spark, src_dir: str, out_dir: str, k: int) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    shifts = {
+        # key columns that must stay UNIQUE across copies (shift by copy
+        # index × a power of ten above the sf0.1 max)
+        "lineitem": {"l_orderkey": 10_000_000},
+        "orders": {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
+        "events": {"event_id": 100_000_000, "user_id": 100_000},
+    }
+    for t in TABLES:
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if os.path.exists(dst):
+            continue
+        df = spark.read.parquet(os.path.join(src_dir, f"{t}.parquet"))
+        copies = spark.range(k).withColumnRenamed("id", "__copy")
+        wide = df.crossJoin(copies)
+        for col, step in shifts[t].items():
+            wide = wide.withColumn(col, F.col(col) + F.col("__copy") * step)
+        wide.drop("__copy").write.mode("overwrite").parquet(dst)
+
+
+def main() -> int:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out = f"/tmp/sce_stress_x{k}"
+
+    from single_cell_experiments_spark.registry import fresh_fn
+    from single_cell_experiments_spark.session import get_spark
+
+    spark = get_spark(app_name="sce-scale-stress")
+    # cluster posture: engine defaults (AQE on, runtime-sized partitions) —
+    # NOT the small-SF bench confs; this is the regime they exist to avoid.
+    synthesize(spark, src, out, k)
+    sizes = {
+        t: round(sum(os.path.getsize(os.path.join(out, f"{t}.parquet", f))
+                     for f in os.listdir(os.path.join(out, f"{t}.parquet"))
+                     if f.endswith(".parquet")) / 1e6, 1)
+        for t in TABLES
+    }
+
+    fns = {n: fresh_fn(n) for n in QUERIES}
+    for n in QUERIES:  # warm (JIT, FS cache)
+        fns[n](spark, out).toPandas()
+    spark_t: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for n in QUERIES:
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            pdf = fns[n](spark, out).toPandas()
+            ts.append(time.perf_counter() - t0)
+        spark_t[n] = round(statistics.median(ts), 3)
+        rows[n] = len(pdf)
+
+    import duckdb
+
+    ddb = duckdb.connect()
+    ddb.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+    for t in TABLES:
+        ddb.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{out}/{t}.parquet/*.parquet')"
+        )
+    ddb_t: dict[str, float] = {}
+    for n in QUERIES:
+        ddb.sql(DUCKDB_SQL[n]).df()  # warm
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            ddb.sql(DUCKDB_SQL[n]).df()
+            ts.append(time.perf_counter() - t0)
+        ddb_t[n] = round(statistics.median(ts), 3)
+
+    print(json.dumps({
+        "multiplier": k,
+        "table_mb": sizes,
+        "spark_sec": spark_t,
+        "duckdb_sec": ddb_t,
+        "rows": rows,
+        "spark_total": round(sum(spark_t.values()), 3),
+        "duckdb_total": round(sum(ddb_t.values()), 3),
+        "ratio": round(sum(spark_t.values()) / sum(ddb_t.values()), 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
