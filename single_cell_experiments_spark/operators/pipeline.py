@@ -527,3 +527,53 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         LATERAL VIEW stack({len(_PROFILE_COLS)}, {stack_args})
             AS col, n_null, n_distinct, min_s, max_s
     """)
+
+
+# --- weighted sampling (Efraimidis–Spirakis exponential keys) -----------------
+
+_WSAMPLE_K = 20
+#: deterministic uniform in (0,1]: LCG permutation of doc_id over 2^31.
+_WS_U = "((doc_id * 1103515245 + 12345) % 2147483648 + 1) / 2147483648.0"
+
+_WSAMPLE_ORACLE = f"""
+SELECT doc_id, CAST(w AS BIGINT) AS w, round(es_key, 6) AS es_key
+FROM (
+  SELECT doc_id, length(text) AS w,
+         -ln({_WS_U}) / length(text) AS es_key
+  FROM documents WHERE length(text) > 0
+)
+ORDER BY round(es_key, 6) ASC, doc_id ASC
+LIMIT {_WSAMPLE_K}
+"""
+
+
+@query("sample_weighted_es", oracle=_WSAMPLE_ORACLE, tags=("pipeline", "sampling", "weighted"))
+def sample_weighted_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED sampling without replacement (Efraimidis–Spirakis 2006):
+    each document draws an exponential key ``-ln(u)/w`` from a
+    deterministic uniform ``u`` (LCG permutation of doc_id — seedable in
+    production) and the k SMALLEST keys are the weighted sample — here
+    length-weighted, the "sample long documents proportionally more"
+    shape mixture pipelines use (`sample_stratified_hash` is the
+    equal-rate per-stratum twin; this is the per-item-weight one).
+
+    Scale: entirely row-local key computation + a TakeOrdered top-k
+    (per-partition heaps, no global sort, no shuffle of the corpus) —
+    the textbook distributed one-pass weighted sampler; k·P driver merge.
+    Determinism: integer LCG is exact in both engines; ``ln`` on the
+    same double is IEEE-identical in practice, and ranking uses the
+    6-dp-rounded key with a doc_id tie-break (the bm25 pattern), so the
+    selected set is stable cross-engine.
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    u = F.expr(_WS_U)
+    key = -F.log(u) / F.length("text")
+    return (
+        d.select(
+            "doc_id",
+            F.length("text").cast("bigint").alias("w"),
+            F.round(key, 6).alias("es_key"),
+        )
+        .orderBy(F.asc("es_key"), F.asc("doc_id"))
+        .limit(_WSAMPLE_K)
+    )
