@@ -533,7 +533,11 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WSAMPLE_K = 20
 #: deterministic uniform in (0,1]: LCG permutation of doc_id over 2^31.
-_WS_U = "((doc_id * 1103515245 + 12345) % 2147483648 + 1) / 2147483648.0"
+#: doc_id reduced mod 2^31 BEFORE the multiply so the int64 product
+#: cannot overflow (DuckDB errors where Spark wraps, ~doc_id>=8.4e9 —
+#: the event_disorder_profile bound); collisions past 2^31 ids only
+#: coarsen the randomness, and the doc_id tiebreak keeps order stable.
+_WS_U = "(((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 + 1) / 2147483648.0"
 
 _WSAMPLE_ORACLE = f"""
 SELECT doc_id, CAST(w AS BIGINT) AS w, round(es_key, 6) AS es_key
