@@ -153,12 +153,18 @@ class MiniH5File:
         blocks = [(pos, chunk0, False)]
         while blocks:
             bpos, blen, is_cont = blocks.pop(0)
-            if is_cont:  # OCHK signature leads continuation blocks
+            if is_cont:
+                # OCHK blocks: signature + messages + checksum, all inside
+                # the recorded length — strip both
                 if self._read_at(bpos, 4) != b"OCHK":
                     raise ValueError("bad OCHK continuation signature")
                 bpos += 4
-                blen -= 4
-            end = bpos + blen - 4  # trailing lookup3 checksum (not verified)
+                end = bpos + blen - 8  # 4 sig (stripped) + 4 checksum
+            else:
+                # "size of chunk 0" counts MESSAGE DATA only; the trailing
+                # lookup3 checksum sits outside it (subtracting it here
+                # would drop the final message)
+                end = bpos + blen
             while bpos + 4 <= end:
                 mtype, msize, _mflags = struct.unpack("<BHB", self._read_at(bpos, 4))
                 bpos += 4
@@ -431,6 +437,8 @@ class MiniH5File:
         if stop <= start:
             return np.empty(0, dtype=dt)
         if meta["layout"] == "contiguous":
+            if meta["addr"] == _UNDEF:  # never-allocated (fill-value-only)
+                return np.zeros(stop - start, dtype=dt)
             raw = self._read_at(meta["addr"] + start * dt.itemsize, (stop - start) * dt.itemsize)
             return np.frombuffer(raw, dtype=dt).copy()
         out = np.zeros(stop - start, dtype=dt)
