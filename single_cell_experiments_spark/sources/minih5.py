@@ -7,13 +7,14 @@ without h5py (r7 verdict #7).  This is a compatibility shim, not an HDF5
 library:
 
 Reader (``MiniH5File``) supports the subset CellRanger-v3 files use:
-- superblock v0/v1 (libhdf5 default) and v2/v3
+- superblock v0/v1 (libhdf5 default) and v2/v3 (latest-format; exercised
+  by the hand-built spec fixtures in ``tests/test_minih5_v2.py``)
 - object headers v1 (with continuation blocks) and v2 (``OHDR``;
   trailing checksum not verified)
 - old-style groups (symbol-table message → v1 B-tree → SNODs → local
   heap) and compact new-style groups (inline Link messages)
 - datatypes: fixed-point and IEEE float, any size, LE/BE
-- dataspaces v1/v2 (simple)
+- dataspaces v1/v2 (simple, incl. rank-0 scalar)
 - data layout v3: contiguous (any rank) and chunked 1-D (v1 B-tree chunk
   index) with the deflate and shuffle filters
 - partial 1-D reads (``read_slice``): contiguous reads seek exactly the
@@ -89,8 +90,10 @@ class MiniH5File:
             (_, ohdr_addr) = struct.unpack_from("<QQ", ste, 0)
             return ohdr_addr
         if ver in (2, 3):
+            # b is offset-8-based: b[0] is the version byte itself; the
+            # size-of-offsets/lengths bytes live at file offsets 9/10.
             b = self._read_at(8, 40)
-            sz_off, sz_len = b[0], b[1]
+            sz_off, sz_len = b[1], b[2]
             if (sz_off, sz_len) != (8, 8):
                 raise NotImplementedError(
                     f"HDF5 offset/length sizes {sz_off}/{sz_len} unsupported (need 8/8)"
@@ -409,7 +412,9 @@ class MiniH5File:
     def dataset(self, path: str) -> np.ndarray:
         meta = self._dataset_meta(path)
         dt, dims = meta["dtype"], meta["dims"]
-        n = int(np.prod(dims)) if dims else 0
+        # np.prod(()) == 1.0, so a rank-0 (scalar) dataspace correctly
+        # reads one element and reshape(()) yields a 0-d array.
+        n = int(np.prod(dims))
         if meta["layout"] == "contiguous":
             if meta["addr"] == _UNDEF:
                 return np.zeros(dims, dtype=dt)
@@ -529,7 +534,8 @@ def write_h5(
     for gname, datasets in groups.items():
         ds_headers: list[tuple[str, int]] = []
         for dname, arr in datasets.items():
-            arr = np.ascontiguousarray(arr)
+            # not ascontiguousarray: that promotes rank-0 (scalar) to 1-d
+            arr = np.asarray(arr, order="C")
             if arr.dtype.byteorder == ">":
                 arr = arr.astype(arr.dtype.newbyteorder("<"))
             msgs: list[tuple[int, bytes]] = []

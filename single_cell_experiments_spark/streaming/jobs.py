@@ -429,6 +429,14 @@ def run_foreach_batch_merge(spark: SparkSession, sf_dir: str, clear: bool = True
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         batches.append(int(batch_id))
+        # Exactly-once guard for foreachBatch's at-least-once contract: if
+        # a batch fails AFTER the pointer swap, Structured Streaming
+        # re-invokes merge with the SAME batch_id.  Version dirs are named
+        # v{batch_id} and batch ids are monotone, so a replayed id is
+        # detected by the committed pointer already naming this version or
+        # a later one — no-op instead of double-counting the partials.
+        if pointer.exists() and int(batch_id) <= int(pointer.read_text()[1:]):
+            return
         agg = (
             batch_df.where(F.col("event_type") == "purchase")
             .groupBy("user_id")
