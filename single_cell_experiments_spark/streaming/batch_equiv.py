@@ -81,20 +81,47 @@ def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     long arithmetic: the r6 plan's per-row window-struct construction +
     DECIMAL(18,6) sum (a BigDecimal-backed buffer — precision 28 after sum
     promotion) cost ~100 ms of the 245 ms fresh time at sf0.1.  The value
-    sum aggregates exact integer MICROS (``round(value,6)`` is ≤ 6 dp, so
-    micros are integral; sums ≤ 2^53 keep the final double division
-    correctly rounded — bit-equal to the decimal-path result the oracle
-    computes).
+    sum aggregates exact integer MICROS; sums ≤ 2^53 keep the final double
+    division correctly rounded — bit-equal to the decimal-path result the
+    oracle computes.
+
+    Tie-safety of the FLOOR micros path (r8 verdict #1).  The per-row
+    conversion is ``CAST(FLOOR(value*1e6 + 0.5) AS BIGINT)`` — pure long/
+    double arithmetic, no BigDecimal per row (the r8 path went through
+    DECIMAL(18,6) and carried a ~13× per-row constant vs DuckDB at 20×
+    scale, SCALE.md §5).  This equals the decimal HALF_UP conversion
+    ``CAST(CAST(ROUND(value,6) AS DECIMAL(18,6))*1e6 AS BIGINT)`` on the
+    ACTUAL events.value domain, which is the non-negative 2-dp money grid:
+    ``value == round(value, 2)`` and ``value >= 0`` hold for every row at
+    every SF (asserted against real data in tests/test_micros_tie_safety
+    .py).  Proof, for v = fl(k/100), 0 ≤ k ≤ ~10^9: (a) decimal path —
+    BigDecimal.valueOf(v) is v's shortest decimal repr, which round-trips
+    to exactly "k/100" (≤ 9 sig digits); ROUND(·,6) and the DECIMAL(18,6)
+    cast are then exact (scale 2 ≤ 6), yielding exactly k·10⁴.  (b) float
+    path — |v − k/100| ≤ ½·ulp ≤ 4e-14 for v ≤ 600, so after the ×1e6
+    multiply and +0.5 add (two roundings ≤ 2⁻⁵³·6e8 each) the argument of
+    FLOOR lies within 3e-7 of k·10⁴ + 0.5, and FLOOR of anything in
+    (k·10⁴, k·10⁴+1) is k·10⁴.  Non-negativity makes FLOOR(x+0.5) the
+    same away-from-zero direction as decimal HALF_UP.  ∎  This is NOT a
+    general swap: for raw doubles the two diverge in BOTH directions,
+    because the decimal path rounds the SHORTEST DECIMAL REPR while the
+    float path rounds the ×1e6 product.  Verified in-engine:
+    v = 534.2380615 (shortest repr an exact tie → decimal 534238062, but
+    fl(v·1e6) = 534238061.49999994 → floor 534238061) and
+    v = 458.93395449999997 (repr below the tie → decimal 458933954, but
+    the product rounds up onto the .5 boundary → floor 458933955) — both
+    pinned by tests/test_micros_tie_safety.py.  Columns not proven ≤2-dp
+    keep the decimal path.
     """
     e = table_view(spark, sf_dir, "events")
-    # spark.sql form for driver-latency (catalog.table_view).  The per-row
-    # micros conversion goes through DECIMAL(18,6) — same HALF_UP rounding
-    # the oracle's CAST does — but scale-shifted to a long BEFORE the agg,
-    # so only the (cheap) conversion is decimal, never the agg buffer.
+    # spark.sql form for driver-latency (catalog.table_view).  FLOOR
+    # micros path — provably equal to the oracle's DECIMAL(18,6) HALF_UP
+    # conversion on the 2-dp non-negative events.value domain (docstring
+    # proof); the agg buffer and the per-row conversion are both longs.
     return spark.sql(f"""
         SELECT ts_s div 3600 * 3600 AS w_start_s,
                COUNT(1) AS c,
-               ROUND(CAST(SUM(CAST(CAST(ROUND(value, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS DOUBLE)
+               ROUND(CAST(SUM(CAST(FLOOR(value * 1000000.0D + 0.5D) AS BIGINT)) AS DOUBLE)
                      / 1000000.0D / COUNT(1), 6) AS av
         FROM {e}
         GROUP BY ts_s div 3600
