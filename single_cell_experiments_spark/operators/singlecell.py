@@ -1181,6 +1181,154 @@ def _finalize_knn_cluster_oracle() -> None:
 _finalize_knn_cluster_oracle()
 
 
+# --- community detection on the kNN graph (label propagation) ----------------
+
+SC_LPA_ROUNDS = 6  # fixed sync-LPA round cap; oracle unrolls exactly this
+
+
+def _sc_lpa_oracle() -> str:
+    """Unrolled ``SC_LPA_ROUNDS``-round synchronous label propagation as
+    DuckDB CTEs (the PageRank-oracle pattern: every round MATERIALIZED so
+    the n² kNN scoring runs once, not once per round)."""
+    rounds = []
+    prev = "l0"
+    for i in range(1, SC_LPA_ROUNDS + 1):
+        rounds.append(f"""
+l{i} AS MATERIALIZED (
+  SELECT id, lbl FROM (
+    SELECT c.id, c.lbl,
+           row_number() OVER (PARTITION BY c.id ORDER BY c.c DESC, c.lbl ASC) AS rn
+    FROM (SELECT e.src AS id, l.lbl, COUNT(*) AS c
+          FROM edges e JOIN {prev} l ON l.id = e.dst
+          GROUP BY e.src, l.lbl) c
+  ) WHERE rn = 1
+)""")
+        prev = f"l{i}"
+    return f"""
+WITH knn AS MATERIALIZED ({_SC_NEIGHBORS_ORACLE}),
+edges AS MATERIALIZED (
+  SELECT vec_id AS src, nbr AS dst FROM knn
+  UNION
+  SELECT nbr, vec_id FROM knn
+  UNION
+  SELECT DISTINCT vec_id, vec_id FROM knn
+),
+l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM edges),
+{",".join(rounds)}
+SELECT id AS vec_id, CAST(lbl AS BIGINT) AS community FROM {prev}
+"""
+
+
+def lpa_labels(edges: DataFrame, max_rounds: int = SC_LPA_ROUNDS) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007, public
+    algorithm) over a directed ``(src, dst)`` edge DataFrame: every node
+    starts as its own label; each round every node adopts the most
+    frequent label among its in-edge sources' targets (``dst``-side
+    labels), ties broken by the SMALLEST label — fully deterministic, no
+    seed, no modularity randomness.
+
+    Callers wanting the self-vote damping (recommended — a bare 2-cycle
+    oscillates forever under synchronous updates; counting the node's own
+    label breaks the swap symmetry) include explicit ``(v, v)`` self-loop
+    edges, which also guarantees every node appears each round.
+
+    Runs at most ``max_rounds`` rounds with a driver O(1) fixpoint check
+    (the CC pattern: ``materialize`` truncates lineage per round).  Early
+    exit is sound against a fixed-round unrolled oracle because the
+    update is a pure function of the label table — once a round changes
+    nothing, every further round is the identity.  Exposes
+    ``lpa_labels.last_rounds`` / ``lpa_labels.converged`` for tests.
+
+    Scale shape, per round: one join keyed on ``dst``/node id, one
+    (src, lbl) partial+final count, one ``row_number`` window whose
+    partition is a single node's label multiset — bounded by the node's
+    in-degree (2k+1 on a symmetrized kNN graph), so no skewed reducer at
+    any corpus size; label state is O(nodes) and never collected.
+    """
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("lbl", F.col("id"))
+    )
+    rounds_used, converged = 0, False
+    for _ in range(max_rounds):
+        counts = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy(edges.src, labels.lbl)
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        rn = F.row_number().over(
+            W.partitionBy("src").orderBy(F.desc("c"), F.asc("lbl"))
+        )
+        updated = materialize(
+            counts.withColumn("rn", rn)
+            .where(F.col("rn") == 1)
+            .select(F.col("src").alias("id"), "lbl")
+        )
+        rounds_used += 1
+        changed = (
+            updated.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            converged = True
+            break
+    lpa_labels.last_rounds = rounds_used
+    lpa_labels.converged = converged
+    return labels
+
+
+@query(
+    "sc_communities",
+    oracle=_sc_lpa_oracle(),
+    tags=("singlecell", "graph", "clustering", "iterative"),
+)
+def sc_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the kNN cell graph — the Scanpy
+    ``tl.louvain``/``tl.leiden`` slot (the step users run right after
+    ``pp.neighbors``; r8 verdict #4), as deterministic synchronous label
+    propagation over the SYMMETRIZED exact kNN graph with self-vote.
+
+    Why LPA and not a modularity optimizer: louvain/leiden partitions are
+    initialization- and tie-order-dependent, so their exact output is
+    untestable cross-engine (the ``sc_knn_clusters`` argument); LPA with
+    a fixed round budget, smallest-label tie-break, and self-vote is
+    seed-free and bit-deterministic, yet yields the same kind of
+    locally-dense communities (it is the standard scalable community
+    step — near-linear per round).  Unlike the mutual-kNN components of
+    ``sc_knn_clusters`` (which only merge RECIPROCAL neighbor pairs and
+    drop singletons), this assigns every cell a community and lets
+    majority structure, not mere reachability, draw the boundaries.
+
+    Semantics: labels0 = vec_id; each round every cell adopts the
+    majority label over {its kNN neighbors, both directions} ∪ {itself},
+    min-label ties; exactly ``SC_LPA_ROUNDS`` rounds (early fixpoint exit
+    — sound, see ``lpa_labels``).  The oracle unrolls the identical
+    rounds as CTEs over the same exact-kNN SQL.  All arithmetic is
+    integer counts over integer ids — hash-exact under any partitioning.
+
+    Scale shape: edge build rides ``sc_neighbor_edges`` (broadcast scored
+    kNN, or the IVF candidate generator past broadcastable size — same
+    plug point); per-round cost is one node-keyed join + one bounded
+    (≤2k+1) window per node, state O(cells) — the LPA loop is the shape
+    GraphFrames/Pregel would run on a 1000-executor cluster.
+    """
+    knn = sc_neighbor_edges(spark, sf_dir).select("vec_id", "nbr")
+    sym = (
+        knn.select(F.col("vec_id").alias("src"), F.col("nbr").alias("dst"))
+        .union(knn.select(F.col("nbr").alias("src"), F.col("vec_id").alias("dst")))
+        .union(knn.select(F.col("vec_id").alias("src"), F.col("vec_id").alias("dst")))
+        .distinct()
+    )
+    edges = materialize(sym)
+    labels = lpa_labels(edges, SC_LPA_ROUNDS)
+    return labels.select(
+        F.col("id").alias("vec_id"), big(F.col("lbl")).alias("community")
+    )
+
+
 # --- COO matrix multiply (relational GEMM) -----------------------------------
 
 MATMUL_OUT_COLS = 4  # output width of the deterministic projection W

@@ -1,0 +1,109 @@
+"""sc_communities / lpa_labels: determinism, convergence, and equality
+with an independent pure-Python synchronous-LPA reference (r8 verdict #4
+asked for a property-tested community step over sc_neighbor_edges)."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+import numpy as np
+import pytest
+
+from single_cell_experiments_spark.operators.singlecell import (
+    SC_LPA_ROUNDS,
+    lpa_labels,
+    sc_communities,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def ref_lpa(edges: list[tuple[int, int]], rounds: int) -> dict[int, int]:
+    """Independent dict-based sync LPA: same semantics (majority over
+    dst-side labels of out-edges, min-label tie-break), written against
+    the ALGORITHM, not the Spark code."""
+    adj = defaultdict(list)
+    nodes = set()
+    for u, v in edges:
+        adj[u].append(v)
+        nodes.update((u, v))
+    lbl = {v: v for v in nodes}
+    for _ in range(rounds):
+        new = {}
+        for u in nodes:
+            cnt = Counter(lbl[v] for v in adj[u])
+            new[u] = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        if new == lbl:
+            break
+        lbl = new
+    return lbl
+
+
+def _with_self_loops(pairs: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Symmetrize + self-loops — the edge prep sc_communities applies."""
+    out = set()
+    for u, v in pairs:
+        out.update({(u, v), (v, u), (u, u), (v, v)})
+    return sorted(out)
+
+
+def _spark_lpa(spark, edges: list[tuple[int, int]]) -> dict[int, int]:
+    df = spark.createDataFrame(edges, "src long, dst long")
+    res = lpa_labels(df, SC_LPA_ROUNDS)
+    return {r.id: r.lbl for r in res.collect()}
+
+
+def test_lpa_matches_reference_on_structured_graphs(spark):
+    """Two cliques + a path + an isolated pair: communities must match
+    the independent reference exactly and converge within the budget."""
+    k1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    k2 = [(a, b) for a in range(10, 15) for b in range(10, 15) if a < b]
+    path = [(20, 21), (21, 22), (22, 23)]
+    pair = [(30, 31)]
+    edges = _with_self_loops(k1 + k2 + path + pair)
+    got = _spark_lpa(spark, edges)
+    assert got == ref_lpa(edges, SC_LPA_ROUNDS)
+    assert lpa_labels.converged
+    # the two cliques collapse to their min ids; the isolated pair merges
+    assert {got[a] for a in range(4)} == {0}
+    assert {got[a] for a in range(10, 15)} == {10}
+    assert got[30] == got[31] == 30
+
+
+def test_lpa_self_vote_damps_two_cycle_oscillation(spark):
+    """A bare 2-cycle oscillates forever under synchronous updates; the
+    self-loop vote breaks the swap symmetry — both nodes settle on the
+    min label and the loop exits at a true fixpoint."""
+    edges = _with_self_loops([(7, 8)])
+    got = _spark_lpa(spark, edges)
+    assert got == {7: 7, 8: 7}
+    assert lpa_labels.converged and lpa_labels.last_rounds <= 3
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_lpa_matches_reference_on_random_graphs(spark, seed):
+    """Random sparse graphs (the property sweep): Spark == reference
+    after the same fixed round budget, converged or not — the fixed-round
+    definition is what the oracle checks too."""
+    rng = np.random.default_rng(seed)
+    n = 24
+    pairs = {
+        (int(min(a, b)), int(max(a, b)))
+        for a, b in rng.integers(0, n, (40, 2))
+        if a != b
+    }
+    edges = _with_self_loops(sorted(pairs))
+    assert _spark_lpa(spark, edges) == ref_lpa(edges, SC_LPA_ROUNDS)
+
+
+def test_sc_communities_on_real_graph_converges(spark):
+    """End-to-end over the sf0.001 embeddings: every cell labeled, the
+    fixpoint is reached inside the round budget, and communities are
+    non-trivial (neither all-singleton nor one blob)."""
+    res = sc_communities(spark, SF_DIR)
+    rows = res.collect()
+    n = len(rows)
+    assert n == spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert lpa_labels.converged, "LPA did not reach a fixpoint on the kNN graph"
+    ncomm = len({r.community for r in rows})
+    assert 1 <= ncomm < n
