@@ -993,13 +993,19 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FUZZY_ORACLE = """
 WITH p AS (
-  SELECT doc_id, substr(text, 1, 40) AS pfx, substr(text, 1, 10) AS blk
+  SELECT doc_id, substr(text, 1, 40) AS pfx, substr(text, 1, 10) AS blk1,
+         right(substr(text, 1, 40), 10) AS blk2
   FROM documents WHERE lang = 'en'
+),
+cand AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, a.pfx AS pa, b.pfx AS pb
+  FROM p a JOIN p b ON a.blk1 = b.blk1 AND a.doc_id < b.doc_id
+  UNION
+  SELECT a.doc_id, b.doc_id, a.pfx, b.pfx
+  FROM p a JOIN p b ON a.blk2 = b.blk2 AND a.doc_id < b.doc_id
 )
-SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-       CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS lev
-FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id
-WHERE levenshtein(a.pfx, b.pfx) <= 2
+SELECT doc1, doc2, CAST(levenshtein(pa, pb) AS BIGINT) AS lev
+FROM cand WHERE levenshtein(pa, pb) <= 2
 """
 
 
@@ -1007,34 +1013,48 @@ WHERE levenshtein(a.pfx, b.pfx) <= 2
 def dedup_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EDIT-DISTANCE near-dup tier (blocked levenshtein join): document
     pairs whose 40-char prefixes are within edit distance 2, candidates
-    blocked on the 10-char prefix — the fuzzy-matching shape (typo-level
-    duplicates, OCR noise, near-identical headers) that the set-similarity
-    tiers (MinHash/SimHash/n-gram Jaccard) structurally miss, because a
-    single in-word edit changes every shingle that crosses it while edit
-    distance counts it once.
+    from TWO-PASS blocking (r8 verdict #7) — pairs sharing the first 10
+    chars OR the last 10 chars of the prefix — the fuzzy-matching shape
+    (typo-level duplicates, OCR noise, near-identical headers) that the
+    set-similarity tiers (MinHash/SimHash/n-gram Jaccard) structurally
+    miss, because a single in-word edit changes every shingle that
+    crosses it while edit distance counts it once.
 
-    Scale: the self-join is block-equi — pair work is Σ(block²), tuned by
-    the block prefix length exactly like LSH band width; levenshtein runs
-    only inside blocks and on fixed-length prefixes, so per-pair cost is
-    O(40²) constant.  A production blocker adds a length band and
-    multi-pass blocking keys (first/last k chars) for recall; the scoring
-    and threshold here are exact over whatever blocker feeds them.
-    Restricted to one language (en): blocking across scripts is
-    meaningless and byte-vs-codepoint edit-distance semantics stay
-    engine-identical on ASCII.
+    Recall: with disjoint head/tail blocks (prefix ≥ 20 chars) a single
+    edit can break at most one blocking key, so every 1-edit pair is
+    recalled; 2-edit pairs are recalled unless the edits split across
+    both blocks.  One honest residue remains: a length-CHANGING edit
+    (insert/delete) inside the head slides the fixed 40-char window, so
+    both keys move — head substitutions (the dominant typo/OCR case) are
+    what the tail pass recovers.  The production fix for the residue is a
+    length-banded block key, same union shape.
+
+    Scale: each pass is a block-equi self-join — pair work is Σ(block²)
+    per pass, tuned by block length exactly like LSH band width; the
+    union of scored pair lists dedups on the pair key (no cross-block
+    work), and levenshtein runs only inside blocks on fixed-length
+    prefixes, so per-pair cost is O(40²) constant.  Restricted to one
+    language (en): blocking across scripts is meaningless and
+    byte-vs-codepoint edit-distance semantics stay engine-identical on
+    ASCII.
     """
     d = load_table(spark, sf_dir, "documents").where(F.col("lang") == "en")
     p = d.select(
         "doc_id",
         F.substring("text", 1, 40).alias("pfx"),
-        F.substring("text", 1, 10).alias("blk"),
+        F.substring("text", 1, 10).alias("blk1"),
+        F.expr("right(substring(text, 1, 40), 10)").alias("blk2"),
     )
-    a = p.select(F.col("doc_id").alias("doc1"), F.col("pfx").alias("p1"), "blk")
-    b = p.select(F.col("doc_id").alias("doc2"), F.col("pfx").alias("p2"), "blk")
-    lev = F.levenshtein(F.col("p1"), F.col("p2"))
-    return (
-        a.join(b, "blk")
-        .where(F.col("doc1") < F.col("doc2"))
-        .select("doc1", "doc2", lev.cast("bigint").alias("lev"))
-        .where(F.col("lev") <= 2)
-    )
+
+    def _pass(blk: str) -> DataFrame:
+        a = p.select(F.col("doc_id").alias("doc1"), F.col("pfx").alias("p1"), blk)
+        b = p.select(F.col("doc_id").alias("doc2"), F.col("pfx").alias("p2"), blk)
+        lev = F.levenshtein(F.col("p1"), F.col("p2"))
+        return (
+            a.join(b, blk)
+            .where(F.col("doc1") < F.col("doc2"))
+            .select("doc1", "doc2", lev.cast("bigint").alias("lev"))
+            .where(F.col("lev") <= 2)
+        )
+
+    return _pass("blk1").union(_pass("blk2")).distinct()

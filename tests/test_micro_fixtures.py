@@ -281,3 +281,28 @@ def test_observed_qc_counters_match_result(spark):
     assert m["n_dup"] == sum(1 for r in rows if r["is_dup"])
     assert m["n_short"] == sum(1 for r in rows if r["too_short"])
     assert m["n_low_alpha"] == sum(1 for r in rows if r["low_alpha"])
+
+
+def test_fuzzy_two_pass_blocking_micro(spark):
+    """The r9 two-pass blocker: a HEAD substitution breaks the first-10
+    block but keeps the last-10-of-prefix block (recalled by pass 2); a
+    mid-prefix substitution keeps both (recalled once, dedup checked); a
+    2-edit pair split across both blocks is the documented residue."""
+    base = "0123456789abcdefghijklmnopqrstuvwxyzABCD"  # 40 chars
+    assert len(base) == 40
+    head_sub = "Z" + base[1:]                      # edit at char 1 (head)
+    mid_sub = base[:25] + "Q" + base[26:]          # edit at char 26 (neither block)
+    split = "Y" + base[1:34] + "X" + base[35:]     # edits in head AND tail
+    rows = [
+        (0, base + " padding beyond the prefix", "en"),
+        (1, head_sub + " padding beyond the prefix", "en"),
+        (2, mid_sub + " padding beyond the prefix", "en"),
+        (3, split + " padding beyond the prefix", "en"),
+        (4, "completely different text with no shared block at all", "en"),
+    ]
+    sf = _write_docs_fixture(rows, "fuzzy2pass")
+    got = {
+        (r["doc1"], r["doc2"]): r["lev"]
+        for r in QS["dedup_fuzzy_prefix_pairs"](spark, sf).collect()
+    }
+    assert got == {(0, 1): 1, (0, 2): 1, (1, 2): 2}
