@@ -345,7 +345,12 @@ def sc_pca_svd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def gram_project(e: DataFrame, k: int):
+#: gram_project refuses widths above this (8·d² ≈ 290 MB of driver Gram);
+#: svd_project is the matrix-free route past it.
+GRAM_MAX_D = 6000
+
+
+def gram_project(e: DataFrame, k: int, max_d: int = GRAM_MAX_D):
     """Mid-d PCA via the RELATIONAL Gram matrix — the Arrow-era
     alternative to ``svd_project``'s legacy-mllib route (whose per-row
     Python→JVM crossing is the one irreducible residue of the RowMatrix
@@ -357,8 +362,12 @@ def gram_project(e: DataFrame, k: int):
 
     Regime: driver memory is O(d²) (8·d² bytes — ~200 MB at d=5000), so
     this is the d ≲ 5·10³ path; ``svd_project`` (matrix-free ARPACK) takes
-    over beyond.  Compute is O(cells·d²) total, distributed, one shuffle
-    keyed on the (i, j) dimension pair (bounded d² cardinality).
+    over beyond.  The bound is MECHANICAL (r8 verdict #6): widths above
+    ``max_d`` (default ``GRAM_MAX_D`` = 6000, ~290 MB of Gram) raise
+    immediately — before any O(d²) work — naming ``svd_project`` as the
+    route, instead of documenting the limit only in prose.  Compute is
+    O(cells·d²) total, distributed, one shuffle keyed on the (i, j)
+    dimension pair (bounded d² cardinality).
 
     Returns ``(scores_df(vec_id, scores: array<double>), eigvals[k])``
     with eigenvalues descending (= squared singular values of centered X).
@@ -374,6 +383,13 @@ def gram_project(e: DataFrame, k: int):
     n = arr.count()
     mu_rows = coo.groupBy("i").agg(F.avg("x").alias("mu")).collect()  # O(d)
     d = max(int(r["i"]) for r in mu_rows) + 1
+    if d > max_d:
+        raise ValueError(
+            f"gram_project: matrix width d={d} exceeds max_d={max_d} — the "
+            f"d×d Gram collect would hold {8 * d * d / 1e9:.1f} GB on the "
+            f"driver.  Use svd_project (matrix-free ARPACK) for wide "
+            f"matrices, or raise max_d knowingly."
+        )
     mu = np.zeros(d)
     for r in mu_rows:
         mu[int(r["i"])] = float(r["mu"])

@@ -107,6 +107,23 @@ def test_gram_project_matches_numpy_and_svd(spark):
         assert abs(norm2 - want[i]) < 1e-8 * (1 + want[i])
 
 
+def test_gram_project_refuses_wide_matrices(spark):
+    """The O(d²) driver collect is a MECHANICAL regime bound (r8 verdict
+    #6): widths above max_d raise before any Gram work, naming
+    svd_project as the route."""
+    from single_cell_experiments_spark.operators.ml import gram_project
+
+    df = spark.createDataFrame(
+        [(0, [float(i) for i in range(12)]), (1, [float(i) for i in range(12)])],
+        "vec_id: long, embedding: array<double>",
+    )
+    with pytest.raises(ValueError, match="svd_project"):
+        gram_project(df, 2, max_d=8)
+    # at or under the bound it proceeds
+    scores, evals = gram_project(df, 2, max_d=12)
+    assert scores.count() == 2 and len(evals) == 2
+
+
 def test_minhash_dedup_pairs_valid(spark):
     from single_cell_experiments_spark.operators.ml import minhash_dedup_profile
 
