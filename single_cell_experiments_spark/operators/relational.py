@@ -177,6 +177,20 @@ def q3_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the customer scan with planner-chosen strategy (broadcast under
     the threshold, shuffle join at 100 TB where a 20 %-selectivity dim is
     not broadcastable).
+
+    Stage-count investigation (r8 verdict #5, measured r9, interleaved
+    A/B at sf0.1): the 4 stages are each load-bearing.  (a) Fusing the
+    top-k into the join stage via COALESCE(1) + a row_number window (the
+    q1 trick) removes the 10-row merge stage but serializes the join +
+    final agg into one task — median 531 ms vs 440 ms baseline in the
+    same process; the O(orderkeys) agg does not fit one thread even at
+    sf0.1.  (b) Co-partitioned REPARTITION(2) hints on both join inputs
+    shrink task count but insert explicit raw-row exchanges BELOW the
+    partial aggregation (median 556 ms) — the hint exchange defeats
+    map-side combine.  The 4th stage reads only partitions×10 pre-topk'd
+    rows, so its cost is pure dispatch; both "savings" trade that
+    dispatch for serial compute that is strictly larger.  4 stages is
+    the right plan at this scale and above.
     """
     orders = table_view(spark, sf_dir, "orders")
     li = table_view(spark, sf_dir, "lineitem")
