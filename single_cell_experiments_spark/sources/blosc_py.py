@@ -43,6 +43,12 @@ user's default store opens at all, decoded correctly, in a bare
 container.  The encoder emits spec-valid chunks (used by the Zarr write
 path and the roundtrip tests): zlib- or lz4-compressed splits (stored
 raw when compression doesn't win, exactly c-blosc's own fallback).
+
+Independence: beyond the encoder↔decoder property round-trips,
+``tests/test_blosc_vectors.py`` decodes HAND-ASSEMBLED containers and
+LZ4 token streams written straight from the format documents (with
+stdlib-zlib split streams), so a spec-reading error shared by both
+sides here would still be caught.
 """
 
 from __future__ import annotations
