@@ -805,6 +805,83 @@ def pagerank_edges(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     return ranks
 
 
+# --- communities on the near-dup graph (label propagation) -------------------
+
+DEDUP_LPA_ROUNDS = 6
+
+
+def _lpa_chain_sql(n_rounds: int) -> tuple[str, str]:
+    """Unrolled synchronous-LPA rounds as DuckDB CTEs over an ``edges``
+    (src, dst) CTE and an ``l0`` (id, lbl) CTE — shared by every
+    LPA-backed oracle (the PageRank-oracle pattern: every round
+    MATERIALIZED).  Returns (chain_sql, final_cte_name)."""
+    rounds = []
+    prev = "l0"
+    for i in range(1, n_rounds + 1):
+        rounds.append(f"""
+l{i} AS MATERIALIZED (
+  SELECT id, lbl FROM (
+    SELECT c.id, c.lbl,
+           row_number() OVER (PARTITION BY c.id ORDER BY c.c DESC, c.lbl ASC) AS rn
+    FROM (SELECT e.src AS id, l.lbl, COUNT(*) AS c
+          FROM edges e JOIN {prev} l ON l.id = e.dst
+          GROUP BY e.src, l.lbl) c
+  ) WHERE rn = 1
+)""")
+        prev = f"l{i}"
+    return ",".join(rounds), prev
+
+
+def _dedup_lpa_oracle() -> str:
+    chain, prev = _lpa_chain_sql(DEDUP_LPA_ROUNDS)
+    return f"""
+WITH pairs AS MATERIALIZED ({_minhash_sql(_DD_SHINGLES)}),
+edges AS MATERIALIZED (
+  SELECT doc1 AS src, doc2 AS dst FROM pairs
+  UNION SELECT doc2, doc1 FROM pairs
+  UNION SELECT doc1, doc1 FROM pairs
+  UNION SELECT doc2, doc2 FROM pairs
+),
+l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM edges),
+{chain}
+SELECT id AS doc_id, CAST(lbl AS BIGINT) AS community FROM {prev}
+"""
+
+
+@query(
+    "dedup_graph_communities",
+    oracle=_dedup_lpa_oracle(),
+    tags=("dedup", "graph", "clustering", "iterative"),
+)
+def dedup_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-structure communities over the MinHash near-dup graph —
+    the finer-than-components tier a curation pipeline uses to SPLIT
+    over-merged duplicate clusters: connected components
+    (``dedup_connected_components``) glue any two docs linked by a
+    single spurious LSH pair, while label propagation keeps densely
+    interlinked groups together and lets weakly-bridged ones keep their
+    own labels.  Same deterministic synchronous-LPA kernel as
+    ``sc_communities`` (smallest-label ties, self-vote damping, fixed
+    ``DEDUP_LPA_ROUNDS`` budget with sound early fixpoint exit), reused
+    over a different graph — see ``lpa_labels`` for the per-round scale
+    shape (node-keyed join + bounded per-node window, O(nodes) state).
+    """
+    from .singlecell import lpa_labels
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc1", "doc2")
+    edges = materialize(
+        pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
+        .union(pairs.select(F.col("doc2").alias("src"), F.col("doc1").alias("dst")))
+        .union(pairs.select(F.col("doc1").alias("src"), F.col("doc1").alias("dst")))
+        .union(pairs.select(F.col("doc2").alias("src"), F.col("doc2").alias("dst")))
+        .distinct()
+    )
+    labels = lpa_labels(edges, DEDUP_LPA_ROUNDS)
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("lbl").cast("bigint").alias("community")
+    )
+
+
 # --- MinHash estimator quality audit -----------------------------------------
 
 def _minhash_quality_sql(shingles_cte: str, intdiv: str) -> str:

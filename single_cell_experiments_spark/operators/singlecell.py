@@ -1187,23 +1187,11 @@ SC_LPA_ROUNDS = 6  # fixed sync-LPA round cap; oracle unrolls exactly this
 
 
 def _sc_lpa_oracle() -> str:
-    """Unrolled ``SC_LPA_ROUNDS``-round synchronous label propagation as
-    DuckDB CTEs (the PageRank-oracle pattern: every round MATERIALIZED so
-    the n² kNN scoring runs once, not once per round)."""
-    rounds = []
-    prev = "l0"
-    for i in range(1, SC_LPA_ROUNDS + 1):
-        rounds.append(f"""
-l{i} AS MATERIALIZED (
-  SELECT id, lbl FROM (
-    SELECT c.id, c.lbl,
-           row_number() OVER (PARTITION BY c.id ORDER BY c.c DESC, c.lbl ASC) AS rn
-    FROM (SELECT e.src AS id, l.lbl, COUNT(*) AS c
-          FROM edges e JOIN {prev} l ON l.id = e.dst
-          GROUP BY e.src, l.lbl) c
-  ) WHERE rn = 1
-)""")
-        prev = f"l{i}"
+    """kNN-graph LPA oracle: the shared round chain (dedup._lpa_chain_sql)
+    over the exact-kNN edge CTE."""
+    from .dedup import _lpa_chain_sql
+
+    chain, prev = _lpa_chain_sql(SC_LPA_ROUNDS)
     return f"""
 WITH knn AS MATERIALIZED ({_SC_NEIGHBORS_ORACLE}),
 edges AS MATERIALIZED (
@@ -1214,7 +1202,7 @@ edges AS MATERIALIZED (
   SELECT DISTINCT vec_id, vec_id FROM knn
 ),
 l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM edges),
-{",".join(rounds)}
+{chain}
 SELECT id AS vec_id, CAST(lbl AS BIGINT) AS community FROM {prev}
 """
 

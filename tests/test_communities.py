@@ -107,3 +107,24 @@ def test_sc_communities_on_real_graph_converges(spark):
     assert lpa_labels.converged, "LPA did not reach a fixpoint on the kNN graph"
     ncomm = len({r.community for r in rows})
     assert 1 <= ncomm < n
+
+
+def test_dedup_communities_refine_components(spark):
+    """Labels only propagate along edges, so every LPA community must lie
+    inside ONE connected component (communities refine, never merge,
+    components) — and LPA can only produce at least as many groups."""
+    from collections import defaultdict
+
+    from single_cell_experiments_spark.operators.dedup import (
+        dedup_connected_components,
+        dedup_graph_communities,
+    )
+
+    comm = {r.doc_id: r.community for r in dedup_graph_communities(spark, SF_DIR).collect()}
+    comp = {r.doc_id: r.component_id for r in dedup_connected_components(spark, SF_DIR).collect()}
+    assert set(comm) == set(comp)
+    spread = defaultdict(set)
+    for d, lbl in comm.items():
+        spread[lbl].add(comp[d])
+    assert all(len(v) == 1 for v in spread.values())
+    assert len(set(comm.values())) >= len(set(comp.values()))
