@@ -56,7 +56,85 @@ def synthesize(spark, src_dir: str, out_dir: str, k: int) -> None:
         wide.drop("__copy").write.mode("overwrite").parquet(dst)
 
 
+def communities_stress(spark, src_dir: str, out_dir: str, k: int) -> dict:
+    """Opt-in (``--communities``): the graph pipeline at k× embeddings —
+    IVF coarse assignment → bucket-restricted kNN edges → symmetrize →
+    synchronous LPA to fixpoint.  Exact kNN is O(n²) and deliberately NOT
+    run here (k×2000 rows → billions of pairs); the IVF candidate
+    generator is the documented scale path and this measures exactly it,
+    plus the per-round LPA join/window loop, at a size where the work —
+    not the dispatch floor — dominates.  Embedding copies are key-shifted
+    like the fact tables; vectors repeat, which only densifies buckets
+    (the hard direction for Σ(cell²) work).
+    """
+    import numpy as np  # noqa: F401  (parity with engine deps)
+    from pyspark.sql import functions as F
+
+    from single_cell_experiments_spark.operators.singlecell import (
+        lpa_labels,
+        sc_ivf_cells,
+        sc_neighbor_edges,
+    )
+
+    dst = os.path.join(out_dir, "embeddings.parquet")
+    if not os.path.exists(dst):
+        df = spark.read.parquet(os.path.join(src_dir, "embeddings.parquet"))
+        copies = spark.range(k).withColumnRenamed("id", "__copy")
+        wide = df.crossJoin(copies).withColumn(
+            "vec_id", F.col("vec_id") + F.col("__copy") * 1_000_000
+        )
+        wide.drop("__copy").write.mode("overwrite").parquet(dst)
+
+    t0 = time.perf_counter()
+    cells = sc_ivf_cells(spark, out_dir)
+    cells.count()
+    t_index = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    knn = sc_neighbor_edges(spark, out_dir, cells=cells).select("vec_id", "nbr")
+    sym = (
+        knn.select(F.col("vec_id").alias("src"), F.col("nbr").alias("dst"))
+        .union(knn.select(F.col("nbr").alias("src"), F.col("vec_id").alias("dst")))
+        .union(knn.select(F.col("vec_id").alias("src"), F.col("vec_id").alias("dst")))
+        .distinct()
+    )
+    from single_cell_experiments_spark.session import materialize
+
+    edges = materialize(sym)
+    n_edges = edges.count()
+    t_edges = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    labels = lpa_labels(edges, max_rounds=10)
+    n_nodes = labels.count()
+    n_comm = labels.select("lbl").distinct().count()
+    t_lpa = time.perf_counter() - t0
+
+    return {
+        "nodes": n_nodes,
+        "edges": n_edges,
+        "communities": n_comm,
+        "lpa_rounds": lpa_labels.last_rounds,
+        "lpa_converged": lpa_labels.converged,
+        "ivf_index_sec": round(t_index, 3),
+        "knn_edges_sec": round(t_edges, 3),
+        "lpa_sec": round(t_lpa, 3),
+        "lpa_sec_per_round": round(t_lpa / max(1, lpa_labels.last_rounds), 3),
+    }
+
+
 def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if "--communities" in sys.argv:
+        k = int(args[0]) if args else 20
+        src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        out = f"/tmp/sce_stress_x{k}"
+        from single_cell_experiments_spark.session import get_spark
+
+        spark = get_spark(app_name="sce-communities-stress")
+        os.makedirs(out, exist_ok=True)
+        print(json.dumps({"multiplier": k, **communities_stress(spark, src, out, k)}))
+        return 0
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out = f"/tmp/sce_stress_x{k}"
