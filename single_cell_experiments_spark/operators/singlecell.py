@@ -1037,8 +1037,7 @@ def sc_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SC_IVF_RECALL_ORACLE = f"""
-WITH coo AS MATERIALIZED ({_DD_COO.replace("SELECT vec_id,", "SELECT vec_id, label,")}),
+_SC_IVF_CHAIN = f"""coo AS MATERIALIZED ({_DD_COO.replace("SELECT vec_id,", "SELECT vec_id, label,")}),
 centroids AS MATERIALIZED (
   SELECT label, pos,
          round(CAST(SUM(CAST(round(v, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS c6
@@ -1065,17 +1064,26 @@ assign AS MATERIALIZED (
     GROUP BY c.vec_id, ct.label
   ) d JOIN vnorm USING (vec_id) JOIN cnorm USING (label)
 ),
-cells AS MATERIALIZED (SELECT vec_id, cell FROM assign WHERE rn = 1),
+cells AS MATERIALIZED (SELECT vec_id, cell FROM assign WHERE rn = 1)"""
+
+
+def _ivf_recall_select(tbl: str) -> str:
+    return f"""
 exact AS MATERIALIZED ({_SC_NEIGHBORS_ORACLE})
 SELECT e.vec_id,
        CAST(SUM(CASE WHEN ca.cell = cb.cell THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
        CAST(SUM(CASE WHEN ca.cell = cb.cell THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
             AS BIGINT) AS recall_micro
 FROM exact e
-JOIN cells ca ON ca.vec_id = e.vec_id
-JOIN cells cb ON cb.vec_id = e.nbr
+JOIN {tbl} ca ON ca.vec_id = e.vec_id
+JOIN {tbl} cb ON cb.vec_id = e.nbr
 GROUP BY e.vec_id
 """
+
+
+_SC_IVF_RECALL_ORACLE = f"""
+WITH {_SC_IVF_CHAIN},
+{_ivf_recall_select("cells")}"""
 
 
 @query(
@@ -1098,8 +1106,16 @@ def sc_neighbors_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment — recall costs nothing beyond the baseline.  Recall rides
     integer micro-units for engine-stable hashing.
     """
+    return _ivf_recall_frame(spark, sf_dir, sc_ivf_cells(spark, sf_dir))
+
+
+def _ivf_recall_frame(
+    spark: SparkSession, sf_dir: str, cells: DataFrame
+) -> DataFrame:
+    """Shared recall audit body: exact-graph hits against any
+    ``(vec_id, cell)`` candidate-generator assignment."""
     exact = sc_neighbor_edges(spark, sf_dir)
-    cells = materialize(sc_ivf_cells(spark, sf_dir))
+    cells = materialize(cells)
     ca = cells.select("vec_id", F.col("cell").alias("cell_a"))
     cb = cells.select(F.col("vec_id").alias("nbr"), F.col("cell").alias("cell_b"))
     joined = exact.join(ca, "vec_id").join(cb, "nbr")
@@ -1110,6 +1126,94 @@ def sc_neighbors_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(CASE WHEN cell_a = cell_b THEN 1 ELSE 0 END) * 1000000"
             " div COUNT(*) AS BIGINT)"
         ).alias("recall_micro"),
+    )
+
+
+SC_IVF_FINE_BITS = 3  # sign bits per label-cell → labels · 2^bits cells
+
+
+def sc_ivf_cells_fine(
+    spark: SparkSession, sf_dir: str, bits: int = SC_IVF_FINE_BITS
+) -> DataFrame:
+    """Finer deterministic IVF quantizer — the nlist ∝ √n answer to the
+    Σ(cell²) growth the 20× stress measured (SCALE.md §9: a FIXED
+    10-cell assignment scores 160M pairs at 40k rows): each label cell
+    is split by ``bits`` sign bits — element d of the vector vs element
+    d of its OWN cell centroid, d = 1..bits — giving labels·2^bits cells
+    from pure seed-free arithmetic (still oracle-mirrorable, unlike a
+    sampled k-means codebook).  Balanced by construction to first order:
+    each split dimension compares against the within-cell mean.
+
+    Scale: the bit computation is one broadcast join against the
+    O(labels·bits) centroid slice over the pos ≤ bits COO rows — nothing
+    new shuffles; downstream pair work drops ~2^bits per level.  Recall
+    falls as cells shrink (nprobe=1): ``sc_ivf_fine_recall`` measures
+    exactly that trade, and every fine cell refines a coarse cell
+    (cell_fine div 2^bits == cell_coarse), so fine recall ≤ coarse
+    recall per vector — asserted in tests.
+    """
+    base = sc_ivf_cells(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    c = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "v32")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("v32").cast("double").alias("v"),
+    )
+    centroids = c.groupBy("label", "pos").agg(
+        F.round(F.sum(stat6("v")).cast("double") / F.count(F.lit(1)), 6).alias("c6")
+    )
+    bitc = centroids.where(F.col("pos") <= bits).select(
+        F.col("label").alias("cell"), "pos", "c6"
+    )
+    co = coo(spark, sf_dir).where(F.col("pos") <= bits)
+    mask = F.sum(
+        F.when(F.col("v") > F.col("c6"), F.expr("shiftleft(1, pos - 1)")).otherwise(0)
+    )
+    return (
+        base.join(co, "vec_id")
+        .join(F.broadcast(bitc), ["cell", "pos"])
+        .groupBy("vec_id", "cell")
+        .agg(mask.alias("mask"))
+        .select(
+            "vec_id",
+            (F.col("cell") * (1 << bits) + F.col("mask")).cast("bigint").alias("cell"),
+        )
+    )
+
+
+_SC_IVF_FINE_RECALL_ORACLE = f"""
+WITH {_SC_IVF_CHAIN},
+fine AS MATERIALIZED (
+  SELECT cl.vec_id,
+         CAST(cl.cell * {1 << SC_IVF_FINE_BITS} + SUM(
+           CASE WHEN c.v > ct.c6
+                THEN (CASE c.pos WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 4 END)
+                ELSE 0 END) AS BIGINT) AS cell
+  FROM cells cl
+  JOIN coo c ON c.vec_id = cl.vec_id AND c.pos <= {SC_IVF_FINE_BITS}
+  JOIN centroids ct ON ct.label = cl.cell AND ct.pos = c.pos
+  GROUP BY cl.vec_id, cl.cell
+),
+{_ivf_recall_select("fine")}"""
+
+
+@query(
+    "sc_ivf_fine_recall",
+    oracle=_SC_IVF_FINE_RECALL_ORACLE,
+    tags=("singlecell", "knn", "ivf", "eval"),
+)
+def sc_ivf_fine_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit for the FINE quantizer (``sc_ivf_cells_fine``):
+    the same exact-graph measurement as ``sc_neighbors_ivf_recall``, so
+    the two registered rows together quantify the recall-vs-Σ(cell²)
+    trade that picking nlist at scale is about — the honest companion to
+    the 20× finding that a fixed 10-cell codebook stops scaling
+    (SCALE.md §9)."""
+    return _ivf_recall_frame(
+        spark, sf_dir, sc_ivf_cells_fine(spark, sf_dir, SC_IVF_FINE_BITS)
     )
 
 

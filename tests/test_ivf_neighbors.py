@@ -61,3 +61,31 @@ def test_annframe_neighbors_accepts_cells_generator(spark):
         per_query.setdefault(int(r["row_id"]), []).append(int(r["rk"]))
     for v, rks in per_query.items():
         assert sorted(rks) == list(range(1, len(rks) + 1)), v
+
+
+def test_fine_cells_refine_coarse_and_recall_is_monotone(spark):
+    """sc_ivf_cells_fine: (a) every fine cell refines its coarse cell
+    (cell_fine div 2^bits == cell_coarse), (b) the quantizer genuinely
+    splits (more distinct cells than coarse), (c) per-vector recall of
+    the fine generator never exceeds the coarse generator's."""
+    from single_cell_experiments_spark.operators.singlecell import (
+        SC_IVF_FINE_BITS,
+        sc_ivf_cells_fine,
+        sc_ivf_fine_recall,
+        sc_neighbors_ivf_recall,
+    )
+
+    coarse = {int(r.vec_id): int(r.cell) for r in sc_ivf_cells(spark, SF_DIR).collect()}
+    fine = {
+        int(r.vec_id): int(r.cell)
+        for r in sc_ivf_cells_fine(spark, SF_DIR).collect()
+    }
+    assert set(fine) == set(coarse)
+    scale = 1 << SC_IVF_FINE_BITS
+    assert all(fine[v] // scale == coarse[v] for v in fine)
+    assert len(set(fine.values())) > len(set(coarse.values()))
+
+    rc = {int(r.vec_id): int(r.n_hit) for r in sc_neighbors_ivf_recall(spark, SF_DIR).collect()}
+    rf = {int(r.vec_id): int(r.n_hit) for r in sc_ivf_fine_recall(spark, SF_DIR).collect()}
+    assert set(rf) == set(rc)
+    assert all(rf[v] <= rc[v] for v in rf)

@@ -67,12 +67,14 @@ def communities_stress(spark, src_dir: str, out_dir: str, k: int) -> dict:
     like the fact tables; vectors repeat, which only densifies buckets
     (the hard direction for Σ(cell²) work).
     """
-    import numpy as np  # noqa: F401  (parity with engine deps)
+    import math
+
     from pyspark.sql import functions as F
 
     from single_cell_experiments_spark.operators.singlecell import (
+        SC_IVF_FINE_BITS,
         lpa_labels,
-        sc_ivf_cells,
+        sc_ivf_cells_fine,
         sc_neighbor_edges,
     )
 
@@ -85,10 +87,18 @@ def communities_stress(spark, src_dir: str, out_dir: str, k: int) -> dict:
         )
         wide.drop("__copy").write.mode("overwrite").parquet(dst)
 
+    # nlist ∝ √n (SCALE.md §9): split the 10 label cells with enough sign
+    # bits that cell count ≈ √n — the geometric fix the 20× run showed a
+    # FIXED 10-cell codebook needs (160M scored pairs at 40k rows).
+    n_rows = spark.read.parquet(dst).count()
+    bits = max(
+        SC_IVF_FINE_BITS, min(8, math.ceil(math.log2(max(1.0, (n_rows**0.5) / 10))))
+    )
     t0 = time.perf_counter()
-    cells = sc_ivf_cells(spark, out_dir)
+    cells = sc_ivf_cells_fine(spark, out_dir, bits=bits)
     cells.count()
     t_index = time.perf_counter() - t0
+    n_cells = cells.select("cell").distinct().count()
 
     t0 = time.perf_counter()
     knn = sc_neighbor_edges(spark, out_dir, cells=cells).select("vec_id", "nbr")
@@ -111,6 +121,8 @@ def communities_stress(spark, src_dir: str, out_dir: str, k: int) -> dict:
     t_lpa = time.perf_counter() - t0
 
     return {
+        "quantizer_bits": bits,
+        "quantizer_cells": n_cells,
         "nodes": n_nodes,
         "edges": n_edges,
         "communities": n_comm,
