@@ -634,6 +634,34 @@ class AnnFrame:
             F.col("doc_id").alias("row_id"), F.col("component_id").alias("cluster_id")
         )
 
+    def communities(
+        self, k: int, rounds: int | None = None, cells: DataFrame | None = None
+    ) -> DataFrame:
+        """Scanpy ``tl.louvain``/``tl.leiden`` slot — deterministic
+        synchronous label propagation over the symmetrized kNN graph of
+        this matrix with self-vote damping → ``(row_id, community)``,
+        every cell labeled (unlike ``clusters``, which keeps only
+        mutual-neighbor pairs).  ``cells`` plugs a coarse candidate
+        generator into the kNN step exactly as in ``neighbors``.  See
+        ``operators.singlecell.sc_communities`` for the determinism
+        rationale and the unrolled-round oracle twin, and
+        ``lpa_labels`` for the per-round scale contract."""
+        from .operators.singlecell import SC_LPA_ROUNDS, lpa_labels
+
+        knn = self.neighbors(k, cells=cells).select("row_id", "nbr")
+        sym = (
+            knn.select(F.col("row_id").alias("src"), F.col("nbr").alias("dst"))
+            .union(knn.select(F.col("nbr").alias("src"), F.col("row_id").alias("dst")))
+            .union(knn.select(F.col("row_id").alias("src"), F.col("row_id").alias("dst")))
+            .distinct()
+        )
+        from .session import materialize
+
+        labels = lpa_labels(materialize(sym), rounds or SC_LPA_ROUNDS)
+        return labels.select(
+            F.col("id").alias("row_id"), F.col("lbl").cast("bigint").alias("community")
+        )
+
     # ---- the flagship composition -------------------------------------------
 
     def recipe_zheng17(

@@ -369,6 +369,29 @@ def test_clusters_matches_registered_kernel(spark):
     assert agree >= 0.98 * len(common)
 
 
+def test_communities_matches_registered_kernel(spark):
+    """AnnFrame.communities (the tl.louvain-slot chain) must agree with
+    the registered sc_communities kernel; raw-vs-rounded distance ties
+    may flip a few edge memberships, so the bar is the clusters-test
+    tolerance (measured 1.0 agreement at sf0.001)."""
+    from single_cell_experiments_spark.operators.singlecell import (
+        SC_NEIGHBORS_K,
+        sc_communities,
+    )
+
+    api = {
+        int(r["row_id"]): int(r["community"])
+        for r in _af(spark).communities(SC_NEIGHBORS_K).collect()
+    }
+    reg = {
+        int(r["vec_id"]): int(r["community"])
+        for r in sc_communities(spark, SF_DIR).collect()
+    }
+    assert set(api) == set(reg)
+    agree = sum(1 for n in api if api[n] == reg[n])
+    assert agree >= 0.98 * len(api)
+
+
 def test_from_coo_densifies_csc_store(spark, tmp_path):
     """from_coo (the container-agnostic half of from_10x): a sparse CSC
     store ingested through ingest_csc densifies to the exact matrix,
