@@ -1243,6 +1243,74 @@ def rolling_1h_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- exponentially-weighted moving average (dyadic-exact) ---------------------
+
+_EWMA_LAGS = 8  # trailing window length; alpha = 1/2 → weights 2^-j
+
+
+def _ewma_terms() -> tuple[str, str]:
+    """Numerator/denominator SQL for a trailing-``_EWMA_LAGS`` EWMA with
+    alpha = 1/2, scaled by 2^(LAGS-1) so every term is an INTEGER: the
+    weight of lag j is 2^(LAGS-1-j).  Ragged partition heads weight only
+    the rows that exist (the denominator mirrors the CASE structure)."""
+    s_terms, d_terms = [], []
+    for j in range(_EWMA_LAGS):
+        wt = 1 << (_EWMA_LAGS - 1 - j)
+        if j == 0:
+            s_terms.append(f"v6 * {wt}")
+            d_terms.append(f"{wt}")
+        else:
+            ref = f"lag(v6, {j}) OVER w"
+            s_terms.append(f"COALESCE({ref}, 0) * {wt}")
+            d_terms.append(f"CASE WHEN {ref} IS NOT NULL THEN {wt} ELSE 0 END")
+    return " + ".join(s_terms), " + ".join(d_terms)
+
+
+def _ewma_sql(ts_expr: str, table: str, micros_expr: str) -> str:
+    s, d = _ewma_terms()
+    return f"""
+SELECT user_id, event_id,
+       round(CAST({s} AS DOUBLE) / ({d}) / 1000000.0, 6) AS ewma
+FROM (SELECT user_id, event_id, {ts_expr} AS t_s,
+             CAST({micros_expr} AS BIGINT) AS v6
+      FROM {table})
+WINDOW w AS (PARTITION BY user_id ORDER BY t_s, event_id)
+"""
+
+
+_EWMA_ORACLE = _ewma_sql(
+    _DD_TS_S, "events", "FLOOR(value * 1000000.0 + 0.5)"
+)
+
+
+@query("ewma_user_value", oracle=_EWMA_ORACLE, tags=("relational", "window", "timeseries"))
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing exponentially-weighted moving average of
+    ``value`` (alpha = 1/2 over the last 8 events per user) — the
+    smoothing feature fraud/abuse scoring and time-series models want
+    next to the linear rolling window (``rolling_1h_user_events``).
+
+    EWMA is not frame-SUM-expressible (weights depend on distance from
+    the current row), so the op expands the 8 ``lag`` terms explicitly —
+    all over ONE window spec, so Spark plans a single Window operator on
+    a single ``user_id`` exchange.  Exactness: values ride the FLOOR
+    micros path (tie-safe on this column — the r9 proof in
+    streaming/batch_equiv.py), weights are the dyadic ladder 2^(7-j)
+    scaled integer, so numerator and denominator are exact BIGINTs
+    (≤ 2^50) in any evaluation order; the single final double division +
+    round(6) is bit-identical across engines.  Ragged heads (fewer than
+    8 prior events) renormalize over the rows that exist — the standard
+    adjusted-EWMA convention.
+
+    Scale: one keyed exchange, O(1) state per row (8 lag slots), no
+    frame re-scan — the same two-pointer cost class as the RANGE window.
+    """
+    e = table_view(spark, sf_dir, "events")
+    return spark.sql(
+        _ewma_sql("ts_s", e, "FLOOR(value * 1000000.0D + 0.5D)")
+    )
+
+
 # --- incremental aggregate maintenance ---------------------------------------
 
 _INCR_ORACLE = f"""

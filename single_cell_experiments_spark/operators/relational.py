@@ -785,6 +785,46 @@ def agg_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NTILE_SQL = """
+WITH spend AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spent
+  FROM {orders} GROUP BY o_custkey
+)
+SELECT c_custkey, spent,
+       CAST(NTILE(4) OVER (ORDER BY spent DESC, c_custkey) AS BIGINT) AS quartile,
+       CAST(NTILE(10) OVER (ORDER BY spent DESC, c_custkey) AS BIGINT) AS decile
+FROM spend
+"""
+
+
+@query(
+    "ntile_customer_spend",
+    oracle=_NTILE_SQL.format(orders="orders"),
+    tags=("relational", "window", "binning"),
+)
+def ntile_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH customer value binning: exact NTILE quartiles and
+    deciles of per-customer spend — the complement to the equi-WIDTH
+    ``histogram_event_values`` (same bucket-profile family, opposite
+    bucketing rule), and the standard "value tier" feature ML pipelines
+    attach to entities.  Both NTILEs share one window spec (one sort);
+    the (spent DESC, custkey) tie-break makes the bin edges
+    deterministic, and NTILE's remainder rule (first ``n mod k`` bins
+    get the extra row) is identical in Spark and DuckDB.
+
+    Scale note: exact global NTILE requires a single-partition sort of
+    the ENTITY table (customers — already 5-6 orders of magnitude
+    smaller than the fact table it aggregates).  When even the entity
+    table is too large, the same feature becomes approx-percentile cut
+    points broadcast-joined as range predicates (the
+    ``approx_percentiles_scale`` posture); the window form here is the
+    exact semantics that swap is measured against.
+    """
+    o = table_view(spark, sf_dir, "orders")
+    return spark.sql(_NTILE_SQL.format(orders=o))
+
+
 #: GK-sketch percentile values are engine-specific, but the sketch's
 #: guarantee is not: with accuracy a the returned value's RANK is within
 #: n/a of the target rank, so the value must lie between the exact

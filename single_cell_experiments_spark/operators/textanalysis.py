@@ -339,6 +339,60 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("WITH " + _tfidf_base(_SP_TOKS) + _TFIDF_CORPUS_TAIL)
 
 
+_SPARSE_COS_TAIL = """
+, pruned AS (
+  SELECT t.doc_id, t.w,
+         round(t.tf * ln((SELECT n FROM n_docs) / d.df), 6) AS wgt
+  FROM tf t JOIN df d ON d.w = t.w
+  WHERE d.df >= 2 AND d.df * 10 <= (SELECT CAST(n AS BIGINT) FROM n_docs)
+),
+norms AS (
+  SELECT doc_id, CAST(SUM(CAST(round(wgt * wgt, 6) AS DECIMAL(18,6))) AS DOUBLE) AS n2
+  FROM pruned GROUP BY doc_id
+),
+dots AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         CAST(SUM(CAST(round(a.wgt * b.wgt, 6) AS DECIMAL(18,6))) AS DOUBLE) AS dot
+  FROM pruned a JOIN pruned b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc1, doc2, round(dot / sqrt(n1.n2 * n2.n2), 6) AS cos
+FROM dots JOIN norms n1 ON n1.doc_id = dots.doc1
+          JOIN norms n2 ON n2.doc_id = dots.doc2
+WHERE round(dot / sqrt(n1.n2 * n2.n2), 6) >= 0.35
+"""
+
+
+@query(
+    "sparse_cosine_pairs_tfidf",
+    oracle="WITH " + _tfidf_base(_DD_TOKS) + _SPARSE_COS_TAIL,
+    tags=("text", "tfidf", "similarity", "dedup"),
+)
+def sparse_cosine_pairs_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs SPARSE cosine similarity over TF-IDF vectors via an
+    inverted-index join (the Bayardo et al. 2007 all-pairs shape) — the
+    lexical-similarity tier between n-gram Jaccard and dense embedding
+    cosine: pairs never materialize as vectors; per-term partial
+    products flow from a posting-list self-join keyed on the TERM and
+    aggregate per doc pair.
+
+    Scale: the df prune (2 ≤ df ≤ 10% of docs) is the whole game — it
+    drops hapax terms (cannot pair) and ubiquitous terms (stopword-like,
+    near-zero idf, quadratic posting lists), bounding pair work by
+    Σ(df²) over the surviving vocabulary, exactly the LSH-class Σ(block²)
+    bound; at 100 TB the published refinements (prefix filtering,
+    threshold-aware term ordering) narrow it further without changing
+    this plan shape.  Exactness: weights are 6-dp-rounded before any
+    cross-row arithmetic, partial products re-round to 6 dp and sum on
+    the decimal path, and the final cosine division/round is a fixed
+    expression on bit-identical doubles — the threshold compares the
+    ROUNDED value so no boundary tie can split the engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    return spark.sql("WITH " + _tfidf_base(_SP_TOKS) + _SPARSE_COS_TAIL)
+
+
 _TFIDF_DOC_TAIL = """
 , scored AS (
   SELECT t.doc_id, t.w AS term, t.tf,
