@@ -1311,6 +1311,103 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- event-type transition matrix (sequence mining) ---------------------------
+
+
+def _transitions_sql(ts_expr: str, table: str, intdiv: str) -> str:
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY {ts_expr}, event_id) AS prev_type
+  FROM {table}
+)
+SELECT prev_type, event_type AS next_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) * 1000000 {intdiv} SUM(COUNT(*)) OVER (PARTITION BY prev_type)
+            AS BIGINT) AS p_micro
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+
+@query(
+    "event_type_transitions",
+    oracle=_transitions_sql(_DD_TS_S, "events", "//"),
+    tags=("relational", "window", "sequence"),
+)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: for each ordered pair of
+    consecutive event types within a user's stream, the transition count
+    and its row-probability in integer micro-units — the Markov-chain
+    summary behind next-action prediction, anomaly scoring, and funnel
+    diagnostics (``funnel_conversion`` matches one fixed path; this
+    measures ALL empirical transitions at once).
+
+    Scale: one ``user_id``-keyed exchange for the lag, a bounded
+    (|types|²) aggregation, and a window over the aggregate output keyed
+    on prev_type — every post-lag structure is O(|vocabulary|²), corpus
+    size only pays the single lag pass.  Probabilities ride exact
+    integer division so the hash is partition-order-free.
+    """
+    e = table_view(spark, sf_dir, "events")
+    return spark.sql(_transitions_sql("ts_s", e, "div"))
+
+
+# --- order-insensitive table integrity checksum --------------------------------
+
+_CHECKSUM_MOD = 2_147_483_647  # 2^31 - 1 (Mersenne prime, no bias on % mixes)
+
+
+def _integrity_sql(table: str) -> str:
+    """Deterministic cross-engine row hash: polynomial mix of the keyed
+    numeric columns, each first reduced mod 2^31 so every product stays
+    far under 2^63 in BOTH engines (DuckDB errors on int64 overflow
+    where Spark wraps — the LCG lesson)."""
+    row_h = (
+        f"(((o_orderkey % 2147483648) * 31"
+        f" + (o_custkey % 2147483648) * 17"
+        f" + (CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) % 2147483648) * 7)"
+        f" % {_CHECKSUM_MOD})"
+    )
+    return f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(CAST(SUM(CAST({row_h} AS DECIMAL(28,0))) AS DECIMAL(28,0))
+            % {_CHECKSUM_MOD} AS BIGINT) AS checksum
+FROM {table}
+GROUP BY o_orderstatus
+"""
+
+
+@query(
+    "integrity_checksum_orders",
+    oracle=_integrity_sql("orders"),
+    tags=("relational", "integrity", "pipeline"),
+)
+def integrity_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive per-partition table fingerprint — the
+    replication/migration validation primitive (compare source and
+    target checksums per status partition instead of shipping rows; a
+    mismatch names the slice to re-sync).  The row hash is a polynomial
+    mix of key and money columns (cents via the proven FLOOR path), each
+    reduced mod 2^31 BEFORE multiplying so the arithmetic is exact
+    int64 in both engines; the cross-row SUM is order-insensitive by
+    construction and carried as DECIMAL(28,0) (a long sum could overflow
+    at 100 TB row counts — decimal is exact and still map-side
+    combinable), then reduced mod 2^31−1 to a BIGINT for the emitted
+    fingerprint (decimal render formats differ across engines; the mod
+    loses no comparison power — unequal sums collide with probability
+    ~2^-31 per slice, same as any fingerprint).
+
+    Scale: one scan, partial+final agg on a bounded key — the cheapest
+    possible full-table pass; at 100 TB this is the op you run AFTER a
+    migration, not a constraint you hope held.
+    """
+    o = table_view(spark, sf_dir, "orders")
+    return spark.sql(_integrity_sql(o))
+
+
 # --- incremental aggregate maintenance ---------------------------------------
 
 _INCR_ORACLE = f"""

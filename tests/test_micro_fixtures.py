@@ -306,3 +306,21 @@ def test_fuzzy_two_pass_blocking_micro(spark):
         for r in QS["dedup_fuzzy_prefix_pairs"](spark, sf).collect()
     }
     assert got == {(0, 1): 1, (0, 2): 1, (1, 2): 2}
+
+
+def test_ewma_micro_hand_computed(spark):
+    """Dyadic-exact EWMA on a 3-row stream: weights 2^-j over trailing
+    rows with ragged-head renormalization — 1.0, 320/192, 672/224."""
+    from single_cell_experiments_spark.operators.advanced import _ewma_sql
+
+    spark.createDataFrame(
+        [(1, 1, 10, 1.0), (1, 2, 20, 2.0), (1, 3, 30, 4.0)],
+        "user_id int, event_id int, ts_s long, value double",
+    ).createOrReplaceTempView("ewma_micro")
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in spark.sql(
+            _ewma_sql("ts_s", "ewma_micro", "FLOOR(value * 1000000.0D + 0.5D)")
+        ).collect()
+    }
+    assert got == {1: 1.0, 2: round(320 / 192, 6), 3: 3.0}
