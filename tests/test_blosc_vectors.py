@@ -128,3 +128,70 @@ def test_blosc_memcpyed_chunk():
     data = b"\x01\x02\x03\x04" * 8
     header = struct.pack("<BBBBIII", 2, 1, 0x2, 4, len(data), len(data), 16 + len(data))
     assert decompress(header + data) == data
+
+
+# ---- encoder spec end-conditions (independent token-stream parser) --------
+
+
+def _parse_lz4_sequences(comp: bytes) -> list[dict]:
+    """Minimal independent LZ4 sequence parser (structure only): returns
+    [{lit_len, match_len|None, offset|None}] — written against the block
+    format document, used to verify what the ENCODER emits, not to
+    decode."""
+    seqs, i, n = [], 0, len(comp)
+    while i < n:
+        token = comp[i]
+        i += 1
+        ll = token >> 4
+        if ll == 15:
+            while True:
+                b = comp[i]
+                i += 1
+                ll += b
+                if b != 255:
+                    break
+        i += ll
+        if i >= n:
+            seqs.append({"lit": ll, "match": None, "off": None})
+            break
+        off = comp[i] | (comp[i + 1] << 8)
+        i += 2
+        ml = token & 0xF
+        if ml == 15:
+            while True:
+                b = comp[i]
+                i += 1
+                ml += b
+                if b != 255:
+                    break
+        seqs.append({"lit": ll, "match": ml + 4, "off": off})
+    return seqs
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_lz4_encoder_respects_spec_end_conditions(seed):
+    """Interoperability contract of the greedy encoder (what reference
+    decoders require of a conformant block): the stream ends with a
+    literal-only sequence of >= 5 literals, every match starts at least
+    12 bytes before the input end, and offsets never exceed the
+    already-decoded length."""
+    from single_cell_experiments_spark.sources.blosc_py import lz4_block_compress
+
+    rng = np.random.default_rng(seed)
+    # compressible structure + random tail so matches genuinely occur
+    data = (
+        rng.integers(0, 4, 600, dtype=np.uint8).tobytes() * 3
+        + rng.integers(0, 256, 100, dtype=np.uint8).tobytes()
+    )
+    seqs = _parse_lz4_sequences(lz4_block_compress(data))
+    assert any(s["match"] is not None for s in seqs), "no matches to check"
+    last = seqs[-1]
+    assert last["match"] is None and last["lit"] >= 5
+    pos = 0
+    for s in seqs:
+        pos += s["lit"]
+        if s["match"] is not None:
+            assert pos + 12 <= len(data), "match starts inside the last 12 bytes"
+            assert 0 < s["off"] <= pos
+            pos += s["match"]
+    assert pos == len(data)
