@@ -657,7 +657,11 @@ class AnnFrame:
         )
         from .session import materialize
 
-        labels = lpa_labels(materialize(sym), rounds or SC_LPA_ROUNDS)
+        if rounds is not None and rounds < 1:
+            raise ValueError(f"communities: rounds must be >= 1, got {rounds}")
+        labels = lpa_labels(
+            materialize(sym), SC_LPA_ROUNDS if rounds is None else rounds
+        )
         return labels.select(
             F.col("id").alias("row_id"), F.col("lbl").cast("bigint").alias("community")
         )

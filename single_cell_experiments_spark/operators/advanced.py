@@ -1363,13 +1363,21 @@ def _integrity_sql(table: str) -> str:
     """Deterministic cross-engine row hash: polynomial mix of the keyed
     numeric columns, each first reduced mod 2^31 so every product stays
     far under 2^63 in BOTH engines (DuckDB errors on int64 overflow
-    where Spark wraps — the LCG lesson)."""
-    row_h = (
+    where Spark wraps — the LCG lesson).  The linear mix is then
+    SQUARED mod p before the cross-row SUM: a purely linear per-row
+    hash would make the checksum a function of per-column sums only,
+    so any corruption preserving column totals (row-to-row swaps,
+    offsetting edits — exactly the structured sync errors this op
+    targets) would pass undetected.  Squaring makes the hash nonlinear
+    in the inputs while staying exact: mixed < p < 2^31, so
+    mixed*mixed < 2^62 — safe int64 in both engines."""
+    mixed = (
         f"(((o_orderkey % 2147483648) * 31"
         f" + (o_custkey % 2147483648) * 17"
         f" + (CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) % 2147483648) * 7)"
         f" % {_CHECKSUM_MOD})"
     )
+    row_h = f"(({mixed} * {mixed}) % {_CHECKSUM_MOD})"
     return f"""
 SELECT o_orderstatus,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -1392,7 +1400,10 @@ def integrity_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     mismatch names the slice to re-sync).  The row hash is a polynomial
     mix of key and money columns (cents via the proven FLOOR path), each
     reduced mod 2^31 BEFORE multiplying so the arithmetic is exact
-    int64 in both engines; the cross-row SUM is order-insensitive by
+    int64 in both engines, then squared mod p so the hash is NONLINEAR
+    in the inputs — value swaps and offsetting edits that preserve
+    per-column totals change the checksum (a linear mix would not
+    detect them); the cross-row SUM is order-insensitive by
     construction and carried as DECIMAL(28,0) (a long sum could overflow
     at 100 TB row counts — decimal is exact and still map-side
     combinable), then reduced mod 2^31−1 to a BIGINT for the emitted

@@ -1190,7 +1190,7 @@ fine AS MATERIALIZED (
   SELECT cl.vec_id,
          CAST(cl.cell * {1 << SC_IVF_FINE_BITS} + SUM(
            CASE WHEN c.v > ct.c6
-                THEN (CASE c.pos WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 4 END)
+                THEN CAST(power(2, c.pos - 1) AS BIGINT)
                 ELSE 0 END) AS BIGINT) AS cell
   FROM cells cl
   JOIN coo c ON c.vec_id = cl.vec_id AND c.pos <= {SC_IVF_FINE_BITS}
@@ -1311,7 +1311,11 @@ SELECT id AS vec_id, CAST(lbl AS BIGINT) AS community FROM {prev}
 """
 
 
-def lpa_labels(edges: DataFrame, max_rounds: int = SC_LPA_ROUNDS) -> DataFrame:
+def lpa_labels(
+    edges: DataFrame,
+    max_rounds: int = SC_LPA_ROUNDS,
+    stats: dict | None = None,
+) -> DataFrame:
     """Synchronous label propagation (Raghavan et al. 2007, public
     algorithm) over a directed ``(src, dst)`` edge DataFrame: every node
     starts as its own label; each round every node adopts the most
@@ -1328,8 +1332,11 @@ def lpa_labels(edges: DataFrame, max_rounds: int = SC_LPA_ROUNDS) -> DataFrame:
     (the CC pattern: ``materialize`` truncates lineage per round).  Early
     exit is sound against a fixed-round unrolled oracle because the
     update is a pure function of the label table — once a round changes
-    nothing, every further round is the identity.  Exposes
-    ``lpa_labels.last_rounds`` / ``lpa_labels.converged`` for tests.
+    nothing, every further round is the identity.  Pass a ``stats`` dict
+    to receive ``{"rounds": int, "converged": bool}`` — per-call state,
+    so interleaved callers (``sc_communities`` vs
+    ``dedup_graph_communities``) never clobber each other's metadata
+    the way mutable function attributes would.
 
     Scale shape, per round: one join keyed on ``dst``/node id, one
     (src, lbl) partial+final count, one ``row_number`` window whose
@@ -1367,8 +1374,9 @@ def lpa_labels(edges: DataFrame, max_rounds: int = SC_LPA_ROUNDS) -> DataFrame:
         if changed == 0:
             converged = True
             break
-    lpa_labels.last_rounds = rounds_used
-    lpa_labels.converged = converged
+    if stats is not None:
+        stats["rounds"] = rounds_used
+        stats["converged"] = converged
     return labels
 
 
@@ -1377,7 +1385,9 @@ def lpa_labels(edges: DataFrame, max_rounds: int = SC_LPA_ROUNDS) -> DataFrame:
     oracle=_sc_lpa_oracle(),
     tags=("singlecell", "graph", "clustering", "iterative"),
 )
-def sc_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sc_communities(
+    spark: SparkSession, sf_dir: str, stats: dict | None = None
+) -> DataFrame:
     """Community detection on the kNN cell graph — the Scanpy
     ``tl.louvain``/``tl.leiden`` slot (the step users run right after
     ``pp.neighbors``; r8 verdict #4), as deterministic synchronous label
@@ -1415,7 +1425,7 @@ def sc_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     edges = materialize(sym)
-    labels = lpa_labels(edges, SC_LPA_ROUNDS)
+    labels = lpa_labels(edges, SC_LPA_ROUNDS, stats=stats)
     return labels.select(
         F.col("id").alias("vec_id"), big(F.col("lbl")).alias("community")
     )

@@ -426,17 +426,21 @@ def run_foreach_batch_merge(spark: SparkSession, sf_dir: str, clear: bool = True
     ).parquet(str(src))
     pointer = base / "CURRENT"
     batches: list[int] = []
+    replays: list[int] = []
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        batches.append(int(batch_id))
         # Exactly-once guard for foreachBatch's at-least-once contract: if
         # a batch fails AFTER the pointer swap, Structured Streaming
         # re-invokes merge with the SAME batch_id.  Version dirs are named
         # v{batch_id} and batch ids are monotone, so a replayed id is
         # detected by the committed pointer already naming this version or
         # a later one — no-op instead of double-counting the partials.
+        # Replays are counted separately so last_batch_count only tallies
+        # GENUINELY executed merges (the >=3-batch test assertion).
         if pointer.exists() and int(batch_id) <= int(pointer.read_text()[1:]):
+            replays.append(int(batch_id))
             return
+        batches.append(int(batch_id))
         agg = (
             batch_df.where(F.col("event_type") == "purchase")
             .groupBy("user_id")
@@ -475,6 +479,7 @@ def run_foreach_batch_merge(spark: SparkSession, sf_dir: str, clear: bool = True
     )
     q.awaitTermination()
     run_foreach_batch_merge.last_batch_count = len(batches)
+    run_foreach_batch_merge.last_replay_count = len(replays)
     return str(base / pointer.read_text())
 
 

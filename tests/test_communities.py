@@ -47,9 +47,11 @@ def _with_self_loops(pairs: list[tuple[int, int]]) -> list[tuple[int, int]]:
     return sorted(out)
 
 
-def _spark_lpa(spark, edges: list[tuple[int, int]]) -> dict[int, int]:
+def _spark_lpa(
+    spark, edges: list[tuple[int, int]], stats: dict | None = None
+) -> dict[int, int]:
     df = spark.createDataFrame(edges, "src long, dst long")
-    res = lpa_labels(df, SC_LPA_ROUNDS)
+    res = lpa_labels(df, SC_LPA_ROUNDS, stats=stats)
     return {r.id: r.lbl for r in res.collect()}
 
 
@@ -61,9 +63,10 @@ def test_lpa_matches_reference_on_structured_graphs(spark):
     path = [(20, 21), (21, 22), (22, 23)]
     pair = [(30, 31)]
     edges = _with_self_loops(k1 + k2 + path + pair)
-    got = _spark_lpa(spark, edges)
+    stats: dict = {}
+    got = _spark_lpa(spark, edges, stats)
     assert got == ref_lpa(edges, SC_LPA_ROUNDS)
-    assert lpa_labels.converged
+    assert stats["converged"]
     # the two cliques collapse to their min ids; the isolated pair merges
     assert {got[a] for a in range(4)} == {0}
     assert {got[a] for a in range(10, 15)} == {10}
@@ -75,9 +78,10 @@ def test_lpa_self_vote_damps_two_cycle_oscillation(spark):
     self-loop vote breaks the swap symmetry — both nodes settle on the
     min label and the loop exits at a true fixpoint."""
     edges = _with_self_loops([(7, 8)])
-    got = _spark_lpa(spark, edges)
+    stats: dict = {}
+    got = _spark_lpa(spark, edges, stats)
     assert got == {7: 7, 8: 7}
-    assert lpa_labels.converged and lpa_labels.last_rounds <= 3
+    assert stats["converged"] and stats["rounds"] <= 3
 
 
 @pytest.mark.parametrize("seed", [1, 2, 3])
@@ -100,11 +104,12 @@ def test_sc_communities_on_real_graph_converges(spark):
     """End-to-end over the sf0.001 embeddings: every cell labeled, the
     fixpoint is reached inside the round budget, and communities are
     non-trivial (neither all-singleton nor one blob)."""
-    res = sc_communities(spark, SF_DIR)
+    stats: dict = {}
+    res = sc_communities(spark, SF_DIR, stats=stats)
     rows = res.collect()
     n = len(rows)
     assert n == spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
-    assert lpa_labels.converged, "LPA did not reach a fixpoint on the kNN graph"
+    assert stats["converged"], "LPA did not reach a fixpoint on the kNN graph"
     ncomm = len({r.community for r in rows})
     assert 1 <= ncomm < n
 
