@@ -817,12 +817,140 @@ def ntile_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ENTITY table (customers — already 5-6 orders of magnitude
     smaller than the fact table it aggregates).  When even the entity
     table is too large, the same feature becomes approx-percentile cut
-    points broadcast-joined as range predicates (the
-    ``approx_percentiles_scale`` posture); the window form here is the
-    exact semantics that swap is measured against.
+    points broadcast-joined as range predicates — REGISTERED as
+    ``ntile_customer_spend_approx`` below (no global sort anywhere in
+    its plan); the window form here is the exact semantics that swap is
+    measured against.
     """
     o = table_view(spark, sf_dir, "orders")
     return spark.sql(_NTILE_SQL.format(orders=o))
+
+
+#: Decile counts from sketch cut points are engine-specific near the
+#: boundaries, but two invariants are not, and both are hash-checked
+#: against the oracle's literal TRUE (the ``agg_approx_percentiles``
+#: posture — flags computed Spark-side from the live sketch, exact
+#: columns value-checked directly):
+#:   * count_in_bounds — each approx bin's population is within
+#:     2εn + 2 of the exact-NTILE ideal (ε = 0.01 = 100× the configured
+#:     1/10000 rank error; +2 absorbs the exact NTILE's own ±1
+#:     remainder rounding and boundary-tie placement).
+#:   * cuts_in_bounds — every sketch cut value lies between the exact
+#:     interpolated percentiles at q ± ε (the GK rank-error guarantee).
+#: n_ideal is pure integer arithmetic on COUNT(*) — identical in both
+#: engines — so the row set and the ideal-count column are value-checked,
+#: not just row-counted.
+_NTILE_APPROX_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spent
+  FROM orders GROUP BY o_custkey
+),
+nn AS (SELECT COUNT(*) AS n FROM spend)
+SELECT CAST(d.decile AS BIGINT) AS decile,
+       CAST(nn.n // 10
+            + CASE WHEN d.decile <= nn.n % 10 THEN 1 ELSE 0 END
+            AS BIGINT) AS n_ideal,
+       TRUE AS count_in_bounds,
+       TRUE AS cuts_in_bounds
+FROM generate_series(1, 10) AS d(decile), nn
+"""
+
+
+@query(
+    "ntile_customer_spend_approx",
+    oracle=_NTILE_APPROX_ORACLE,
+    tags=("relational", "binning", "approx", "scale"),
+)
+def ntile_customer_spend_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-scale swap for ``ntile_customer_spend`` — equi-depth
+    decile binning WITHOUT the single-partition window sort: one
+    mergeable ``approx_percentile`` sketch over per-customer spend emits
+    the 9 decile cut points in a single scalar aggregate, the 1-row cut
+    table broadcasts back over the spend table, and each customer's bin
+    is ``1 + |{cuts above its spend}|`` — a row-local array scan, so the
+    whole plan is two partial+final aggregates and a broadcast, no
+    global sort at ANY table size (the registered exact form documents
+    this swap in its scale note; this row makes it measurable instead of
+    prose).
+
+    Emitted shape is the per-bin audit rather than per-customer labels
+    (boundary assignments are sketch-specific, so per-row output can't
+    hash cross-engine): each decile's exact ideal population plus two
+    sketch-error flags — see the oracle note above for why both bounds
+    are engine-independent invariants.  The unwrapped production path
+    (per-customer ``decile`` column, no exact-percentile verification
+    columns) is ``ntile_approx_assign``.
+    """
+    eps = 0.01
+    assigned = ntile_approx_assign(spark, sf_dir, k=10, eps=eps)
+    counts = assigned.groupBy("decile").agg(F.count(F.lit(1)).alias("n_bin"))
+    stats = assigned.select("n", "cuts", "lo", "hi").limit(1)
+    bins = (
+        spark.range(1, 11)
+        .select(F.col("id").alias("decile"))
+        .crossJoin(F.broadcast(stats))
+        .join(counts, "decile", "left")
+    )
+    n_ideal = F.expr("n DIV 10") + F.when(
+        F.col("decile") <= F.col("n") % 10, 1
+    ).otherwise(0)
+    tol = F.lit(2 * eps) * F.col("n") + F.lit(2)
+    in_cuts = F.expr(
+        "forall(zip_with(cuts, lo, (c, l) -> c >= l), x -> x)"
+        " AND forall(zip_with(cuts, hi, (c, h) -> c <= h), x -> x)"
+    )
+    return bins.select(
+        big(F.col("decile")).alias("decile"),
+        big(n_ideal).alias("n_ideal"),
+        (
+            F.abs(F.coalesce(F.col("n_bin"), F.lit(0)) - n_ideal) <= tol
+        ).alias("count_in_bounds"),
+        in_cuts.alias("cuts_in_bounds"),
+    )
+
+
+def ntile_approx_assign(
+    spark: SparkSession, sf_dir: str, k: int = 10, eps: float = 0.01
+) -> DataFrame:
+    """The PRODUCTION equi-depth binning path: per-customer spend with an
+    approx ``decile`` (1 = top spenders, matching the exact NTILE's
+    DESC orientation; ties at a cut go to the richer bin).  Plan shape:
+    spend aggregate (one keyed exchange) → scalar sketch aggregate
+    (partial+final, O(k·accuracy) state) → 1-row broadcast cross join →
+    row-local bin arithmetic.  Nothing sorts globally and nothing is
+    ever larger than the entity table itself, so the plan is unchanged
+    at 1000 executors.  Also carries ``n``/``cuts``/``lo``/``hi`` audit
+    columns for the registered verification wrapper (the exact
+    ``percentile`` bounds ARE a per-group value buffer — correctness-
+    gate artifacts; drop them by selecting only c_custkey/spent/decile
+    in production)."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("spent")
+    )
+    qs = [i / k for i in range(1, k)]
+    stats = spend.agg(
+        F.approx_percentile(
+            "spent", F.array(*[F.lit(q) for q in qs]), F.lit(10000)
+        ).alias("cuts"),
+        F.percentile("spent", F.array(*[F.lit(q - eps) for q in qs])).alias("lo"),
+        F.percentile("spent", F.array(*[F.lit(q + eps) for q in qs])).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return spend.crossJoin(F.broadcast(stats)).select(
+        "c_custkey",
+        "spent",
+        "n",
+        "cuts",
+        "lo",
+        "hi",
+        (
+            F.lit(1) + F.expr("size(filter(cuts, c -> spent < c))")
+        ).cast("bigint").alias("decile"),
+    )
 
 
 #: GK-sketch percentile values are engine-specific, but the sketch's

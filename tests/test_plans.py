@@ -292,3 +292,40 @@ def test_window_median_single_exchange(spark):
     no extra shuffle, no whole-partition percentile buffering."""
     df = QS["window_median_trailing"](spark, SF_DIR)
     assert inspect.exchange_count(df) == 1
+
+
+def test_ntile_approx_has_no_global_sort(spark):
+    """r10: the approx-cut-point NTILE swap exists precisely to kill the
+    single-partition window sort — its plan must carry NO window and NO
+    range-partitioning exchange at any size, and the 1-row cut table
+    must come back as a broadcast."""
+    df = QS["ntile_customer_spend_approx"](spark, SF_DIR)
+    plan = inspect.formatted_plan(df)
+    assert "Window" not in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert inspect.uses_broadcast_join(df), "cut table must broadcast"
+
+
+def test_ntile_approx_assign_matches_exact_ntile_closely(spark):
+    """The production assign path: every customer gets one decile 1..10,
+    and the assignment agrees with the exact NTILE(10) label for the
+    overwhelming majority of customers (only sketch-boundary rows may
+    differ — bounded by the same 2εn rank-error argument the oracle
+    flags encode)."""
+    from single_cell_experiments_spark.operators.relational import (
+        ntile_approx_assign,
+    )
+
+    approx = {
+        r.c_custkey: r.decile
+        for r in ntile_approx_assign(spark, SF_DIR).collect()
+    }
+    exact = {
+        r.c_custkey: r.decile
+        for r in QS["ntile_customer_spend"](spark, SF_DIR).collect()
+    }
+    assert set(approx) == set(exact)
+    assert all(1 <= d <= 10 for d in approx.values())
+    n = len(exact)
+    mismatched = sum(1 for k in exact if approx[k] != exact[k])
+    assert mismatched <= 2 * 0.01 * n * 9 + 18, (mismatched, n)
