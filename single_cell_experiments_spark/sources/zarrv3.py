@@ -1,0 +1,540 @@
+"""Native Zarr v3 store: spec-faithful parallel write + parallel read
+(SURVEY.md §2.A A1/A2 widened to the CURRENT format generation — modern
+zarr-python writes v3 by default, so it is the first store layout a 2026
+user points this engine at; r9 verdict #4).
+
+Zarr v3 layout (public spec, zarr-specs v3.0):
+
+- ONE metadata document per node: ``zarr.json``.  Arrays carry
+  ``zarr_format: 3``, ``node_type: "array"``, ``shape``, ``data_type``
+  (named types, e.g. ``"float32"`` — no numpy typestr), ``chunk_grid``
+  (``{"name": "regular", "configuration": {"chunk_shape": [...]}}``),
+  ``chunk_key_encoding`` (``"default"``: keys ``c/0/1`` with a
+  configurable ``/``/``.`` separator; ``"v2"``: dot-joined coords like
+  v2), ``fill_value`` (JSON number or ``"NaN"``/``"Infinity"``/
+  ``"-Infinity"``), and a ``codecs`` CHAIN replacing v2's single
+  compressor + filters;
+- the codec chain is staged: array→array codecs (``transpose``), then
+  exactly one array→bytes codec (``bytes``, carrying the endianness
+  that v2 kept in the dtype), then bytes→bytes codecs (``gzip``,
+  ``blosc``, ``zstd``, ``crc32c``);
+- chunk objects are FULL chunks in C order (edge chunks padded with
+  ``fill_value``), one object per grid cell, under nested ``c/…`` paths
+  for the default key encoding.
+
+Spark-first mapping — identical shape to ``zarrv2`` (one driver-side
+JSON GET for metadata; ``binaryFile`` + ``mapInPandas`` for the chunk
+grid; ``groupBy(chunk row) ⟶ applyInPandas`` for the chunk-aligned
+write), so the v3 module is metadata parsing + the codec chain, and the
+COO assembly (``zarrv2.zarr_matrix_coo``) is shared.  The nested
+``c/0/1`` tree is listed with ``recursiveFileLookup`` — on object
+stores that is the same flat LIST the flat v2 layout needs.
+
+Codecs: ``bytes`` (little/big endian), ``gzip`` (stdlib), ``blosc``
+(the pure-Python container codec in ``blosc_py`` — v3 spells shuffle as
+``"shuffle"``/``"noshuffle"``/``"bitshuffle"`` strings), and ``crc32c``
+(Castagnoli checksum verified + stripped on read, appended on write —
+table-driven pure Python below).  ``transpose`` (non-identity),
+``sharding_indexed``, and ``zstd`` without a zstd module raise a clear
+error naming the construct — the module contract shared with
+``minih5``/``blosc_py``: never garbage-decode.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import json
+import os
+import shutil
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..catalog import load_table
+from ..registry import query
+
+# --- crc32c (Castagnoli, reflected poly 0x82F63B78) ---------------------------
+
+_CRC32C_TABLE: list[int] = []
+for _n in range(256):
+    _c = _n
+    for _ in range(8):
+        _c = (_c >> 1) ^ 0x82F63B78 if _c & 1 else _c >> 1
+    _CRC32C_TABLE.append(_c)
+
+
+def crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli) of ``data`` — the v3 ``crc32c`` codec's
+    checksum (RFC 3720 §B.4; table-driven, reflected, init/xorout
+    0xFFFFFFFF)."""
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+# --- metadata ------------------------------------------------------------------
+
+#: v3 named data types -> numpy kind+size (endianness comes from the
+#: ``bytes`` codec, not the dtype — a deliberate v3 spec change).
+_V3_DTYPES = {
+    "bool": "b1",
+    "int8": "i1",
+    "int16": "i2",
+    "int32": "i4",
+    "int64": "i8",
+    "uint8": "u1",
+    "uint16": "u2",
+    "uint32": "u4",
+    "uint64": "u8",
+    "float32": "f4",
+    "float64": "f8",
+}
+
+_FILL_STRINGS = {"NaN": np.nan, "Infinity": np.inf, "-Infinity": -np.inf}
+
+
+def _v3_dtype(meta: dict) -> np.dtype:
+    name = meta.get("data_type")
+    if name not in _V3_DTYPES:
+        raise NotImplementedError(f"zarr v3 data_type {name!r} is not supported")
+    base = _V3_DTYPES[name]
+    endian = "little"
+    for codec in meta.get("codecs", []):
+        if codec.get("name") == "bytes":
+            endian = (codec.get("configuration") or {}).get("endian", "little")
+    prefix = "|" if base[1] == "1" else ("<" if endian == "little" else ">")
+    return np.dtype(prefix + base)
+
+
+def read_zarr_v3_meta(array_path: str) -> dict:
+    """Parse + validate an array's ``zarr.json`` (one driver-side GET).
+
+    Enforces the constructs this reader implements and raises NAMING the
+    unsupported one otherwise: regular chunk grid, default/v2 chunk key
+    encodings, exactly one ``bytes`` array→bytes codec, and a bytes→bytes
+    tail drawn from gzip/blosc/zstd/crc32c.  ``transpose`` is accepted
+    only with the identity order (zarr-python writes it for C-order
+    arrays)."""
+    with open(os.path.join(array_path, "zarr.json")) as f:
+        meta = json.load(f)
+    if meta.get("zarr_format") != 3 or meta.get("node_type") != "array":
+        raise ValueError(f"not a zarr v3 array: {array_path}")
+    grid = meta.get("chunk_grid", {})
+    if grid.get("name") != "regular":
+        raise NotImplementedError(f"zarr v3 chunk grid {grid.get('name')!r}")
+    keyenc = meta.get("chunk_key_encoding", {"name": "default"})
+    if keyenc.get("name") not in ("default", "v2"):
+        raise NotImplementedError(
+            f"zarr v3 chunk_key_encoding {keyenc.get('name')!r}"
+        )
+    fill = meta.get("fill_value", 0)
+    if isinstance(fill, str):
+        if fill not in _FILL_STRINGS:
+            raise NotImplementedError(f"zarr v3 fill_value {fill!r}")
+        fill = _FILL_STRINGS[fill]
+    codecs = meta.get("codecs", [])
+    n_bytes = 0
+    for codec in codecs:
+        name, conf = codec.get("name"), codec.get("configuration") or {}
+        if name == "bytes":
+            n_bytes += 1
+        elif name == "transpose":
+            order = conf.get("order")
+            if order != list(range(len(meta["shape"]))):
+                raise NotImplementedError(
+                    f"zarr v3 transpose with non-identity order {order}"
+                )
+        elif name == "sharding_indexed":
+            raise NotImplementedError(
+                "zarr v3 sharding_indexed codec is not supported"
+            )
+        elif name not in ("gzip", "blosc", "zstd", "crc32c"):
+            raise NotImplementedError(f"zarr v3 codec {name!r}")
+    if n_bytes != 1:
+        raise ValueError(
+            f"zarr v3 codec chain needs exactly one 'bytes' codec, got {n_bytes}"
+        )
+    return {
+        "shape": meta["shape"],
+        "chunks": grid["configuration"]["chunk_shape"],
+        "dtype": _v3_dtype(meta),
+        "fill_value": fill,
+        "codecs": codecs,
+        "key_encoding": keyenc,
+    }
+
+
+# --- codec chain ----------------------------------------------------------------
+
+_V3_SHUFFLE = {"noshuffle": 0, "shuffle": 1, "bitshuffle": 2}
+
+
+def _decode_chain(blob: bytes, codecs: list[dict]) -> bytes:
+    """Run the bytes→bytes tail of the codec chain in REVERSE (the spec's
+    decode direction); the ``bytes`` codec itself is handled by the
+    caller's ``np.frombuffer`` dtype."""
+    for codec in reversed(codecs):
+        name, conf = codec.get("name"), codec.get("configuration") or {}
+        if name in ("bytes", "transpose"):
+            continue
+        if name == "crc32c":
+            payload, tail = blob[:-4], blob[-4:]
+            want = int.from_bytes(tail, "little")
+            got = crc32c(payload)
+            if got != want:
+                raise ValueError(
+                    f"zarr v3 crc32c mismatch: stored {want:#010x}, computed {got:#010x}"
+                )
+            blob = payload
+        elif name == "gzip":
+            blob = gzip.decompress(blob)
+        elif name == "blosc":
+            from . import blosc_py
+
+            blob = blosc_py.decompress(blob)
+        elif name == "zstd":
+            try:
+                import zstandard  # type: ignore
+
+                blob = zstandard.ZstdDecompressor().decompress(blob)
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "zarr v3 zstd codec needs a zstd module"
+                ) from exc
+    return blob
+
+
+def _encode_chain(block: bytes, codecs: list[dict], typesize: int) -> bytes:
+    for codec in codecs:
+        name, conf = codec.get("name"), codec.get("configuration") or {}
+        if name in ("bytes", "transpose"):
+            continue
+        if name == "gzip":
+            block = gzip.compress(block, compresslevel=conf.get("level", 5))
+        elif name == "blosc":
+            shuffle = _V3_SHUFFLE.get(conf.get("shuffle", "noshuffle"), 0)
+            if shuffle == 2:
+                raise NotImplementedError("blosc bit-shuffle needs the native library")
+            from . import blosc_py
+
+            block = blosc_py.compress(
+                block,
+                conf.get("typesize", typesize),
+                cname=conf.get("cname", "zstd"),
+                clevel=conf.get("clevel", 5),
+                shuffle=shuffle == 1,
+                blocksize=conf.get("blocksize", 0),
+            )
+        elif name == "crc32c":
+            block = block + crc32c(block).to_bytes(4, "little")
+        elif name == "zstd":
+            raise NotImplementedError("zarr v3 zstd encode needs a zstd module")
+    return block
+
+
+# --- chunk keys ------------------------------------------------------------------
+
+
+def _chunk_coords_v3(array_path: str, file_path: str, keyenc: dict) -> tuple[int, ...]:
+    """Grid coords from a chunk object path, per the array's key encoding
+    (``default``: ``c<sep>0<sep>1`` — nested dirs for ``/``;
+    ``v2``: coords joined by the separator, no prefix)."""
+    rel = file_path.split(array_path.rstrip("/") + "/", 1)[-1]
+    sep = (keyenc.get("configuration") or {}).get(
+        "separator", "/" if keyenc.get("name") == "default" else "."
+    )
+    parts = rel.replace("/", sep).split(sep) if sep != "/" else rel.split("/")
+    if keyenc.get("name") == "default":
+        if not parts or parts[0] != "c":
+            raise ValueError(f"not a v3 default-encoded chunk key: {rel!r}")
+        parts = parts[1:]
+    return tuple(int(p) for p in parts)
+
+
+def _chunk_key_v3(coords: tuple[int, ...], keyenc: dict) -> str:
+    sep = (keyenc.get("configuration") or {}).get(
+        "separator", "/" if keyenc.get("name") == "default" else "."
+    )
+    body = sep.join(str(c) for c in coords)
+    return f"c{sep}{body}" if keyenc.get("name") == "default" else body
+
+
+# --- read ------------------------------------------------------------------------
+
+
+def _decode_blocks_v3(array_path: str, meta: dict):
+    """mapInPandas decode closure (the ``zarrv2._decode_blocks`` shape):
+    codec-chain decode → ``np.frombuffer`` with the bytes-codec dtype →
+    reshape C-order → trim edge padding via the array shape."""
+    shape, chunks = meta["shape"], meta["chunks"]
+    dtype, codecs, keyenc = meta["dtype"], meta["codecs"], meta["key_encoding"]
+    two_d = len(shape) == 2
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                coords = _chunk_coords_v3(array_path, fpath, keyenc)
+                block = np.frombuffer(
+                    _decode_chain(bytes(content), codecs), dtype=dtype
+                ).reshape(chunks)
+                row0 = coords[0] * chunks[0]
+                valid = min(chunks[0], shape[0] - row0)
+                rows = np.arange(row0, row0 + valid, dtype=np.int64)
+                if two_d:
+                    col0 = coords[1] * chunks[1] if len(coords) > 1 else 0
+                    vcols = min(chunks[1], shape[1] - col0)
+                    yield pd.DataFrame(
+                        {
+                            "row": rows,
+                            "col0": np.full(valid, col0, dtype=np.int64),
+                            "values": list(block[:valid, :vcols].astype(np.float64)),
+                        }
+                    )
+                else:
+                    vals = block[:valid]
+                    out = (
+                        vals.astype(np.int64)
+                        if dtype.kind in "iub"
+                        else vals.astype(np.float64)
+                    )
+                    yield pd.DataFrame({"row": rows, "value": out})
+
+    return _decode
+
+
+def _v3_chunk_files(spark: SparkSession, array_path: str) -> DataFrame:
+    """List chunk objects under the array root — recursive because the
+    default key encoding nests ``c/0/1`` directory trees — excluding the
+    metadata document."""
+    return (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(array_path)
+        .where(~F.col("path").endswith("zarr.json"))
+        .select("path", "content")
+    )
+
+
+def read_zarr_v3_matrix(spark: SparkSession, array_path: str) -> DataFrame:
+    """2-D Zarr v3 array -> (row, col0, values: array<double>) slice rows
+    — the ``zarrv2.read_zarr_matrix`` contract, so ``zarr_matrix_coo``
+    and every downstream consumer work unchanged on v3 stores."""
+    meta = read_zarr_v3_meta(array_path)
+    if len(meta["shape"]) != 2:
+        raise ValueError(f"read_zarr_v3_matrix expects 2-D, got {meta['shape']}")
+    schema = StructType(
+        [
+            StructField("row", LongType()),
+            StructField("col0", LongType()),
+            StructField("values", ArrayType(DoubleType())),
+        ]
+    )
+    return _v3_chunk_files(spark, array_path).mapInPandas(
+        _decode_blocks_v3(array_path, meta), schema=schema
+    )
+
+
+def read_zarr_v3_vector(spark: SparkSession, array_path: str) -> DataFrame:
+    """1-D Zarr v3 array -> (row: bigint, value: bigint|double) rows."""
+    meta = read_zarr_v3_meta(array_path)
+    if len(meta["shape"]) != 1:
+        raise ValueError(f"read_zarr_v3_vector expects 1-D, got {meta['shape']}")
+    vtype = LongType() if meta["dtype"].kind in "iub" else DoubleType()
+    schema = StructType([StructField("row", LongType()), StructField("value", vtype)])
+    return _v3_chunk_files(spark, array_path).mapInPandas(
+        _decode_blocks_v3(array_path, meta), schema=schema
+    )
+
+
+# --- write -----------------------------------------------------------------------
+
+_DEFAULT_KEYENC = {"name": "default", "configuration": {"separator": "/"}}
+#: the modern-default-ish chain the registered roundtrip exercises:
+#: endian-explicit bytes codec, blosc container (zlib cname — the one
+#: decodable without native libs), integrity checksum.
+_DEFAULT_CODECS = [
+    {"name": "bytes", "configuration": {"endian": "little"}},
+    {
+        "name": "blosc",
+        "configuration": {
+            "cname": "zlib",
+            "clevel": 3,
+            "shuffle": "shuffle",
+            "blocksize": 0,
+        },
+    },
+    {"name": "crc32c"},
+]
+
+
+def _write_v3_meta(
+    path: str,
+    shape: list[int],
+    chunks: list[int],
+    data_type: str,
+    codecs: list[dict],
+    fill_value,
+    keyenc: dict,
+) -> None:
+    os.makedirs(path, exist_ok=True)
+    meta = {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": shape,
+        "data_type": data_type,
+        "chunk_grid": {
+            "name": "regular",
+            "configuration": {"chunk_shape": chunks},
+        },
+        "chunk_key_encoding": keyenc,
+        "fill_value": fill_value,
+        "codecs": codecs,
+        "attributes": {},
+    }
+    with open(os.path.join(path, "zarr.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def write_zarr_v3_group(
+    wide: DataFrame,
+    path: str,
+    rows_per_chunk: int = 64,
+    codecs: list[dict] | None = None,
+    cols_per_chunk: int | None = None,
+    keyenc: dict | None = None,
+) -> dict:
+    """Write (vec_id, embedding) rows as a Zarr v3 group at ``path``
+    (``X`` 2-D float32 + ``vec_id`` 1-D int64) — the ``zarrv2``
+    ``groupBy(chunk)⟶applyInPandas`` write with v3 metadata, key
+    encoding, and codec chain.  The groupBy exchange IS the
+    chunk-aligned repartition; the driver writes only ``zarr.json``
+    documents."""
+    codecs = codecs if codecs is not None else _DEFAULT_CODECS
+    keyenc = keyenc if keyenc is not None else _DEFAULT_KEYENC
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+
+    bounds = wide.agg(
+        F.max("vec_id").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.size("embedding")).alias("dim"),
+    ).collect()[0]
+    n_rows, dim = int(bounds["mx"]) + 1, int(bounds["dim"])
+    if int(bounds["n"]) != n_rows:
+        raise ValueError(
+            f"zarr positional write needs dense 0..n-1 ids: max+1={n_rows}, rows={bounds['n']}"
+        )
+    cpc = cols_per_chunk or dim
+    n_col_chunks = (dim + cpc - 1) // cpc
+
+    endian = "little"
+    for codec in codecs:
+        if codec.get("name") == "bytes":
+            endian = (codec.get("configuration") or {}).get("endian", "little")
+    f4 = np.dtype(("<" if endian == "little" else ">") + "f4")
+    i8 = np.dtype(("<" if endian == "little" else ">") + "i8")
+
+    x_path, id_path = os.path.join(path, "X"), os.path.join(path, "vec_id")
+    _write_v3_meta(
+        x_path, [n_rows, dim], [rows_per_chunk, cpc], "float32", codecs, 0.0, keyenc
+    )
+    _write_v3_meta(id_path, [n_rows], [rows_per_chunk], "int64", codecs, 0, keyenc)
+    with open(os.path.join(path, "zarr.json"), "w") as f:
+        json.dump({"zarr_format": 3, "node_type": "group", "attributes": {}}, f)
+
+    result_schema = StructType(
+        [StructField("chunk_id", LongType()), StructField("n_rows", LongType())]
+    )
+
+    def _put(root: str, coords: tuple[int, ...], payload: bytes) -> None:
+        key = _chunk_key_v3(coords, keyenc)
+        full = os.path.join(root, key)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        with open(full, "wb") as f:
+            f.write(payload)
+
+    def _write_chunk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        (chunk_id,) = key
+        offs = pdf["vec_id"].to_numpy(dtype=np.int64) - chunk_id * rows_per_chunk
+        x_block = np.zeros((rows_per_chunk, dim), dtype=f4)
+        x_block[offs] = np.array(pdf["embedding"].to_list(), dtype=np.float32)
+        id_block = np.zeros(rows_per_chunk, dtype=i8)
+        id_block[offs] = pdf["vec_id"].to_numpy(dtype=np.int64)
+        for c in range(n_col_chunks):
+            sub = x_block[:, c * cpc : (c + 1) * cpc]
+            if sub.shape[1] < cpc:  # right-edge chunk: pad per the spec
+                pad = np.zeros((rows_per_chunk, cpc), dtype=f4)
+                pad[:, : sub.shape[1]] = sub
+                sub = pad
+            _put(
+                x_path,
+                (int(chunk_id), c),
+                _encode_chain(np.ascontiguousarray(sub).tobytes(order="C"), codecs, 4),
+            )
+        _put(id_path, (int(chunk_id),), _encode_chain(id_block.tobytes(order="C"), codecs, 8))
+        return pd.DataFrame({"chunk_id": [chunk_id], "n_rows": [len(pdf)]})
+
+    n_chunks = (
+        wide.select("vec_id", "embedding")
+        .withColumn("chunk_id", F.expr(f"vec_id div {rows_per_chunk}"))
+        .groupBy("chunk_id")
+        .applyInPandas(_write_chunk, schema=result_schema)
+        .count()
+    )
+    return {
+        "shape": [n_rows, dim],
+        "chunks": [rows_per_chunk, cpc],
+        "n_chunks": int(n_chunks) * n_col_chunks,
+    }
+
+
+# --- registered roundtrip ----------------------------------------------------------
+
+_ZARR_V3_ORACLE = """
+SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+       round(CAST(unnest(embedding) AS DOUBLE), 6) AS v
+FROM embeddings
+"""
+
+
+@query("zarr_v3_roundtrip", oracle=_ZARR_V3_ORACLE, tags=("sources", "zarr", "v3"), cache=False)
+def zarr_v3_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A2 on the CURRENT format generation: embeddings → Zarr v3 group
+    write (2-D column-chunked grid so every matrix row spans two nested
+    ``c/r/c`` objects; bytes→blosc(zlib,shuffle)→crc32c codec chain —
+    endianness, container codec, and integrity checksum all live in the
+    chain now) → parallel chunk read of both arrays → row-index join →
+    COO.  Hash equality with the parquet-derived oracle proves metadata
+    parsing, both chunk-key geometries, the codec chain, and the edge
+    padding are bit-exact.  Unit tests pin hand-built spec vectors
+    (including big-endian, gzip, v2-style keys, and a corrupted-crc32c
+    reject) — the ``minih5`` fixture pattern."""
+    import tempfile
+
+    from .zarrv2 import zarr_matrix_coo
+
+    e = load_table(spark, sf_dir, "embeddings")
+    e_dim = int(e.agg(F.max(F.size("embedding"))).collect()[0][0])
+    store = os.path.join(
+        tempfile.gettempdir(),
+        f"sce_zarr3_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    write_zarr_v3_group(e, store, cols_per_chunk=(e_dim + 1) // 2)
+    x = read_zarr_v3_matrix(spark, os.path.join(store, "X"))
+    ids = read_zarr_v3_vector(spark, os.path.join(store, "vec_id")).withColumnRenamed(
+        "value", "vec_id"
+    )
+    return zarr_matrix_coo(x, ids)
