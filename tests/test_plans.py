@@ -329,3 +329,12 @@ def test_ntile_approx_assign_matches_exact_ntile_closely(spark):
     n = len(exact)
     mismatched = sum(1 for k in exact if approx[k] != exact[k])
     assert mismatched <= 2 * 0.01 * n * 9 + 18, (mismatched, n)
+
+
+def test_dedup_pipeline_reuses_exchanges(spark):
+    """r10: the composed curation pipeline shares work across its tiers —
+    the AQE-final plan must reuse at least one exchange (the exact-rep
+    aggregate feeds both the doc-mapping join and the normalize tier),
+    and the expensive LSH self-join must not reappear per consumer."""
+    df = QS["dedup_pipeline_verdict"](spark, SF_DIR)
+    assert inspect.count_in_plan(df, "ReusedExchange", final=True) >= 1
