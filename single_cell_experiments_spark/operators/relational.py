@@ -593,6 +593,38 @@ GROUP BY strftime(ts, '%Y-%m-%d'), event_type
 """
 
 
+#: Below this on-disk input size the distinct aggregate swaps its plan:
+#: one REPARTITION on the group key replaces the two-exchange Expand plan
+#: (3 stages → 2, no row duplication) — measured interleaved round-robin
+#: in one process (r10; the q3 inset-gate precedent): 187 vs 224 ms
+#: median at sf0.1, and 1.22 vs 2.29 s at the 20× stress scale (the
+#: Expand duplication costs more than the narrow raw-row exchange saves
+#: at every size the gate admits).  The swap shuffles RAW event rows
+#: with no map-side combine, so it inverts once per-(day, type, user)
+#: duplication is high enough that partial dedup shrinks the exchange
+#: more than Expand inflates the scan — the 100 TB regime (thousands of
+#: events per user-day): past the gate the Catalyst default stands.
+_DISTINCT_SMALL_INPUT_MAX_BYTES = 1 << 30
+
+
+def _local_input_bytes(sf_dir: str, table: str) -> int | None:
+    """On-disk parquet footprint of one table, or None when the path is
+    not a local filesystem directory (remote stores skip the gate —
+    they are never in the small regime that motivates it)."""
+    import os
+
+    root = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isfile(root):
+        return os.path.getsize(root)
+    if not os.path.isdir(root):
+        return None
+    total = 0
+    for dirpath, _, names in os.walk(root):
+        for nm in names:
+            total += os.path.getsize(os.path.join(dirpath, nm))
+    return total
+
+
 @query("distinct_users_daily", oracle=_DISTINCT_DAILY_ORACLE, tags=("relational", "agg", "headline"))
 def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact COUNT(DISTINCT) per day × event type.
@@ -600,6 +632,13 @@ def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale notes: Spark expands distinct aggregation into a two-phase plan
     (partial distinct on (day, type, user) then final count); for 100 TB use
     ``approx_distinct_parts``-style HLL when exactness isn't required.
+    Below ``_DISTINCT_SMALL_INPUT_MAX_BYTES`` of input the query instead
+    pre-repartitions on the group key, which satisfies the clustered
+    distribution of BOTH aggregate phases (a hash partitioning on a
+    subset of the grouping keys co-locates every group), collapsing the
+    plan to one exchange and two stages with no Expand duplication —
+    see the gate comment for the interleaved measurements and why the
+    Expand plan stays the large-input default.
     The group key is the integer UTC day ``ts_s div 86400`` (bijective with
     the day string for the epoch-positive domain); the 'yyyy-MM-dd' render
     happens AFTER aggregation on O(groups) rows — per-row date formatting
@@ -609,15 +648,23 @@ def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``functions/compat.py`` for the bit-equality argument.
     """
     e = table_view(spark, sf_dir, "events")
+    nbytes = _local_input_bytes(sf_dir, "events")
+    if nbytes is not None and nbytes <= _DISTINCT_SMALL_INPUT_MAX_BYTES:
+        src = f"""(SELECT /*+ REPARTITION(day_k, event_type) */
+                          ts_s div 86400 AS day_k, event_type, user_id, value
+                   FROM {e})"""
+    else:
+        src = f"""(SELECT ts_s div 86400 AS day_k, event_type, user_id, value
+                   FROM {e})"""
     return spark.sql(f"""
         SELECT date_format(to_timestamp_ntz(timestamp_seconds(day_s)), 'yyyy-MM-dd') AS d,
                event_type, u, v
         FROM (
-            SELECT ts_s div 86400 * 86400 AS day_s, event_type,
+            SELECT day_k * 86400 AS day_s, event_type,
                    COUNT(DISTINCT user_id) AS u,
                    CAST(SUM(CAST(FLOOR(value * 100 + 0.5D) AS BIGINT)) AS DOUBLE) / 100.0D AS v
-            FROM {e}
-            GROUP BY ts_s div 86400, event_type
+            FROM {src}
+            GROUP BY day_k, event_type
         )
     """)
 

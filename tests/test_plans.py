@@ -338,3 +338,26 @@ def test_dedup_pipeline_reuses_exchanges(spark):
     and the expensive LSH self-join must not reappear per consumer."""
     df = QS["dedup_pipeline_verdict"](spark, SF_DIR)
     assert inspect.count_in_plan(df, "ReusedExchange", final=True) >= 1
+
+
+def test_distinct_daily_small_input_uses_single_exchange(spark):
+    """r10: below the input-size gate the distinct aggregate rides ONE
+    group-key exchange (no Expand duplication, 2 stages) — the 187-vs-224
+    ms interleaved result; the Expand plan stays the large-input default
+    (see _DISTINCT_SMALL_INPUT_MAX_BYTES)."""
+    df = QS["distinct_users_daily"](spark, SF_DIR)
+    plan = inspect.formatted_plan(df)
+    assert "Expand" not in plan, plan
+    assert inspect.exchange_count(df) == 1, plan
+
+
+def test_distinct_daily_large_input_keeps_expand_plan(spark, monkeypatch):
+    """Above the gate the two-phase partial-distinct (Expand) plan must
+    come back — the map-side-combine shape that holds at 100 TB."""
+    from single_cell_experiments_spark.operators import relational
+    from single_cell_experiments_spark.registry import fresh_fn
+
+    monkeypatch.setattr(relational, "_DISTINCT_SMALL_INPUT_MAX_BYTES", 0)
+    df = fresh_fn("distinct_users_daily")(spark, SF_DIR)
+    plan = inspect.formatted_plan(df)
+    assert "Expand" in plan or inspect.exchange_count(df) >= 2, plan
