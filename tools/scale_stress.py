@@ -30,10 +30,16 @@ from bench import DUCKDB_SQL  # noqa: E402
 
 QUERIES = ("q1_pricing_summary", "window_rank", "distinct_users_daily",
            "tumbling_window_events")
+#: r9 additions the r9 verdict flagged as stress-untested (#6): two
+#: event-sequence windows plus the Σ(df²)-bounded all-pairs cosine.
+R9_QUERIES = ("ewma_user_value", "event_type_transitions",
+              "sparse_cosine_pairs_tfidf")
 TABLES = ("lineitem", "orders", "events")
+R9_TABLES = ("events", "documents")
 
 
-def synthesize(spark, src_dir: str, out_dir: str, k: int) -> None:
+def synthesize(spark, src_dir: str, out_dir: str, k: int,
+               tables: tuple[str, ...] = TABLES) -> None:
     from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
@@ -43,8 +49,9 @@ def synthesize(spark, src_dir: str, out_dir: str, k: int) -> None:
         "lineitem": {"l_orderkey": 10_000_000},
         "orders": {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
         "events": {"event_id": 100_000_000, "user_id": 100_000},
+        "documents": {"doc_id": 1_000_000},
     }
-    for t in TABLES:
+    for t in tables:
         dst = os.path.join(out_dir, f"{t}.parquet")
         if os.path.exists(dst):
             continue
@@ -53,6 +60,20 @@ def synthesize(spark, src_dir: str, out_dir: str, k: int) -> None:
         wide = df.crossJoin(copies)
         for col, step in shifts[t].items():
             wide = wide.withColumn(col, F.col(col) + F.col("__copy") * step)
+        if t == "documents":
+            # the text analogue of key-shifting: suffix every token with
+            # the copy index so each copy owns a DISJOINT vocabulary —
+            # per-term df and the Σ(df²) pair bound scale linearly in k
+            # (verbatim copies would scale df² by k², measuring a
+            # duplication regime, not corpus growth; that regime is the
+            # --dupes run below).
+            wide = wide.withColumn(
+                "text",
+                F.expr(
+                    r"regexp_replace(text, '([\\p{L}\\p{N}]+)',"
+                    r" concat('$1x', CAST(__copy AS STRING)))"
+                ),
+            )
         wide.drop("__copy").write.mode("overwrite").parquet(dst)
 
 
@@ -135,6 +156,92 @@ def communities_stress(spark, src_dir: str, out_dir: str, k: int) -> dict:
     }
 
 
+def r9_stress(args: list[str]) -> int:
+    """``--r9 [k]``: the r9 additions at k× (disjoint-vocabulary document
+    copies + key-shifted events), DuckDB control from each query's own
+    registry oracle.  ``--dupes [k]``: sparse_cosine_pairs_tfidf on
+    VERBATIM document copies — the duplication regime where per-term df
+    scales by k and the Σ(df²) pair bound by k² (kept to small k on
+    purpose: the measurement IS the quadratic blow-up)."""
+    import duckdb
+
+    from single_cell_experiments_spark.registry import REGISTRY, fresh_fn
+    from single_cell_experiments_spark.session import get_spark
+
+    dupes = "--dupes" in sys.argv
+    k = int(args[0]) if args else (3 if dupes else 20)
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="sce-r9-stress")
+
+    if dupes:
+        out = f"/tmp/sce_stress_dupes_x{k}"
+        os.makedirs(out, exist_ok=True)
+        dst = os.path.join(out, "documents.parquet")
+        if not os.path.exists(dst):
+            from pyspark.sql import functions as F
+
+            df = spark.read.parquet(os.path.join(src, "documents.parquet"))
+            copies = spark.range(k).withColumnRenamed("id", "__copy")
+            wide = df.crossJoin(copies).withColumn(
+                "doc_id", F.col("doc_id") + F.col("__copy") * 1_000_000
+            )
+            wide.drop("__copy").write.mode("overwrite").parquet(dst)
+        names = ("sparse_cosine_pairs_tfidf",)
+        tables = ("documents",)
+    else:
+        out = f"/tmp/sce_stress_r9_x{k}"
+        synthesize(spark, src, out, k, tables=R9_TABLES)
+        names = R9_QUERIES
+        tables = R9_TABLES
+
+    sizes = {
+        t: round(sum(os.path.getsize(os.path.join(out, f"{t}.parquet", f))
+                     for f in os.listdir(os.path.join(out, f"{t}.parquet"))
+                     if f.endswith(".parquet")) / 1e6, 1)
+        for t in tables
+    }
+    fns = {n: fresh_fn(n) for n in names}
+    for n in names:  # warm
+        fns[n](spark, out).toPandas()
+    spark_t: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for n in names:
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            pdf = fns[n](spark, out).toPandas()
+            ts.append(time.perf_counter() - t0)
+        spark_t[n] = round(statistics.median(ts), 3)
+        rows[n] = len(pdf)
+
+    ddb = duckdb.connect()
+    ddb.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+    for t in tables:
+        ddb.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{out}/{t}.parquet/*.parquet')"
+        )
+    ddb_t: dict[str, float] = {}
+    for n in names:
+        sql = REGISTRY[n].oracle
+        ddb.sql(sql).df()  # warm
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            ddb.sql(sql).df()
+            ts.append(time.perf_counter() - t0)
+        ddb_t[n] = round(statistics.median(ts), 3)
+
+    print(json.dumps({
+        "mode": "dupes" if dupes else "r9",
+        "multiplier": k,
+        "table_mb": sizes,
+        "spark_sec": spark_t,
+        "duckdb_sec": ddb_t,
+        "rows": rows,
+    }))
+    return 0
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     if "--communities" in sys.argv:
@@ -147,6 +254,8 @@ def main() -> int:
         os.makedirs(out, exist_ok=True)
         print(json.dumps({"multiplier": k, **communities_stress(spark, src, out, k)}))
         return 0
+    if "--r9" in sys.argv or "--dupes" in sys.argv:
+        return r9_stress(args)
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out = f"/tmp/sce_stress_x{k}"
