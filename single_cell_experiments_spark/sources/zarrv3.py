@@ -34,10 +34,16 @@ Codecs: ``bytes`` (little/big endian), ``gzip`` (stdlib), ``blosc``
 (the pure-Python container codec in ``blosc_py`` — v3 spells shuffle as
 ``"shuffle"``/``"noshuffle"``/``"bitshuffle"`` strings), and ``crc32c``
 (Castagnoli checksum verified + stripped on read, appended on write —
-table-driven pure Python below).  ``transpose`` (non-identity),
-``sharding_indexed``, and ``zstd`` without a zstd module raise a clear
-error naming the construct — the module contract shared with
-``minih5``/``blosc_py``: never garbage-decode.
+table-driven pure Python below), plus the ``sharding_indexed`` codec
+(r10): one shard object packs a C-order grid of independently-encoded
+inner chunks behind a crc32c-protected (offset, nbytes) index at either
+end — the v3 answer to object-store economics at 100 TB (PUT/LIST per
+big shard, one range-read per cache-sized inner chunk; absent inner
+chunks are fill-valued per the sparse-shard sentinel).  ``transpose``
+(non-identity), nested sharding, whole-shard outer compression, and
+``zstd`` without a zstd module raise a clear error naming the construct
+— the module contract shared with ``minih5``/``blosc_py``: never
+garbage-decode.
 """
 
 from __future__ import annotations
@@ -119,15 +125,61 @@ def _v3_dtype(meta: dict) -> np.dtype:
     return np.dtype(prefix + base)
 
 
+def _validate_plain_chain(codecs: list[dict], ndim: int, where: str) -> None:
+    """Validate a non-sharded codec chain: exactly one ``bytes``
+    array→bytes codec, identity-only ``transpose``, bytes→bytes tail from
+    gzip/blosc/zstd/crc32c — raising NAMING the unsupported construct."""
+    n_bytes = 0
+    for codec in codecs:
+        name, conf = codec.get("name"), codec.get("configuration") or {}
+        if name == "bytes":
+            n_bytes += 1
+        elif name == "transpose":
+            order = conf.get("order")
+            if order != list(range(ndim)):
+                raise NotImplementedError(
+                    f"zarr v3 transpose with non-identity order {order} ({where})"
+                )
+        elif name == "sharding_indexed":
+            raise NotImplementedError(
+                f"zarr v3 nested sharding_indexed is not supported ({where})"
+            )
+        elif name not in ("gzip", "blosc", "zstd", "crc32c"):
+            raise NotImplementedError(f"zarr v3 codec {name!r} ({where})")
+    if n_bytes != 1:
+        raise ValueError(
+            f"zarr v3 {where} codec chain needs exactly one 'bytes' codec,"
+            f" got {n_bytes}"
+        )
+
+
+def _validate_index_chain(index_codecs: list[dict]) -> None:
+    """The shard index must decode with what this reader implements:
+    one little-endian ``bytes`` codec plus optional ``crc32c`` — the
+    combination zarr-python writes; anything else raises by name."""
+    names = [c.get("name") for c in index_codecs]
+    if names not in (["bytes"], ["bytes", "crc32c"]):
+        raise NotImplementedError(
+            f"zarr v3 shard index_codecs {names} are not supported"
+        )
+    conf = index_codecs[0].get("configuration") or {}
+    if conf.get("endian", "little") != "little":
+        raise NotImplementedError("zarr v3 big-endian shard index")
+
+
 def read_zarr_v3_meta(array_path: str) -> dict:
     """Parse + validate an array's ``zarr.json`` (one driver-side GET).
 
     Enforces the constructs this reader implements and raises NAMING the
     unsupported one otherwise: regular chunk grid, default/v2 chunk key
-    encodings, exactly one ``bytes`` array→bytes codec, and a bytes→bytes
-    tail drawn from gzip/blosc/zstd/crc32c.  ``transpose`` is accepted
-    only with the identity order (zarr-python writes it for C-order
-    arrays)."""
+    encodings, and either a plain chain (exactly one ``bytes``
+    array→bytes codec + gzip/blosc/zstd/crc32c tail, identity-only
+    ``transpose``) or a ``sharding_indexed`` chain (optional identity
+    transpose, then the shard codec LAST — whole-shard outer compression
+    is rejected by name; inner and index chains re-validated with the
+    same rules).  For sharded arrays ``chunks`` is the SHARD shape (the
+    outer grid the chunk keys address) and ``sharding`` carries the
+    inner-chunk geometry."""
     with open(os.path.join(array_path, "zarr.json")) as f:
         meta = json.load(f)
     if meta.get("zarr_format") != 3 or meta.get("node_type") != "array":
@@ -145,35 +197,60 @@ def read_zarr_v3_meta(array_path: str) -> dict:
         if fill not in _FILL_STRINGS:
             raise NotImplementedError(f"zarr v3 fill_value {fill!r}")
         fill = _FILL_STRINGS[fill]
+    shape = meta["shape"]
+    chunks = grid["configuration"]["chunk_shape"]
     codecs = meta.get("codecs", [])
-    n_bytes = 0
-    for codec in codecs:
-        name, conf = codec.get("name"), codec.get("configuration") or {}
-        if name == "bytes":
-            n_bytes += 1
-        elif name == "transpose":
-            order = conf.get("order")
-            if order != list(range(len(meta["shape"]))):
-                raise NotImplementedError(
-                    f"zarr v3 transpose with non-identity order {order}"
-                )
-        elif name == "sharding_indexed":
+    sharding = None
+    if any(c.get("name") == "sharding_indexed" for c in codecs):
+        *head, last = codecs
+        if last.get("name") != "sharding_indexed":
             raise NotImplementedError(
-                "zarr v3 sharding_indexed codec is not supported"
+                "zarr v3 codecs after sharding_indexed (whole-shard outer"
+                " compression) are not supported"
             )
-        elif name not in ("gzip", "blosc", "zstd", "crc32c"):
-            raise NotImplementedError(f"zarr v3 codec {name!r}")
-    if n_bytes != 1:
-        raise ValueError(
-            f"zarr v3 codec chain needs exactly one 'bytes' codec, got {n_bytes}"
+        for codec in head:
+            if codec.get("name") != "transpose" or (
+                codec.get("configuration") or {}
+            ).get("order") != list(range(len(shape))):
+                raise NotImplementedError(
+                    f"zarr v3 codec {codec.get('name')!r} before sharding_indexed"
+                )
+        conf = last.get("configuration") or {}
+        inner = conf["chunk_shape"]
+        if len(inner) != len(chunks) or any(
+            s % i for s, i in zip(chunks, inner)
+        ):
+            raise ValueError(
+                f"zarr v3 shard shape {chunks} not divisible by inner"
+                f" chunk shape {inner}"
+            )
+        inner_codecs = conf.get("codecs", [{"name": "bytes"}])
+        _validate_plain_chain(inner_codecs, len(shape), "shard inner")
+        index_codecs = conf.get(
+            "index_codecs", [{"name": "bytes"}, {"name": "crc32c"}]
         )
+        _validate_index_chain(index_codecs)
+        loc = conf.get("index_location", "end")
+        if loc not in ("start", "end"):
+            raise NotImplementedError(f"zarr v3 index_location {loc!r}")
+        sharding = {
+            "inner": inner,
+            "codecs": inner_codecs,
+            "index_codecs": index_codecs,
+            "index_location": loc,
+        }
+        dtype_codecs = inner_codecs
+    else:
+        _validate_plain_chain(codecs, len(shape), "array")
+        dtype_codecs = codecs
     return {
-        "shape": meta["shape"],
-        "chunks": grid["configuration"]["chunk_shape"],
-        "dtype": _v3_dtype(meta),
+        "shape": shape,
+        "chunks": chunks,
+        "dtype": _v3_dtype({**meta, "codecs": dtype_codecs}),
         "fill_value": fill,
         "codecs": codecs,
         "key_encoding": keyenc,
+        "sharding": sharding,
     }
 
 
@@ -245,6 +322,76 @@ def _encode_chain(block: bytes, codecs: list[dict], typesize: int) -> bytes:
     return block
 
 
+# --- sharding_indexed ---------------------------------------------------------
+
+_MISSING = (1 << 64) - 1  # the spec's "chunk absent" offset/nbytes sentinel
+
+
+def _index_nbytes(n_inner: int, index_codecs: list[dict]) -> int:
+    """Encoded shard-index size: 16 bytes per inner chunk (two uint64 LE)
+    through the ``bytes`` codec, +4 per ``crc32c`` in the chain."""
+    return 16 * n_inner + 4 * sum(
+        1 for c in index_codecs if c.get("name") == "crc32c"
+    )
+
+
+def _decode_shard(blob: bytes, meta: dict) -> np.ndarray:
+    """One shard object → the full (outer-chunk-shaped) ndarray: parse the
+    footer/header index (two uint64 LE per inner chunk, crc32c-verified),
+    decode each PRESENT inner chunk through the inner codec chain, place
+    it on its C-order grid cell, and fill absent cells with
+    ``fill_value`` — the spec's sparse-shard semantics."""
+    sh = meta["sharding"]
+    inner, dtype = sh["inner"], meta["dtype"]
+    grid = [s // i for s, i in zip(meta["chunks"], inner)]
+    n = int(np.prod(grid))
+    isz = _index_nbytes(n, sh["index_codecs"])
+    idx_blob = blob[:isz] if sh["index_location"] == "start" else blob[-isz:]
+    offs = np.frombuffer(
+        _decode_chain(idx_blob, sh["index_codecs"]), dtype="<u8"
+    ).reshape(n, 2)
+    fill = meta["fill_value"]
+    block = np.full(meta["chunks"], fill if fill is not None else 0, dtype=dtype)
+    for i in range(n):
+        off, nb = int(offs[i, 0]), int(offs[i, 1])
+        if off == _MISSING:
+            continue
+        part = np.frombuffer(
+            _decode_chain(blob[off : off + nb], sh["codecs"]), dtype=dtype
+        ).reshape(inner)
+        pos = np.unravel_index(i, grid)
+        block[tuple(slice(p * c, (p + 1) * c) for p, c in zip(pos, inner))] = part
+    return block
+
+
+def _encode_shard(
+    inners: list[bytes | None], index_codecs: list[dict], index_location: str
+) -> bytes:
+    """Pack encoded inner chunks (C-order over the inner grid; ``None`` =
+    absent) into one shard object with its (offset, nbytes) index —
+    offsets are absolute within the shard per the spec, so a header
+    index shifts the body base."""
+    import struct
+
+    isz = _index_nbytes(len(inners), index_codecs)
+    base = isz if index_location == "start" else 0
+    body = bytearray()
+    entries = []
+    for enc in inners:
+        if enc is None:
+            entries.append((_MISSING, _MISSING))
+        else:
+            entries.append((base + len(body), len(enc)))
+            body.extend(enc)
+    idx = _encode_chain(
+        b"".join(struct.pack("<QQ", o, nb) for o, nb in entries),
+        index_codecs,
+        8,
+    )
+    assert len(idx) == isz
+    return idx + bytes(body) if index_location == "start" else bytes(body) + idx
+
+
 # --- chunk keys ------------------------------------------------------------------
 
 
@@ -287,9 +434,12 @@ def _decode_blocks_v3(array_path: str, meta: dict):
         for pdf in batches:
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 coords = _chunk_coords_v3(array_path, fpath, keyenc)
-                block = np.frombuffer(
-                    _decode_chain(bytes(content), codecs), dtype=dtype
-                ).reshape(chunks)
+                if meta.get("sharding"):
+                    block = _decode_shard(bytes(content), meta)
+                else:
+                    block = np.frombuffer(
+                        _decode_chain(bytes(content), codecs), dtype=dtype
+                    ).reshape(chunks)
                 row0 = coords[0] * chunks[0]
                 valid = min(chunks[0], shape[0] - row0)
                 rows = np.arange(row0, row0 + valid, dtype=np.int64)
@@ -408,6 +558,12 @@ def _write_v3_meta(
         json.dump(meta, f)
 
 
+_DEFAULT_INDEX_CODECS = [
+    {"name": "bytes", "configuration": {"endian": "little"}},
+    {"name": "crc32c"},
+]
+
+
 def write_zarr_v3_group(
     wide: DataFrame,
     path: str,
@@ -415,15 +571,30 @@ def write_zarr_v3_group(
     codecs: list[dict] | None = None,
     cols_per_chunk: int | None = None,
     keyenc: dict | None = None,
+    shard_inner_rows: int | None = None,
 ) -> dict:
     """Write (vec_id, embedding) rows as a Zarr v3 group at ``path``
     (``X`` 2-D float32 + ``vec_id`` 1-D int64) — the ``zarrv2``
     ``groupBy(chunk)⟶applyInPandas`` write with v3 metadata, key
     encoding, and codec chain.  The groupBy exchange IS the
     chunk-aligned repartition; the driver writes only ``zarr.json``
-    documents."""
+    documents.
+
+    ``shard_inner_rows`` switches the arrays to ``sharding_indexed``:
+    each outer chunk becomes ONE shard object packing
+    ``rows_per_chunk / shard_inner_rows`` inner chunks (``codecs``
+    becomes the inner chain) behind a crc32c-protected footer index —
+    the v3 answer to object-store PUT/LIST costs at 100 TB (big objects
+    outside, cache-sized chunks inside, one range-read per inner chunk).
+    Inner chunks entirely inside the edge padding are written as ABSENT
+    (the spec's sparse-shard sentinel), like real writers do."""
     codecs = codecs if codecs is not None else _DEFAULT_CODECS
     keyenc = keyenc if keyenc is not None else _DEFAULT_KEYENC
+    if shard_inner_rows is not None and rows_per_chunk % shard_inner_rows:
+        raise ValueError(
+            f"shard_inner_rows {shard_inner_rows} must divide"
+            f" rows_per_chunk {rows_per_chunk}"
+        )
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
 
@@ -447,11 +618,40 @@ def write_zarr_v3_group(
     f4 = np.dtype(("<" if endian == "little" else ">") + "f4")
     i8 = np.dtype(("<" if endian == "little" else ">") + "i8")
 
+    def _array_codecs(inner_shape: list[int]) -> list[dict]:
+        if shard_inner_rows is None:
+            return codecs
+        return [
+            {
+                "name": "sharding_indexed",
+                "configuration": {
+                    "chunk_shape": inner_shape,
+                    "codecs": codecs,
+                    "index_codecs": _DEFAULT_INDEX_CODECS,
+                    "index_location": "end",
+                },
+            }
+        ]
+
     x_path, id_path = os.path.join(path, "X"), os.path.join(path, "vec_id")
     _write_v3_meta(
-        x_path, [n_rows, dim], [rows_per_chunk, cpc], "float32", codecs, 0.0, keyenc
+        x_path,
+        [n_rows, dim],
+        [rows_per_chunk, cpc],
+        "float32",
+        _array_codecs([shard_inner_rows or rows_per_chunk, cpc]),
+        0.0,
+        keyenc,
     )
-    _write_v3_meta(id_path, [n_rows], [rows_per_chunk], "int64", codecs, 0, keyenc)
+    _write_v3_meta(
+        id_path,
+        [n_rows],
+        [rows_per_chunk],
+        "int64",
+        _array_codecs([shard_inner_rows or rows_per_chunk]),
+        0,
+        keyenc,
+    )
     with open(os.path.join(path, "zarr.json"), "w") as f:
         json.dump({"zarr_format": 3, "node_type": "group", "attributes": {}}, f)
 
@@ -466,9 +666,27 @@ def write_zarr_v3_group(
         with open(full, "wb") as f:
             f.write(payload)
 
+    def _pack(block: np.ndarray, valid_rows: int, typesize: int) -> bytes:
+        """One outer chunk's payload: plain chain encode, or — sharded —
+        inner row-slabs encoded separately and packed behind the index,
+        with all-padding slabs written as ABSENT."""
+        if shard_inner_rows is None:
+            return _encode_chain(
+                np.ascontiguousarray(block).tobytes(order="C"), codecs, typesize
+            )
+        inners: list[bytes | None] = []
+        for r0 in range(0, rows_per_chunk, shard_inner_rows):
+            if r0 >= valid_rows:
+                inners.append(None)
+                continue
+            part = np.ascontiguousarray(block[r0 : r0 + shard_inner_rows])
+            inners.append(_encode_chain(part.tobytes(order="C"), codecs, typesize))
+        return _encode_shard(inners, _DEFAULT_INDEX_CODECS, "end")
+
     def _write_chunk(key, pdf: pd.DataFrame) -> pd.DataFrame:
         (chunk_id,) = key
         offs = pdf["vec_id"].to_numpy(dtype=np.int64) - chunk_id * rows_per_chunk
+        valid = min(rows_per_chunk, n_rows - int(chunk_id) * rows_per_chunk)
         x_block = np.zeros((rows_per_chunk, dim), dtype=f4)
         x_block[offs] = np.array(pdf["embedding"].to_list(), dtype=np.float32)
         id_block = np.zeros(rows_per_chunk, dtype=i8)
@@ -479,12 +697,8 @@ def write_zarr_v3_group(
                 pad = np.zeros((rows_per_chunk, cpc), dtype=f4)
                 pad[:, : sub.shape[1]] = sub
                 sub = pad
-            _put(
-                x_path,
-                (int(chunk_id), c),
-                _encode_chain(np.ascontiguousarray(sub).tobytes(order="C"), codecs, 4),
-            )
-        _put(id_path, (int(chunk_id),), _encode_chain(id_block.tobytes(order="C"), codecs, 8))
+            _put(x_path, (int(chunk_id), c), _pack(sub, valid, 4))
+        _put(id_path, (int(chunk_id),), _pack(id_block, valid, 8))
         return pd.DataFrame({"chunk_id": [chunk_id], "n_rows": [len(pdf)]})
 
     n_chunks = (
@@ -533,6 +747,39 @@ def zarr_v3_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"sce_zarr3_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
     )
     write_zarr_v3_group(e, store, cols_per_chunk=(e_dim + 1) // 2)
+    x = read_zarr_v3_matrix(spark, os.path.join(store, "X"))
+    ids = read_zarr_v3_vector(spark, os.path.join(store, "vec_id")).withColumnRenamed(
+        "value", "vec_id"
+    )
+    return zarr_matrix_coo(x, ids)
+
+
+@query(
+    "zarr_v3_sharded_roundtrip",
+    oracle=_ZARR_V3_ORACLE,
+    tags=("sources", "zarr", "v3", "sharding"),
+    cache=False,
+)
+def zarr_v3_sharded_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A2 through the ``sharding_indexed`` codec — the layout a REAL
+    100 TB v3 array uses (one object per 64-row shard, 16-row inner
+    chunks through the bytes→blosc→crc32c chain behind a crc32c-protected
+    footer index; the final shard carries ABSENT trailing inner chunks,
+    exercising the sparse sentinel).  Same parquet-derived COO oracle as
+    ``zarr_v3_roundtrip``: hash equality proves index parse, per-inner-
+    chunk decode, grid placement, absence fill, and edge trim are all
+    bit-exact.  Unit tests add hand-built shard fixtures (header-index
+    variant, corrupted index crc reject, missing-chunk fill)."""
+    import tempfile
+
+    from .zarrv2 import zarr_matrix_coo
+
+    e = load_table(spark, sf_dir, "embeddings")
+    store = os.path.join(
+        tempfile.gettempdir(),
+        f"sce_zarr3s_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    write_zarr_v3_group(e, store, shard_inner_rows=16)
     x = read_zarr_v3_matrix(spark, os.path.join(store, "X"))
     ids = read_zarr_v3_vector(spark, os.path.join(store, "vec_id")).withColumnRenamed(
         "value", "vec_id"

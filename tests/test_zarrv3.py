@@ -208,3 +208,162 @@ def test_v3_write_read_roundtrip_blosc(spark, tmp_path):
         dtype=np.float32,
     )
     assert np.array_equal(got, emb)
+
+
+# --- sharding_indexed -------------------------------------------------------------
+
+
+def _shard_meta(shape, shard, inner, data_type, inner_codecs, loc="end", fill=0):
+    keyenc = {"name": "default", "configuration": {"separator": "/"}}
+    return _meta(
+        shape,
+        shard,
+        data_type,
+        [
+            {
+                "name": "sharding_indexed",
+                "configuration": {
+                    "chunk_shape": inner,
+                    "codecs": inner_codecs,
+                    "index_codecs": [
+                        {"name": "bytes", "configuration": {"endian": "little"}},
+                        {"name": "crc32c"},
+                    ],
+                    "index_location": loc,
+                },
+            }
+        ],
+        keyenc,
+        fill=fill,
+    )
+
+
+_BYTES_LE = [{"name": "bytes", "configuration": {"endian": "little"}}]
+
+
+def _index(entries, loc="end"):
+    raw = b"".join(struct.pack("<QQ", o, n) for o, n in entries)
+    return raw + crc32c(raw).to_bytes(4, "little")
+
+
+def test_sharded_1d_handbuilt_footer_index_and_missing_chunk(spark, tmp_path):
+    """Shape [6] shard [4] inner [2]: shard c/0 packs two present inner
+    chunks; shard c/1 has ONE present and one ABSENT (sentinel) — absent
+    inner cells read as fill, then the shape trim drops the padding.
+    Every byte from the spec: body followed by a crc32c'd (offset,
+    nbytes) footer index, offsets absolute within the shard."""
+    root = str(tmp_path / "sharded1d")
+    os.makedirs(root)
+    with open(os.path.join(root, "zarr.json"), "w") as f:
+        json.dump(_shard_meta([6], [4], [2], "int32", _BYTES_LE, fill=7), f)
+    c0a, c0b = struct.pack("<2i", 10, 11), struct.pack("<2i", 12, 13)
+    _write(root, "c/0", c0a + c0b + _index([(0, 8), (8, 8)]))
+    miss = (1 << 64) - 1
+    c1a = struct.pack("<2i", 14, 15)
+    _write(root, "c/1", c1a + _index([(0, 8), (miss, miss)]))
+    got = {r.row: r.value for r in read_zarr_v3_vector(spark, root).collect()}
+    # rows 0-5; rows 4,5 come from shard 1 inner 0; the absent inner chunk
+    # covers rows 6,7 which the shape trims anyway
+    assert got == {0: 10, 1: 11, 2: 12, 3: 13, 4: 14, 5: 15}
+
+
+def test_sharded_header_index_and_fill_visible(spark, tmp_path):
+    """index_location=start shifts the body base; an absent inner chunk
+    INSIDE the array shape (not padding) must surface the fill value."""
+    root = str(tmp_path / "shardedhdr")
+    os.makedirs(root)
+    with open(os.path.join(root, "zarr.json"), "w") as f:
+        json.dump(
+            _shard_meta([4], [4], [2], "int64", _BYTES_LE, loc="start", fill=99), f
+        )
+    isz = 16 * 2 + 4
+    miss = (1 << 64) - 1
+    body = struct.pack("<2q", 21, 22)
+    _write(root, "c/0", _index([(miss, miss), (isz, 16)], "start") + body)
+    got = {r.row: r.value for r in read_zarr_v3_vector(spark, root).collect()}
+    assert got == {0: 99, 1: 99, 2: 21, 3: 22}
+
+
+def test_sharded_corrupt_index_crc_rejected(spark, tmp_path):
+    root = str(tmp_path / "shardedbad")
+    os.makedirs(root)
+    with open(os.path.join(root, "zarr.json"), "w") as f:
+        json.dump(_shard_meta([2], [2], [2], "int32", _BYTES_LE), f)
+    body = struct.pack("<2i", 1, 2)
+    raw = struct.pack("<QQ", 0, 8)
+    bad = raw + (crc32c(raw) ^ 5).to_bytes(4, "little")
+    _write(root, "c/0", body + bad)
+    with pytest.raises(Exception, match="crc32c mismatch"):
+        read_zarr_v3_vector(spark, root).collect()
+
+
+def test_sharded_guards_named(tmp_path):
+    root = str(tmp_path / "shardguards")
+    os.makedirs(root)
+    keyenc = {"name": "default", "configuration": {"separator": "/"}}
+
+    def put(meta):
+        with open(os.path.join(root, "zarr.json"), "w") as f:
+            json.dump(meta, f)
+
+    shard = {
+        "name": "sharding_indexed",
+        "configuration": {"chunk_shape": [2], "codecs": _BYTES_LE},
+    }
+    # outer compression after the shard codec
+    put(_meta([4], [4], "int32", [shard, {"name": "gzip"}], keyenc))
+    with pytest.raises(NotImplementedError, match="after sharding_indexed"):
+        read_zarr_v3_meta(root)
+    # indivisible inner shape
+    bad = {
+        "name": "sharding_indexed",
+        "configuration": {"chunk_shape": [3], "codecs": _BYTES_LE},
+    }
+    put(_meta([4], [4], "int32", [bad], keyenc))
+    with pytest.raises(ValueError, match="not divisible"):
+        read_zarr_v3_meta(root)
+    # unsupported index chain
+    odd = {
+        "name": "sharding_indexed",
+        "configuration": {
+            "chunk_shape": [2],
+            "codecs": _BYTES_LE,
+            "index_codecs": [{"name": "gzip"}],
+        },
+    }
+    put(_meta([4], [4], "int32", [odd], keyenc))
+    with pytest.raises(NotImplementedError, match="index_codecs"):
+        read_zarr_v3_meta(root)
+
+
+def test_sharded_write_read_roundtrip_2d(spark, tmp_path):
+    """Writer shards read back bit-exactly: 2-D with both row and column
+    edges, 4-row inner chunks inside 8-row shards, absent trailing inner
+    chunk in the final shard (10 rows -> shard 1 rows 8..15, inner slab
+    12..15 all-padding and written ABSENT)."""
+    import pandas as pd
+
+    n, dim = 10, 5
+    rng = np.random.default_rng(11)
+    emb = rng.normal(size=(n, dim)).astype(np.float32)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(n), "embedding": list(map(list, emb))})
+    )
+    root = str(tmp_path / "shardstore")
+    write_zarr_v3_group(
+        df, root, rows_per_chunk=8, cols_per_chunk=3, shard_inner_rows=4
+    )
+    meta = read_zarr_v3_meta(os.path.join(root, "X"))
+    assert meta["sharding"] is not None and meta["sharding"]["inner"] == [4, 3]
+    ids = read_zarr_v3_vector(spark, os.path.join(root, "vec_id"))
+    assert {r.row: r.value for r in ids.collect()} == {i: i for i in range(n)}
+    from collections import defaultdict
+
+    slices = defaultdict(dict)
+    for r in read_zarr_v3_matrix(spark, os.path.join(root, "X")).collect():
+        slices[r.row][r.col0] = list(r.values)
+    got = np.array(
+        [sum((slices[i][c] for c in sorted(slices[i])), []) for i in range(n)],
+        dtype=np.float32,
+    )
+    assert np.array_equal(got, emb)
