@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions.compat import big, stat6
 from ..registry import query
-from ..session import materialize
+from ..session import materialize, sever
 
 #: "expressed" threshold for continuous (non-count) matrix values.
 EXPR_THRESHOLD = 0.1
@@ -1762,7 +1762,11 @@ q{r} AS MATERIALIZED (
 )"""
 
 
-def _sc_modularity_oracle() -> str:
+def _sc_modularity_prefix() -> str:
+    """Shared oracle prefix: kNN edges → unrolled level-1 phases →
+    per-round Q → best-state pick, exposed as the ``lv1`` CTE — the
+    composition point ``sc_communities_modularity`` terminates at and
+    ``sc_communities_louvain2`` coarsens from."""
     chain, _ = _modularity_chain_sql(SC_MODULARITY_ROUNDS)
     names = ["l0"] + [f"l{i}b" for i in range(1, SC_MODULARITY_ROUNDS + 1)]
     qctes = ",".join(
@@ -1789,8 +1793,13 @@ l0 AS MATERIALIZED (SELECT id, id AS lbl FROM deg),
 {qctes},
 best AS MATERIALIZED (
   SELECT r FROM ({qunion}) ORDER BY qn DESC, r ASC LIMIT 1
-)
-SELECT id AS vec_id, CAST(lbl AS BIGINT) AS community FROM ({pick}) z
+),
+lv1 AS MATERIALIZED (SELECT id, lbl FROM ({pick}) z)"""
+
+
+def _sc_modularity_oracle() -> str:
+    return f"""{_sc_modularity_prefix()}
+SELECT id AS vec_id, CAST(lbl AS BIGINT) AS community FROM lv1
 """
 
 
@@ -1830,3 +1839,351 @@ def sc_communities_modularity(
     return labels.select(
         F.col("id").alias("vec_id"), big(F.col("lbl")).alias("community")
     )
+
+
+# --- Louvain level 2: coarsened weighted phase-1 -------------------------------
+
+
+def louvain_phase1_weighted(
+    edges: DataFrame,
+    selfmass: DataFrame,
+    max_rounds: int = SC_MODULARITY_ROUNDS,
+    stats: dict | None = None,
+) -> DataFrame:
+    """The WEIGHTED phased modularity step ``louvain_phase1_labels`` is
+    the w=1 case of — the engine for Louvain's level-2+ passes over a
+    coarsened supergraph: ``edges`` carries (src, dst, w) with integer
+    multi-edge weights and NO self-edges; ``selfmass`` carries (id, sm),
+    each supernode's internal directed edge mass (2× its internal
+    undirected edges — the level-1 community's collapsed interior).
+    Degrees are k(u) = Σ_out w + sm(u), so the total mass M = Σ k is
+    EXACTLY the original graph's directed edge count — the invariant
+    that makes level-2 modularity directly comparable to level-1's.
+
+    Same contract as the unweighted function: integer scores
+    M·W_{u,c} − k_u·(Σtot(c) − [own]·k_u) with W_{u,c} the edge weight
+    from u into c (self-mass excluded — it moves with u and cancels
+    across candidates), id-parity phases, minimum-labeling damping,
+    best-Q-state selection (Q numerator M·e_in − Σtot², where e_in
+    counts same-label edge weight plus ALL self-mass), driver fixpoint
+    early-exit, ``stats`` sink.  Scale shape: identical per-round cost
+    class, but over the COARSENED graph — O(communities) rows, so
+    every level after the first is nearly free at any corpus size (the
+    published Louvain observation that level 1 dominates runtime).
+    """
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .union(selfmass.select("id"))
+        .distinct()
+    )
+    deg = materialize(
+        nodes.join(
+            edges.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("wd")),
+            "id",
+            "left",
+        )
+        .join(selfmass.withColumnRenamed("sm", "smv"), "id", "left")
+        .select(
+            "id",
+            (
+                F.coalesce(F.col("wd"), F.lit(0)) + F.coalesce(F.col("smv"), F.lit(0))
+            ).cast("long").alias("k"),
+        )
+    )
+    mm = deg.agg(F.sum("k").alias("m"))
+    m_val = int(mm.collect()[0][0])
+    sm_total = int(
+        selfmass.agg(F.coalesce(F.sum("sm"), F.lit(0))).collect()[0][0]
+    )
+    labels = deg.select("id", F.col("id").alias("lbl"))
+
+    def _phase(labels: DataFrame, phase: int) -> DataFrame:
+        nbrc = (
+            edges.join(labels, edges.dst == labels.id)
+            .where(edges.src % 2 == phase)
+            .groupBy(edges.src, labels.lbl)
+            .agg(F.sum("w").cast("long").alias("kuc"))
+            .select(F.col("src"), F.col("lbl").alias("clbl"), "kuc")
+        )
+        own = labels.where(F.col("id") % 2 == phase).select(
+            F.col("id").alias("src"),
+            F.col("lbl").alias("clbl"),
+            F.lit(0).cast("long").alias("kuc"),
+        )
+        cand = (
+            nbrc.unionAll(own).groupBy("src", "clbl").agg(F.max("kuc").alias("kuc"))
+        )
+        tot = (
+            labels.join(deg, "id")
+            .groupBy("lbl")
+            .agg(F.sum("k").alias("tot"), F.count(F.lit(1)).alias("csz"))
+            .select(F.col("lbl").alias("clbl"), "tot", "csz")
+        )
+        own_sz = tot.select(F.col("clbl").alias("plbl"), F.col("csz").alias("ocsz"))
+        scored = (
+            cand.join(deg.select(F.col("id").alias("src"), F.col("k")), "src")
+            .join(tot, "clbl")
+            .join(
+                labels.select(F.col("id").alias("src"), F.col("lbl").alias("plbl")),
+                "src",
+            )
+            .join(own_sz, "plbl")
+            .crossJoin(F.broadcast(mm))
+            .where(
+                (F.col("clbl") == F.col("plbl"))
+                | ~(
+                    (F.col("ocsz") == 1)
+                    & (F.col("csz") == 1)
+                    & (F.col("clbl") > F.col("plbl"))
+                )
+            )
+            .select(
+                "src",
+                "clbl",
+                (
+                    F.col("m") * F.col("kuc")
+                    - F.col("k")
+                    * (
+                        F.col("tot")
+                        - F.when(
+                            F.col("plbl") == F.col("clbl"), F.col("k")
+                        ).otherwise(0)
+                    )
+                ).alias("score"),
+            )
+        )
+        rn = F.row_number().over(
+            W.partitionBy("src").orderBy(F.desc("score"), F.asc("clbl"))
+        )
+        moved = (
+            scored.withColumn("rn", rn)
+            .where(F.col("rn") == 1)
+            .select(F.col("src").alias("id"), F.col("clbl").alias("lbl"))
+        )
+        kept = labels.where(F.col("id") % 2 != phase).select("id", "lbl")
+        return materialize(moved.unionAll(kept))
+
+    def _qnum(labels: DataFrame) -> int:
+        la = labels.select(F.col("id").alias("src"), F.col("lbl").alias("la"))
+        lb = labels.select(F.col("id").alias("dst"), F.col("lbl").alias("lb"))
+        e_in = (
+            edges.join(la, "src")
+            .join(lb, "dst")
+            .where(F.col("la") == F.col("lb"))
+            .agg(F.coalesce(F.sum("w"), F.lit(0)))
+            .collect()[0][0]
+        )
+        sumsq = (
+            labels.join(deg, "id")
+            .groupBy("lbl")
+            .agg(F.sum("k").alias("tot"))
+            .agg(F.sum(F.col("tot") * F.col("tot")))
+            .collect()[0][0]
+        )
+        return m_val * (int(e_in) + sm_total) - int(sumsq)
+
+    hist = [labels]
+    qnums = [_qnum(labels)]
+    rounds_used, converged = 0, False
+    for _ in range(max_rounds):
+        updated = _phase(_phase(labels, 0), 1)
+        rounds_used += 1
+        changed = (
+            updated.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            converged = True
+            break
+        hist.append(updated)
+        qnums.append(_qnum(updated))
+    best_r = max(range(len(qnums)), key=lambda i: (qnums[i], -i))
+    if stats is not None:
+        stats["rounds"] = rounds_used
+        stats["converged"] = converged
+        stats["best_round"] = best_r
+        stats["best_qnum"] = max(qnums)
+    return hist[best_r]
+
+
+def _modularity_round_w_sql(prev: str, name: str, phase: int) -> str:
+    """Weighted phase CTE over ``sw`` (src, dst, w — coarsened
+    supergraph, no self-edges), ``deg2``, ``mm2`` — the level-2 twin of
+    ``_modularity_round_sql`` (kuc becomes the summed edge weight)."""
+    return f"""
+{name} AS MATERIALIZED (
+  SELECT id, lbl FROM (
+    SELECT s.src AS id, s.clbl AS lbl,
+           row_number() OVER (PARTITION BY s.src
+                              ORDER BY s.score DESC, s.clbl ASC) AS rn
+    FROM (
+      SELECT c.src, c.clbl,
+             mm2.m * c.kuc
+               - du.k * (t.tot - CASE WHEN p.lbl = c.clbl
+                                      THEN du.k ELSE 0 END) AS score
+      FROM (
+        SELECT src, clbl, MAX(kuc) AS kuc FROM (
+          SELECT e.src, pl.lbl AS clbl, CAST(SUM(e.w) AS BIGINT) AS kuc
+          FROM sw e JOIN {prev} pl ON pl.id = e.dst
+          GROUP BY e.src, pl.lbl
+          UNION ALL
+          SELECT id AS src, lbl AS clbl, CAST(0 AS BIGINT) AS kuc FROM {prev}
+        ) GROUP BY src, clbl
+      ) c
+      JOIN deg2 du ON du.id = c.src
+      JOIN (SELECT p2.lbl AS clbl, CAST(SUM(d2.k) AS BIGINT) AS tot,
+                   CAST(COUNT(*) AS BIGINT) AS csz
+            FROM {prev} p2 JOIN deg2 d2 ON d2.id = p2.id
+            GROUP BY p2.lbl) t ON t.clbl = c.clbl
+      JOIN (SELECT p3.id, p3.lbl,
+                   COUNT(*) OVER (PARTITION BY p3.lbl) AS ocsz
+            FROM {prev} p3) p ON p.id = c.src
+      CROSS JOIN mm2
+      WHERE c.src % 2 = {phase}
+        AND (c.clbl = p.lbl
+             OR NOT (p.ocsz = 1 AND t.csz = 1 AND c.clbl > p.lbl))
+    ) s
+  ) WHERE rn = 1
+  UNION ALL
+  SELECT id, lbl FROM {prev} WHERE id % 2 <> {phase}
+)"""
+
+
+def _modularity_qnum_w_sql(li: str, r: int) -> str:
+    return f"""
+p{r} AS MATERIALIZED (
+  SELECT {r} AS r,
+         (SELECT m FROM mm2)
+           * (COALESCE((SELECT CAST(SUM(e.w) AS BIGINT) FROM sw e
+                        JOIN {li} x ON x.id = e.src
+                        JOIN {li} y ON y.id = e.dst AND y.lbl = x.lbl), 0)
+              + (SELECT t FROM smt))
+         - (SELECT CAST(SUM(tot * tot) AS BIGINT) FROM (
+              SELECT CAST(SUM(d.k) AS BIGINT) AS tot
+              FROM {li} p JOIN deg2 d ON d.id = p.id GROUP BY p.lbl) tt)
+         AS qn
+)"""
+
+
+def _sc_louvain2_oracle() -> str:
+    rounds, prev = [], "w0"
+    for i in range(1, SC_MODULARITY_ROUNDS + 1):
+        rounds.append(_modularity_round_w_sql(prev, f"w{i}a", 0))
+        rounds.append(_modularity_round_w_sql(f"w{i}a", f"w{i}b", 1))
+        prev = f"w{i}b"
+    chain2 = ",".join(rounds)
+    names = ["w0"] + [f"w{i}b" for i in range(1, SC_MODULARITY_ROUNDS + 1)]
+    qctes = ",".join(_modularity_qnum_w_sql(nm, r) for r, nm in enumerate(names))
+    qunion = " UNION ALL ".join(f"SELECT * FROM p{r}" for r in range(len(names)))
+    pick = " UNION ALL ".join(
+        f"SELECT id, lbl FROM {nm} WHERE {r} = (SELECT r FROM best2)"
+        for r, nm in enumerate(names)
+    )
+    return f"""{_sc_modularity_prefix()},
+sw AS MATERIALIZED (
+  SELECT x.lbl AS src, y.lbl AS dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM edges e JOIN lv1 x ON x.id = e.src JOIN lv1 y ON y.id = e.dst
+  WHERE x.lbl <> y.lbl GROUP BY x.lbl, y.lbl
+),
+smass AS MATERIALIZED (
+  SELECT x.lbl AS id, CAST(COUNT(*) AS BIGINT) AS sm
+  FROM edges e JOIN lv1 x ON x.id = e.src JOIN lv1 y ON y.id = e.dst
+  WHERE x.lbl = y.lbl GROUP BY x.lbl
+),
+deg2 AS MATERIALIZED (
+  SELECT n.id, CAST(COALESCE(o.wd, 0) + COALESCE(s.sm, 0) AS BIGINT) AS k
+  FROM (SELECT DISTINCT lbl AS id FROM lv1) n
+  LEFT JOIN (SELECT src AS id, SUM(w) AS wd FROM sw GROUP BY src) o ON o.id = n.id
+  LEFT JOIN smass s ON s.id = n.id
+),
+mm2 AS MATERIALIZED (SELECT CAST(SUM(k) AS BIGINT) AS m FROM deg2),
+smt AS MATERIALIZED (
+  SELECT CAST(COALESCE(SUM(sm), 0) AS BIGINT) AS t FROM smass
+),
+w0 AS MATERIALIZED (SELECT id, id AS lbl FROM deg2),
+{chain2},
+{qctes},
+best2 AS MATERIALIZED (
+  SELECT r FROM ({qunion}) ORDER BY qn DESC, r ASC LIMIT 1
+)
+SELECT l.id AS vec_id, CAST(p.lbl AS BIGINT) AS community
+FROM lv1 l JOIN ({pick}) p ON p.id = l.lbl
+"""
+
+
+@query(
+    "sc_communities_louvain2",
+    oracle=_sc_louvain2_oracle(),
+    tags=("singlecell", "graph", "clustering", "iterative", "modularity"),
+)
+def sc_communities_louvain2(
+    spark: SparkSession, sf_dir: str, stats: dict | None = None
+) -> DataFrame:
+    """TWO-LEVEL Louvain over the kNN cell graph — phase 1
+    (``sc_communities_modularity``'s deterministic phased greedy), then
+    the Blondel et al. COARSENING step: level-1 communities collapse to
+    supernodes (inter-community edge counts as weights, intra-community
+    directed edge mass as self-mass), and the WEIGHTED phase-1 re-runs
+    on the supergraph (``louvain_phase1_weighted``).  This is the step
+    that escapes single-level greedy's plateau: measured on the sf0.001
+    kNN graph, Q rises 0.233 → 0.372 (183 → 57 communities), matching
+    the LPA partition's modularity with the actual modularity objective
+    (the recorded level-1-only shortfall in
+    ``tests/test_modularity.py``).
+
+    Every quantity stays integer (weights are edge counts; the degree
+    invariant M₂ = M₁ makes level-2 Q directly comparable), so the
+    oracle replays BOTH levels: the shared level-1 CTE prefix, the
+    coarsening aggregates, the unrolled weighted phases, and the
+    argmax-over-rounds pick — one SQL statement, ~30 materialized CTEs,
+    the deepest oracle in the registry.
+
+    Scale shape: level 1 dominates (the published Louvain observation) —
+    the coarsened graph is O(communities) rows, so level 2 adds one
+    small keyed aggregate plus phases over a tiny table; at 100 TB the
+    supergraph typically fits in ONE partition and the same code runs
+    unchanged.
+    """
+    l1_stats: dict = {}
+    knn = sc_neighbor_edges(spark, sf_dir).select("vec_id", "nbr")
+    sym = materialize(
+        knn.select(F.col("vec_id").alias("src"), F.col("nbr").alias("dst"))
+        .union(knn.select(F.col("nbr").alias("src"), F.col("vec_id").alias("dst")))
+        .distinct()
+    )
+    lv1 = materialize(louvain_phase1_labels(sym, SC_MODULARITY_ROUNDS, stats=l1_stats))
+    la = lv1.select(F.col("id").alias("src"), F.col("lbl").alias("ca"))
+    lb = lv1.select(F.col("id").alias("dst"), F.col("lbl").alias("cb"))
+    joined = sym.join(la, "src").join(lb, "dst")
+    # sever, not materialize: the level-2 loop seeded by level-1's
+    # 12-checkpoint output inherits its compounded carried stats and the
+    # optimizer goes geometric (see session.sever — measured 2.2→39.5 s
+    # per phase, then a BigInt OOM).  The supergraph is small BY
+    # CONSTRUCTION (O(communities) ≪ O(cells)), so the driver Arrow
+    # roundtrip is the textbook Louvain centralize-the-coarse-graph step.
+    sw = sever(
+        joined.where(F.col("ca") != F.col("cb"))
+        .groupBy(F.col("ca").alias("src"), F.col("cb").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    smass = sever(
+        joined.where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("id"))
+        .agg(F.count(F.lit(1)).alias("sm"))
+    )
+    l2_stats: dict = {}
+    lv2 = louvain_phase1_weighted(
+        sw, smass, SC_MODULARITY_ROUNDS, stats=l2_stats
+    )
+    if stats is not None:
+        stats["level1"] = l1_stats
+        stats["level2"] = l2_stats
+    return lv1.join(
+        lv2.select(F.col("id").alias("lbl"), F.col("lbl").alias("c2")),
+        "lbl",
+    ).select(F.col("id").alias("vec_id"), big(F.col("c2")).alias("community"))

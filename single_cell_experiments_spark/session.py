@@ -170,3 +170,30 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return tune(spark)
+
+
+def sever(df: DataFrame) -> DataFrame:
+    """HARD lineage cut via a driver-side Arrow roundtrip — for small
+    tables at iteration BOUNDARIES where ``materialize`` is not enough.
+
+    Why this exists (r10 finding): ``localCheckpoint``/``checkpoint``
+    truncate the executable lineage but Spark's checkpointed
+    ``LogicalRDD`` CARRIES FORWARD the origin plan's statistics and
+    constraints.  In a checkpointed iteration (the Louvain/LPA/CC loop
+    shape) each round's join-estimate arithmetic compounds into the next
+    round's carried stats, so optimizer time grows geometrically
+    (measured: 2.2 s → 5.3 → 14.7 → 39.5 per round on a 183-node
+    supergraph) and after enough rounds the BigInt size arithmetic
+    itself OOMs the driver (java.math.MutableBigInteger.divideKnuth in
+    the heap dump).  One loop stays bounded because it starts from
+    fresh-scan stats; CHAINED loops (level-2 Louvain seeded by level-1's
+    12-checkpoint output) inherit the accumulated numbers and explode
+    immediately.
+
+    The Arrow collect produces a brand-new local-relation plan with
+    constant stats, resetting the sequence.  O(rows) driver memory —
+    only for tables that are SMALL BY CONSTRUCTION (a community
+    supergraph, a codebook, per-group stats), never for corpus-sized
+    data; callers state the bound at the call site.
+    """
+    return df.sparkSession.createDataFrame(df.toArrow())

@@ -191,3 +191,91 @@ def test_modularity_vs_lpa_partition_relation(spark):
     assert q_mod > 0.0 and q_lpa > 0.0
     singleton = {u: u for u in mod}
     assert q_mod > modularity(edges, singleton)
+
+
+def ref_louvain2(edges: list[tuple[int, int]], rounds: int) -> dict[int, int]:
+    """Independent two-level reference: phase-1 best-state, coarsen to a
+    weighted supergraph (inter-community edge counts + internal directed
+    mass as self-mass), weighted phase-1 best-state, map back."""
+    l1 = ref_louvain_sync(edges, rounds)
+    w: dict[tuple[int, int], int] = defaultdict(int)
+    sm: dict[int, int] = defaultdict(int)
+    for u, v in edges:
+        cu, cv = l1[u], l1[v]
+        if cu == cv:
+            sm[cu] += 1
+        else:
+            w[(cu, cv)] += 1
+    nodes = sorted(set(l1.values()))
+    nbrs: dict[int, dict[int, int]] = defaultdict(dict)
+    for (a, b), ww in w.items():
+        nbrs[a][b] = ww
+    deg = {c: sum(nbrs[c].values()) + sm.get(c, 0) for c in nodes}
+    m = sum(deg.values())
+    sm_total = sum(sm.values())
+
+    def qnum(lbl: dict[int, int]) -> int:
+        e_in = sum(ww for (a, b), ww in w.items() if lbl[a] == lbl[b]) + sm_total
+        tot: dict[int, int] = defaultdict(int)
+        for u in nodes:
+            tot[lbl[u]] += deg[u]
+        return m * e_in - sum(t * t for t in tot.values())
+
+    def phase(lbl: dict[int, int], par: int) -> dict[int, int]:
+        tot: dict[int, int] = defaultdict(int)
+        csz: dict[int, int] = defaultdict(int)
+        for u in nodes:
+            tot[lbl[u]] += deg[u]
+            csz[lbl[u]] += 1
+        new = dict(lbl)
+        for u in nodes:
+            if u % 2 != par:
+                continue
+            kuc: dict[int, int] = defaultdict(int)
+            for v, ww in nbrs[u].items():
+                kuc[lbl[v]] += ww
+            best: tuple[int, int] | None = None
+            for c in sorted(set(kuc) | {lbl[u]}):
+                if c != lbl[u] and csz[lbl[u]] == 1 and csz[c] == 1 and c > lbl[u]:
+                    continue
+                own = deg[u] if lbl[u] == c else 0
+                score = m * kuc.get(c, 0) - deg[u] * (tot[c] - own)
+                if best is None or score > best[0]:
+                    best = (score, c)
+            new[u] = best[1]
+        return new
+
+    lbl = {c: c for c in nodes}
+    hist = [dict(lbl)]
+    for _ in range(rounds):
+        new = phase(phase(lbl, 0), 1)
+        if new == lbl:
+            break
+        lbl = new
+        hist.append(dict(lbl))
+    qs = [qnum(h) for h in hist]
+    l2 = hist[max(range(len(qs)), key=lambda i: (qs[i], -i))]
+    return {u: l2[l1[u]] for u in l1}
+
+
+def test_louvain2_matches_reference_and_improves_q(spark):
+    """Two-level Spark == two-level reference on the sf0.001 kNN graph,
+    and the coarsened pass genuinely escapes the level-1 plateau:
+    Q(level 2) > Q(level 1) (measured 0.233 -> 0.372 when this was
+    written — the Blondel coarsening doing its job)."""
+    from single_cell_experiments_spark.operators.singlecell import (
+        sc_communities_louvain2,
+        sc_neighbor_edges,
+    )
+
+    knn = sc_neighbor_edges(spark, SF_DIR).select("vec_id", "nbr").collect()
+    edges = _sym([(r.vec_id, r.nbr) for r in knn])
+    got = {
+        r.vec_id: r.community
+        for r in sc_communities_louvain2(spark, SF_DIR).collect()
+    }
+    assert got == ref_louvain2(edges, SC_MODULARITY_ROUNDS)
+    l1 = ref_louvain_sync(edges, SC_MODULARITY_ROUNDS)
+    q1, q2 = modularity(edges, l1), modularity(edges, got)
+    assert q2 > q1, (q1, q2)
+    assert len(set(got.values())) < len(set(l1.values()))
