@@ -1447,6 +1447,109 @@ def gap_fill_user_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gap_interp_sql(
+    ts_expr: str,
+    table: str,
+    micros_expr: str,
+    intdiv: str,
+    grid_from: str,
+    nn: str,  # "spark" -> last_value(x, true); "duckdb" -> last_value(x IGNORE NULLS)
+) -> str:
+    """Dialect-shared linear-interpolation gap fill (same grid as
+    ``_gap_fill_sql``; gap readings are the integer linear interpolation
+    between the surrounding observed hours instead of a LOCF carry)."""
+
+    def last_nn(x: str) -> str:
+        return f"last_value({x}, true) OVER w1" if nn == "spark" else f"last_value({x} IGNORE NULLS) OVER w1"
+
+    def first_nn(x: str) -> str:
+        return f"first_value({x}, true) OVER w2" if nn == "spark" else f"first_value({x} IGNORE NULLS) OVER w2"
+
+    return f"""
+WITH obs AS (
+  SELECT user_id, ({ts_expr}) {intdiv} 3600 AS hb,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST({micros_expr} AS BIGINT)) AS BIGINT) AS v_micro
+  FROM {table}
+  GROUP BY user_id, ({ts_expr}) {intdiv} 3600
+),
+span AS (SELECT user_id, MIN(hb) AS h0, MAX(hb) AS h1 FROM obs GROUP BY user_id),
+grid AS ({grid_from}),
+joined AS (
+  SELECT g.user_id, g.hb, o.n_events, o.v_micro,
+         CASE WHEN o.v_micro IS NOT NULL THEN g.hb END AS ob_h
+  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.hb = o.hb
+),
+surround AS (
+  SELECT user_id, hb, n_events, v_micro,
+         {last_nn("v_micro")} AS pv, {last_nn("ob_h")} AS ph,
+         {first_nn("v_micro")} AS nv, {first_nn("ob_h")} AS nh
+  FROM joined
+  WINDOW w1 AS (PARTITION BY user_id ORDER BY hb
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w2 AS (PARTITION BY user_id ORDER BY hb
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, hb * 3600 AS hour_start_s,
+       COALESCE(n_events, CAST(0 AS BIGINT)) AS n_events,
+       CASE WHEN v_micro IS NOT NULL THEN v_micro
+            ELSE pv + ((nv - pv) * (hb - ph)) {intdiv} (nh - ph)
+       END AS reading_micro,
+       CAST(CASE WHEN v_micro IS NULL THEN 1 ELSE 0 END AS INT) AS filled
+FROM surround
+"""
+
+
+_GAP_INTERP_ORACLE = _gap_interp_sql(
+    _DD_TS_S,
+    "events",
+    "FLOOR(value * 1000000.0 + 0.5)",
+    "//",
+    "SELECT user_id, unnest(generate_series(h0, h1)) AS hb FROM span",
+    "duckdb",
+)
+
+
+@query(
+    "gap_fill_user_linear",
+    oracle=_GAP_INTERP_ORACLE,
+    tags=("relational", "window", "timeseries"),
+)
+def gap_fill_user_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation twin of ``gap_fill_user_hourly``: gap hours get
+    the integer linear interpolation between the surrounding observed
+    readings (``pv + (nv-pv)*(h-ph) div (nh-ph)`` in exact micro units)
+    instead of a flat LOCF carry — the ``interpolate`` mode of
+    TimescaleDB/InfluxDB gap filling, for signals where a reading drifts
+    between observations rather than holding.
+
+    Both surrounding observations exist for every gap row by
+    construction (the span grid starts and ends at observed hours).
+    Exactness: the interpolation is all-BIGINT; both engines TRUNCATE
+    integer division toward zero (Spark ``div``, DuckDB ``//`` —
+    verified on negative numerators, which occur whenever the next
+    reading is below the previous), so the gap values are bit-identical
+    with no float in the path.
+
+    Plan shape: same two keyed exchanges as the LOCF twin; the
+    backward- and forward-looking IGNORE NULLS fills share one
+    ``user_id`` sort (same partitioning + ordering, per-function
+    frames), so the interpolation adds window functions but no new
+    exchange or sort.
+    """
+    e = table_view(spark, sf_dir, "events")
+    return spark.sql(
+        _gap_interp_sql(
+            "ts_s",
+            e,
+            "FLOOR(value * 1000000.0D + 0.5D)",
+            "div",
+            "SELECT user_id, hb FROM span LATERAL VIEW explode(sequence(h0, h1)) AS hb",
+            "spark",
+        )
+    )
+
+
 # --- order-insensitive table integrity checksum --------------------------------
 
 _CHECKSUM_MOD = 2_147_483_647  # 2^31 - 1 (Mersenne prime, no bias on % mixes)

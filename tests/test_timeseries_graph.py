@@ -9,7 +9,10 @@ from __future__ import annotations
 
 import pandas as pd
 
-from single_cell_experiments_spark.operators.advanced import gap_fill_user_hourly
+from single_cell_experiments_spark.operators.advanced import (
+    gap_fill_user_hourly,
+    gap_fill_user_linear,
+)
 from single_cell_experiments_spark.operators.dedup import (
     KCORE_K,
     dedup_kcore,
@@ -62,3 +65,39 @@ def test_gap_fill_grid_is_dense_and_locf(spark):
         assert (readings[1:][filled[1:]] == readings[:-1][filled[1:]]).all()
         # Observed rows actually observed something.
         assert (grp.loc[~filled, "n_events"] >= 1).all()
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division (Spark ``div`` / DuckDB ``//``)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def test_gap_fill_linear_matches_local_recompute(spark):
+    """Full independent recompute of the interpolation in plain Python:
+    for every gap row, the reading must equal
+    pv + trunc((nv - pv) * (h - ph) / (nh - ph)) over the surrounding
+    observed hours — including negative-slope gaps."""
+    g = (
+        gap_fill_user_linear(spark, SF_DIR)
+        .toPandas()
+        .sort_values(["user_id", "hour_start_s"])
+    )
+    assert len(g) > 0
+    saw_negative_slope = False
+    for _uid, grp in g.groupby("user_id"):
+        obs = grp[grp["filled"] == 0][["hour_start_s", "reading_micro"]].to_numpy()
+        assert grp.iloc[0]["filled"] == 0 and grp.iloc[-1]["filled"] == 0
+        import bisect
+
+        hours_obs = [int(h) for h, _ in obs]
+        for _, row in grp[grp["filled"] == 1].iterrows():
+            h = int(row["hour_start_s"])
+            i = bisect.bisect_left(hours_obs, h)
+            ph, pv = map(int, obs[i - 1])
+            nh, nv = map(int, obs[i])
+            want = pv + _trunc_div((nv - pv) * (h - ph), nh - ph)
+            assert int(row["reading_micro"]) == want
+            saw_negative_slope = saw_negative_slope or nv < pv
+    # The dataset must actually exercise the negative-numerator branch.
+    assert saw_negative_slope
