@@ -13,11 +13,14 @@ tables carry no real media.  What is REAL and verified:
   hash arithmetic that the DuckDB oracle reproduces exactly — so even the
   Python-UDF path is value-hash-checked, not just smoke-checked.
 
-What is STUBBED: actual image/audio decoding (``decode_image_real`` below
-raises ``NotImplementedError`` unless PIL is importable — the container
-ships no media libs).  Swapping the stub for a real decoder changes only
-the per-batch pandas function body; schema, partitioning and batch shape
-stay as tested here.
+What is REAL in-container beyond the plumbing: uncompressed 24-bpp BMP and
+binary PPM image decode (pure numpy, ``decode_image_real``) and PCM16 WAV
+audio decode (stdlib ``wave`` + numpy, ``decode_audio_real``) — both
+exercised end-to-end on generated fixtures.  What is STUBBED: every
+compressed format (PNG/JPEG via PIL, MP3/OGG/FLAC via soundfile — the
+container ships no media libs; each raises a clear gate error).  Swapping
+in a library decoder changes only the per-batch pandas function body;
+schema, partitioning and batch shape stay as tested here.
 
 Scale: decode is embarrassingly parallel (``mapInPandas``, no shuffle);
 metadata aggregation shuffles only O(docs) small rows.  For 100 TB media,
@@ -462,3 +465,98 @@ def decode_image_real(blob: bytes) -> dict:
         "channels": len(img.getbands()),
         "pixels": np.asarray(img),
     }
+
+
+# --- real audio decode (WAV PCM, stdlib-only) ---------------------------------
+
+def encode_wav(samples, framerate: int = 16000, channels: int = 1) -> bytes:
+    """int16 sample array → PCM16 WAV bytes via the stdlib ``wave``
+    module — the audio fixture generator (any player/soundfile opens the
+    output), mirroring ``encode_bmp`` for images."""
+    import io
+    import wave
+
+    import numpy as np
+
+    s = np.ascontiguousarray(samples, dtype="<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(framerate)
+        w.writeframes(s.tobytes())
+    return buf.getvalue()
+
+
+def decode_audio_real(blob: bytes) -> dict:
+    """Real audio decode.  PCM16 WAV decodes with the stdlib ``wave``
+    module + numpy (zero external dependencies — the audio analogue of
+    the BMP/PPM image path, so the swap-in point is exercised end-to-end
+    in this container); compressed formats (MP3/OGG/FLAC/float WAV)
+    need soundfile/librosa and raise a clear gate error without them.
+    Returns ``{channels, framerate, n_frames, samples}`` with samples a
+    (frames, channels) int16 array."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "decoding non-WAV audio requires soundfile/librosa "
+            "(PCM16 WAV decodes here via the stdlib wave module)"
+        )
+    with wave.open(io.BytesIO(blob), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise NotImplementedError(
+                f"WAV decode supports PCM16 (got sampwidth={w.getsampwidth()})"
+            )
+        ch, fr, n = w.getnchannels(), w.getframerate(), w.getnframes()
+        raw = w.readframes(n)
+    samples = np.frombuffer(raw, dtype="<i2").reshape(n, ch)
+    return {"channels": ch, "framerate": fr, "n_frames": n, "samples": samples}
+
+
+_REAL_AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("channels", LongType()),
+        StructField("framerate", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("sum_abs", LongType()),
+        StructField("peak", LongType()),
+    ]
+)
+
+
+def real_audio_meta(blobs: DataFrame) -> DataFrame:
+    """REAL audio decode over a ``(doc_id, blob)`` DataFrame via
+    ``mapInPandas`` — identical plumbing to ``real_decode_meta`` (Arrow
+    batches, zero shuffle), with the batch body running
+    ``decode_audio_real`` on genuine WAV bytes and emitting format
+    metadata plus exact integer loudness stats (sum of |sample| and the
+    peak amplitude) — the deterministic stand-ins for a real feature
+    extractor.  Tested end-to-end on generated PCM16 fixtures in
+    ``tests/test_multimodal.py``; the audio modality is no longer
+    stub-only in this container."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decode_audio_real(b) for b in pdf["blob"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "channels": [m["channels"] for m in metas],
+                    "framerate": [m["framerate"] for m in metas],
+                    "n_frames": [m["n_frames"] for m in metas],
+                    "sum_abs": [
+                        int(abs(m["samples"].astype("int64")).sum()) for m in metas
+                    ],
+                    "peak": [
+                        int(abs(m["samples"].astype("int64")).max()) if m["n_frames"] else 0
+                        for m in metas
+                    ],
+                }
+            )
+
+    return blobs.mapInPandas(_batches, schema=_REAL_AUDIO_SCHEMA)

@@ -34,6 +34,10 @@ QUERIES = ("q1_pricing_summary", "window_rank", "distinct_users_daily",
 #: event-sequence windows plus the Σ(df²)-bounded all-pairs cosine.
 R9_QUERIES = ("ewma_user_value", "event_type_transitions",
               "sparse_cosine_pairs_tfidf")
+#: r10 additions: the gap-fill grid/window pair (events) and the k-core
+#: peel over the near-dup graph (documents; disjoint-vocabulary copies
+#: give an isomorphic-per-copy graph, i.e. linear corpus growth).
+R10_QUERIES = ("gap_fill_user_hourly", "gap_fill_user_linear", "dedup_kcore")
 TABLES = ("lineitem", "orders", "events")
 R9_TABLES = ("events", "documents")
 
@@ -169,6 +173,7 @@ def r9_stress(args: list[str]) -> int:
     from single_cell_experiments_spark.session import get_spark
 
     dupes = "--dupes" in sys.argv
+    r10 = "--r10" in sys.argv
     k = int(args[0]) if args else (3 if dupes else 20)
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="sce-r9-stress")
@@ -188,6 +193,11 @@ def r9_stress(args: list[str]) -> int:
             wide.drop("__copy").write.mode("overwrite").parquet(dst)
         names = ("sparse_cosine_pairs_tfidf",)
         tables = ("documents",)
+    elif r10:
+        out = f"/tmp/sce_stress_r9_x{k}"
+        synthesize(spark, src, out, k, tables=R9_TABLES)
+        names = R10_QUERIES
+        tables = R9_TABLES
     else:
         out = f"/tmp/sce_stress_r9_x{k}"
         synthesize(spark, src, out, k, tables=R9_TABLES)
@@ -232,7 +242,7 @@ def r9_stress(args: list[str]) -> int:
         ddb_t[n] = round(statistics.median(ts), 3)
 
     print(json.dumps({
-        "mode": "dupes" if dupes else "r9",
+        "mode": "dupes" if dupes else ("r10" if r10 else "r9"),
         "multiplier": k,
         "table_mb": sizes,
         "spark_sec": spark_t,
@@ -254,7 +264,7 @@ def main() -> int:
         os.makedirs(out, exist_ok=True)
         print(json.dumps({"multiplier": k, **communities_stress(spark, src, out, k)}))
         return 0
-    if "--r9" in sys.argv or "--dupes" in sys.argv:
+    if "--r9" in sys.argv or "--dupes" in sys.argv or "--r10" in sys.argv:
         return r9_stress(args)
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
