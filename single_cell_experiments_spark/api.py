@@ -635,33 +635,61 @@ class AnnFrame:
         )
 
     def communities(
-        self, k: int, rounds: int | None = None, cells: DataFrame | None = None
+        self,
+        k: int,
+        rounds: int | None = None,
+        cells: DataFrame | None = None,
+        method: str = "lpa",
     ) -> DataFrame:
-        """Scanpy ``tl.louvain``/``tl.leiden`` slot — deterministic
-        synchronous label propagation over the symmetrized kNN graph of
-        this matrix with self-vote damping → ``(row_id, community)``,
-        every cell labeled (unlike ``clusters``, which keeps only
-        mutual-neighbor pairs).  ``cells`` plugs a coarse candidate
-        generator into the kNN step exactly as in ``neighbors``.  See
-        ``operators.singlecell.sc_communities`` for the determinism
-        rationale and the unrolled-round oracle twin, and
-        ``lpa_labels`` for the per-round scale contract."""
-        from .operators.singlecell import SC_LPA_ROUNDS, lpa_labels
+        """Scanpy ``tl.louvain``/``tl.leiden`` slot → ``(row_id,
+        community)``, every cell labeled (unlike ``clusters``, which
+        keeps only mutual-neighbor pairs).  ``method`` picks the
+        objective, both deterministic and oracle-backed:
 
-        knn = self.neighbors(k, cells=cells).select("row_id", "nbr")
-        sym = (
-            knn.select(F.col("row_id").alias("src"), F.col("nbr").alias("dst"))
-            .union(knn.select(F.col("nbr").alias("src"), F.col("row_id").alias("dst")))
-            .union(knn.select(F.col("row_id").alias("src"), F.col("row_id").alias("dst")))
-            .distinct()
-        )
+        - ``"lpa"`` (default): synchronous label propagation with
+          self-vote damping — majority structure, cheapest per round
+          (see ``operators.singlecell.sc_communities``).
+        - ``"louvain"``: phased-synchronous Louvain phase-1 — the actual
+          MODULARITY objective of the louvain/leiden slot (see
+          ``sc_communities_modularity``; the two-level coarsening
+          refinement is the registered ``sc_communities_louvain2``).
+
+        ``cells`` plugs a coarse candidate generator into the kNN step
+        exactly as in ``neighbors``; see ``lpa_labels`` /
+        ``louvain_phase1_labels`` for the per-round scale contracts."""
         from .session import materialize
 
         if rounds is not None and rounds < 1:
             raise ValueError(f"communities: rounds must be >= 1, got {rounds}")
-        labels = lpa_labels(
-            materialize(sym), SC_LPA_ROUNDS if rounds is None else rounds
+        knn = self.neighbors(k, cells=cells).select("row_id", "nbr")
+        sym = knn.select(F.col("row_id").alias("src"), F.col("nbr").alias("dst")).union(
+            knn.select(F.col("nbr").alias("src"), F.col("row_id").alias("dst"))
         )
+        if method == "lpa":
+            from .operators.singlecell import SC_LPA_ROUNDS, lpa_labels
+
+            # LPA's kernel expects self-loops (the damping self-vote).
+            sym = sym.union(
+                knn.select(F.col("row_id").alias("src"), F.col("row_id").alias("dst"))
+            )
+            labels = lpa_labels(
+                materialize(sym.distinct()),
+                SC_LPA_ROUNDS if rounds is None else rounds,
+            )
+        elif method == "louvain":
+            from .operators.singlecell import (
+                SC_MODULARITY_ROUNDS,
+                louvain_phase1_labels,
+            )
+
+            # The gain formula scores "stay" itself — no self-loops, which
+            # would distort degrees (see sc_communities_modularity).
+            labels = louvain_phase1_labels(
+                materialize(sym.distinct()),
+                SC_MODULARITY_ROUNDS if rounds is None else rounds,
+            )
+        else:
+            raise ValueError(f"communities: unknown method {method!r} (lpa|louvain)")
         return labels.select(
             F.col("id").alias("row_id"), F.col("lbl").cast("bigint").alias("community")
         )

@@ -579,3 +579,31 @@ def test_recipe_with_hvg_subset_runs_full_scanpy_order(spark):
     for r in stats:
         assert abs(r["mu"]) < 1e-6 or r["mx"] <= 10 + 1e-9  # clip may skew mu
         assert r["mx"] <= 10 + 1e-9
+
+
+def test_communities_louvain_matches_registered_kernel(spark):
+    """AnnFrame.communities(method="louvain") must agree with the
+    registered sc_communities_modularity kernel (same phased greedy over
+    the same graph, modulo raw-vs-rounded distance ties — the bar of the
+    LPA twin above)."""
+    import pytest
+
+    from single_cell_experiments_spark.operators.singlecell import (
+        SC_NEIGHBORS_K,
+        sc_communities_modularity,
+    )
+
+    api = {
+        int(r["row_id"]): int(r["community"])
+        for r in _af(spark).communities(SC_NEIGHBORS_K, method="louvain").collect()
+    }
+    reg = {
+        int(r["vec_id"]): int(r["community"])
+        for r in sc_communities_modularity(spark, SF_DIR).collect()
+    }
+    assert set(api) == set(reg)
+    agree = sum(1 for n in api if api[n] == reg[n])
+    assert agree >= 0.98 * len(api)
+
+    with pytest.raises(ValueError):
+        _af(spark).communities(SC_NEIGHBORS_K, method="leiden-nope")
