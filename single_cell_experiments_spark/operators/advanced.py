@@ -1832,3 +1832,192 @@ def recursive_day_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT spine.day, COALESCE(agg.n_events, 0) AS n_events
         FROM spine LEFT JOIN agg USING (day)
     """)
+
+
+# --- mergeable distinct-count sketches (bitmap exact / DataSketches HLL) ----
+
+_BITMAP_DISTINCT_ORACLE = """
+SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS distinct_customers
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query(
+    "bitmap_exact_distinct_customers",
+    oracle=_BITMAP_DISTINCT_ORACLE,
+    tags=("relational", "agg", "sketch"),
+)
+def bitmap_exact_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct-at-scale via re-aggregatable roaring-style bitmaps
+    (``bitmap_construct_agg`` / ``bitmap_or_agg`` / ``bitmap_count``,
+    Spark 3.5+) — the pre-aggregated-distinct pattern ``COUNT(DISTINCT)``
+    cannot give you: the inner level builds one bitmap per
+    (priority, month, 32k-key bucket), the outer level OR-merges months
+    into per-(priority, bucket) bitmaps and sums bucket cardinalities.
+    Because bitmaps are mergeable, the monthly partials are exactly what a
+    100 TB pipeline would PERSIST as an incremental daily rollup table:
+    any ad-hoc grain (here: priority) is answered by OR-ing partials
+    without ever rescanning the fact table — and unlike HLL the answer is
+    exact.  The oracle is plain ``COUNT(DISTINCT)``: the hash passes only
+    if construct → merge → count is lossless.
+
+    Scale: the bucket key caps each bitmap at 32768 bits (4 KB dense) so
+    no single group's bitmap grows with the key domain; both levels are
+    partial-aggregated map-side (bitmap OR is associative+commutative),
+    giving the standard two-exchange rollup with O(priorities × buckets)
+    state — never a per-key distinct expansion.
+    """
+    o = table_view(spark, sf_dir, "orders")
+    return spark.sql(f"""
+        SELECT o_orderpriority,
+               CAST(SUM(bitmap_count(merged)) AS BIGINT) AS distinct_customers
+        FROM (
+            SELECT o_orderpriority, bucket, bitmap_or_agg(bm) AS merged
+            FROM (
+                SELECT o_orderpriority,
+                       (year(o_orderdate) * 100 + month(o_orderdate)) AS mon,
+                       bitmap_bucket_number(o_custkey) AS bucket,
+                       bitmap_construct_agg(bitmap_bit_position(o_custkey)) AS bm
+                FROM {o}
+                GROUP BY 1, 2, 3
+            )
+            GROUP BY 1, 2
+        )
+        GROUP BY o_orderpriority
+    """)
+
+
+#: Like approx_distinct_parts, the sketch VALUE is engine-specific — the
+#: accuracy contract is the oracle: DataSketches HLL at default lgK=12 has
+#: relative standard error ~1.04/sqrt(4096) ≈ 1.6%; the 5% flag is ~3σ, and
+#: the sketch hash is seedless, so the flag is deterministic per dataset.
+#: exact_customers is value-checked against DuckDB; a broken sketch or a
+#: lossy union flips within_bounds and the hash.
+_HLL_ROLLUP_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS exact_customers,
+       TRUE AS within_bounds
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query(
+    "hll_sketch_rollup_customers",
+    oracle=_HLL_ROLLUP_ORACLE,
+    tags=("relational", "agg", "sketch", "approx"),
+)
+def hll_sketch_rollup_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable DataSketches HLL rollup (``hll_sketch_agg`` →
+    ``hll_union_agg`` → ``hll_sketch_estimate``, Spark 3.5+) — the
+    APPROXIMATE twin of ``bitmap_exact_distinct_customers`` and the other
+    half of the persisted-partial pattern: per-(priority, month) sketches
+    are what the 100 TB pipeline stores (a few KB each, constant in key
+    cardinality — bitmaps grow with the domain, HLL does not), and any
+    coarser grain is answered by unioning sketches without rescanning.
+    ``approx_count_distinct`` gives the same estimate but NOT the
+    re-aggregatable sketch column — this surfaces the sketch itself
+    through a union re-aggregation before estimating.
+
+    The exact count rides along purely as the oracle anchor (one extra
+    distinct agg on the 5-row output grain, broadcast-joined); the bound
+    flag asserts the merged estimate lands within 5% (~3σ at lgK=12) of
+    it — see the oracle note.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    mon = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("mon")
+    monthly = o.select("o_orderpriority", mon, "o_custkey").groupBy(
+        "o_orderpriority", "mon"
+    ).agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+    merged = monthly.groupBy("o_orderpriority").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = o.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("exact_customers")
+    )
+    return exact.join(F.broadcast(merged), "o_orderpriority").select(
+        "o_orderpriority",
+        "exact_customers",
+        (
+            F.abs(F.col("est") - F.col("exact_customers"))
+            <= 0.05 * F.col("exact_customers")
+        ).alias("within_bounds"),
+    )
+
+
+# --- interval overlap join (two-sided range predicate, bucket-grid rewrite) ---
+
+
+def _overlap_iv(ts_s: str, table: str, intdiv: str) -> str:
+    return f"""
+iv AS (
+  SELECT user_id, ({ts_s}) {intdiv} 86400 AS d,
+         MIN({ts_s}) AS s, MAX({ts_s}) AS e
+  FROM {table}
+  WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+)
+"""
+
+
+_OVERLAP_ORACLE = f"""
+WITH {_overlap_iv(f"({_DD_TS_S})", "events", "//")}
+SELECT CAST(a.d AS BIGINT) AS day_k,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT) AS total_overlap_s
+FROM iv a JOIN iv b
+  ON a.d = b.d AND a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+GROUP BY a.d
+"""
+
+
+@query(
+    "interval_overlap_pairs",
+    oracle=_OVERLAP_ORACLE,
+    tags=("relational", "join", "range", "timeseries"),
+)
+def interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval OVERLAP self-join — the two-sided range predicate
+    (``a.s <= b.e AND b.s <= a.e``) that naive engines execute as a
+    nested-loop theta join — rewritten to the bucket-grid form: each
+    per-(user, day) purchase-activity interval explodes into the epoch
+    HOURS it covers, candidates meet through a plain equi-join on the
+    hour cell, and the exact predicate filters within the cell.  Two
+    overlapping intervals always share the hour containing any overlap
+    instant, so recall is exact; the pair key (day, u1, u2) is unique per
+    day (one interval per user-day), so the post-join DISTINCT removes
+    multi-cell duplicates.  Per day the result aggregates to pair count +
+    total overlap seconds (all-integer arithmetic).
+
+    The oracle runs the DIRECT theta join — same result through the
+    opposite physical strategy, which is exactly what the rewrite must
+    preserve.  Scale: work is Σ(per-hour-cell²) instead of the theta
+    join's Σ(per-day²) — ~24× less here and the gap widens with interval
+    sparsity; cell width tunes the explode-factor/selectivity trade
+    (``join_range_bucketed`` makes the same argument for one-sided
+    ranges).  Intervals spanning many cells pay explode fan-out — bound
+    at one day (≤24 cells) by construction here; unbounded intervals
+    would split at day seams first (the standard interval-partitioning
+    step).
+    """
+    e = table_view(spark, sf_dir, "events")
+    return spark.sql(f"""
+        WITH {_overlap_iv("ts_s", e, "div")},
+        hb AS (
+          SELECT d, user_id, s, e,
+                 explode(sequence(s div 3600, e div 3600)) AS cell
+          FROM iv
+        )
+        SELECT CAST(d AS BIGINT) AS day_k,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(oe - os) AS BIGINT) AS total_overlap_s
+        FROM (
+          SELECT DISTINCT a.d, a.user_id AS u1, b.user_id AS u2,
+                 greatest(a.s, b.s) AS os, least(a.e, b.e) AS oe
+          FROM hb a JOIN hb b
+            ON a.cell = b.cell AND a.d = b.d AND a.user_id < b.user_id
+          WHERE a.s <= b.e AND b.s <= a.e
+        )
+        GROUP BY d
+    """)

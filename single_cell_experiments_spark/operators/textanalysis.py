@@ -978,3 +978,52 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("__docs_entropy")
     return spark.sql(_char_entropy_sql(_SPARK_CHARS))
+
+
+# --- per-document surprisal (unigram-LM perplexity proxy) ---------------------
+
+def _surprisal_tail(intdiv: str) -> str:
+    # The mean is emitted in integer MICRO-nats via exact arithmetic: the
+    # 6-dp decimal sum × 10^6 is an exact integer, and both engines
+    # truncate positive integer division identically — rounding the
+    # double quotient instead loses the hash on half-ulp ties (measured:
+    # 0.2519025 → .251903 vs .251902 across Spark/DuckDB round()).
+    return f"""
+SELECT t.doc_id,
+       CAST(SUM(t.tf) AS BIGINT) AS n_tokens,
+       CAST(CAST(SUM(CAST(round(t.tf * ln((SELECT n FROM n_docs) / d.df), 6)
+                          AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+            {intdiv} SUM(t.tf) AS BIGINT) AS mean_surprisal_micro
+FROM tf t JOIN df d ON d.w = t.w
+GROUP BY t.doc_id
+"""
+
+
+@query(
+    "doc_surprisal_score",
+    oracle="WITH " + _tfidf_base(_DD_TOKS) + _surprisal_tail("//"),
+    tags=("text", "quality", "tfidf"),
+)
+def doc_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean token surprisal under a corpus document-frequency
+    unigram model — the relational stand-in for the KenLM-perplexity
+    quality filter every LLM curation pipeline runs (CCNet/Gopher use a
+    5-gram LM; the shape is identical: score = mean per-token −log p,
+    filter the tails).  Low scores flag boilerplate/templated docs (every
+    token is corpus-common), high scores flag lexical noise (rare-token
+    soup) — both are the standard drop candidates.
+
+    Model choice keeps it exactly oracle-able: p(w) ≈ df(w)/N over the
+    SAME corpus (no train/test split, no smoothing needed — every scored
+    token has df ≥ 1), so the whole computation is two hash aggregations
+    (doc-term tf, term df) plus a broadcast O(vocab) join, partial-agg
+    friendly and linear in corpus size.  At 100 TB the df table is the
+    only global state (vocabulary-sized, broadcast); a real external LM
+    would swap the join for a mapInPandas scorer without changing the
+    surrounding plan.  Exactness: per-term ln is 6-dp-rounded before the
+    decimal sum (compat.py posture), and the final division + round runs
+    on bit-identical operands in both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    return spark.sql("WITH " + _tfidf_base(_SP_TOKS) + _surprisal_tail("div"))

@@ -185,3 +185,60 @@ def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(root)
         .select("s_suppkey", "s_name", "s_acctbal")
     )
+
+
+_BINARYFILE_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+WHERE doc_id % 97 = 0
+"""
+
+
+@query(
+    "binaryfile_blob_ingest",
+    oracle=_BINARYFILE_ORACLE,
+    tags=("sources", "binary", "multimodal"),
+    cache=False,
+)
+def binaryfile_blob_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` source — the front door of every multimodal
+    pipeline: opaque blob FILES on storage (images/audio/shards) become a
+    DataFrame of ``(path, modificationTime, length, content: binary)``
+    rows, after which the engine's multimodal operators
+    (operators/multimodal.py) take over.  The fixture generator writes
+    one blob file per sampled document (UTF-8 bytes of ``text``) so the
+    oracle can recompute the exact byte length and md5 from the source
+    table: the hash passes only if file bytes survive the
+    write→list→read path untouched and the filename→key parse is exact.
+
+    Scale: the driver-side writer is FIXTURE-ONLY (bounded ``% 97``
+    sample, ~1% of docs — at 100 TB blobs already exist as files; no
+    pipeline writes them row-by-row from a driver).  The read side is the
+    part that must scale and does: Spark lists the directory in parallel,
+    one task per file group (``maxPartitionBytes`` splits large listings,
+    small files coalesce into shared tasks), and column pruning applies —
+    a metadata-only query never reads content bytes.  md5 runs JVM-side
+    per file; key extraction is a codegen regexp on the path.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 97 == 0)
+        .select("doc_id", "text")
+    )
+    path = _scratch("binblob", sf_dir)
+    os.makedirs(path, exist_ok=True)
+    for stale in os.listdir(path):  # overwrite semantics, like the sinks above
+        os.remove(os.path.join(path, stale))
+    for r in docs.collect():
+        with open(os.path.join(path, f"doc_{r['doc_id']}.bin"), "wb") as fh:
+            fh.write(r["text"].encode("utf-8"))
+    blobs = spark.read.format("binaryFile").load(path)
+    return blobs.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
