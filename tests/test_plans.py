@@ -361,3 +361,62 @@ def test_distinct_daily_large_input_keeps_expand_plan(spark, monkeypatch):
     df = fresh_fn("distinct_users_daily")(spark, SF_DIR)
     plan = inspect.formatted_plan(df)
     assert "Expand" in plan or inspect.exchange_count(df) >= 2, plan
+
+
+def test_bitmap_distinct_three_level_rollup_no_expand(spark):
+    """The bitmap rollup must be the three-level partial-agg shape —
+    (priority, mon, bucket) construct → (priority, bucket) OR-merge →
+    (priority) count-sum, one exchange per grain — and never the
+    Expand-based distinct-expansion COUNT(DISTINCT) plan."""
+    df = QS["bitmap_exact_distinct_customers"](spark, SF_DIR)
+    assert inspect.exchange_count(df) == 3, inspect.formatted_plan(df)
+    assert inspect.count_in_plan(df, "Expand") == 0
+    assert inspect.count_in_plan(df, "partial_bitmap_or_agg") >= 1  # map-side merge
+
+
+def test_interval_overlap_is_equi_join_not_bnlj(spark):
+    """The bucket-grid rewrite must surface as an equi-join on the hour
+    cell — a BroadcastNestedLoop/cartesian fallback means the two-sided
+    range predicate leaked into the join condition."""
+    df = QS["interval_overlap_pairs"](spark, SF_DIR)
+    plan = inspect.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_surprisal_df_join_is_broadcast(spark):
+    """The tf⋈df join must broadcast its small side (whichever AQE picks —
+    both are O(vocab)-bounded), never sort-merge the doc-term stream.
+    Asserted on the raw AQE-final plan: ``inspect.executed_plan``'s
+    Initial-Plan split truncates at the scalar SUBQUERY's own embedded
+    '== Initial Plan ==' marker, hiding the join from the helper."""
+    df = QS["doc_surprisal_score"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==", 1)[0] if "Subquery" not in plan else plan
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in plan.split("== Initial Plan ==", 1)[0]
+
+
+def test_zarr_pyds_one_partition_per_chunk(spark):
+    """The Python DataSource must plan exactly one InputPartition per
+    chunk object (the store's parallel grain)."""
+    import os
+
+    from single_cell_experiments_spark.sources.pyds import ZarrChunkReader
+
+    # build the store via the registered roundtrip, then inspect planning
+    QS["zarr_pyds_roundtrip"](spark, SF_DIR).limit(1).collect()
+    import glob
+    import hashlib
+    import tempfile
+
+    store = os.path.join(
+        tempfile.gettempdir(),
+        f"sce_zarr_pyds_{hashlib.md5(SF_DIR.encode()).hexdigest()[:8]}",
+    )
+    x_dir = os.path.join(store, "X")
+    n_chunks = len(glob.glob(os.path.join(x_dir, "[0-9]*")))
+    reader = ZarrChunkReader({"path": x_dir})
+    assert n_chunks > 1
+    assert len(reader.partitions()) == n_chunks
