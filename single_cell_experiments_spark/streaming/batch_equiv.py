@@ -464,3 +464,58 @@ def event_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(late).cast("bigint").alias("n_late"),
         F.max(lateness).cast("bigint").alias("max_lateness_s"),
     )
+
+
+# --- stream-stream LEFT OUTER join (unattributed clicks surface) -------------
+
+_SS_LEFT_ORACLE = f"""
+WITH c AS (
+  SELECT user_id, event_id, {_DD_TS} AS ts_s FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, event_id, {_DD_TS} AS ts_s FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       p.ts_s - c.ts_s AS dt_s
+FROM c LEFT JOIN p
+  ON c.user_id = p.user_id
+ AND p.ts_s >= c.ts_s AND p.ts_s <= c.ts_s + {ATTRIB_WINDOW_S}
+"""
+
+
+@query("stream_left_join_unattributed", oracle=_SS_LEFT_ORACLE, tags=("streaming", "join", "outer"))
+def stream_left_join_unattributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the watermarked stream-stream LEFT OUTER join: every
+    click keeps a row — attributed ones carry each qualifying purchase,
+    unattributed ones carry NULLs.  The outer side is what the inner
+    attribution join (``stream_join_click_purchase``) cannot answer:
+    "which clicks converted to NOTHING" — the abandonment signal.
+
+    Spark-first decomposition: LEFT OUTER over a range predicate =
+    band-rewrite INNER join (reused verbatim from the inner twin — same
+    plan, Catalyst reuses the exchanges when both run in one job) UNION
+    the anti-joined remainder with typed NULLs.  Both legs are hash-keyed
+    (user/bucket equi-join; click_id anti-join) — the theta-outer form a
+    naive plan would BNLJ never materializes.  Live twin:
+    ``jobs.run_stream_stream_left_join`` — state expiry EMITS the
+    unmatched rows once the watermark passes a click's attribution
+    horizon, which is exactly the semantics this batch query states
+    globally (the stream's final-watermark tail truncation is asserted in
+    tests/test_streaming.py).
+    """
+    matched = stream_join_click_purchase(spark, sf_dir)
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id")
+    )
+    unmatched = clicks.join(
+        matched.select("click_id"), "click_id", "left_anti"
+    ).select(
+        "user_id",
+        "click_id",
+        F.lit(None).cast("bigint").alias("purchase_id"),
+        F.lit(None).cast("bigint").alias("dt_s"),
+    )
+    return matched.select("user_id", "click_id", "purchase_id", "dt_s").unionByName(
+        unmatched
+    )

@@ -308,6 +308,57 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(joined, "ssjoin", "append")
 
 
+def run_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join — live twin of
+    ``batch_equiv.stream_left_join_unattributed``.
+
+    Outer results are emitted by STATE EXPIRY: a click's NULL row appears
+    only once the watermark proves no qualifying purchase can still
+    arrive (wm > c_t + attribution window).  With the single-file replay
+    the final no-data micro-batch evicts against the terminal GLOBAL
+    watermark — min over both sides of ``max(side event time) - 10 min``
+    (the multi-watermark policy follows the earliest-ending side) — so
+    clicks younger than ``wm - 1800 s`` keep their state and never
+    surface a NULL row: the documented finite-replay truncation the test
+    bounds; on an unbounded production stream the watermark keeps
+    advancing and every click eventually resolves."""
+    from .batch_equiv import ATTRIB_WINDOW_S
+
+    stream = _event_stream(spark, sf_dir)
+    clicks = (
+        stream.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("t").alias("c_t"),
+        )
+        .withWatermark("c_t", "10 minutes")
+    )
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("t").alias("p_t"),
+        )
+        .withWatermark("p_t", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"c_user = p_user AND p_t >= c_t AND p_t <= c_t + interval {ATTRIB_WINDOW_S} seconds"
+        ),
+        "leftOuter",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_timestamp("p_t") - F.unix_timestamp("c_t")).cast("bigint").alias("dt_s"),
+        F.unix_timestamp("c_t").cast("bigint").alias("c_ts_s"),
+    )
+    return _drain_to_memory(joined, "ssleftjoin", "append")
+
+
 # --- checkpointed file sink (the exactly-once production path) ---------------
 
 def run_file_sink_stream(spark: SparkSession, sf_dir: str, clear: bool = True) -> str:

@@ -152,3 +152,52 @@ def test_foreach_batch_merge_multi_batch_and_idempotent_restart(spark):
         for r in spark.read.parquet(path2).collect()
     }
     assert before == after
+
+
+def test_stream_stream_left_join_matches_batch_with_watermark_tail(spark):
+    """Matched rows must equal the batch twin exactly; unmatched (NULL)
+    rows equal the batch twin's minus the finite-replay watermark tail:
+    clicks younger than wm - 1800 s (wm = min over sides of side-max - 600)
+    keep state at the final watermark and never emit (see
+    run_stream_stream_left_join)."""
+    from pyspark.sql import functions as F
+
+    from single_cell_experiments_spark.catalog import load_table
+    from single_cell_experiments_spark.streaming.batch_equiv import ATTRIB_WINDOW_S
+
+    stream = jobs.run_stream_stream_left_join(spark, SF_DIR)
+    batch = QS["stream_left_join_unattributed"](spark, SF_DIR)
+
+    live_matched = stream.where(F.col("purchase_id").isNotNull())
+    batch_matched = batch.where(F.col("purchase_id").isNotNull())
+    assert _rows(live_matched, "user_id", "click_id", "purchase_id", "dt_s") == _rows(
+        batch_matched, "user_id", "click_id", "purchase_id", "dt_s"
+    )
+
+    e = load_table(spark, SF_DIR, "events")
+    # The GLOBAL watermark is min over both sides' watermark nodes: each
+    # side contributes max(its event time) - 10 min, so the terminal
+    # watermark follows the side that ends EARLIER.
+    side_max = {
+        r["event_type"]: r["mx"]
+        for r in e.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max("ts_s").alias("mx"))
+        .collect()
+    }
+    wm = min(side_max["click"], side_max["purchase"]) - 600
+    horizon = wm - ATTRIB_WINDOW_S
+    live_null = {r["click_id"] for r in stream.where(F.col("purchase_id").isNull()).collect()}
+    click_ts = {
+        r["event_id"]: r["ts_s"]
+        for r in e.where(F.col("event_type") == "click").select("event_id", "ts_s").collect()
+    }
+    batch_null = {r["click_id"] for r in batch.where(F.col("purchase_id").isNull()).collect()}
+    # every live NULL row is a genuine batch-unmatched click
+    assert live_null <= batch_null
+    # and every batch-unmatched click safely past the horizon emitted
+    margin = 60  # one-sided slack for the eviction boundary comparison
+    must_emit = {c for c in batch_null if click_ts[c] < horizon - margin}
+    missing = must_emit - live_null
+    assert not missing, f"{len(missing)} expired unmatched clicks never emitted"
+    assert len(live_null) > 0  # the outer leg actually fired

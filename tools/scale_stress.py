@@ -38,8 +38,15 @@ R9_QUERIES = ("ewma_user_value", "event_type_transitions",
 #: peel over the near-dup graph (documents; disjoint-vocabulary copies
 #: give an isomorphic-per-copy graph, i.e. linear corpus growth).
 R10_QUERIES = ("gap_fill_user_hourly", "gap_fill_user_linear", "dedup_kcore")
+#: second r10 batch: the sketch rollups (orders), the bucket-grid interval
+#: join (events — user count grows with k so per-day pair work grows k²:
+#: the measurement bounds the Σ(cell²) regime, not linear corpus growth),
+#: and the surprisal score (documents, disjoint vocab ⇒ linear).
+R10B_QUERIES = ("bitmap_exact_distinct_customers", "hll_sketch_rollup_customers",
+                "doc_surprisal_score", "interval_overlap_pairs")
 TABLES = ("lineitem", "orders", "events")
 R9_TABLES = ("events", "documents")
+R10B_TABLES = ("events", "documents", "orders")
 
 
 def synthesize(spark, src_dir: str, out_dir: str, k: int,
@@ -140,7 +147,8 @@ def communities_stress(spark, src_dir: str, out_dir: str, k: int) -> dict:
     t_edges = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    labels = lpa_labels(edges, max_rounds=10)
+    lpa_stats: dict = {}
+    labels = lpa_labels(edges, max_rounds=10, stats=lpa_stats)
     n_nodes = labels.count()
     n_comm = labels.select("lbl").distinct().count()
     t_lpa = time.perf_counter() - t0
@@ -151,12 +159,12 @@ def communities_stress(spark, src_dir: str, out_dir: str, k: int) -> dict:
         "nodes": n_nodes,
         "edges": n_edges,
         "communities": n_comm,
-        "lpa_rounds": lpa_labels.last_rounds,
-        "lpa_converged": lpa_labels.converged,
+        "lpa_rounds": lpa_stats["rounds"],
+        "lpa_converged": lpa_stats["converged"],
         "ivf_index_sec": round(t_index, 3),
         "knn_edges_sec": round(t_edges, 3),
         "lpa_sec": round(t_lpa, 3),
-        "lpa_sec_per_round": round(t_lpa / max(1, lpa_labels.last_rounds), 3),
+        "lpa_sec_per_round": round(t_lpa / max(1, lpa_stats["rounds"]), 3),
     }
 
 
@@ -174,6 +182,7 @@ def r9_stress(args: list[str]) -> int:
 
     dupes = "--dupes" in sys.argv
     r10 = "--r10" in sys.argv
+    r10b = "--r10b" in sys.argv
     k = int(args[0]) if args else (3 if dupes else 20)
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="sce-r9-stress")
@@ -193,6 +202,11 @@ def r9_stress(args: list[str]) -> int:
             wide.drop("__copy").write.mode("overwrite").parquet(dst)
         names = ("sparse_cosine_pairs_tfidf",)
         tables = ("documents",)
+    elif r10b:
+        out = f"/tmp/sce_stress_r10b_x{k}"
+        synthesize(spark, src, out, k, tables=R10B_TABLES)
+        names = R10B_QUERIES
+        tables = R10B_TABLES
     elif r10:
         out = f"/tmp/sce_stress_r9_x{k}"
         synthesize(spark, src, out, k, tables=R9_TABLES)
@@ -242,7 +256,7 @@ def r9_stress(args: list[str]) -> int:
         ddb_t[n] = round(statistics.median(ts), 3)
 
     print(json.dumps({
-        "mode": "dupes" if dupes else ("r10" if r10 else "r9"),
+        "mode": "dupes" if dupes else ("r10b" if r10b else ("r10" if r10 else "r9")),
         "multiplier": k,
         "table_mb": sizes,
         "spark_sec": spark_t,
@@ -264,7 +278,7 @@ def main() -> int:
         os.makedirs(out, exist_ok=True)
         print(json.dumps({"multiplier": k, **communities_stress(spark, src, out, k)}))
         return 0
-    if "--r9" in sys.argv or "--dupes" in sys.argv or "--r10" in sys.argv:
+    if "--r9" in sys.argv or "--dupes" in sys.argv or "--r10" in sys.argv or "--r10b" in sys.argv:
         return r9_stress(args)
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
