@@ -1992,32 +1992,45 @@ def interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle runs the DIRECT theta join — same result through the
     opposite physical strategy, which is exactly what the rewrite must
-    preserve.  Scale: work is Σ(per-hour-cell²) instead of the theta
-    join's Σ(per-day²) — ~24× less here and the gap widens with interval
-    sparsity; cell width tunes the explode-factor/selectivity trade
-    (``join_range_bucketed`` makes the same argument for one-sided
-    ranges).  Intervals spanning many cells pay explode fan-out — bound
-    at one day (≤24 cells) by construction here; unbounded intervals
-    would split at day seams first (the standard interval-partitioning
-    step).
+    preserve.  Scale: candidate work is Σ(per-hour-cell²) instead of the
+    theta join's Σ(per-day²); cell width tunes the explode-factor/
+    selectivity trade (``join_range_bucketed`` makes the same argument
+    for one-sided ranges), and intervals are day-bounded by construction
+    (≤24 cells; unbounded intervals would split at day seams first).
+    The join is ASYMMETRIC, which buys both dedup and candidate count:
+    only one side (``cov``) explodes into the cells its span covers; the
+    other (``st``) contributes its START cell alone.  Orient every pair
+    so ``b`` is the later-starting interval — then the overlap starts at
+    ``b.s``, lies in exactly one cell, and ``a`` covers that cell by
+    definition: each qualifying pair is found EXACTLY once with no
+    DISTINCT, and candidates are Σ(coverage·starts) per cell instead of
+    Σ(coverage²).  Two earlier cuts measured at the 5× stress point:
+    symmetric explode + SELECT DISTINCT 25.9 s (the duplicate pairs make
+    a shuffle of the join output), symmetric explode + overlap-start-cell
+    predicate 3.9 s (dedup free, candidates still quadratic in coverage),
+    this form ~2 s — see SCALE.md §11.  Equal-start ties break on
+    user_id so self-pairs and double-counts are excluded row-locally.
     """
     e = table_view(spark, sf_dir, "events")
     return spark.sql(f"""
         WITH {_overlap_iv("ts_s", e, "div")},
-        hb AS (
+        cov AS (
           SELECT d, user_id, s, e,
                  explode(sequence(s div 3600, e div 3600)) AS cell
           FROM iv
+        ),
+        st AS (
+          SELECT d, user_id, s, e, s div 3600 AS cell FROM iv
         )
         SELECT CAST(d AS BIGINT) AS day_k,
                CAST(COUNT(*) AS BIGINT) AS n_pairs,
                CAST(SUM(oe - os) AS BIGINT) AS total_overlap_s
         FROM (
-          SELECT DISTINCT a.d, a.user_id AS u1, b.user_id AS u2,
-                 greatest(a.s, b.s) AS os, least(a.e, b.e) AS oe
-          FROM hb a JOIN hb b
-            ON a.cell = b.cell AND a.d = b.d AND a.user_id < b.user_id
-          WHERE a.s <= b.e AND b.s <= a.e
+          SELECT a.d, b.s AS os, least(a.e, b.e) AS oe
+          FROM cov a JOIN st b
+            ON a.cell = b.cell AND a.d = b.d
+          WHERE (a.s < b.s OR (a.s = b.s AND a.user_id < b.user_id))
+            AND b.s <= a.e
         )
         GROUP BY d
     """)

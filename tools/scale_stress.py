@@ -43,7 +43,13 @@ R10_QUERIES = ("gap_fill_user_hourly", "gap_fill_user_linear", "dedup_kcore")
 #: the measurement bounds the Σ(cell²) regime, not linear corpus growth),
 #: and the surprisal score (documents, disjoint vocab ⇒ linear).
 R10B_QUERIES = ("bitmap_exact_distinct_customers", "hll_sketch_rollup_customers",
-                "doc_surprisal_score", "interval_overlap_pairs")
+                "doc_surprisal_score")
+#: the interval join runs at a SMALLER deliberate multiplier (--r10c):
+#: event copies multiply USERS, so per-day pair work grows k² by
+#: construction — k=5 (25× pair work) bounds the quadratic regime without
+#: an hour-long 400× run; linear corpus growth (same users, more days)
+#: would keep per-day work flat, which synthesize() can't express.
+R10C_QUERIES = ("interval_overlap_pairs",)
 TABLES = ("lineitem", "orders", "events")
 R9_TABLES = ("events", "documents")
 R10B_TABLES = ("events", "documents", "orders")
@@ -183,6 +189,7 @@ def r9_stress(args: list[str]) -> int:
     dupes = "--dupes" in sys.argv
     r10 = "--r10" in sys.argv
     r10b = "--r10b" in sys.argv
+    r10c = "--r10c" in sys.argv
     k = int(args[0]) if args else (3 if dupes else 20)
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="sce-r9-stress")
@@ -207,6 +214,11 @@ def r9_stress(args: list[str]) -> int:
         synthesize(spark, src, out, k, tables=R10B_TABLES)
         names = R10B_QUERIES
         tables = R10B_TABLES
+    elif r10c:
+        out = f"/tmp/sce_stress_r10c_x{k}"
+        synthesize(spark, src, out, k, tables=("events",))
+        names = R10C_QUERIES
+        tables = ("events",)
     elif r10:
         out = f"/tmp/sce_stress_r9_x{k}"
         synthesize(spark, src, out, k, tables=R9_TABLES)
@@ -256,7 +268,7 @@ def r9_stress(args: list[str]) -> int:
         ddb_t[n] = round(statistics.median(ts), 3)
 
     print(json.dumps({
-        "mode": "dupes" if dupes else ("r10b" if r10b else ("r10" if r10 else "r9")),
+        "mode": "dupes" if dupes else ("r10c" if r10c else ("r10b" if r10b else ("r10" if r10 else "r9"))),
         "multiplier": k,
         "table_mb": sizes,
         "spark_sec": spark_t,
@@ -278,7 +290,7 @@ def main() -> int:
         os.makedirs(out, exist_ok=True)
         print(json.dumps({"multiplier": k, **communities_stress(spark, src, out, k)}))
         return 0
-    if "--r9" in sys.argv or "--dupes" in sys.argv or "--r10" in sys.argv or "--r10b" in sys.argv:
+    if "--r9" in sys.argv or "--dupes" in sys.argv or "--r10" in sys.argv or "--r10b" in sys.argv or "--r10c" in sys.argv:
         return r9_stress(args)
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
