@@ -2034,3 +2034,65 @@ def interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         GROUP BY d
     """)
+
+
+# --- SCD2 point-in-time lookup (dimensional PIT join) -------------------------
+
+
+def _pit_sql(ts_s: str, table: str) -> str:
+    return f"""
+WITH dim AS (
+  SELECT user_id, event_type AS state, t_s AS valid_from,
+         COALESCE(lead(t_s) OVER (PARTITION BY user_id ORDER BY t_s, event_id) - 1,
+                  -1) AS valid_to
+  FROM (
+    SELECT user_id, event_id, event_type, ({ts_s}) AS t_s,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ({ts_s}), event_id) AS prev
+    FROM {table} WHERE event_type <> 'purchase'
+  )
+  WHERE prev IS NULL OR prev <> event_type
+),
+fact AS (
+  SELECT user_id, event_id AS purchase_id, ({ts_s}) AS p_t
+  FROM {table} WHERE event_type = 'purchase'
+)
+SELECT f.purchase_id, f.user_id, d.state,
+       d.valid_from AS state_since
+FROM fact f LEFT JOIN dim d
+  ON f.user_id = d.user_id
+ AND d.valid_from <= f.p_t
+ AND (d.valid_to = -1 OR f.p_t <= d.valid_to)
+"""
+
+
+@query(
+    "scd2_point_in_time_purchases",
+    oracle=_pit_sql(_DD_TS_S, "events"),
+    tags=("relational", "scd", "join", "cdc"),
+)
+def scd2_point_in_time_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) dimension lookup over an SCD2 history — the
+    canonical warehouse join: each fact row (purchase) joins the dimension
+    VERSION that was valid at fact time (which non-purchase activity run
+    the user was in), i.e. ``f.t BETWEEN d.valid_from AND d.valid_to``
+    with an open current version.  LEFT keeps pre-first-state purchases
+    (NULL state) — the outer PIT semantics reporting needs.  Complements
+    ``scd2_intervals_events`` (builds the history) and
+    ``join_asof_purchase_signup`` (the union-carry as-of form): PIT
+    against an EXISTING interval table cannot re-derive carry state — the
+    containment join IS the operator.
+
+    Scale: the join is a plain EQUI join on the dimension's natural key
+    (user_id) — co-partitioned both sides, broadcastable when the dim
+    fits — and the containment predicate is a row-local post-filter.
+    Per-key candidates are (facts/key × versions/key): bounded by version
+    count per entity, which SCD2 bounds by change frequency, not corpus
+    size; an entity whose version count explodes is the same skew any
+    keyed join handles (salt or split its interval at time seams).  No
+    interval explode is needed because intervals per key are disjoint —
+    the Σ(cell²) machinery of ``interval_overlap_pairs`` solves the
+    harder overlapping-set case.
+    """
+    e = table_view(spark, sf_dir, "events")
+    return spark.sql(_pit_sql("ts_s", e))
