@@ -865,3 +865,76 @@ def grouped_agg_pandas_wsum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(qwsum("q", "w").alias("qwsum"), wsum("w").alias("wsum"))
     )
+
+
+# --- mapInArrow: zero-copy columnar embedding kernel ---------------------------
+
+_ARROW_NORMS_ORACLE = """
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS n_dims,
+       CAST(list_aggregate(list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                   * CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)),
+            'sum') AS BIGINT) AS norm2_e12,
+       CAST(list_max(list_transform(embedding,
+              x -> abs(CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))))
+            AS BIGINT) AS maxabs_e6
+FROM embeddings
+"""
+
+
+def _arrow_norms_kernel(batches):
+    """RecordBatch → RecordBatch: per-row micro-int norms, no pandas."""
+    import numpy as np
+    import pyarrow as pa
+
+    for batch in batches:
+        ids = batch.column(0)
+        emb = batch.column(1)
+        # flatten()/value_lengths() respect batch slicing (raw .offsets
+        # buffers would not); values arrive zero-copy as one flat buffer.
+        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        lens = emb.value_lengths().to_numpy().astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        # floor(x·1e6 + 0.5): identical IEEE ops to the oracle's floor()
+        # (round-half-toward-+inf for BOTH signs — NOT numpy's rint
+        # half-even), so every element is the same exact int64.
+        xi = np.floor(flat * 1e6 + 0.5).astype(np.int64)
+        norm2 = np.add.reduceat(xi * xi, starts)
+        maxabs = np.maximum.reduceat(np.abs(xi), starts)
+        yield pa.RecordBatch.from_arrays(
+            [
+                ids,
+                pa.array(lens, type=pa.int64()),
+                pa.array(norm2, type=pa.int64()),
+                pa.array(maxabs, type=pa.int64()),
+            ],
+            names=["vec_id", "n_dims", "norm2_e12", "maxabs_e6"],
+        )
+
+
+@query("embed_norms_arrow", oracle=_ARROW_NORMS_ORACLE, tags=("similarity", "udf", "arrow"))
+def embed_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-embedding squared norm and max-|component| in exact integer
+    micro-units via ``mapInArrow`` — the LAST Arrow UDF flavor the engine
+    hadn't exercised (mapInPandas / applyInPandas / cogroup / scalar
+    pandas_udf / GROUPED_AGG / applyInPandasWithState / UDTF are all
+    registered elsewhere): the kernel receives raw ``RecordBatch``es and
+    never materializes a pandas object — the list column's values arrive
+    as ONE flat zero-copy buffer and per-row reduction is
+    ``np.add.reduceat`` over the offsets, the cheapest possible
+    Python-side columnar crossing (no per-row boxing, no pandas
+    block-manager assembly; for wide-fanout numeric kernels this is the
+    fast lane ``mapInPandas`` approximates).
+
+    Exactness: each element maps to ``floor(x·1e6 + 0.5)`` — the same
+    IEEE double ops the DuckDB oracle runs, identical for both signs —
+    and every aggregate is int64 arithmetic, so the hash match is exact
+    with no decimal shim.  Scale: embarrassingly row-parallel, one scan,
+    zero shuffles; output is O(rows) scalars.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return e.mapInArrow(
+        _arrow_norms_kernel,
+        schema="vec_id bigint, n_dims bigint, norm2_e12 bigint, maxabs_e6 bigint",
+    )
