@@ -1051,12 +1051,22 @@ KCORE_ROUNDS = 8
 
 def _kcore_chain_sql(k: int, rounds: int) -> str:
     """Unrolled peel: each round keeps nodes with degree >= k and restricts
-    the edge list to kept endpoints."""
-    ctes = ["e0 AS (SELECT doc1 AS u, doc2 AS v FROM pairs UNION ALL SELECT doc2, doc1 FROM pairs)"]
+    the edge list to kept endpoints.
+
+    Every round CTE is MATERIALIZED: e{r-1} is referenced twice per level
+    (by k{r} and e{r}) and k{r} twice by e{r}, so letting the planner
+    INLINE them re-evaluates each earlier round ~4× per level — a 4^rounds
+    geometric blow-up that ground the sf0.1 oracle to a 70+ GB multi-
+    minute crawl (measured; the DuckDB twin of the Spark checkpoint-stats
+    compounding this repo's ``sever()`` exists for).  Materialization
+    bounds each round to one evaluation, exactly like the Spark side's
+    per-round ``materialize``.
+    """
+    ctes = ["e0 AS MATERIALIZED (SELECT doc1 AS u, doc2 AS v FROM pairs UNION ALL SELECT doc2, doc1 FROM pairs)"]
     for r in range(1, rounds + 1):
         ctes.append(
-            f"k{r} AS (SELECT u FROM e{r - 1} GROUP BY u HAVING COUNT(*) >= {k}),\n"
-            f"e{r} AS (SELECT c.u, c.v FROM e{r - 1} c "
+            f"k{r} AS MATERIALIZED (SELECT u FROM e{r - 1} GROUP BY u HAVING COUNT(*) >= {k}),\n"
+            f"e{r} AS MATERIALIZED (SELECT c.u, c.v FROM e{r - 1} c "
             f"JOIN k{r} a ON c.u = a.u JOIN k{r} b ON c.v = b.u)"
         )
     chain = ",\n".join(ctes)
