@@ -30,7 +30,13 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 from ..registry import query
 
@@ -102,6 +108,12 @@ class ZarrDataSource(DataSource):
     def reader(self, schema) -> ZarrChunkReader:
         return ZarrChunkReader(self.options)
 
+    def writer(self, schema, overwrite: bool) -> "ZarrChunkWriter":
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("sce_zarr requires .option('path', <array dir>)")
+        return ZarrChunkWriter(path, overwrite)
+
 
 def read_zarr_pyds(spark: SparkSession, array_path: str) -> DataFrame:
     """Open a Zarr v2 array through the registered Python DataSource."""
@@ -145,4 +157,130 @@ def zarr_pyds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = read_zarr_pyds(spark, os.path.join(store, "vec_id")).withColumnRenamed(
         "value", "vec_id"
     )
+    return zarr_matrix_coo(x, ids)
+
+
+# --- write side: DataSourceArrowWriter ----------------------------------------
+
+
+class ZarrCommit(WriterCommitMessage):
+    def __init__(self, chunk_ids, n_rows, max_row, dim):
+        self.chunk_ids = chunk_ids
+        self.n_rows = n_rows
+        self.max_row = max_row
+        self.dim = dim
+
+
+class ZarrChunkWriter(DataSourceArrowWriter):
+    """Arrow-batched chunk writer for row-chunked 2-D float64 arrays.
+
+    Contract (enforced by the chunk-group exchange the caller issues —
+    ``repartition(row div ROWS_PER_CHUNK)``): every row of a chunk lands
+    in ONE task, so each task writes whole chunk objects independently —
+    the same parallel grain as the read side and as
+    ``zarrv2.write_zarr_group``'s applyInPandas path.  Edge chunks pad to
+    the chunk shape with the fill value per the spec; the driver's
+    ``commit`` writes the tiny ``.zarray`` metadata once, from the
+    collected per-task commit messages (true two-phase commit: no task
+    writes metadata, a failed job leaves no readable array).
+    """
+
+    def __init__(self, path: str, overwrite: bool):
+        self.path = path
+        if overwrite and os.path.isdir(path):
+            for f in os.listdir(path):
+                os.remove(os.path.join(path, f))
+        os.makedirs(path, exist_ok=True)
+
+    def write(self, iterator):
+        import numpy as np
+
+        from .zarrv2 import _compress, _DEFAULT_COMPRESSOR, ROWS_PER_CHUNK
+
+        by_chunk: dict = {}
+        dim = 0
+        for batch in iterator:
+            rows = batch.column(batch.schema.get_field_index("row")).to_numpy(
+                zero_copy_only=False
+            )
+            emb = batch.column(batch.schema.get_field_index("values"))
+            flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            lens = emb.value_lengths().to_numpy()
+            dim = int(lens.max(initial=dim))
+            off = 0
+            for r, ln in zip(rows, lens):
+                by_chunk.setdefault(int(r) // ROWS_PER_CHUNK, []).append(
+                    (int(r), flat[off : off + ln])
+                )
+                off += ln
+        chunk_ids, n_rows, max_row = [], 0, -1
+        for cid, members in by_chunk.items():
+            block = np.zeros((ROWS_PER_CHUNK, dim), dtype=np.float64)  # fill 0
+            for r, vec in members:
+                block[r - cid * ROWS_PER_CHUNK, : len(vec)] = vec
+                n_rows += 1
+                max_row = max(max_row, r)
+            with open(os.path.join(self.path, f"{cid}.0"), "wb") as fh:
+                fh.write(_compress(block.tobytes(), _DEFAULT_COMPRESSOR, typesize=8))
+            chunk_ids.append(cid)
+        return ZarrCommit(chunk_ids, n_rows, max_row, dim)
+
+    def commit(self, messages):
+        from .zarrv2 import _DEFAULT_COMPRESSOR, ROWS_PER_CHUNK, _write_zarray_meta
+
+        msgs = [m for m in messages if m is not None and m.n_rows]
+        n = max(m.max_row for m in msgs) + 1
+        dim = max(m.dim for m in msgs)
+        _write_zarray_meta(
+            self.path,
+            shape=[int(n), int(dim)],
+            chunks=[ROWS_PER_CHUNK, int(dim)],
+            dtype="<f8",
+            compressor=_DEFAULT_COMPRESSOR,
+            fill_value=0.0,
+        )
+
+
+@query(
+    "zarr_pyds_write_roundtrip",
+    oracle=_PYDS_ORACLE,
+    tags=("sources", "zarr", "datasource", "sinks"),
+    cache=False,
+)
+def zarr_pyds_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE half of the connector: embeddings become chunk-slice rows,
+    a chunk-group ``repartition(row div ROWS_PER_CHUNK)`` gives each task
+    whole chunks, and ``df.write.format("sce_zarr")`` drives
+    ``ZarrChunkWriter`` — Arrow-batched tasks write chunk objects, the
+    driver's two-phase ``commit`` writes ``.zarray`` only after every task
+    succeeded.  Reading the store back through the same connector and
+    hashing against the parquet-derived oracle proves write split
+    placement, padding, compression, and metadata agree with the spec
+    (and with the reader, which was proven against ``write_zarr_group``
+    separately — so writer↔reader agreement is not circular).
+    ``vec_id`` is dense 0..n-1 (positional axis, module docstring of
+    zarrv2), so the matrix row IS the id and no ids array is needed.
+    """
+    from pyspark.sql import functions as F
+
+    import hashlib
+    import tempfile
+
+    from ..catalog import load_table
+    from .zarrv2 import ROWS_PER_CHUNK, zarr_matrix_coo
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"sce_zarr_pydsw_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    spark.dataSource.register(ZarrDataSource)
+    slices = e.select(
+        F.col("vec_id").alias("row"),
+        F.lit(0).cast("bigint").alias("col0"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("values"),
+    ).repartition(F.expr(f"row div {ROWS_PER_CHUNK}"))
+    slices.write.format("sce_zarr").option("path", path).mode("overwrite").save()
+    x = read_zarr_pyds(spark, path)
+    ids = x.select("row", F.col("row").alias("vec_id")).distinct()
     return zarr_matrix_coo(x, ids)
