@@ -107,6 +107,27 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001
             print(f"  ✗ {name}: ERROR {type(ex).__name__}: {ex}")
             n_fail += 1
+        finally:
+            # Long sweeps accumulate the queries' lineage-cut blocks
+            # (materialize() = localCheckpoint RDDs) in the single JVM's
+            # storage memory; once full, the block manager can evict a
+            # large INDIRECT task result before the driver fetches it
+            # (observed twice at sf0.1: query ~118 failing with
+            # TaskResultLost while green standalone).  clearCache() alone
+            # is not enough — checkpoint blocks are reclaimed by the
+            # ContextCleaner only after BOTH the Python plan-cache
+            # reference and the JVM object die, so drop the plan cache
+            # and GC both sides.  The real driver windows 50 queries at
+            # sf0.01 and never gets here; the full sweep resets between
+            # queries so each one's resource posture is independent.
+            import gc
+
+            from single_cell_experiments_spark import registry as _reg
+
+            spark.catalog.clearCache()
+            _reg._plan_cache.pop(spark, None)
+            gc.collect()
+            spark._jvm.System.gc()
     print(f"PASS={n_pass} ROWS_ONLY={n_rows_only} FAIL={n_fail} @ {SF_DIR}")
     if not ONLY and n_fail == 0:
         with open(STAMP_PATH, "w") as f:
