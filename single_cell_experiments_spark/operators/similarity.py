@@ -889,6 +889,10 @@ def _arrow_norms_kernel(batches):
     import pyarrow as pa
 
     for batch in batches:
+        if batch.num_rows == 0:
+            # reduceat over an empty array raises (starts=[0] would index
+            # past the end); an empty batch simply contributes nothing.
+            continue
         ids = batch.column(0)
         emb = batch.column(1)
         # flatten()/value_lengths() respect batch slicing (raw .offsets

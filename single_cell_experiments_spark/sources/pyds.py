@@ -163,9 +163,15 @@ def zarr_pyds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- write side: DataSourceArrowWriter ----------------------------------------
 
 
+#: Marker inside task-attempt temp file names; commit() renames these to
+#: their final ``{cid}.0`` names, abort() (and the post-rename sweep)
+#: deletes any left behind by failed / speculatively-retried attempts.
+_TMP_MARK = ".__tmp__"
+
+
 class ZarrCommit(WriterCommitMessage):
-    def __init__(self, chunk_ids, n_rows, max_row, dim):
-        self.chunk_ids = chunk_ids
+    def __init__(self, chunks, n_rows, max_row, dim):
+        self.chunks = chunks  # list[(chunk_id, tmp_file_name)]
         self.n_rows = n_rows
         self.max_row = max_row
         self.dim = dim
@@ -179,27 +185,51 @@ class ZarrChunkWriter(DataSourceArrowWriter):
     in ONE task, so each task writes whole chunk objects independently —
     the same parallel grain as the read side and as
     ``zarrv2.write_zarr_group``'s applyInPandas path.  Edge chunks pad to
-    the chunk shape with the fill value per the spec; the driver's
-    ``commit`` writes the tiny ``.zarray`` metadata once, from the
-    collected per-task commit messages (true two-phase commit: no task
-    writes metadata, a failed job leaves no readable array).
+    the chunk shape with the fill value per the spec.
+
+    Two-phase commit, retry-safe (r10 verdict #5 / advice): each TASK
+    ATTEMPT writes its chunks under attempt-unique temp names
+    (``{cid}.0.__tmp__{uuid}``) — Spark WILL re-execute tasks at scale
+    (failure, speculation), and two attempts of the same task must not
+    race on the final object name.  The driver's ``commit`` then
+    (1) VALIDATES the collected messages — duplicate chunk ids across
+    tasks mean the caller broke the one-chunk-one-task contract and rows
+    were silently split (the losing task's rows would read back as
+    zeros), unequal dims mean ragged input, and ``sum(n_rows) !=
+    max_row+1`` means duplicate or missing row ids — all fail the job
+    loudly instead of committing a lying store; (2) renames the winning
+    attempts' temp files to their final names (same-directory rename:
+    atomic on POSIX); (3) sweeps orphan temp files from losing attempts;
+    (4) writes ``.zarray`` LAST, so a reader never sees a store that is
+    metadata-complete but data-partial.  ``abort`` removes temp files
+    only — a failed job leaves no readable array and no garbage that a
+    later successful write would trip over.
     """
 
     def __init__(self, path: str, overwrite: bool):
         self.path = path
-        if overwrite and os.path.isdir(path):
-            for f in os.listdir(path):
-                os.remove(os.path.join(path, f))
+        self.overwrite = overwrite
         os.makedirs(path, exist_ok=True)
+        if not overwrite and any(
+            not f.startswith(".") and _TMP_MARK not in f for f in os.listdir(path)
+        ):
+            raise ValueError(
+                f"sce_zarr: destination {path!r} is non-empty; use mode('overwrite')"
+            )
 
     def write(self, iterator):
+        import uuid
+
         import numpy as np
 
         from .zarrv2 import _compress, _DEFAULT_COMPRESSOR, ROWS_PER_CHUNK
 
+        attempt = uuid.uuid4().hex[:12]
         by_chunk: dict = {}
         dim = 0
         for batch in iterator:
+            if batch.num_rows == 0:
+                continue
             rows = batch.column(batch.schema.get_field_index("row")).to_numpy(
                 zero_copy_only=False
             )
@@ -213,24 +243,71 @@ class ZarrChunkWriter(DataSourceArrowWriter):
                     (int(r), flat[off : off + ln])
                 )
                 off += ln
-        chunk_ids, n_rows, max_row = [], 0, -1
+        chunks, n_rows, max_row = [], 0, -1
         for cid, members in by_chunk.items():
             block = np.zeros((ROWS_PER_CHUNK, dim), dtype=np.float64)  # fill 0
             for r, vec in members:
                 block[r - cid * ROWS_PER_CHUNK, : len(vec)] = vec
                 n_rows += 1
                 max_row = max(max_row, r)
-            with open(os.path.join(self.path, f"{cid}.0"), "wb") as fh:
+            tmp_name = f"{cid}.0{_TMP_MARK}{attempt}"
+            with open(os.path.join(self.path, tmp_name), "wb") as fh:
                 fh.write(_compress(block.tobytes(), _DEFAULT_COMPRESSOR, typesize=8))
-            chunk_ids.append(cid)
-        return ZarrCommit(chunk_ids, n_rows, max_row, dim)
+            chunks.append((cid, tmp_name))
+        return ZarrCommit(chunks, n_rows, max_row, dim)
+
+    def _sweep_tmp(self) -> None:
+        for f in os.listdir(self.path):
+            if _TMP_MARK in f:
+                try:
+                    os.remove(os.path.join(self.path, f))
+                except FileNotFoundError:
+                    pass
 
     def commit(self, messages):
         from .zarrv2 import _DEFAULT_COMPRESSOR, ROWS_PER_CHUNK, _write_zarray_meta
 
         msgs = [m for m in messages if m is not None and m.n_rows]
+        if not msgs:
+            self._sweep_tmp()
+            raise ValueError(
+                "sce_zarr: cannot write an empty zarr array (no task produced rows)"
+            )
+        # -- validate before any rename (fail loudly, commit nothing) ------
+        seen: dict = {}
+        for m in msgs:
+            for cid, tmp in m.chunks:
+                if cid in seen:
+                    raise ValueError(
+                        f"sce_zarr: chunk {cid} written by two tasks — rows of one "
+                        "chunk landed in multiple partitions; repartition the input "
+                        f"by (row div ROWS_PER_CHUNK) before writing"
+                    )
+                seen[cid] = tmp
+        dims = sorted({m.dim for m in msgs})
+        if len(dims) != 1:
+            raise ValueError(
+                f"sce_zarr: tasks disagree on the array width (dims={dims}) — "
+                "input rows are ragged; a zarr array is rectangular"
+            )
         n = max(m.max_row for m in msgs) + 1
-        dim = max(m.dim for m in msgs)
+        total = sum(m.n_rows for m in msgs)
+        if total != n:
+            raise ValueError(
+                f"sce_zarr: {total} rows written but max row id is {n - 1} — "
+                "row ids must be dense 0..n-1 (duplicates or gaps present)"
+            )
+        dim = dims[0]
+        # -- publish: clear old data, rename winners, sweep losers ---------
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if _TMP_MARK not in f:
+                    os.remove(os.path.join(self.path, f))
+        for cid, tmp in seen.items():
+            os.replace(
+                os.path.join(self.path, tmp), os.path.join(self.path, f"{cid}.0")
+            )
+        self._sweep_tmp()
         _write_zarray_meta(
             self.path,
             shape=[int(n), int(dim)],
@@ -239,6 +316,9 @@ class ZarrChunkWriter(DataSourceArrowWriter):
             compressor=_DEFAULT_COMPRESSOR,
             fill_value=0.0,
         )
+
+    def abort(self, messages):
+        self._sweep_tmp()
 
 
 @query(

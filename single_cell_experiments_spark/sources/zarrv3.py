@@ -601,12 +601,17 @@ def write_zarr_v3_group(
     bounds = wide.agg(
         F.max("vec_id").alias("mx"),
         F.count(F.lit(1)).alias("n"),
+        # countDistinct, not count: duplicate ids would otherwise offset
+        # missing ids and pass a count==max+1 check while the store gained
+        # zero-filled gap rows and last-write-wins collisions (r10 advice).
+        F.countDistinct("vec_id").alias("nd"),
         F.max(F.size("embedding")).alias("dim"),
     ).collect()[0]
     n_rows, dim = int(bounds["mx"]) + 1, int(bounds["dim"])
-    if int(bounds["n"]) != n_rows:
+    if int(bounds["n"]) != n_rows or int(bounds["nd"]) != n_rows:
         raise ValueError(
-            f"zarr positional write needs dense 0..n-1 ids: max+1={n_rows}, rows={bounds['n']}"
+            "zarr positional write needs dense 0..n-1 ids: "
+            f"max+1={n_rows}, rows={bounds['n']}, distinct={bounds['nd']}"
         )
     cpc = cols_per_chunk or dim
     n_col_chunks = (dim + cpc - 1) // cpc

@@ -317,3 +317,159 @@ def test_writer_emits_spec_metadata_and_padded_edge_chunks(spark, tmp_path):
     x = read_zarr_matrix(spark, os.path.join(store, "X")).toPandas().sort_values("row")
     got = np.array(x["values"].to_list(), dtype=np.float32)
     np.testing.assert_array_equal(got, expected)
+
+
+# --- ZarrChunkWriter task-retry / abort / validation semantics (r10 verdict
+# #5 + advice): Spark WILL re-execute write tasks at scale (failure,
+# speculation), so the writer must be attempt-idempotent — these tests drive
+# the DataSourceArrowWriter surface directly with hand-built attempts, the
+# same call sequence Spark's WriteToDataSourceV2 issues.
+
+
+def _mk_batch(rows, dim=3, base=10.0):
+    import pyarrow as pa
+
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array([int(r) for r in rows], type=pa.int64()),
+            pa.array([0] * len(rows), type=pa.int64()),
+            pa.array(
+                [[base * r + c for c in range(dim)] for r in rows],
+                type=pa.list_(pa.float64()),
+            ),
+        ],
+        names=["row", "col0", "values"],
+    )
+
+
+def _read_store(store):
+    """Decode every chunk of a committed store to a dense (n, dim) array."""
+    import numpy as np
+
+    from single_cell_experiments_spark.sources.zarrv2 import (
+        read_zarray_meta,
+        _decompress,
+    )
+
+    meta = read_zarray_meta(store)
+    n, dim = meta["shape"]
+    rpc = meta["chunks"][0]
+    out = np.zeros((n, dim))
+    for cid in range((n + rpc - 1) // rpc):
+        raw = _decompress(
+            open(os.path.join(store, f"{cid}.0"), "rb").read(), meta["compressor"]
+        )
+        block = np.frombuffer(raw, dtype="<f8").reshape(rpc, dim)
+        lo = cid * rpc
+        out[lo : min(lo + rpc, n)] = block[: min(rpc, n - lo)]
+    return out
+
+
+def test_pyds_writer_retried_attempt_leaves_clean_store(tmp_path):
+    """Two attempts of the SAME task (retry/speculation): only the winning
+    attempt is committed; losing attempt's temp objects are swept; the
+    store is spec-valid and value-exact; no orphan files remain."""
+    import numpy as np
+
+    from single_cell_experiments_spark.sources.pyds import ZarrChunkWriter, _TMP_MARK
+
+    store = str(tmp_path / "arr")
+    w = ZarrChunkWriter(store, overwrite=True)
+    rows = list(range(70))  # spans chunk 0 (full) + chunk 1 (edge)
+    m_lost = w.write(iter([_mk_batch(rows)]))   # attempt 1 (will "fail")
+    m_won = w.write(iter([_mk_batch(rows)]))    # attempt 2 (wins)
+    assert sum(_TMP_MARK in f for f in os.listdir(store)) == 4  # 2 chunks x 2 attempts
+    w.commit([m_won])  # Spark passes ONLY the committed attempt's message
+    files = sorted(os.listdir(store))
+    assert files == [".zarray", "0.0", "1.0"], files  # losers swept, meta last
+    got = _read_store(store)
+    assert got.shape == (70, 3)
+    np.testing.assert_array_equal(got[7], [70.0, 71.0, 72.0])
+    del m_lost
+
+
+def test_pyds_writer_abort_sweeps_temps_and_writes_no_metadata(tmp_path):
+    from single_cell_experiments_spark.sources.pyds import ZarrChunkWriter
+
+    store = str(tmp_path / "arr")
+    w = ZarrChunkWriter(store, overwrite=True)
+    msg = w.write(iter([_mk_batch(range(10))]))
+    w.abort([msg])
+    assert os.listdir(store) == []  # no temp chunks, no .zarray
+
+
+def test_pyds_writer_commit_rejects_split_chunk(tmp_path):
+    """Rows of one chunk landing in two tasks must FAIL the job, not
+    silently last-write-win (rows would read back as zeros)."""
+    import pytest
+
+    from single_cell_experiments_spark.sources.pyds import ZarrChunkWriter
+
+    store = str(tmp_path / "arr")
+    w = ZarrChunkWriter(store, overwrite=True)
+    m1 = w.write(iter([_mk_batch(range(0, 30))]))    # chunk 0, rows 0-29
+    m2 = w.write(iter([_mk_batch(range(30, 64))]))   # chunk 0 AGAIN, rows 30-63
+    with pytest.raises(ValueError, match="written by two tasks"):
+        w.commit([m1, m2])
+    assert not os.path.exists(os.path.join(store, ".zarray"))
+
+
+def test_pyds_writer_commit_rejects_ragged_and_sparse_ids(tmp_path):
+    import pytest
+
+    from single_cell_experiments_spark.sources.pyds import ZarrChunkWriter
+
+    # ragged: two tasks with different widths
+    w = ZarrChunkWriter(str(tmp_path / "a"), overwrite=True)
+    m1 = w.write(iter([_mk_batch(range(0, 64), dim=3)]))
+    m2 = w.write(iter([_mk_batch(range(64, 70), dim=5)]))
+    with pytest.raises(ValueError, match="ragged"):
+        w.commit([m1, m2])
+
+    # gap: rows 0..9 + 20..29 (max_row+1 =30 but only 20 rows)
+    w2 = ZarrChunkWriter(str(tmp_path / "b"), overwrite=True)
+    m = w2.write(iter([_mk_batch(list(range(10)) + list(range(20, 30)))]))
+    with pytest.raises(ValueError, match="dense"):
+        w2.commit([m])
+
+    # empty: no rows at all
+    w3 = ZarrChunkWriter(str(tmp_path / "c"), overwrite=True)
+    m0 = w3.write(iter([]))
+    with pytest.raises(ValueError, match="empty zarr array"):
+        w3.commit([m0])
+
+
+def test_pyds_writer_overwrite_defers_delete_to_commit(tmp_path):
+    """mode('overwrite') must not destroy the old store before the new data
+    is fully staged: old chunks are removed inside commit(), after
+    validation, before rename."""
+    import numpy as np
+
+    from single_cell_experiments_spark.sources.pyds import ZarrChunkWriter
+
+    store = str(tmp_path / "arr")
+    w = ZarrChunkWriter(store, overwrite=True)
+    w.commit([w.write(iter([_mk_batch(range(70), base=10.0)]))])
+    old = _read_store(store)
+
+    # second write over the same path: old store intact until commit
+    w2 = ZarrChunkWriter(store, overwrite=True)
+    m = w2.write(iter([_mk_batch(range(5), base=100.0)]))
+    np.testing.assert_array_equal(_read_store(store), old)  # still the old data
+    w2.commit([m])
+    got = _read_store(store)
+    assert got.shape == (5, 3)
+    np.testing.assert_array_equal(got[2], [200.0, 201.0, 202.0])
+    assert sorted(os.listdir(store)) == [".zarray", "0.0"]  # old 1.0 gone
+
+
+def test_pyds_writer_non_overwrite_rejects_nonempty(tmp_path):
+    import pytest
+
+    from single_cell_experiments_spark.sources.pyds import ZarrChunkWriter
+
+    store = str(tmp_path / "arr")
+    w = ZarrChunkWriter(store, overwrite=True)
+    w.commit([w.write(iter([_mk_batch(range(5))]))])
+    with pytest.raises(ValueError, match="non-empty"):
+        ZarrChunkWriter(store, overwrite=False)
