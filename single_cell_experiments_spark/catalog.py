@@ -122,6 +122,67 @@ def _sf_tag(sf_dir: str) -> str:
     return f"{base}_{digest}"
 
 
+#: Max on-disk parquet bytes below which a latency-sensitive aggregate
+#: swaps to the SINGLE-TASK fused plan (an inner ``COALESCE(1)`` block
+#: below the aggregation): a ``SinglePartition`` child satisfies every
+#: clustered/ordered distribution, so the whole query — scan, partial and
+#: final aggregation, sort — collapses into ONE stage with no exchange.
+#: At small inputs the scan is one task regardless (single parquet row
+#: group), so the fusion costs nothing in scan parallelism and saves one
+#: full shuffle (write + read + stage dispatch wall).  Measured r11,
+#: interleaved same-JVM A/B at sf0.1: distinct_users_daily 158→135 ms
+#: quiet / 460→297 under 26-process CPU load; doc_text_stats 109→98 /
+#: 252→178; embed_centroid_per_label 94→79 / 262→173;
+#: tumbling_window_events 97→95 / 233→188 — the fusion's margin GROWS
+#: with the dispatch floor, which is exactly the regime that breached the
+#: r10 bench gate.  Above the gate the parallel exchange plan stands: the
+#: serial aggregate's cost grows with input while the stage wall it saves
+#: is constant, so the swap inverts quickly — measured on synthesized
+#: key-shifted event copies (scale_stress.synthesize, engine posture):
+#: fused/parallel ms = 2.0 MiB: 135/158 · 5.5 MiB: 605/510 (distinct
+#: already loses) · 7.2 MiB: 1058/605 · 13 MiB: 2262/1189; the simple-sum
+#: tumbling agg still wins fused at 7.2 MiB (208/215) but the gate is set
+#: where the EARLIEST query class inverts, with margin: 4 MiB.  (At 100 TB
+#: the fused plan would be nonsense — the gate is what makes this an
+#: adaptive-plan choice, not a bench trick.)
+#: Negatives recorded at the same floors: q1 (+13 quiet/+62 loaded —
+#: its 600 k-row serial partial agg is real compute) and window_rank
+#: (+111 quiet; flips to −347 only at ~3-4× the driver's observed
+#: floors — non-monotone, not worth a load-sensitive gate), so both
+#: keep their parallel plans unconditionally.
+FUSE_SINGLE_TASK_MAX_BYTES = 1 << 22
+
+
+def local_input_bytes(sf_dir: str, table: str) -> int | None:
+    """On-disk parquet footprint of one table, or None when the path is
+    not a local filesystem directory (remote stores skip size gates —
+    they are never in the small regime that motivates them)."""
+    root = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isfile(root):
+        return os.path.getsize(root)
+    if not os.path.isdir(root):
+        return None
+    total = 0
+    for dirpath, _, names in os.walk(root):
+        for nm in names:
+            total += os.path.getsize(os.path.join(dirpath, nm))
+    return total
+
+
+def fuse1_hint(sf_dir: str, table: str, gate: int | None = None) -> str:
+    """``"/*+ COALESCE(1) */ "`` when ``table`` is fusion-small, else ``""``.
+
+    Splice into the SELECT of the query block DIRECTLY ABOVE the scan
+    (below the aggregation/window that needs the distribution) — a hint
+    attaches to its own query block's output, so hinting the outer block
+    would coalesce ABOVE the operator and fuse nothing.
+    """
+    if gate is None:
+        gate = FUSE_SINGLE_TASK_MAX_BYTES
+    nb = local_input_bytes(sf_dir, table)
+    return "/*+ COALESCE(1) */ " if nb is not None and nb <= gate else ""
+
+
 def table_view(spark: SparkSession, sf_dir: str, name: str) -> str:
     """Register (once per session) an sf-scoped temp view for ``name`` and
     return the view name.

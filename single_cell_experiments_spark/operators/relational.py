@@ -659,21 +659,10 @@ _DISTINCT_SMALL_INPUT_MAX_BYTES = 1 << 30
 
 
 def _local_input_bytes(sf_dir: str, table: str) -> int | None:
-    """On-disk parquet footprint of one table, or None when the path is
-    not a local filesystem directory (remote stores skip the gate —
-    they are never in the small regime that motivates it)."""
-    import os
+    """On-disk parquet footprint of one table (see catalog.local_input_bytes)."""
+    from ..catalog import local_input_bytes
 
-    root = os.path.join(sf_dir, f"{table}.parquet")
-    if os.path.isfile(root):
-        return os.path.getsize(root)
-    if not os.path.isdir(root):
-        return None
-    total = 0
-    for dirpath, _, names in os.walk(root):
-        for nm in names:
-            total += os.path.getsize(os.path.join(dirpath, nm))
-    return total
+    return local_input_bytes(sf_dir, table)
 
 
 @query("distinct_users_daily", oracle=_DISTINCT_DAILY_ORACLE, tags=("relational", "agg", "headline"))
@@ -689,7 +678,11 @@ def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset of the grouping keys co-locates every group), collapsing the
     plan to one exchange and two stages with no Expand duplication —
     see the gate comment for the interleaved measurements and why the
-    Expand plan stays the large-input default.
+    Expand plan stays the large-input default.  Below
+    ``catalog.FUSE_SINGLE_TASK_MAX_BYTES`` the exchange disappears
+    entirely: an inner COALESCE(1) gives the aggregate a SinglePartition
+    child, fusing scan + both agg phases into ONE stage (r11; see the
+    catalog gate comment for the three-regime measurements).
     The group key is the integer UTC day ``ts_s div 86400`` (bijective with
     the day string for the epoch-positive domain); the 'yyyy-MM-dd' render
     happens AFTER aggregation on O(groups) rows — per-row date formatting
@@ -698,9 +691,15 @@ def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-negative values) on the long codegen path; see
     ``functions/compat.py`` for the bit-equality argument.
     """
+    from ..catalog import FUSE_SINGLE_TASK_MAX_BYTES
+
     e = table_view(spark, sf_dir, "events")
     nbytes = _local_input_bytes(sf_dir, "events")
-    if nbytes is not None and nbytes <= _DISTINCT_SMALL_INPUT_MAX_BYTES:
+    if nbytes is not None and nbytes <= FUSE_SINGLE_TASK_MAX_BYTES:
+        src = f"""(SELECT /*+ COALESCE(1) */
+                          ts_s div 86400 AS day_k, event_type, user_id, value
+                   FROM {e})"""
+    elif nbytes is not None and nbytes <= _DISTINCT_SMALL_INPUT_MAX_BYTES:
         src = f"""(SELECT /*+ REPARTITION(day_k, event_type) */
                           ts_s div 86400 AS day_k, event_type, user_id, value
                    FROM {e})"""

@@ -92,6 +92,9 @@ def embed_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation is order-insensitive, so partial/final agg order can't
     drift the hash.
     """
+    # Size-gated single-task fusion (r11): see catalog.FUSE_SINGLE_TASK_MAX_BYTES.
+    from ..catalog import fuse1_hint
+
     e = table_view(spark, sf_dir, "embeddings")
     # spark.sql form for driver-latency (catalog.table_view); 0.0D keeps the
     # fold accumulator a DOUBLE (bare 0.0 is DECIMAL(1,1) in Spark SQL).
@@ -99,7 +102,7 @@ def embed_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT label, COUNT(1) AS n,
                ROUND(CAST(SUM(s6) AS DOUBLE) / COUNT(1), 6) AS avg_sum
         FROM (
-            SELECT label,
+            SELECT {fuse1_hint(sf_dir, "embeddings")}label,
                    CAST(ROUND(AGGREGATE(TRANSFORM(embedding, x -> CAST(x AS DOUBLE)),
                                         0.0D, (acc, x) -> acc + x), 6) AS DECIMAL(18,6)) AS s6
             FROM {e}

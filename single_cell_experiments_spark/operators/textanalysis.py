@@ -47,13 +47,16 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Averages are exact-integer-sum / count — order-insensitive by
     construction, no decimal shim needed.
     """
+    # Size-gated single-task fusion (r11): see catalog.FUSE_SINGLE_TASK_MAX_BYTES.
+    from ..catalog import fuse1_hint
+
     d = table_view(spark, sf_dir, "documents")
     return spark.sql(f"""
         SELECT lang, COUNT(1) AS n,
                CAST(SUM(n_chars) AS DOUBLE) / COUNT(1) AS ac,
                CAST(SUM(length(text)) AS DOUBLE) / COUNT(1) AS al,
                SUM(CASE WHEN contains(lower(text), 'the') THEN 1 ELSE 0 END) AS has_the
-        FROM {d}
+        FROM (SELECT {fuse1_hint(sf_dir, "documents")}lang, n_chars, text FROM {d})
         GROUP BY lang
     """)
 

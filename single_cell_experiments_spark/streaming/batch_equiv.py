@@ -118,12 +118,18 @@ def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # micros path — provably equal to the oracle's DECIMAL(18,6) HALF_UP
     # conversion on the 2-dp non-negative events.value domain (docstring
     # proof); the agg buffer and the per-row conversion are both longs.
+    # Size-gated single-task fusion (r11): below the catalog gate the
+    # inner COALESCE(1) collapses scan + both agg phases into one stage
+    # (no exchange); above it the block is a no-op string and the
+    # parallel two-stage plan stands.  See catalog.FUSE_SINGLE_TASK_MAX_BYTES.
+    from ..catalog import fuse1_hint
+
     return spark.sql(f"""
         SELECT ts_s div 3600 * 3600 AS w_start_s,
                COUNT(1) AS c,
                ROUND(CAST(SUM(CAST(FLOOR(value * 1000000.0D + 0.5D) AS BIGINT)) AS DOUBLE)
                      / 1000000.0D / COUNT(1), 6) AS av
-        FROM {e}
+        FROM (SELECT {fuse1_hint(sf_dir, "events")}ts_s, value FROM {e})
         GROUP BY ts_s div 3600
     """)
 

@@ -340,27 +340,67 @@ def test_dedup_pipeline_reuses_exchanges(spark):
     assert inspect.count_in_plan(df, "ReusedExchange", final=True) >= 1
 
 
-def test_distinct_daily_small_input_uses_single_exchange(spark):
-    """r10: below the input-size gate the distinct aggregate rides ONE
-    group-key exchange (no Expand duplication, 2 stages) — the 187-vs-224
-    ms interleaved result; the Expand plan stays the large-input default
-    (see _DISTINCT_SMALL_INPUT_MAX_BYTES)."""
+def test_distinct_daily_fusion_small_input_no_exchange(spark):
+    """r11: below catalog.FUSE_SINGLE_TASK_MAX_BYTES the distinct
+    aggregate is the fully-fused single-task plan — ZERO exchanges, no
+    Expand: scan + partial + final aggregation in one stage (the
+    135-vs-158 ms quiet / 297-vs-460 ms loaded interleaved result)."""
     df = QS["distinct_users_daily"](spark, SF_DIR)
+    plan = inspect.formatted_plan(df)
+    assert "Expand" not in plan, plan
+    assert inspect.exchange_count(df) == 0, plan
+    assert "Coalesce 1" in plan or "Coalesce(1" in plan or "Coalesce" in plan, plan
+
+
+def test_distinct_daily_mid_input_uses_single_exchange(spark, monkeypatch):
+    """Between the fusion gate and _DISTINCT_SMALL_INPUT_MAX_BYTES the
+    r10 plan stands: ONE group-key exchange, no Expand duplication."""
+    import single_cell_experiments_spark.catalog as catalog
+    from single_cell_experiments_spark.registry import fresh_fn
+
+    monkeypatch.setattr(catalog, "FUSE_SINGLE_TASK_MAX_BYTES", 0)
+    df = fresh_fn("distinct_users_daily")(spark, SF_DIR)
     plan = inspect.formatted_plan(df)
     assert "Expand" not in plan, plan
     assert inspect.exchange_count(df) == 1, plan
 
 
 def test_distinct_daily_large_input_keeps_expand_plan(spark, monkeypatch):
-    """Above the gate the two-phase partial-distinct (Expand) plan must
+    """Above both gates the two-phase partial-distinct (Expand) plan must
     come back — the map-side-combine shape that holds at 100 TB."""
+    import single_cell_experiments_spark.catalog as catalog
     from single_cell_experiments_spark.operators import relational
     from single_cell_experiments_spark.registry import fresh_fn
 
+    monkeypatch.setattr(catalog, "FUSE_SINGLE_TASK_MAX_BYTES", 0)
     monkeypatch.setattr(relational, "_DISTINCT_SMALL_INPUT_MAX_BYTES", 0)
     df = fresh_fn("distinct_users_daily")(spark, SF_DIR)
     plan = inspect.formatted_plan(df)
     assert "Expand" in plan or inspect.exchange_count(df) >= 2, plan
+
+
+def test_single_task_fusion_small_inputs_no_exchange(spark):
+    """r11: the three other fused headliners ride zero exchanges below
+    the catalog gate — scan + both agg phases one stage."""
+    for name in ("tumbling_window_events", "doc_text_stats",
+                 "embed_centroid_per_label"):
+        df = QS[name](spark, SF_DIR)
+        plan = inspect.formatted_plan(df)
+        assert inspect.exchange_count(df) == 0, (name, plan)
+
+
+def test_single_task_fusion_large_inputs_keep_parallel_plan(spark, monkeypatch):
+    """Above the gate the fusion hint must vanish: each query keeps its
+    parallel exchange plan (the shape that holds at 100 TB)."""
+    import single_cell_experiments_spark.catalog as catalog
+    from single_cell_experiments_spark.registry import fresh_fn
+
+    monkeypatch.setattr(catalog, "FUSE_SINGLE_TASK_MAX_BYTES", 0)
+    for name in ("tumbling_window_events", "doc_text_stats",
+                 "embed_centroid_per_label"):
+        df = fresh_fn(name)(spark, SF_DIR)
+        plan = inspect.formatted_plan(df)
+        assert inspect.exchange_count(df) >= 1, (name, plan)
 
 
 def test_bitmap_distinct_three_level_rollup_no_expand(spark):
