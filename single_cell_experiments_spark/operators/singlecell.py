@@ -1491,13 +1491,22 @@ def sc_matmul_coo(spark: SparkSession, sf_dir: str) -> DataFrame:
 SC_MODULARITY_ROUNDS = 6  # fixed sync round cap; oracle unrolls exactly this
 
 
-def _modularity_round_sql(prev: str, name: str, phase: int) -> str:
+def _gfac(n: int) -> str:
+    """γ factor for the oracle SQL: empty at 1 so the γ=1 texts stay
+    byte-identical to the pre-γ oracles (hash continuity for the
+    existing modularity/louvain2 queries)."""
+    return "" if n == 1 else f"{n} * "
+
+
+def _modularity_round_sql(
+    prev: str, name: str, phase: int, gnum: int = 1, gden: int = 1
+) -> str:
     """One PHASE (id-parity half-round) of the modularity-greedy update
     as a DuckDB CTE over ``edges`` (src, dst — symmetric, no
     self-loops), ``deg`` (id, k) and ``mm`` (m = directed edge count =
     2·|undirected edges|), mirroring ``louvain_phase1_labels``'s integer
-    score exactly (see there for the 2m²-scaled gain derivation and the
-    parity-phasing rationale)."""
+    score exactly (see there for the 2m²-scaled gain derivation, the
+    parity-phasing rationale, and the γ=γnum/γden resolution scaling)."""
     return f"""
 {name} AS MATERIALIZED (
   SELECT id, lbl FROM (
@@ -1506,8 +1515,8 @@ def _modularity_round_sql(prev: str, name: str, phase: int) -> str:
                               ORDER BY s.score DESC, s.clbl ASC) AS rn
     FROM (
       SELECT c.src, c.clbl,
-             mm.m * c.kuc
-               - du.k * (t.tot - CASE WHEN p.lbl = c.clbl
+             {_gfac(gden)}mm.m * c.kuc
+               - {_gfac(gnum)}du.k * (t.tot - CASE WHEN p.lbl = c.clbl
                                       THEN du.k ELSE 0 END) AS score
       FROM (
         SELECT src, clbl, MAX(kuc) AS kuc FROM (
@@ -1537,15 +1546,17 @@ def _modularity_round_sql(prev: str, name: str, phase: int) -> str:
 )"""
 
 
-def _modularity_chain_sql(n_rounds: int) -> tuple[str, str]:
+def _modularity_chain_sql(
+    n_rounds: int, gnum: int = 1, gden: int = 1
+) -> tuple[str, str]:
     """Unrolled modularity rounds, two parity phases per round (the
     ``_lpa_chain_sql`` pattern: every phase MATERIALIZED — an inlined
     CTE would re-run the full candidate scoring per downstream
     reference)."""
     rounds, prev = [], "l0"
     for i in range(1, n_rounds + 1):
-        rounds.append(_modularity_round_sql(prev, f"l{i}a", 0))
-        rounds.append(_modularity_round_sql(f"l{i}a", f"l{i}b", 1))
+        rounds.append(_modularity_round_sql(prev, f"l{i}a", 0, gnum, gden))
+        rounds.append(_modularity_round_sql(f"l{i}a", f"l{i}b", 1, gnum, gden))
         prev = f"l{i}b"
     return ",".join(rounds), prev
 
@@ -1554,6 +1565,7 @@ def louvain_phase1_labels(
     edges: DataFrame,
     max_rounds: int = SC_MODULARITY_ROUNDS,
     stats: dict | None = None,
+    gamma: tuple[int, int] = (1, 1),
 ) -> DataFrame:
     """Deterministic PHASED-SYNCHRONOUS Louvain phase-1 (modularity-
     greedy label assignment) over a symmetric, self-loop-free
@@ -1610,7 +1622,22 @@ def louvain_phase1_labels(
     one bounded window per node (candidates ≤ degree+1) — no skewed
     reducer, state O(nodes), never collected.  The M scalar rides a
     1-row broadcast.
+
+    ``gamma`` (r11) is the RESOLUTION parameter γ = γ_num/γ_den of the
+    Reichardt–Bornholdt generalized modularity (the knob Scanpy's
+    ``tl.leiden(resolution=...)`` exposes): the gain becomes
+    ΔQ_γ ∝ k_{u,c}/m − γ·k_u·Σtot(c)/(2m²), so larger γ favors more,
+    smaller communities.  Scaling the integer score by the positive
+    γ_den keeps everything BIGINT-exact for any rational γ:
+        score_γ(u, c) = γ_den·M·k_{u,c} − γ_num·k_u·(Σtot(c) − [lbl_u=c]·k_u)
+    and the best-state selection key becomes
+        Qnum_γ = γ_den·M·e_in − γ_num·Σ_c tot(c)².
+    γ = 1/1 reproduces the classic scores bit-for-bit (the literal 1
+    factors constant-fold away in Catalyst).
     """
+    gnum, gden = int(gamma[0]), int(gamma[1])
+    if gnum <= 0 or gden <= 0:
+        raise ValueError(f"gamma must be a positive rational, got {gamma}")
     deg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("k")
     )
@@ -1667,8 +1694,9 @@ def louvain_phase1_labels(
                 "src",
                 "clbl",
                 (
-                    F.col("m") * F.col("kuc")
-                    - F.col("k")
+                    F.lit(gden) * F.col("m") * F.col("kuc")
+                    - F.lit(gnum)
+                    * F.col("k")
                     * (
                         F.col("tot")
                         - F.when(F.col("plbl") == F.col("clbl"), F.col("k")).otherwise(0)
@@ -1709,7 +1737,7 @@ def louvain_phase1_labels(
             .agg(F.sum(F.col("tot") * F.col("tot")))
             .collect()[0][0]
         )
-        return m_val * e_in - int(sumsq)
+        return gden * m_val * e_in - gnum * int(sumsq)
 
     hist = [labels]
     qnums = [_qnum(labels)]
@@ -1744,33 +1772,34 @@ def louvain_phase1_labels(
     return best_labels
 
 
-def _modularity_qnum_sql(li: str, r: int) -> str:
-    """Round r's integer modularity numerator M·e_in − Σ tot(c)² as a
-    1-row CTE — the best-state selection key (see
+def _modularity_qnum_sql(li: str, r: int, gnum: int = 1, gden: int = 1) -> str:
+    """Round r's integer modularity numerator γden·M·e_in − γnum·Σ tot(c)²
+    as a 1-row CTE — the best-state selection key (see
     ``louvain_phase1_labels._qnum`` for the derivation)."""
     return f"""
 q{r} AS MATERIALIZED (
   SELECT {r} AS r,
-         (SELECT m FROM mm)
+         {_gfac(gden)}(SELECT m FROM mm)
            * (SELECT CAST(COUNT(*) AS BIGINT) FROM edges e
               JOIN {li} x ON x.id = e.src
               JOIN {li} y ON y.id = e.dst AND y.lbl = x.lbl)
-         - (SELECT CAST(SUM(tot * tot) AS BIGINT) FROM (
+         - {_gfac(gnum)}(SELECT CAST(SUM(tot * tot) AS BIGINT) FROM (
               SELECT CAST(SUM(d.k) AS BIGINT) AS tot
               FROM {li} p JOIN deg d ON d.id = p.id GROUP BY p.lbl) tt)
          AS qn
 )"""
 
 
-def _sc_modularity_prefix() -> str:
+def _sc_modularity_prefix(gnum: int = 1, gden: int = 1) -> str:
     """Shared oracle prefix: kNN edges → unrolled level-1 phases →
     per-round Q → best-state pick, exposed as the ``lv1`` CTE — the
-    composition point ``sc_communities_modularity`` terminates at and
-    ``sc_communities_louvain2`` coarsens from."""
-    chain, _ = _modularity_chain_sql(SC_MODULARITY_ROUNDS)
+    composition point ``sc_communities_modularity`` terminates at,
+    ``sc_communities_louvain2`` coarsens from, and
+    ``sc_communities_leiden`` refines from (at its γ)."""
+    chain, _ = _modularity_chain_sql(SC_MODULARITY_ROUNDS, gnum, gden)
     names = ["l0"] + [f"l{i}b" for i in range(1, SC_MODULARITY_ROUNDS + 1)]
     qctes = ",".join(
-        _modularity_qnum_sql(nm, r) for r, nm in enumerate(names)
+        _modularity_qnum_sql(nm, r, gnum, gden) for r, nm in enumerate(names)
     )
     qunion = " UNION ALL ".join(f"SELECT * FROM q{r}" for r in range(len(names)))
     pick = " UNION ALL ".join(
@@ -1837,6 +1866,153 @@ def sc_communities_modularity(
     )
     labels = louvain_phase1_labels(sym, SC_MODULARITY_ROUNDS, stats=stats)
     return labels.select(
+        F.col("id").alias("vec_id"), big(F.col("lbl")).alias("community")
+    )
+
+
+# --- Leiden: γ-resolution phase-1 + connectivity refinement -------------------
+
+#: Resolution of the REGISTERED ``sc_communities_leiden`` query: a
+#: non-trivial rational (γ = 5/4) so the external driver check exercises
+#: the integer γ-scaling through BOTH engines end-to-end; the API default
+#: stays the classic γ = 1.
+SC_LEIDEN_GAMMA = (5, 4)
+
+#: Oracle round cap for the refinement's min-label propagation — bounds
+#: the within-community diameter, which Louvain communities keep small
+#: (they are locally dense by objective); the oracle self-checks
+#: convergence and raises past the cap (the ``_cc_labels_sql`` contract).
+LEIDEN_REFINE_ROUNDS = 24
+
+
+def leiden_refine(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Leiden's REFINEMENT step (Traag/Waltman/van Eck 2019, public),
+    reduced to its deterministic core: split every community into the
+    connected components of its own induced subgraph, so the returned
+    partition satisfies Leiden's headline guarantee — **every community
+    is internally connected** (Louvain phase-1 can strand a node whose
+    same-label neighbors all moved on: its community is then
+    disconnected, the defect Fig. 2 of the paper exhibits).  Component
+    ids are the min node id within the refined community — seed-free and
+    engine-exact like every label in this module.
+
+    ``edges``: symmetric (src, dst), no self-loops.  ``labels``:
+    (id, lbl) covering every node.  Returns (id, lbl) with refined labels.
+
+    Scale shape: one double label join to restrict edges to same-label
+    pairs, then ``cc_star_labels`` — O(log n) star rounds regardless of
+    diameter — and one left join to carry label-isolated nodes (each its
+    own connected, trivially, community).  No step sees more than the
+    edge list; nothing is collected.
+    """
+    from .dedup import cc_star_labels
+
+    la = labels.select(F.col("id").alias("src"), F.col("lbl").alias("la"))
+    lb = labels.select(F.col("id").alias("dst"), F.col("lbl").alias("lb"))
+    intra = (
+        edges.join(la, "src")
+        .join(lb, "dst")
+        .where(F.col("la") == F.col("lb"))
+        .select(F.col("src").alias("doc1"), F.col("dst").alias("doc2"))
+    )
+    comp = cc_star_labels(intra).select(
+        F.col("doc_id").alias("id"), F.col("component_id").alias("clbl")
+    )
+    return labels.join(comp, "id", "left").select(
+        "id", F.coalesce(F.col("clbl"), F.col("id")).alias("lbl")
+    )
+
+
+def _leiden_refine_sql(rounds: int = LEIDEN_REFINE_ROUNDS) -> str:
+    """Refinement CTEs over the prefix's ``edges`` + ``lv1``: restrict to
+    intra-community edges, then unrolled min-label propagation seeded
+    from EVERY lv1 node (so label-isolated nodes keep their own id), with
+    the one-round-past-the-cap convergence self-check (raises instead of
+    hash-mismatching on a deeper graph — the ``_cc_labels_sql`` rationale,
+    dedup.py)."""
+    parts = [
+        """intra AS MATERIALIZED (
+  SELECT e.src AS u, e.dst AS v
+  FROM edges e
+  JOIN lv1 a ON a.id = e.src
+  JOIN lv1 b ON b.id = e.dst AND b.lbl = a.lbl
+)""",
+        "r0 AS MATERIALIZED (SELECT id, id AS lbl FROM lv1)",
+    ]
+    for i in range(1, rounds + 2):
+        parts.append(f"""
+r{i} AS MATERIALIZED (
+  SELECT l.id, LEAST(l.lbl, COALESCE(m.m, l.lbl)) AS lbl
+  FROM r{i - 1} l LEFT JOIN (
+    SELECT e.u AS id, MIN(n.lbl) AS m
+    FROM intra e JOIN r{i - 1} n ON e.v = n.id
+    GROUP BY e.u
+  ) m ON m.id = l.id
+)""")
+    parts.append(f"""
+rchecked AS MATERIALIZED (
+  SELECT a.id,
+         CASE WHEN (SELECT count(*) FROM r{rounds + 1} x
+                    JOIN r{rounds} y ON x.id = y.id AND x.lbl <> y.lbl) = 0
+              THEN a.lbl
+              ELSE error('leiden oracle: refinement propagation not converged within {rounds} rounds; raise LEIDEN_REFINE_ROUNDS')
+         END AS lbl
+  FROM r{rounds} a
+)""")
+    return ",".join(parts)
+
+
+def _sc_leiden_oracle() -> str:
+    gnum, gden = SC_LEIDEN_GAMMA
+    return f"""{_sc_modularity_prefix(gnum, gden)},
+{_leiden_refine_sql()}
+SELECT id AS vec_id, CAST(lbl AS BIGINT) AS community FROM rchecked
+"""
+
+
+@query(
+    "sc_communities_leiden",
+    oracle=_sc_leiden_oracle(),
+    tags=("singlecell", "graph", "clustering", "iterative", "modularity"),
+)
+def sc_communities_leiden(
+    spark: SparkSession,
+    sf_dir: str,
+    stats: dict | None = None,
+    gamma: tuple[int, int] = SC_LEIDEN_GAMMA,
+) -> DataFrame:
+    """Leiden-style communities over the kNN cell graph: the
+    γ-RESOLUTION phased greedy (``louvain_phase1_labels`` with
+    ``gamma=γ``) followed by the REFINEMENT split (``leiden_refine``) —
+    the two Leiden contributions the r10 verdict flagged missing from
+    the Louvain stack (Traag et al. 2019: a resolution parameter and the
+    guarantee that no returned community is internally disconnected).
+    Registered at γ = 5/4 so the driver's DuckDB comparison exercises
+    the rational-γ integer scaling end-to-end; ``gamma`` defaults to the
+    registered value but any positive rational works (γ=1 reproduces
+    classic modularity bit-for-bit).
+
+    Oracle: the γ-scaled unrolled phase chain + argmax-over-rounds pick
+    (``_sc_modularity_prefix(5, 4)``) composed with unrolled
+    intra-community min-label propagation (``_leiden_refine_sql``),
+    convergence-self-checked.
+
+    Scale shape: phase-1 as ``sc_communities_modularity`` (node-keyed
+    join + bounded window per round); refinement adds one same-label
+    edge restriction plus O(log n) star-CC rounds — both corpus-keyed
+    equi-joins, nothing collected.  The coarsen/iterate composition
+    point is ``sc_communities_louvain2``'s machinery (refined labels
+    slot in as its level-1 input unchanged).
+    """
+    knn = sc_neighbor_edges(spark, sf_dir).select("vec_id", "nbr")
+    sym = materialize(
+        knn.select(F.col("vec_id").alias("src"), F.col("nbr").alias("dst"))
+        .union(knn.select(F.col("nbr").alias("src"), F.col("vec_id").alias("dst")))
+        .distinct()
+    )
+    lv1 = louvain_phase1_labels(sym, SC_MODULARITY_ROUNDS, stats=stats, gamma=gamma)
+    refined = leiden_refine(sym, lv1)
+    return refined.select(
         F.col("id").alias("vec_id"), big(F.col("lbl")).alias("community")
     )
 

@@ -279,3 +279,203 @@ def test_louvain2_matches_reference_and_improves_q(spark):
     q1, q2 = modularity(edges, l1), modularity(edges, got)
     assert q2 > q1, (q1, q2)
     assert len(set(got.values())) < len(set(l1.values()))
+
+
+# --- Leiden: γ resolution + connectivity refinement (r11) --------------------
+
+
+def ref_louvain_gamma(
+    edges: list[tuple[int, int]], rounds: int, gnum: int, gden: int
+) -> dict[int, int]:
+    """γ-resolution variant of ``ref_louvain_sync``: score and selection
+    key scaled per the Reichardt–Bornholdt gain —
+    score = γden·M·k_uc − γnum·k_u·(tot−own), Qnum = γden·M·e_in − γnum·Σtot²."""
+    nbrs: dict[int, list[int]] = defaultdict(list)
+    for u, v in edges:
+        nbrs[u].append(v)
+    deg = {u: len(vs) for u, vs in nbrs.items()}
+    m = sum(deg.values())
+    lbl = {u: u for u in nbrs}
+
+    def qnum(lbl: dict[int, int]) -> int:
+        e_in = sum(1 for u, v in edges if lbl[u] == lbl[v])
+        tot: dict[int, int] = defaultdict(int)
+        for u in nbrs:
+            tot[lbl[u]] += deg[u]
+        return gden * m * e_in - gnum * sum(t * t for t in tot.values())
+
+    def phase(lbl: dict[int, int], par: int) -> dict[int, int]:
+        tot: dict[int, int] = defaultdict(int)
+        csz: dict[int, int] = defaultdict(int)
+        for u in nbrs:
+            tot[lbl[u]] += deg[u]
+            csz[lbl[u]] += 1
+        new = dict(lbl)
+        for u in nbrs:
+            if u % 2 != par:
+                continue
+            kuc: dict[int, int] = defaultdict(int)
+            for v in nbrs[u]:
+                kuc[lbl[v]] += 1
+            best: tuple[int, int] | None = None
+            for c in sorted(set(kuc) | {lbl[u]}):
+                if c != lbl[u] and csz[lbl[u]] == 1 and csz[c] == 1 and c > lbl[u]:
+                    continue
+                own = deg[u] if lbl[u] == c else 0
+                score = gden * m * kuc.get(c, 0) - gnum * deg[u] * (tot[c] - own)
+                if best is None or score > best[0]:
+                    best = (score, c)
+            new[u] = best[1]
+        return new
+
+    hist = [dict(lbl)]
+    for _ in range(rounds):
+        new = phase(phase(lbl, 0), 1)
+        if new == lbl:
+            break
+        lbl = new
+        hist.append(dict(lbl))
+    qs = [qnum(h) for h in hist]
+    return hist[max(range(len(qs)), key=lambda i: (qs[i], -i))]
+
+
+def _components_within_labels(
+    edges: list[tuple[int, int]], lbl: dict[int, int]
+) -> dict[int, int]:
+    """Union-find reference for leiden_refine: min reachable id through
+    SAME-LABEL edges."""
+    parent = {u: u for u in lbl}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        if lbl[u] == lbl[v]:
+            ra, rb = find(u), find(v)
+            if ra != rb:
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+    return {u: find(u) for u in lbl}
+
+
+@pytest.mark.parametrize("gamma", [(2, 1), (5, 4), (1, 2)])
+def test_gamma_kernel_matches_reference(spark, gamma):
+    """γ≠1 fixture rows: the Spark kernel's integer γ scaling equals the
+    independent reference at three non-trivial resolutions, on the
+    structured fixture graph."""
+    k1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    k2 = [(a, b) for a in range(10, 15) for b in range(10, 15) if a < b]
+    edges = _sym(k1 + k2 + [(3, 10)] + [(20, 21), (21, 22)])
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.id: r.lbl
+        for r in louvain_phase1_labels(
+            df, SC_MODULARITY_ROUNDS, gamma=gamma
+        ).collect()
+    }
+    assert got == ref_louvain_gamma(edges, SC_MODULARITY_ROUNDS, *gamma)
+
+
+def test_gamma_one_is_classic_louvain(spark):
+    """γ=1/1 must reproduce the unparameterized kernel bit-for-bit."""
+    rng = np.random.default_rng(7)
+    pairs = {
+        (int(min(a, b)), int(max(a, b)))
+        for a, b in rng.integers(0, 20, (30, 2))
+        if a != b
+    }
+    edges = _sym(sorted(pairs))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    base = {r.id: r.lbl for r in louvain_phase1_labels(df, 4).collect()}
+    g11 = {r.id: r.lbl for r in louvain_phase1_labels(df, 4, gamma=(1, 1)).collect()}
+    assert base == g11
+
+
+def test_leiden_refine_splits_disconnected_community(spark):
+    """The refinement contract, directly: two cliques FORCED under one
+    label with no connecting edge must split into two communities; a
+    connected community must stay whole; an isolated node keeps its own
+    label."""
+    from single_cell_experiments_spark.operators.singlecell import leiden_refine
+
+    k1 = [(a, b) for a in range(3) for b in range(3) if a < b]
+    k2 = [(a, b) for a in range(10, 13) for b in range(10, 13) if a < b]
+    path = [(20, 21), (21, 22)]
+    edges = _sym(k1 + k2 + path)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    # one label for both cliques (disconnected!), one for the path, 99 isolated
+    lbl = {u: 0 for u in range(3)} | {u: 0 for u in range(10, 13)}
+    lbl |= {20: 1, 21: 1, 22: 1, 99: 99}
+    ldf = spark.createDataFrame(sorted(lbl.items()), "id long, lbl long")
+    got = {r.id: r.lbl for r in leiden_refine(df, ldf).collect()}
+    assert got == _components_within_labels(edges, lbl) | {99: 99}
+    assert got[0] != got[10], "disconnected community must split"
+    assert len({got[u] for u in range(3)}) == 1
+    assert len({got[u] for u in (20, 21, 22)}) == 1
+    assert got[99] == 99
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_leiden_refine_matches_union_find_on_random(spark, seed):
+    """Random graph + random coarse labels: refine == union-find reference."""
+    from single_cell_experiments_spark.operators.singlecell import leiden_refine
+
+    rng = np.random.default_rng(seed)
+    n = 30
+    pairs = {
+        (int(min(a, b)), int(max(a, b)))
+        for a, b in rng.integers(0, n, (45, 2))
+        if a != b
+    }
+    edges = _sym(sorted(pairs))
+    nodes = sorted({u for u, _ in edges})
+    lbl = {u: int(rng.integers(0, 4)) for u in nodes}
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ldf = spark.createDataFrame(sorted(lbl.items()), "id long, lbl long")
+    got = {r.id: r.lbl for r in leiden_refine(df, ldf).collect()}
+    assert got == _components_within_labels(edges, lbl)
+
+
+def test_sc_communities_leiden_connectivity_guarantee(spark):
+    """Leiden's headline theorem, property-tested end-to-end on the
+    sf0.001 kNN graph: EVERY returned community is internally connected
+    (union-find over the community-induced subgraph finds exactly one
+    piece per community), the partition refines the γ-phase-1 partition
+    (each leiden community sits inside one phase-1 community), and the
+    registered γ=5/4 resolution yields at least as many communities as
+    γ=1 phase-1 on the same graph."""
+    from single_cell_experiments_spark.operators.singlecell import (
+        SC_LEIDEN_GAMMA,
+        sc_communities_leiden,
+        sc_neighbor_edges,
+    )
+
+    knn = sc_neighbor_edges(spark, SF_DIR).select("vec_id", "nbr").collect()
+    edges = _sym([(r.vec_id, r.nbr) for r in knn])
+    got = {
+        r.vec_id: r.community for r in sc_communities_leiden(spark, SF_DIR).collect()
+    }
+    n_emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert len(got) == n_emb
+
+    # connectivity: within-community union-find must give one piece per
+    # community (nodes with no same-community edge are singletons).
+    comp = _components_within_labels(edges, got)
+    by_comm: dict[int, set[int]] = defaultdict(set)
+    for u, c in got.items():
+        by_comm[c].add(comp.get(u, u))
+    for c, pieces in by_comm.items():
+        assert len(pieces) == 1, f"community {c} is internally disconnected"
+
+    # coarsening relation: leiden refines the γ phase-1 partition
+    lv1 = ref_louvain_gamma(edges, SC_MODULARITY_ROUNDS, *SC_LEIDEN_GAMMA)
+    for u, c in got.items():
+        peers = [v for v, c2 in got.items() if c2 == c]
+        assert len({lv1.get(v, v) for v in peers}) == 1
+
+    # resolution direction on this graph
+    g1 = ref_louvain_sync(edges, SC_MODULARITY_ROUNDS)
+    assert len(set(got.values())) >= len(set(g1.values()))
