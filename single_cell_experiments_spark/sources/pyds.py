@@ -34,6 +34,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
 )
@@ -81,6 +82,82 @@ class ZarrChunkReader(DataSourceReader):
             yield pa.RecordBatch.from_pandas(out, preserve_index=False)
 
 
+class ZarrChunkStreamReader(DataSourceStreamReader):
+    """Chunk-manifest micro-batch stream over a GROW-ONLY Zarr array —
+    the streaming half of the connector (r10 verdict #6): offsets are
+    positions in the numeric-sorted chunk manifest (``{"idx": n}`` = the
+    first n chunks are consumed), each micro-batch plans one
+    InputPartition per NEW chunk, and chunk bytes decode on executors
+    through the same Arrow path as the batch reader.
+
+    Why the manifest order is sound: a grow-only array appends chunks
+    with strictly increasing leading chunk coordinates (rows append at
+    the end), so the numeric-sorted prefix below any consumed index is
+    immutable — the property that makes ``idx`` a REPLAYABLE offset
+    (Spark re-plans [start, end) after a restart and must see the same
+    chunks; lexicographic listing order would interleave '10.0' before
+    '2.0' and break the prefix).  A shrunken store (chunks deleted below
+    a committed offset) raises instead of silently replaying different
+    data.  ``.zarray`` is re-read per ``latestOffset`` poll so a
+    concurrent writer's shape bump is picked up; chunk DECODE metadata
+    (dtype/compressor/chunk shape) is immutable per the spec.
+
+    Scale: the driver holds only the manifest listing per poll (the same
+    one listing RPC every file-stream source pays); state is the single
+    integer offset in the checkpoint.
+    """
+
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("sce_zarr requires .option('path', <array dir>)")
+        from .zarrv2 import read_zarray_meta
+
+        self.array_path = path
+        self.meta = read_zarray_meta(path)
+
+    def _manifest(self) -> list[str]:
+        from .zarrv2 import _CHUNK_NAME
+
+        names = [n for n in os.listdir(self.array_path) if _CHUNK_NAME.match(n)]
+        return sorted(names, key=lambda n: tuple(int(p) for p in n.split(".")))
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def latestOffset(self) -> dict:
+        return {"idx": len(self._manifest())}
+
+    def partitions(self, start: dict, end: dict):
+        manifest = self._manifest()
+        if end["idx"] > len(manifest):
+            raise RuntimeError(
+                f"sce_zarr stream: offset {end['idx']} exceeds the {len(manifest)} "
+                "chunks on disk — the store shrank below a committed offset; "
+                "a grow-only array never deletes chunks"
+            )
+        return [
+            ZarrChunkPartition(os.path.join(self.array_path, n))
+            for n in manifest[start["idx"] : end["idx"]]
+        ]
+
+    def read(self, partition: ZarrChunkPartition):
+        import pandas as pd
+        import pyarrow as pa
+
+        from .zarrv2 import _decode_blocks
+
+        with open(partition.chunk_path, "rb") as fh:
+            content = fh.read()
+        decode = _decode_blocks(self.meta)
+        pdf_in = pd.DataFrame({"path": [partition.chunk_path], "content": [content]})
+        for out in decode(iter([pdf_in])):
+            yield pa.RecordBatch.from_pandas(out, preserve_index=False)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the checkpoint; nothing source-side to release
+
+
 class ZarrDataSource(DataSource):
     """``sce_zarr`` format: Zarr v2 array directory → DataFrame.
 
@@ -107,6 +184,9 @@ class ZarrDataSource(DataSource):
 
     def reader(self, schema) -> ZarrChunkReader:
         return ZarrChunkReader(self.options)
+
+    def streamReader(self, schema) -> ZarrChunkStreamReader:
+        return ZarrChunkStreamReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> "ZarrChunkWriter":
         path = self.options.get("path")
@@ -363,4 +443,69 @@ def zarr_pyds_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     slices.write.format("sce_zarr").option("path", path).mode("overwrite").save()
     x = read_zarr_pyds(spark, path)
     ids = x.select("row", F.col("row").alias("vec_id")).distinct()
+    return zarr_matrix_coo(x, ids)
+
+
+@query(
+    "zarr_pyds_stream_roundtrip",
+    oracle=_PYDS_ORACLE,
+    tags=("sources", "zarr", "datasource", "streaming"),
+    cache=False,
+)
+def zarr_pyds_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING half of the connector: the embeddings-derived store
+    is consumed via ``spark.readStream.format("sce_zarr")`` — the
+    chunk-manifest ``DataSourceStreamReader`` plans one micro-batch
+    partition per unconsumed chunk — under ``Trigger.AvailableNow`` into
+    a parquet sink with a checkpoint, then the sink is read back and
+    hashed against the same parquet-derived oracle as the batch halves.
+    Proves offset planning, executor-side Arrow decode, and exactly-once
+    sink delivery end to end (restart idempotence — a second run with
+    the same checkpoint ingesting nothing, an appended chunk ingesting
+    exactly itself — is pinned by ``tests/test_zarr.py``).
+
+    Engine note: Spark's PythonMicroBatchStream does not implement the
+    AvailableNow admission contract, so the trigger FALLS BACK to
+    single-batch execution (one micro-batch of everything unconsumed,
+    then stop) — equivalent here, since the run's goal is "drain what
+    exists now"; a long-lived deployment would use a processing-time
+    trigger and the same offsets.
+    """
+    import hashlib
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from .zarrv2 import _DEFAULT_COMPRESSOR, write_zarr_group, zarr_matrix_coo
+
+    e = load_table(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    store = os.path.join(tempfile.gettempdir(), f"sce_zarr_pydss_{tag}")
+    write_zarr_group(e, store, compressor=_DEFAULT_COMPRESSOR)
+
+    sink = os.path.join(tempfile.gettempdir(), f"sce_zarr_pydss_sink_{tag}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"sce_zarr_pydss_ckpt_{tag}")
+    for p in (sink, ckpt):  # each invocation is a fresh end-to-end run
+        shutil.rmtree(p, ignore_errors=True)
+
+    spark.dataSource.register(ZarrDataSource)
+    stream = (
+        spark.readStream.format("sce_zarr")
+        .option("path", os.path.join(store, "X"))
+        .load()
+    )
+    (
+        stream.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    x = spark.read.parquet(sink)
+    ids = read_zarr_pyds(spark, os.path.join(store, "vec_id")).withColumnRenamed(
+        "value", "vec_id"
+    )
     return zarr_matrix_coo(x, ids)

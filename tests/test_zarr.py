@@ -473,3 +473,128 @@ def test_pyds_writer_non_overwrite_rejects_nonempty(tmp_path):
     w.commit([w.write(iter([_mk_batch(range(5))]))])
     with pytest.raises(ValueError, match="non-empty"):
         ZarrChunkWriter(store, overwrite=False)
+
+
+def test_pyds_stream_restart_ingests_only_new_chunks(spark, tmp_path):
+    """Streaming connector restart semantics (r10 verdict #6): an
+    AvailableNow run ingests every chunk once; a restart on the same
+    checkpoint with no new chunks ingests NOTHING; appending one chunk
+    (grow-only: new chunk file + .zarray shape bump) and restarting
+    ingests exactly that chunk — no duplicates at any step."""
+    import json as _json
+
+    from single_cell_experiments_spark.sources.pyds import ZarrDataSource
+    from single_cell_experiments_spark.sources.zarrv2 import _compress
+
+    # hand-built grow-only store: 2 chunks of 2 rows x 3 cols, raw f8
+    xdir = tmp_path / "X"
+    xdir.mkdir()
+    meta = {
+        "zarr_format": 2,
+        "shape": [4, 3],
+        "chunks": [2, 3],
+        "dtype": "<f8",
+        "compressor": None,
+        "fill_value": 0.0,
+        "order": "C",
+        "filters": None,
+    }
+    (xdir / ".zarray").write_text(_json.dumps(meta))
+    blocks = [np.arange(6, dtype="<f8") + 10 * c for c in range(3)]
+    for c in range(2):
+        (xdir / f"{c}.0").write_bytes(blocks[c].tobytes())
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    spark.dataSource.register(ZarrDataSource)
+
+    def run_once():
+        (
+            spark.readStream.format("sce_zarr")
+            .option("path", str(xdir))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        return spark.read.parquet(sink).collect()
+
+    rows1 = run_once()
+    assert {(r.row, r.col0) for r in rows1} == {(r, 0) for r in range(4)}
+
+    rows2 = run_once()  # restart, nothing new
+    assert len(rows2) == len(rows1)
+
+    # grow: append chunk 2 and bump the shape to 6 rows
+    (xdir / "2.0").write_bytes(blocks[2].tobytes())
+    meta["shape"] = [6, 3]
+    (xdir / ".zarray").write_text(_json.dumps(meta))
+
+    rows3 = run_once()
+    assert len(rows3) == len(rows1) + 2
+    got = {(r.row, r.col0): list(r["values"]) for r in rows3}
+    assert len(got) == 6, "duplicate (row, col0) slices after restart"
+    assert got[(4, 0)] == [20.0, 21.0, 22.0]
+    assert got[(5, 0)] == [23.0, 24.0, 25.0]
+
+
+def test_pyds_stream_rejects_shrunken_store(spark, tmp_path):
+    """A store that loses chunks below a committed offset must raise, not
+    silently replay different data."""
+    from single_cell_experiments_spark.sources.pyds import ZarrChunkStreamReader
+
+    xdir = tmp_path / "X"
+    xdir.mkdir()
+    import json as _json
+
+    (xdir / ".zarray").write_text(
+        _json.dumps(
+            {
+                "zarr_format": 2,
+                "shape": [2, 3],
+                "chunks": [2, 3],
+                "dtype": "<f8",
+                "compressor": None,
+                "fill_value": 0.0,
+                "order": "C",
+                "filters": None,
+            }
+        )
+    )
+    (xdir / "0.0").write_bytes(np.zeros(6, dtype="<f8").tobytes())
+    r = ZarrChunkStreamReader({"path": str(xdir)})
+    with pytest.raises(RuntimeError, match="shrank"):
+        r.partitions({"idx": 0}, {"idx": 5})
+
+
+def test_pyds_stream_manifest_is_numeric_ordered(tmp_path):
+    """'10.0' must follow '2.0' in the offset manifest — lexicographic
+    listing would break the replayable-prefix property."""
+    import json as _json
+
+    from single_cell_experiments_spark.sources.pyds import ZarrChunkStreamReader
+
+    xdir = tmp_path / "X"
+    xdir.mkdir()
+    (xdir / ".zarray").write_text(
+        _json.dumps(
+            {
+                "zarr_format": 2,
+                "shape": [22, 1],
+                "chunks": [2, 1],
+                "dtype": "<f8",
+                "compressor": None,
+                "fill_value": 0.0,
+                "order": "C",
+                "filters": None,
+            }
+        )
+    )
+    for c in (0, 1, 2, 10):
+        (xdir / f"{c}.0").write_bytes(np.zeros(2, dtype="<f8").tobytes())
+    r = ZarrChunkStreamReader({"path": str(xdir)})
+    names = [os.path.basename(p.chunk_path) for p in r.partitions({"idx": 0}, {"idx": 4})]
+    assert names == ["0.0", "1.0", "2.0", "10.0"]
