@@ -50,6 +50,11 @@ R10B_QUERIES = ("bitmap_exact_distinct_customers", "hll_sketch_rollup_customers"
 #: an hour-long 400× run; linear corpus growth (same users, more days)
 #: would keep per-day work flat, which synthesize() can't express.
 R10C_QUERIES = ("interval_overlap_pairs",)
+#: r11 batch: the SCD2 point-in-time containment join and the stream-
+#: LEFT-OUTER batch equivalent, both over events (key-shifted copies
+#: multiply users; per-user version/band counts stay constant, so the
+#: PIT join and the band join grow linearly — the claimed scale shape).
+R11_QUERIES = ("scd2_point_in_time_purchases", "stream_left_join_unattributed")
 TABLES = ("lineitem", "orders", "events")
 R9_TABLES = ("events", "documents")
 R10B_TABLES = ("events", "documents", "orders")
@@ -174,6 +179,95 @@ def communities_stress(spark, src_dir: str, out_dir: str, k: int) -> dict:
     }
 
 
+def louvain2_stress(spark, src_dir: str, out_dir: str, k: int) -> dict:
+    """Opt-in (``--louvain2``): the two-level Louvain at k× embeddings —
+    verifies the 'level 1 dominates' scale claim by TIMING THE LEVELS
+    SEPARATELY: IVF kNN edges (the shared input, same √n-bits quantizer
+    scaling as ``communities_stress``; exact kNN is O(n²) and deliberately
+    not run at this size), level-1 γ=1 phase-1 over the corpus-sized
+    graph, then the coarsen + weighted-phase-1 level 2 over the
+    O(communities) supergraph.  The claim holds iff t_level2 ≪ t_level1.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    from single_cell_experiments_spark.operators.singlecell import (
+        SC_IVF_FINE_BITS,
+        SC_MODULARITY_ROUNDS,
+        louvain_phase1_labels,
+        louvain_phase1_weighted,
+        sc_ivf_cells_fine,
+        sc_neighbor_edges,
+    )
+    from single_cell_experiments_spark.session import materialize, sever
+
+    dst = os.path.join(out_dir, "embeddings.parquet")
+    if not os.path.exists(dst):
+        df = spark.read.parquet(os.path.join(src_dir, "embeddings.parquet"))
+        copies = spark.range(k).withColumnRenamed("id", "__copy")
+        wide = df.crossJoin(copies).withColumn(
+            "vec_id", F.col("vec_id") + F.col("__copy") * 1_000_000
+        )
+        wide.drop("__copy").write.mode("overwrite").parquet(dst)
+
+    n_rows = spark.read.parquet(dst).count()
+    bits = max(
+        SC_IVF_FINE_BITS, min(8, math.ceil(math.log2(max(1.0, (n_rows**0.5) / 10))))
+    )
+    t0 = time.perf_counter()
+    cells = sc_ivf_cells_fine(spark, out_dir, bits=bits)
+    knn = sc_neighbor_edges(spark, out_dir, cells=cells).select("vec_id", "nbr")
+    sym = materialize(
+        knn.select(F.col("vec_id").alias("src"), F.col("nbr").alias("dst"))
+        .union(knn.select(F.col("nbr").alias("src"), F.col("vec_id").alias("dst")))
+        .distinct()
+    )
+    n_edges = sym.count()
+    t_edges = time.perf_counter() - t0
+
+    l1_stats: dict = {}
+    t0 = time.perf_counter()
+    lv1 = materialize(
+        louvain_phase1_labels(sym, SC_MODULARITY_ROUNDS, stats=l1_stats)
+    )
+    n_l1 = lv1.select("lbl").distinct().count()
+    t_l1 = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    la = lv1.select(F.col("id").alias("src"), F.col("lbl").alias("ca"))
+    lb = lv1.select(F.col("id").alias("dst"), F.col("lbl").alias("cb"))
+    joined = sym.join(la, "src").join(lb, "dst")
+    sw = sever(
+        joined.where(F.col("ca") != F.col("cb"))
+        .groupBy(F.col("ca").alias("src"), F.col("cb").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    smass = sever(
+        joined.where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("id"))
+        .agg(F.count(F.lit(1)).alias("sm"))
+    )
+    l2_stats: dict = {}
+    lv2 = louvain_phase1_weighted(sw, smass, SC_MODULARITY_ROUNDS, stats=l2_stats)
+    n_l2 = lv2.select("lbl").distinct().count()
+    t_l2 = time.perf_counter() - t0
+
+    return {
+        "nodes": n_rows,
+        "quantizer_bits": bits,
+        "sym_edges": n_edges,
+        "level1_communities": n_l1,
+        "level2_communities": n_l2,
+        "level1_rounds": l1_stats["rounds"],
+        "level2_rounds": l2_stats["rounds"],
+        "knn_edges_sec": round(t_edges, 3),
+        "level1_sec": round(t_l1, 3),
+        "level2_sec": round(t_l2, 3),
+        "level2_over_level1": round(t_l2 / max(t_l1, 1e-9), 3),
+    }
+
+
 def r9_stress(args: list[str]) -> int:
     """``--r9 [k]``: the r9 additions at k× (disjoint-vocabulary document
     copies + key-shifted events), DuckDB control from each query's own
@@ -190,6 +284,7 @@ def r9_stress(args: list[str]) -> int:
     r10 = "--r10" in sys.argv
     r10b = "--r10b" in sys.argv
     r10c = "--r10c" in sys.argv
+    r11 = "--r11" in sys.argv
     k = int(args[0]) if args else (3 if dupes else 20)
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="sce-r9-stress")
@@ -218,6 +313,11 @@ def r9_stress(args: list[str]) -> int:
         out = f"/tmp/sce_stress_r10c_x{k}"
         synthesize(spark, src, out, k, tables=("events",))
         names = R10C_QUERIES
+        tables = ("events",)
+    elif r11:
+        out = f"/tmp/sce_stress_r11_x{k}"
+        synthesize(spark, src, out, k, tables=("events",))
+        names = R11_QUERIES
         tables = ("events",)
     elif r10:
         out = f"/tmp/sce_stress_r9_x{k}"
@@ -268,7 +368,7 @@ def r9_stress(args: list[str]) -> int:
         ddb_t[n] = round(statistics.median(ts), 3)
 
     print(json.dumps({
-        "mode": "dupes" if dupes else ("r10c" if r10c else ("r10b" if r10b else ("r10" if r10 else "r9"))),
+        "mode": "dupes" if dupes else ("r11" if r11 else ("r10c" if r10c else ("r10b" if r10b else ("r10" if r10 else "r9")))),
         "multiplier": k,
         "table_mb": sizes,
         "spark_sec": spark_t,
@@ -290,7 +390,17 @@ def main() -> int:
         os.makedirs(out, exist_ok=True)
         print(json.dumps({"multiplier": k, **communities_stress(spark, src, out, k)}))
         return 0
-    if "--r9" in sys.argv or "--dupes" in sys.argv or "--r10" in sys.argv or "--r10b" in sys.argv or "--r10c" in sys.argv:
+    if "--louvain2" in sys.argv:
+        k = int(args[0]) if args else 20
+        src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        out = f"/tmp/sce_stress_x{k}"
+        from single_cell_experiments_spark.session import get_spark
+
+        spark = get_spark(app_name="sce-louvain2-stress")
+        os.makedirs(out, exist_ok=True)
+        print(json.dumps({"multiplier": k, **louvain2_stress(spark, src, out, k)}))
+        return 0
+    if "--r9" in sys.argv or "--dupes" in sys.argv or "--r10" in sys.argv or "--r10b" in sys.argv or "--r10c" in sys.argv or "--r11" in sys.argv:
         return r9_stress(args)
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
