@@ -34,6 +34,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
@@ -188,6 +189,12 @@ class ZarrDataSource(DataSource):
     def streamReader(self, schema) -> ZarrChunkStreamReader:
         return ZarrChunkStreamReader(self.options)
 
+    def streamWriter(self, schema, overwrite: bool) -> "ZarrStreamChunkWriter":
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("sce_zarr requires .option('path', <array dir>)")
+        return ZarrStreamChunkWriter(path, overwrite)
+
     def writer(self, schema, overwrite: bool) -> "ZarrChunkWriter":
         path = self.options.get("path")
         if not path:
@@ -250,11 +257,57 @@ _TMP_MARK = ".__tmp__"
 
 
 class ZarrCommit(WriterCommitMessage):
-    def __init__(self, chunks, n_rows, max_row, dim):
+    def __init__(self, chunks, n_rows, max_row, dim, min_row=None):
         self.chunks = chunks  # list[(chunk_id, tmp_file_name)]
         self.n_rows = n_rows
         self.max_row = max_row
         self.dim = dim
+        self.min_row = min_row
+
+
+def _build_chunk_files(iterator, path: str) -> ZarrCommit:
+    """Task-side chunk build shared by the batch and STREAMING Arrow
+    writers: decode Arrow batches of (row, col0, values) rows into padded,
+    blosc-compressed whole-chunk objects under attempt-unique temp names
+    (see ``ZarrChunkWriter`` for the contract and retry-safety argument)."""
+    import uuid
+
+    import numpy as np
+
+    from .zarrv2 import _compress, _DEFAULT_COMPRESSOR, ROWS_PER_CHUNK
+
+    attempt = uuid.uuid4().hex[:12]
+    by_chunk: dict = {}
+    dim = 0
+    for batch in iterator:
+        if batch.num_rows == 0:
+            continue
+        rows = batch.column(batch.schema.get_field_index("row")).to_numpy(
+            zero_copy_only=False
+        )
+        emb = batch.column(batch.schema.get_field_index("values"))
+        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        lens = emb.value_lengths().to_numpy()
+        dim = int(lens.max(initial=dim))
+        off = 0
+        for r, ln in zip(rows, lens):
+            by_chunk.setdefault(int(r) // ROWS_PER_CHUNK, []).append(
+                (int(r), flat[off : off + ln])
+            )
+            off += ln
+    chunks, n_rows, max_row, min_row = [], 0, -1, None
+    for cid, members in by_chunk.items():
+        block = np.zeros((ROWS_PER_CHUNK, dim), dtype=np.float64)  # fill 0
+        for r, vec in members:
+            block[r - cid * ROWS_PER_CHUNK, : len(vec)] = vec
+            n_rows += 1
+            max_row = max(max_row, r)
+            min_row = r if min_row is None else min(min_row, r)
+        tmp_name = f"{cid}.0{_TMP_MARK}{attempt}"
+        with open(os.path.join(path, tmp_name), "wb") as fh:
+            fh.write(_compress(block.tobytes(), _DEFAULT_COMPRESSOR, typesize=8))
+        chunks.append((cid, tmp_name))
+    return ZarrCommit(chunks, n_rows, max_row, dim, min_row)
 
 
 class ZarrChunkWriter(DataSourceArrowWriter):
@@ -298,43 +351,7 @@ class ZarrChunkWriter(DataSourceArrowWriter):
             )
 
     def write(self, iterator):
-        import uuid
-
-        import numpy as np
-
-        from .zarrv2 import _compress, _DEFAULT_COMPRESSOR, ROWS_PER_CHUNK
-
-        attempt = uuid.uuid4().hex[:12]
-        by_chunk: dict = {}
-        dim = 0
-        for batch in iterator:
-            if batch.num_rows == 0:
-                continue
-            rows = batch.column(batch.schema.get_field_index("row")).to_numpy(
-                zero_copy_only=False
-            )
-            emb = batch.column(batch.schema.get_field_index("values"))
-            flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-            lens = emb.value_lengths().to_numpy()
-            dim = int(lens.max(initial=dim))
-            off = 0
-            for r, ln in zip(rows, lens):
-                by_chunk.setdefault(int(r) // ROWS_PER_CHUNK, []).append(
-                    (int(r), flat[off : off + ln])
-                )
-                off += ln
-        chunks, n_rows, max_row = [], 0, -1
-        for cid, members in by_chunk.items():
-            block = np.zeros((ROWS_PER_CHUNK, dim), dtype=np.float64)  # fill 0
-            for r, vec in members:
-                block[r - cid * ROWS_PER_CHUNK, : len(vec)] = vec
-                n_rows += 1
-                max_row = max(max_row, r)
-            tmp_name = f"{cid}.0{_TMP_MARK}{attempt}"
-            with open(os.path.join(self.path, tmp_name), "wb") as fh:
-                fh.write(_compress(block.tobytes(), _DEFAULT_COMPRESSOR, typesize=8))
-            chunks.append((cid, tmp_name))
-        return ZarrCommit(chunks, n_rows, max_row, dim)
+        return _build_chunk_files(iterator, self.path)
 
     def _sweep_tmp(self) -> None:
         for f in os.listdir(self.path):
@@ -398,6 +415,165 @@ class ZarrChunkWriter(DataSourceArrowWriter):
         )
 
     def abort(self, messages):
+        self._sweep_tmp()
+
+
+#: Sidecar tracking the last committed micro-batch — the replay guard:
+#: Spark redelivers a batchId after a commit-side crash, and the sink must
+#: treat a re-commit of an already-committed batch as a no-op instead of
+#: tripping its own grow-only validation (the jobs.py foreachBatch sink's
+#: batch_id-monotone pattern, applied at the connector layer).
+_STREAM_STATE = ".sce_stream_state.json"
+
+
+class ZarrStreamChunkWriter(DataSourceStreamArrowWriter):
+    """Streaming sink half of the connector: GROW-ONLY, CHUNK-GRANULAR
+    appends to a row-chunked 2-D float64 array — each micro-batch delivers
+    whole NEW chunks (global dense row ids; the chunk-group repartition
+    contract of the batch writer, per batch).
+
+    Why chunk-granular: an append that lands inside an EXISTING chunk
+    would have to rewrite that object without its other rows (they are in
+    the store, not the batch) — so a batch whose min row falls below the
+    committed shape is rejected loudly, and a batch that ends mid-chunk
+    FREEZES that tail chunk with fill-value padding (later batches must
+    start at the next chunk boundary).  Align micro-batch boundaries to
+    chunk boundaries — e.g. consume the ``sce_zarr`` STREAM SOURCE, whose
+    offsets are chunk positions — and the constraint is free.
+
+    Per micro-batch two-phase commit, replay-safe: tasks write
+    attempt-unique temps (``_build_chunk_files``); ``commit(messages,
+    batchId)`` first consults the state sidecar — a batchId at or below
+    the last committed one is a REPLAY (post-crash redelivery): temps are
+    swept and the commit is a no-op, so restart never double-appends or
+    false-fails validation.  A fresh batch validates (chunk-contiguous
+    append starting exactly at the frozen boundary, rectangular dims
+    consistent with the store, dense new rows), renames winners, sweeps
+    losers, extends ``.zarray`` shape, then records the batchId — state
+    is written LAST so a crash anywhere replays the whole batch
+    idempotently.  ``abort`` sweeps temps only.
+    """
+
+    def __init__(self, path: str, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "sce_zarr streaming sink is append-only (grow-only array); "
+                "outputMode('append') only"
+            )
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def write(self, iterator):
+        return _build_chunk_files(iterator, self.path)
+
+    # -- driver-side state ---------------------------------------------------
+
+    def _state(self) -> dict:
+        import json
+
+        try:
+            with open(os.path.join(self.path, _STREAM_STATE)) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return {"last_batch": -1}
+
+    def _sweep_tmp(self) -> None:
+        for f in os.listdir(self.path):
+            if _TMP_MARK in f:
+                try:
+                    os.remove(os.path.join(self.path, f))
+                except FileNotFoundError:
+                    pass
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+
+        from .zarrv2 import (
+            _DEFAULT_COMPRESSOR,
+            ROWS_PER_CHUNK,
+            _write_zarray_meta,
+            read_zarray_meta,
+        )
+
+        if batchId <= self._state()["last_batch"]:
+            self._sweep_tmp()  # replayed batch: already in the store
+            return
+        msgs = [m for m in messages if m is not None and m.n_rows]
+        if not msgs:
+            self._sweep_tmp()
+            self._record(batchId)  # empty batch commits vacuously
+            return
+        try:
+            meta = read_zarray_meta(self.path)
+            n_old, dim_old = int(meta["shape"][0]), int(meta["shape"][1])
+        except FileNotFoundError:
+            n_old, dim_old = 0, None
+        # -- validate the append before any rename -------------------------
+        seen: dict = {}
+        for m in msgs:
+            for cid, tmp in m.chunks:
+                if cid in seen:
+                    raise ValueError(
+                        f"sce_zarr stream: chunk {cid} written by two tasks — "
+                        "repartition each micro-batch by (row div ROWS_PER_CHUNK)"
+                    )
+                seen[cid] = tmp
+        dims = sorted({m.dim for m in msgs})
+        if len(dims) != 1 or (dim_old is not None and dims[0] != dim_old):
+            raise ValueError(
+                f"sce_zarr stream: batch dims {dims} disagree (store dim "
+                f"{dim_old}) — a zarr array is rectangular"
+            )
+        min_row = min(m.min_row for m in msgs)
+        max_row = max(m.max_row for m in msgs)
+        total = sum(m.n_rows for m in msgs)
+        frozen = ((n_old + ROWS_PER_CHUNK - 1) // ROWS_PER_CHUNK) * ROWS_PER_CHUNK
+        if min_row < n_old:
+            raise ValueError(
+                f"sce_zarr stream: batch writes row {min_row} below the "
+                f"committed shape {n_old} — the store is grow-only"
+            )
+        if n_old and min_row != frozen:
+            raise ValueError(
+                f"sce_zarr stream: batch starts at row {min_row} but the "
+                f"frozen chunk boundary is {frozen} — the previous batch ended "
+                "mid-chunk and its tail is padded; align micro-batches to "
+                f"ROWS_PER_CHUNK={ROWS_PER_CHUNK}"
+            )
+        if not n_old and min_row != 0:
+            raise ValueError(
+                f"sce_zarr stream: first batch must start at row 0, got {min_row}"
+            )
+        if total != max_row - min_row + 1:
+            raise ValueError(
+                f"sce_zarr stream: {total} rows for id range "
+                f"[{min_row}, {max_row}] — batch rows must be dense"
+            )
+        # -- publish --------------------------------------------------------
+        for cid, tmp in seen.items():
+            os.replace(
+                os.path.join(self.path, tmp), os.path.join(self.path, f"{cid}.0")
+            )
+        self._sweep_tmp()
+        _write_zarray_meta(
+            self.path,
+            shape=[int(max_row + 1), int(dims[0])],
+            chunks=[ROWS_PER_CHUNK, int(dims[0])],
+            dtype="<f8",
+            compressor=_DEFAULT_COMPRESSOR,
+            fill_value=0.0,
+        )
+        self._record(batchId)
+
+    def _record(self, batchId: int) -> None:
+        import json
+
+        tmp = os.path.join(self.path, _STREAM_STATE + ".tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"last_batch": int(batchId)}, fh)
+        os.replace(tmp, os.path.join(self.path, _STREAM_STATE))
+
+    def abort(self, messages, batchId: int) -> None:
         self._sweep_tmp()
 
 
@@ -506,6 +682,70 @@ def zarr_pyds_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     x = spark.read.parquet(sink)
     ids = read_zarr_pyds(spark, os.path.join(store, "vec_id")).withColumnRenamed(
+        "value", "vec_id"
+    )
+    return zarr_matrix_coo(x, ids)
+
+
+@query(
+    "zarr_pyds_stream_write_roundtrip",
+    oracle=_PYDS_ORACLE,
+    tags=("sources", "zarr", "datasource", "streaming", "sinks"),
+    cache=False,
+)
+def zarr_pyds_stream_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fourth and last connector surface — a STREAMING zarr→zarr COPY:
+    the embeddings-derived store is consumed through the ``sce_zarr``
+    stream SOURCE (chunk-manifest offsets), repartitioned to the
+    chunk-group grain, and written through the ``sce_zarr`` stream SINK
+    (``ZarrStreamChunkWriter``: per-micro-batch two-phase commit,
+    batchId replay guard, grow-only chunk-granular appends) under
+    AvailableNow.  The DESTINATION store is then batch-read through the
+    connector and COO-hashed against the parquet-derived oracle — one
+    value hash proving source offsets, sink commit protocol, and both
+    Arrow decode/encode paths compose end to end.
+    """
+    import hashlib
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from .zarrv2 import (
+        _DEFAULT_COMPRESSOR,
+        ROWS_PER_CHUNK,
+        write_zarr_group,
+        zarr_matrix_coo,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    src_store = os.path.join(tempfile.gettempdir(), f"sce_zarr_pydssw_src_{tag}")
+    write_zarr_group(e, src_store, compressor=_DEFAULT_COMPRESSOR)
+
+    dst = os.path.join(tempfile.gettempdir(), f"sce_zarr_pydssw_dst_{tag}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"sce_zarr_pydssw_ckpt_{tag}")
+    for p in (dst, ckpt):  # each invocation is a fresh end-to-end copy
+        shutil.rmtree(p, ignore_errors=True)
+
+    spark.dataSource.register(ZarrDataSource)
+    stream = (
+        spark.readStream.format("sce_zarr")
+        .option("path", os.path.join(src_store, "X"))
+        .load()
+        .repartition(F.expr(f"row div {ROWS_PER_CHUNK}"))
+    )
+    (
+        stream.writeStream.format("sce_zarr")
+        .option("path", dst)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    x = read_zarr_pyds(spark, dst)
+    ids = read_zarr_pyds(spark, os.path.join(src_store, "vec_id")).withColumnRenamed(
         "value", "vec_id"
     )
     return zarr_matrix_coo(x, ids)

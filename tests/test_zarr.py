@@ -598,3 +598,99 @@ def test_pyds_stream_manifest_is_numeric_ordered(tmp_path):
     r = ZarrChunkStreamReader({"path": str(xdir)})
     names = [os.path.basename(p.chunk_path) for p in r.partitions({"idx": 0}, {"idx": 4})]
     assert names == ["0.0", "1.0", "2.0", "10.0"]
+
+
+def _rb(rows_vals):
+    """RecordBatch of (row, col0, values) chunk-slice rows."""
+    import pyarrow as pa
+
+    return pa.RecordBatch.from_pydict(
+        {
+            "row": [r for r, _ in rows_vals],
+            "col0": [0] * len(rows_vals),
+            "values": [list(map(float, v)) for _, v in rows_vals],
+        },
+        schema=pa.schema(
+            [("row", pa.int64()), ("col0", pa.int64()), ("values", pa.list_(pa.float64()))]
+        ),
+    )
+
+
+def test_pyds_stream_writer_grow_only_multibatch(tmp_path):
+    """Direct multi-micro-batch exercise of the streaming sink (the
+    registered query's AvailableNow fallback delivers one batch, so the
+    append path is pinned here): chunk-aligned appends grow the shape,
+    values read back exactly, a replayed batchId is a no-op, and the
+    grow-only / frozen-boundary / dims validations reject loudly."""
+    from single_cell_experiments_spark.sources.pyds import ZarrStreamChunkWriter
+    from single_cell_experiments_spark.sources.zarrv2 import (
+        ROWS_PER_CHUNK,
+        read_zarray_meta,
+    )
+
+    path = str(tmp_path / "arr")
+    w = ZarrStreamChunkWriter(path, overwrite=False)
+
+    # batch 0: exactly one full chunk (rows 0..RPC-1)
+    m0 = w.write(iter([_rb([(r, [r, r + 0.5]) for r in range(ROWS_PER_CHUNK)])]))
+    w.commit([m0], batchId=0)
+    meta = read_zarray_meta(path)
+    assert meta["shape"] == [ROWS_PER_CHUNK, 2]
+
+    # batch 1: a partial second chunk (tail freezes padded)
+    tail = [(ROWS_PER_CHUNK + i, [100.0 + i, 0.25]) for i in range(3)]
+    m1 = w.write(iter([_rb(tail)]))
+    w.commit([m1], batchId=1)
+    assert read_zarray_meta(path)["shape"] == [ROWS_PER_CHUNK + 3, 2]
+
+    # replay of batch 1 (post-crash redelivery): no-op, no error
+    m1r = w.write(iter([_rb(tail)]))
+    w.commit([m1r], batchId=1)
+    assert read_zarray_meta(path)["shape"] == [ROWS_PER_CHUNK + 3, 2]
+    assert not [f for f in os.listdir(path) if ".__tmp__" in f]
+
+    # batch 2 starting INSIDE the frozen tail chunk must be rejected
+    bad = w.write(iter([_rb([(ROWS_PER_CHUNK + 3, [1.0, 1.0])])]))
+    with pytest.raises(ValueError, match="frozen chunk boundary"):
+        w.commit([bad], batchId=2)
+
+    # batch 2 rewriting committed rows must be rejected (grow-only)
+    bad2 = w.write(iter([_rb([(0, [9.0, 9.0])])]))
+    with pytest.raises(ValueError, match="grow-only"):
+        w.commit([bad2], batchId=2)
+
+    # batch 2 at the NEXT chunk boundary is accepted
+    nxt = 2 * ROWS_PER_CHUNK
+    m2 = w.write(iter([_rb([(nxt + i, [7.0 + i, 8.0]) for i in range(2)])]))
+    w.commit([m2], batchId=2)
+    assert read_zarray_meta(path)["shape"] == [nxt + 2, 2]
+
+    # dims drift is rejected
+    bad3 = w.write(iter([_rb([(3 * ROWS_PER_CHUNK, [1.0, 2.0, 3.0])])]))
+    with pytest.raises(ValueError, match="rectangular"):
+        w.commit([bad3], batchId=3)
+
+    # read back: chunk 0 values + frozen padded tail of chunk 1
+    from single_cell_experiments_spark.sources.zarrv2 import _decode_blocks
+    import pandas as pd
+
+    meta = read_zarray_meta(path)
+    decode = _decode_blocks(meta)
+    with open(os.path.join(path, "0.0"), "rb") as fh:
+        c0 = fh.read()
+    out = next(decode(iter([pd.DataFrame({"path": ["0.0"], "content": [c0]})])))
+    row0 = out[out["row"] == 0].iloc[0]
+    assert list(row0["values"]) == [0.0, 0.5]
+
+    with open(os.path.join(path, "1.0"), "rb") as fh:
+        c1 = fh.read()
+    out1 = next(decode(iter([pd.DataFrame({"path": ["1.0"], "content": [c1]})])))
+    r66 = out1[out1["row"] == ROWS_PER_CHUNK + 2].iloc[0]
+    assert list(r66["values"]) == [102.0, 0.25]
+
+
+def test_pyds_stream_writer_rejects_overwrite_mode(tmp_path):
+    from single_cell_experiments_spark.sources.pyds import ZarrStreamChunkWriter
+
+    with pytest.raises(ValueError, match="append-only"):
+        ZarrStreamChunkWriter(str(tmp_path / "a"), overwrite=True)
