@@ -96,7 +96,15 @@ def synthesize(spark, src_dir: str, out_dir: str, k: int,
                     r" concat('$1x', CAST(__copy AS STRING)))"
                 ),
             )
-        wide.drop("__copy").write.mode("overwrite").parquet(dst)
+        # Write a MULTI-FILE layout: the sf0.1 sources are single-row-group
+        # files, so the crossJoin inherits ~1 partition and the k× table
+        # would land as ONE parquet split — every downstream scan (and the
+        # token-suffix regexp above) then runs as a single task, which is
+        # neither how a real k×-sized corpus is laid out nor a measurable
+        # regime (r11: the dedup_kcore 20× warm run sat in one 110-minute
+        # shingle task).  32 files ≈ the engine's local parallelism; DuckDB
+        # reads the same glob.
+        wide.repartition(32).drop("__copy").write.mode("overwrite").parquet(dst)
 
 
 def communities_stress(spark, src_dir: str, out_dir: str, k: int) -> dict:
@@ -128,7 +136,7 @@ def communities_stress(spark, src_dir: str, out_dir: str, k: int) -> dict:
         wide = df.crossJoin(copies).withColumn(
             "vec_id", F.col("vec_id") + F.col("__copy") * 1_000_000
         )
-        wide.drop("__copy").write.mode("overwrite").parquet(dst)
+        wide.repartition(32).drop("__copy").write.mode("overwrite").parquet(dst)
 
     # nlist ∝ √n (SCALE.md §9): split the 10 label cells with enough sign
     # bits that cell count ≈ √n — the geometric fix the 20× run showed a
@@ -209,7 +217,7 @@ def louvain2_stress(spark, src_dir: str, out_dir: str, k: int) -> dict:
         wide = df.crossJoin(copies).withColumn(
             "vec_id", F.col("vec_id") + F.col("__copy") * 1_000_000
         )
-        wide.drop("__copy").write.mode("overwrite").parquet(dst)
+        wide.repartition(32).drop("__copy").write.mode("overwrite").parquet(dst)
 
     n_rows = spark.read.parquet(dst).count()
     bits = max(
@@ -301,7 +309,7 @@ def r9_stress(args: list[str]) -> int:
             wide = df.crossJoin(copies).withColumn(
                 "doc_id", F.col("doc_id") + F.col("__copy") * 1_000_000
             )
-            wide.drop("__copy").write.mode("overwrite").parquet(dst)
+            wide.repartition(32).drop("__copy").write.mode("overwrite").parquet(dst)
         names = ("sparse_cosine_pairs_tfidf",)
         tables = ("documents",)
     elif r10b:
