@@ -1463,7 +1463,20 @@ def _gap_interp_sql(
         return f"last_value({x}, true) OVER w1" if nn == "spark" else f"last_value({x} IGNORE NULLS) OVER w1"
 
     def first_nn(x: str) -> str:
-        return f"first_value({x}, true) OVER w2" if nn == "spark" else f"first_value({x} IGNORE NULLS) OVER w2"
+        # next non-null AT OR AFTER the current hour.  Expressed as a
+        # DESC running frame (last non-null from the partition top down
+        # to the current row), NOT the equivalent ASC
+        # ``first_value ... CURRENT ROW AND UNBOUNDED FOLLOWING``:
+        # Spark evaluates an UnboundedFollowing frame by RECOMPUTING the
+        # aggregate from each row to the partition end — O(rows²) per
+        # partition (AggregateProcessor has no inverse op), which the
+        # r11 20× stress caught as a single multi-minute window task
+        # once AQE coalesced the grid into one partition — while both
+        # engines evaluate a running UNBOUNDED PRECEDING frame
+        # incrementally in O(rows).  Price: w2 needs its own DESC sort
+        # (same hash exchange, one extra in-partition sort) — linear
+        # always beats quadratic here.
+        return f"last_value({x}, true) OVER w2" if nn == "spark" else f"last_value({x} IGNORE NULLS) OVER w2"
 
     return f"""
 WITH obs AS (
@@ -1487,8 +1500,8 @@ surround AS (
   FROM joined
   WINDOW w1 AS (PARTITION BY user_id ORDER BY hb
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-         w2 AS (PARTITION BY user_id ORDER BY hb
-                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+         w2 AS (PARTITION BY user_id ORDER BY hb DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
 SELECT user_id, hb * 3600 AS hour_start_s,
        COALESCE(n_events, CAST(0 AS BIGINT)) AS n_events,

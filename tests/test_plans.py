@@ -460,3 +460,17 @@ def test_zarr_pyds_one_partition_per_chunk(spark):
     reader = ZarrChunkReader({"path": x_dir})
     assert n_chunks > 1
     assert len(reader.partitions()) == n_chunks
+
+
+def test_gap_fill_linear_has_no_unbounded_following_frame(spark):
+    """r11 stress finding: Spark evaluates an UnboundedFollowing window
+    frame O(rows²) per partition (re-aggregates from each row to the
+    partition end) — the 20× gap-fill grid sat in a single multi-minute
+    window task.  The backward fill must stay the DESC running-frame
+    formulation: only UNBOUNDED PRECEDING frames in the plan."""
+    from single_cell_experiments_spark.registry import fresh_fn
+
+    df = fresh_fn("gap_fill_user_linear")(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString().lower()
+    assert "unboundedfollowing" not in plan, plan[:2000]
+    assert "unboundedpreceding" in plan
