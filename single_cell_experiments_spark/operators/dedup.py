@@ -99,10 +99,27 @@ _BAND_SIGS = [
 ]
 
 
+#: LSH bucket-size cap: a (band, sig) bucket larger than this is dropped
+#: from candidate generation.  Oversized buckets are collision sinks, not
+#: signal — the r11 20× stress measured ONE degenerate bucket of 26,650
+#: docs (355M candidate pairs from a single bucket; total bound 770M =
+#: 2,400× the 1× bound of 321k, because copy-invariant punctuation
+#: shingles captured the minhashes across synthesized copies) — and the
+#: standard banded-LSH mitigation is a size cap: each true near-dup pair
+#: has ``bands`` independent chances to collide, so it is lost only if
+#: EVERY one of its buckets is over-cap, while Σ(bucket²) becomes
+#: cap-bounded.  2000 is 5× the largest bucket ever observed at the
+#: verified scales (398 at sf0.1), so registered results are unchanged;
+#: at the 20× stress point the cap admits 12.3M of the 770M bound
+#: (drops 48 degenerate buckets).  Shared SQL — both engines apply it.
+LSH_BUCKET_CAP = 2000
+
+
 def _lsh_core_sql(shingles_cte: str) -> str:
     """Dialect-shared LSH candidate pipeline (shingles → signatures →
-    banded buckets → candidate pairs → intersection counts + set sizes).
-    Consumers append their scoring SELECT (Jaccard, containment, ...)."""
+    banded buckets → size-capped candidate pairs → intersection counts +
+    set sizes).  Consumers append their scoring SELECT (Jaccard,
+    containment, ...)."""
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, {sig} AS sig FROM sigs" for b, sig in enumerate(_BAND_SIGS)
     )
@@ -111,9 +128,15 @@ WITH shingles_raw AS ({shingles_cte}),
 shingles AS (SELECT DISTINCT doc_id, h FROM shingles_raw),
 sigs AS (SELECT doc_id, {_MH_AGGS} FROM shingles GROUP BY doc_id),
 bands AS ({band_rows}),
+bcap AS (SELECT band, sig FROM bands GROUP BY band, sig
+         HAVING COUNT(*) <= {LSH_BUCKET_CAP}),
+bandsok AS (
+  SELECT b.doc_id, b.band, b.sig
+  FROM bands b JOIN bcap c ON c.band = b.band AND c.sig = b.sig
+),
 cand AS (
   SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
-  FROM bands b1 JOIN bands b2
+  FROM bandsok b1 JOIN bandsok b2
     ON b1.band = b2.band AND b1.sig = b2.sig AND b1.doc_id < b2.doc_id
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),

@@ -60,3 +60,30 @@ def test_pipeline_tiers_match_standalone_operators(spark):
         1 for r in dedup_cluster_keeper(spark, SF_DIR).collect() if r.keep
     )
     assert n_keep <= n_standalone_keep
+
+
+def test_lsh_bucket_cap_drops_degenerate_buckets(spark, tmp_path, monkeypatch):
+    """r11: a (band, sig) bucket larger than LSH_BUCKET_CAP must be
+    dropped from candidate generation (the 20× stress found one 26,650-doc
+    collision bucket contributing 355M candidate pairs), while under-cap
+    buckets keep producing pairs — and the default cap (5× the largest
+    bucket ever observed at verified scales) never binds on real data."""
+    from single_cell_experiments_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    rows = [(i, base, "en", "w", len(base)) for i in range(5)]  # one 5-doc bucket
+    rows += [(10 + i, f"totally unrelated text number {i} " * 12, "en", "w", 1) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/documents.parquet")
+
+    pairs = dedup.dedup_minhash_lsh(spark, sf).collect()
+    dup_pairs = {(r.doc1, r.doc2) for r in pairs if r.doc1 < 5 and r.doc2 < 5}
+    assert len(dup_pairs) == 10, "identical docs must pair under the default cap"
+
+    monkeypatch.setattr(dedup, "LSH_BUCKET_CAP", 4)  # the 5-doc bucket now over-cap
+    from single_cell_experiments_spark import catalog
+    catalog._df_cache.pop(spark, None)
+    pairs2 = dedup.dedup_minhash_lsh(spark, sf).collect()
+    dup_pairs2 = {(r.doc1, r.doc2) for r in pairs2 if r.doc1 < 5 and r.doc2 < 5}
+    assert dup_pairs2 == set(), "over-cap bucket must generate no candidates"
