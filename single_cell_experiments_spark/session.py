@@ -148,11 +148,15 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     driver_memory: str | None = None,
+    extra_confs: dict | None = None,
 ) -> SparkSession:
     """Build the engine's own session (tests / bench).
 
     ``local[N]`` with N from ``$SPARK_GRAFT_CPUS`` (default 32). On a real
     cluster the same confs apply; only master/memory sizing changes.
+    ``extra_confs`` are BUILD-TIME configs (core/scheduler settings that
+    cannot be set on a live session, e.g. ``spark.speculation``) — they
+    only take effect when this call actually creates the session.
     """
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or cpus
@@ -165,6 +169,8 @@ def get_spark(
         # files.maxPartitionBytes default 128m is right for the 100 TB
         # posture; local small files coalesce via AQE anyway.
     )
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, str(v))
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -34,10 +34,17 @@ QUERIES = ("q1_pricing_summary", "window_rank", "distinct_users_daily",
 #: event-sequence windows plus the Σ(df²)-bounded all-pairs cosine.
 R9_QUERIES = ("ewma_user_value", "event_type_transitions",
               "sparse_cosine_pairs_tfidf")
-#: r10 additions: the gap-fill grid/window pair (events) and the k-core
-#: peel over the near-dup graph (documents; disjoint-vocabulary copies
-#: give an isomorphic-per-copy graph, i.e. linear corpus growth).
-R10_QUERIES = ("gap_fill_user_hourly", "gap_fill_user_linear", "dedup_kcore")
+#: r10 additions, SPLIT in r11: the gap-fill grid/window pair (events)
+#: runs at the full multiplier; the k-core peel over the near-dup graph
+#: runs under its own ``--r10k`` flag at a smaller default — the r11 20×
+#: attempt measured the LSH candidate bound at 770M pairs (2,400× the 1×
+#: bound; copy-invariant punctuation shingles merge buckets across
+#: copies — see dedup.LSH_BUCKET_CAP, added from that finding), and even
+#: capped (12.3M pairs) the 3-timed-run × 8-peel-round pipeline plus the
+#: 20×-unrolled DuckDB oracle is an hours-scale measurement; k=5 bounds
+#: the same regime (the --r10c precedent).
+R10_QUERIES = ("gap_fill_user_hourly", "gap_fill_user_linear")
+R10K_QUERIES = ("dedup_kcore",)
 #: second r10 batch: the sketch rollups (orders), the bucket-grid interval
 #: join (events — user count grows with k so per-day pair work grows k²:
 #: the measurement bounds the Σ(cell²) regime, not linear corpus growth),
@@ -276,6 +283,24 @@ def louvain2_stress(spark, src_dir: str, out_dir: str, k: int) -> dict:
     }
 
 
+def _reset(spark) -> None:
+    """Between-run resource reset (the driver_mimic mitigation): the peel/
+    fixpoint queries localCheckpoint every round, and accumulated blocks
+    eventually evict a large indirect task result before the driver
+    fetches it — observed r11 as a silent scheduler wedge (32 tasks
+    'running', zero executor threads) twice, ~350-550 stages into a
+    stress JVM.  Drop caches and GC both sides so every sample starts
+    from an independent resource posture."""
+    import gc
+
+    from single_cell_experiments_spark import registry as _reg
+
+    spark.catalog.clearCache()
+    _reg._plan_cache.pop(spark, None)
+    gc.collect()
+    spark._jvm.System.gc()
+
+
 def r9_stress(args: list[str]) -> int:
     """``--r9 [k]``: the r9 additions at k× (disjoint-vocabulary document
     copies + key-shifted events), DuckDB control from each query's own
@@ -292,10 +317,22 @@ def r9_stress(args: list[str]) -> int:
     r10 = "--r10" in sys.argv
     r10b = "--r10b" in sys.argv
     r10c = "--r10c" in sys.argv
+    r10k = "--r10k" in sys.argv
     r11 = "--r11" in sys.argv
-    k = int(args[0]) if args else (3 if dupes else 20)
+    k = int(args[0]) if args else (3 if dupes else (5 if r10k else 20))
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark(app_name="sce-r9-stress")
+    # Speculation re-launches a straggler whose (indirect) result the
+    # block manager silently dropped — the r11 wedge class: a long stress
+    # JVM ends up with N tasks 'running', zero executor threads, and a
+    # scheduler waiting forever on results that will never arrive.  On a
+    # real cluster speculation is standard posture anyway; the engine's
+    # writers are attempt-retry-safe (pyds two-phase commit).
+    spark = get_spark(app_name="sce-r9-stress", extra_confs={
+        "spark.speculation": "true",
+        "spark.speculation.interval": "5s",
+        "spark.speculation.multiplier": "4",
+        "spark.speculation.quantile": "0.75",
+    })
 
     if dupes:
         out = f"/tmp/sce_stress_dupes_x{k}"
@@ -327,6 +364,11 @@ def r9_stress(args: list[str]) -> int:
         synthesize(spark, src, out, k, tables=("events",))
         names = R11_QUERIES
         tables = ("events",)
+    elif r10k:
+        out = f"/tmp/sce_stress_r10k_x{k}"
+        synthesize(spark, src, out, k, tables=("documents",))
+        names = R10K_QUERIES
+        tables = ("documents",)
     elif r10:
         out = f"/tmp/sce_stress_r9_x{k}"
         synthesize(spark, src, out, k, tables=R9_TABLES)
@@ -347,6 +389,7 @@ def r9_stress(args: list[str]) -> int:
     fns = {n: fresh_fn(n) for n in names}
     for n in names:  # warm
         fns[n](spark, out).toPandas()
+        _reset(spark)
     spark_t: dict[str, float] = {}
     rows: dict[str, int] = {}
     for n in names:
@@ -355,6 +398,7 @@ def r9_stress(args: list[str]) -> int:
             t0 = time.perf_counter()
             pdf = fns[n](spark, out).toPandas()
             ts.append(time.perf_counter() - t0)
+            _reset(spark)
         spark_t[n] = round(statistics.median(ts), 3)
         rows[n] = len(pdf)
 
@@ -376,7 +420,7 @@ def r9_stress(args: list[str]) -> int:
         ddb_t[n] = round(statistics.median(ts), 3)
 
     print(json.dumps({
-        "mode": "dupes" if dupes else ("r11" if r11 else ("r10c" if r10c else ("r10b" if r10b else ("r10" if r10 else "r9")))),
+        "mode": ("dupes" if dupes else "r11" if r11 else "r10k" if r10k else "r10c" if r10c else "r10b" if r10b else "r10" if r10 else "r9"),
         "multiplier": k,
         "table_mb": sizes,
         "spark_sec": spark_t,
@@ -408,7 +452,7 @@ def main() -> int:
         os.makedirs(out, exist_ok=True)
         print(json.dumps({"multiplier": k, **louvain2_stress(spark, src, out, k)}))
         return 0
-    if "--r9" in sys.argv or "--dupes" in sys.argv or "--r10" in sys.argv or "--r10b" in sys.argv or "--r10c" in sys.argv or "--r11" in sys.argv:
+    if any(f in sys.argv for f in ("--r9", "--dupes", "--r10", "--r10b", "--r10c", "--r10k", "--r11")):
         return r9_stress(args)
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
