@@ -18,11 +18,15 @@ inside ``read()`` on executors, and rows come back as Arrow
 ``RecordBatch``es (the vectorized lane of the API — never per-row Python
 tuples).
 
-A 100 TB caveat is documented rather than hidden: ``partitions()`` lists
-the chunk directory driver-side (one listing RPC, like every file source's
-split planner), and each task re-opens its own chunk file — fine locally
-and on shared filesystems; an object-store deployment would swap
-``os.listdir``/``open`` for the store SDK inside the same two methods.
+Scale notes: the BATCH reader's ``partitions()`` lists the chunk
+directory driver-side ONCE per scan (one listing RPC, like every file
+source's split planner), and each task re-opens its own chunk file —
+fine locally and on shared filesystems; an object-store deployment would
+swap the listing/``open`` for the store SDK inside the same two methods.
+The STREAM reader never relists at all: chunk names are a pure function
+of manifest index, so each ``latestOffset`` poll probes existence only
+past the verified prefix — O(new chunks) per poll, O(1) when idle (r11
+verdict #1).
 """
 
 from __future__ import annotations
@@ -83,29 +87,53 @@ class ZarrChunkReader(DataSourceReader):
             yield pa.RecordBatch.from_pandas(out, preserve_index=False)
 
 
+class ZarrStreamPartition(InputPartition):
+    """One chunk object plus the array length AS OF PLANNING: executor
+    decode trims the tail chunk against ``plan_rows``, never against a
+    ``.zarray`` re-read, so replaying [start, end) after a restart yields
+    bit-identical rows even if the store grew in between."""
+
+    def __init__(self, chunk_path: str, plan_rows: int):
+        self.chunk_path = chunk_path
+        self.plan_rows = plan_rows
+
+
 class ZarrChunkStreamReader(DataSourceStreamReader):
     """Chunk-manifest micro-batch stream over a GROW-ONLY Zarr array —
     the streaming half of the connector (r10 verdict #6): offsets are
-    positions in the numeric-sorted chunk manifest (``{"idx": n}`` = the
-    first n chunks are consumed), each micro-batch plans one
-    InputPartition per NEW chunk, and chunk bytes decode on executors
-    through the same Arrow path as the batch reader.
+    positions in the numeric chunk manifest plus the covered row count
+    (``{"idx": n, "rows": m}`` = the first n chunk objects / m array rows
+    are consumed), each micro-batch plans one InputPartition per NEW
+    chunk, and chunk bytes decode on executors through the same Arrow
+    path as the batch reader.
 
-    Why the manifest order is sound: a grow-only array appends chunks
-    with strictly increasing leading chunk coordinates (rows append at
-    the end), so the numeric-sorted prefix below any consumed index is
-    immutable — the property that makes ``idx`` a REPLAYABLE offset
-    (Spark re-plans [start, end) after a restart and must see the same
-    chunks; lexicographic listing order would interleave '10.0' before
-    '2.0' and break the prefix).  A shrunken store (chunks deleted below
-    a committed offset) raises instead of silently replaying different
-    data.  ``.zarray`` is re-read per ``latestOffset`` poll so a
-    concurrent writer's shape bump is picked up; chunk DECODE metadata
-    (dtype/compressor/chunk shape) is immutable per the spec.
+    Why manifest position is a sound offset: a grow-only array appends
+    chunks with strictly increasing leading chunk coordinates (rows
+    append at the end), so index ``i`` ALWAYS names the same chunk object
+    — ``(i div ncol).(i mod ncol)`` in row-major grid order — and the
+    prefix below a consumed index is immutable.  The offset additionally
+    carries the shape row count at poll time, and every planned partition
+    embeds it, so tail-chunk trimming is pinned at PLAN time: a replay
+    after the store grew re-decodes exactly the rows the original batch
+    held (r11 advice: decoding against live/stale instance metadata
+    either lost appended rows or replayed grown tails).
 
-    Scale: the driver holds only the manifest listing per poll (the same
-    one listing RPC every file-stream source pays); state is the single
-    integer offset in the checkpoint.
+    ``.zarray`` is re-read inside every ``latestOffset`` poll — a
+    concurrent writer's shape bump is picked up there, and the offset is
+    capped at shape-covered, on-disk chunks; chunk DECODE metadata
+    (dtype/compressor/chunk shape) is immutable per the spec.  A
+    shrunken store (chunks deleted below a committed offset) raises
+    instead of silently replaying different data.  The source requires
+    fully-materialized stores (every shape-covered chunk object written,
+    as this engine's writers guarantee); it never skips a hole silently.
+
+    Scale (r11 verdict #1): ``latestOffset`` does NOT relist the chunk
+    directory per poll — chunk names are a pure function of manifest
+    index, so the poll probes existence ONLY for indices past the
+    verified prefix (O(new chunks), O(1) when idle; one O(chunks) probe
+    pass after a driver restart, amortized nothing).  Driver state is
+    the verified-prefix integer; durable state is the offset in the
+    checkpoint.
     """
 
     def __init__(self, options: dict):
@@ -116,33 +144,65 @@ class ZarrChunkStreamReader(DataSourceStreamReader):
 
         self.array_path = path
         self.meta = read_zarray_meta(path)
+        self.chunk_rows = int(self.meta["chunks"][0])
+        if len(self.meta["shape"]) == 2:
+            self.ncol = -(-int(self.meta["shape"][1]) // int(self.meta["chunks"][1]))
+        else:
+            self.ncol = 1
+        self._verified = 0  # chunk objects proven on disk (monotone cache)
+        self._rows_seen = 0  # grow-only guard
 
-    def _manifest(self) -> list[str]:
-        from .zarrv2 import _CHUNK_NAME
-
-        names = [n for n in os.listdir(self.array_path) if _CHUNK_NAME.match(n)]
-        return sorted(names, key=lambda n: tuple(int(p) for p in n.split(".")))
+    def _chunk_file(self, idx: int) -> str:
+        """Manifest index -> chunk object path (row-major grid order)."""
+        name = str(idx // self.ncol)
+        if len(self.meta["shape"]) == 2:
+            name += f".{idx % self.ncol}"
+        return os.path.join(self.array_path, name)
 
     def initialOffset(self) -> dict:
-        return {"idx": 0}
+        return {"idx": 0, "rows": 0}
 
     def latestOffset(self) -> dict:
-        return {"idx": len(self._manifest())}
+        from .zarrv2 import read_zarray_meta
+
+        shape0 = int(read_zarray_meta(self.array_path)["shape"][0])
+        if shape0 < self._rows_seen:
+            raise RuntimeError(
+                f"sce_zarr stream: array shrank from {self._rows_seen} to "
+                f"{shape0} rows — the source requires a grow-only store"
+            )
+        self._rows_seen = shape0
+        n_by_shape = -(-shape0 // self.chunk_rows) * self.ncol
+        while self._verified < n_by_shape and os.path.exists(
+            self._chunk_file(self._verified)
+        ):
+            self._verified += 1
+        groups = self._verified // self.ncol  # whole row-chunk groups only
+        return {
+            "idx": groups * self.ncol,
+            "rows": min(shape0, groups * self.chunk_rows),
+        }
 
     def partitions(self, start: dict, end: dict):
-        manifest = self._manifest()
-        if end["idx"] > len(manifest):
-            raise RuntimeError(
-                f"sce_zarr stream: offset {end['idx']} exceeds the {len(manifest)} "
-                "chunks on disk — the store shrank below a committed offset; "
-                "a grow-only array never deletes chunks"
-            )
-        return [
-            ZarrChunkPartition(os.path.join(self.array_path, n))
-            for n in manifest[start["idx"] : end["idx"]]
-        ]
+        rows = end.get("rows")
+        if rows is None:  # pre-r12 checkpoint offset: fall back to live shape
+            from .zarrv2 import read_zarray_meta
 
-    def read(self, partition: ZarrChunkPartition):
+            rows = int(read_zarray_meta(self.array_path)["shape"][0])
+        parts = []
+        for i in range(start["idx"], end["idx"]):
+            p = self._chunk_file(i)
+            if not os.path.exists(p):
+                raise RuntimeError(
+                    f"sce_zarr stream: chunk object {os.path.basename(p)} "
+                    f"(manifest index {i} < offset {end['idx']}) is missing — "
+                    "the store shrank below a committed offset; a grow-only "
+                    "array never deletes chunks"
+                )
+            parts.append(ZarrStreamPartition(p, int(rows)))
+        return parts
+
+    def read(self, partition: ZarrStreamPartition):
         import pandas as pd
         import pyarrow as pa
 
@@ -150,7 +210,11 @@ class ZarrChunkStreamReader(DataSourceStreamReader):
 
         with open(partition.chunk_path, "rb") as fh:
             content = fh.read()
-        decode = _decode_blocks(self.meta)
+        # Trim against the shape AS PLANNED (carried in the partition), not
+        # a live or constructor-time .zarray read: deterministic replay.
+        meta = dict(self.meta)
+        meta["shape"] = [partition.plan_rows] + list(self.meta["shape"][1:])
+        decode = _decode_blocks(meta)
         pdf_in = pd.DataFrame({"path": [partition.chunk_path], "content": [content]})
         for out in decode(iter([pdf_in])):
             yield pa.RecordBatch.from_pandas(out, preserve_index=False)
@@ -193,7 +257,13 @@ class ZarrDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("sce_zarr requires .option('path', <array dir>)")
-        return ZarrStreamChunkWriter(path, overwrite)
+        # Query identity for the sink's replay guard: the checkpoint location
+        # is stable across restarts of one query and distinct for a fresh
+        # checkpoint — exactly the equivalence classes replay detection needs.
+        ckpt = self.options.get("checkpointlocation") or self.options.get(
+            "checkpointLocation"
+        )
+        return ZarrStreamChunkWriter(path, overwrite, query_id=ckpt)
 
     def writer(self, schema, overwrite: bool) -> "ZarrChunkWriter":
         path = self.options.get("path")
@@ -258,7 +328,7 @@ _TMP_MARK = ".__tmp__"
 
 class ZarrCommit(WriterCommitMessage):
     def __init__(self, chunks, n_rows, max_row, dim, min_row=None):
-        self.chunks = chunks  # list[(chunk_id, tmp_file_name)]
+        self.chunks = chunks  # list[(chunk_id, tmp_file_name, rows_in_chunk)]
         self.n_rows = n_rows
         self.max_row = max_row
         self.dim = dim
@@ -297,6 +367,19 @@ def _build_chunk_files(iterator, path: str) -> ZarrCommit:
             off += ln
     chunks, n_rows, max_row, min_row = [], 0, -1, None
     for cid, members in by_chunk.items():
+        # Duplicate row ids within a chunk would last-write-win silently AND
+        # let the driver's dense-range check admit a gap elsewhere (a dup
+        # cancels a gap in ``total == max-min+1``); a row id maps to exactly
+        # one chunk and one task owns each chunk, so this in-task check plus
+        # the driver's duplicate-chunk check covers every duplicate.
+        if len({r for r, _ in members}) != len(members):
+            dups = sorted(
+                r for r, _ in members if sum(1 for q, _ in members if q == r) > 1
+            )
+            raise ValueError(
+                f"sce_zarr: duplicate row id(s) {dups[:5]} in chunk {cid} — "
+                "row ids must be unique"
+            )
         block = np.zeros((ROWS_PER_CHUNK, dim), dtype=np.float64)  # fill 0
         for r, vec in members:
             block[r - cid * ROWS_PER_CHUNK, : len(vec)] = vec
@@ -306,7 +389,7 @@ def _build_chunk_files(iterator, path: str) -> ZarrCommit:
         tmp_name = f"{cid}.0{_TMP_MARK}{attempt}"
         with open(os.path.join(path, tmp_name), "wb") as fh:
             fh.write(_compress(block.tobytes(), _DEFAULT_COMPRESSOR, typesize=8))
-        chunks.append((cid, tmp_name))
+        chunks.append((cid, tmp_name, len(members)))
     return ZarrCommit(chunks, n_rows, max_row, dim, min_row)
 
 
@@ -372,8 +455,9 @@ class ZarrChunkWriter(DataSourceArrowWriter):
             )
         # -- validate before any rename (fail loudly, commit nothing) ------
         seen: dict = {}
+        counts: dict = {}
         for m in msgs:
-            for cid, tmp in m.chunks:
+            for cid, tmp, cnt in m.chunks:
                 if cid in seen:
                     raise ValueError(
                         f"sce_zarr: chunk {cid} written by two tasks — rows of one "
@@ -381,6 +465,7 @@ class ZarrChunkWriter(DataSourceArrowWriter):
                         f"by (row div ROWS_PER_CHUNK) before writing"
                     )
                 seen[cid] = tmp
+                counts[cid] = cnt
         dims = sorted({m.dim for m in msgs})
         if len(dims) != 1:
             raise ValueError(
@@ -393,6 +478,15 @@ class ZarrChunkWriter(DataSourceArrowWriter):
             raise ValueError(
                 f"sce_zarr: {total} rows written but max row id is {n - 1} — "
                 "row ids must be dense 0..n-1 (duplicates or gaps present)"
+            )
+        # Per-chunk density: with in-task duplicate detection this is implied
+        # by the range check, but it localizes the error to the broken chunk.
+        tail_cid = max(counts)
+        short = {c: k for c, k in counts.items() if c != tail_cid and k != ROWS_PER_CHUNK}
+        if short:
+            raise ValueError(
+                f"sce_zarr: non-tail chunk(s) {sorted(short)[:5]} hold fewer than "
+                f"ROWS_PER_CHUNK={ROWS_PER_CHUNK} rows — row ids have gaps"
             )
         dim = dims[0]
         # -- publish: clear old data, rename winners, sweep losers ---------
@@ -422,7 +516,12 @@ class ZarrChunkWriter(DataSourceArrowWriter):
 #: Spark redelivers a batchId after a commit-side crash, and the sink must
 #: treat a re-commit of an already-committed batch as a no-op instead of
 #: tripping its own grow-only validation (the jobs.py foreachBatch sink's
-#: batch_id-monotone pattern, applied at the connector layer).
+#: batch_id-monotone pattern, applied at the connector layer).  The sidecar
+#: also records the QUERY IDENTITY (checkpoint location) that owns the
+#: store and a publish INTENT (r11 advice): batchIds alone cannot
+#: distinguish a post-crash replay from a NEW query (fresh checkpoint,
+#: batchIds restarting at 0) writing to an existing store — the latter must
+#: fail loudly, never be silently swept as a "replay".
 _STREAM_STATE = ".sce_stream_state.json"
 
 
@@ -441,26 +540,36 @@ class ZarrStreamChunkWriter(DataSourceStreamArrowWriter):
     chunk boundaries — e.g. consume the ``sce_zarr`` STREAM SOURCE, whose
     offsets are chunk positions — and the constraint is free.
 
-    Per micro-batch two-phase commit, replay-safe: tasks write
-    attempt-unique temps (``_build_chunk_files``); ``commit(messages,
-    batchId)`` first consults the state sidecar — a batchId at or below
-    the last committed one is a REPLAY (post-crash redelivery): temps are
-    swept and the commit is a no-op, so restart never double-appends or
-    false-fails validation.  A fresh batch validates (chunk-contiguous
-    append starting exactly at the frozen boundary, rectangular dims
-    consistent with the store, dense new rows), renames winners, sweeps
-    losers, extends ``.zarray`` shape, then records the batchId — state
-    is written LAST so a crash anywhere replays the whole batch
-    idempotently.  ``abort`` sweeps temps only.
+    Per micro-batch two-phase commit, replay-safe AND query-aware: tasks
+    write attempt-unique temps (``_build_chunk_files``); ``commit(
+    messages, batchId)`` consults the state sidecar, which records the
+    last committed batchId, the OWNING QUERY IDENTITY (the checkpoint
+    location — stable across restarts of one query, distinct for a fresh
+    checkpoint), and a PUBLISH INTENT.  A batchId at or below the last
+    committed one from the SAME query is a replay (post-crash
+    redelivery): temps are swept, no-op.  The same low batchId from a
+    DIFFERENT query is a fresh checkpoint colliding with an existing
+    store — it raises loudly instead of silently sweeping the new
+    query's first batches (r11 advice, medium).  A fresh batch validates
+    (chunk-contiguous append starting exactly at the frozen boundary,
+    rectangular dims consistent with the store, dense duplicate-free new
+    rows, full non-tail chunks), then writes the intent (query, batch,
+    resulting shape) BEFORE any rename, renames winners, sweeps losers,
+    extends ``.zarray`` shape, and records the batchId LAST — so a crash
+    anywhere replays idempotently: a replay that finds its own intent
+    skips the against-store checks (the store may be half-published),
+    re-publishes the identical chunks, and completes the commit.
+    ``abort`` sweeps temps only.
     """
 
-    def __init__(self, path: str, overwrite: bool):
+    def __init__(self, path: str, overwrite: bool, query_id: str | None = None):
         if overwrite:
             raise ValueError(
                 "sce_zarr streaming sink is append-only (grow-only array); "
                 "outputMode('append') only"
             )
         self.path = path
+        self.query_id = query_id
         os.makedirs(path, exist_ok=True)
 
     def write(self, iterator):
@@ -473,9 +582,15 @@ class ZarrStreamChunkWriter(DataSourceStreamArrowWriter):
 
         try:
             with open(os.path.join(self.path, _STREAM_STATE)) as fh:
-                return json.load(fh)
+                s = json.load(fh)
         except FileNotFoundError:
-            return {"last_batch": -1}
+            s = {}
+        # pre-r12 sidecars lack query/intent: treat as unowned, no intent
+        return {
+            "last_batch": s.get("last_batch", -1),
+            "query": s.get("query"),
+            "intent": s.get("intent"),
+        }
 
     def _sweep_tmp(self) -> None:
         for f in os.listdir(self.path):
@@ -486,8 +601,6 @@ class ZarrStreamChunkWriter(DataSourceStreamArrowWriter):
                     pass
 
     def commit(self, messages, batchId: int) -> None:
-        import json
-
         from .zarrv2 import (
             _DEFAULT_COMPRESSOR,
             ROWS_PER_CHUNK,
@@ -495,14 +608,32 @@ class ZarrStreamChunkWriter(DataSourceStreamArrowWriter):
             read_zarray_meta,
         )
 
-        if batchId <= self._state()["last_batch"]:
-            self._sweep_tmp()  # replayed batch: already in the store
+        state = self._state()
+        if batchId <= state["last_batch"]:
+            if state["query"] != self.query_id:
+                raise ValueError(
+                    f"sce_zarr stream: batch {batchId} was already committed to "
+                    f"{self.path!r} by a different streaming query "
+                    f"(store owner {state['query']!r}, this query "
+                    f"{self.query_id!r}) — a NEW query with a fresh checkpoint "
+                    "restarts batchIds at 0 and cannot be told apart from a "
+                    "replay; write to a fresh store, or resume the original "
+                    "checkpoint, or remove the store's state sidecar to "
+                    "explicitly adopt it"
+                )
+            self._sweep_tmp()  # replayed batch from the same query: in store
             return
         msgs = [m for m in messages if m is not None and m.n_rows]
         if not msgs:
             self._sweep_tmp()
-            self._record(batchId)  # empty batch commits vacuously
+            self._write_state(batchId, intent=None)  # empty batch: vacuous
             return
+        intent = state["intent"]
+        resuming = (
+            intent is not None
+            and intent.get("batch") == batchId
+            and intent.get("query") == self.query_id
+        )
         try:
             meta = read_zarray_meta(self.path)
             n_old, dim_old = int(meta["shape"][0]), int(meta["shape"][1])
@@ -510,46 +641,87 @@ class ZarrStreamChunkWriter(DataSourceStreamArrowWriter):
             n_old, dim_old = 0, None
         # -- validate the append before any rename -------------------------
         seen: dict = {}
+        counts: dict = {}
         for m in msgs:
-            for cid, tmp in m.chunks:
+            for cid, tmp, cnt in m.chunks:
                 if cid in seen:
                     raise ValueError(
                         f"sce_zarr stream: chunk {cid} written by two tasks — "
                         "repartition each micro-batch by (row div ROWS_PER_CHUNK)"
                     )
                 seen[cid] = tmp
+                counts[cid] = cnt
         dims = sorted({m.dim for m in msgs})
-        if len(dims) != 1 or (dim_old is not None and dims[0] != dim_old):
-            raise ValueError(
-                f"sce_zarr stream: batch dims {dims} disagree (store dim "
-                f"{dim_old}) — a zarr array is rectangular"
-            )
         min_row = min(m.min_row for m in msgs)
         max_row = max(m.max_row for m in msgs)
         total = sum(m.n_rows for m in msgs)
-        frozen = ((n_old + ROWS_PER_CHUNK - 1) // ROWS_PER_CHUNK) * ROWS_PER_CHUNK
-        if min_row < n_old:
-            raise ValueError(
-                f"sce_zarr stream: batch writes row {min_row} below the "
-                f"committed shape {n_old} — the store is grow-only"
-            )
-        if n_old and min_row != frozen:
-            raise ValueError(
-                f"sce_zarr stream: batch starts at row {min_row} but the "
-                f"frozen chunk boundary is {frozen} — the previous batch ended "
-                "mid-chunk and its tail is padded; align micro-batches to "
-                f"ROWS_PER_CHUNK={ROWS_PER_CHUNK}"
-            )
-        if not n_old and min_row != 0:
-            raise ValueError(
-                f"sce_zarr stream: first batch must start at row 0, got {min_row}"
-            )
         if total != max_row - min_row + 1:
             raise ValueError(
                 f"sce_zarr stream: {total} rows for id range "
                 f"[{min_row}, {max_row}] — batch rows must be dense"
             )
-        # -- publish --------------------------------------------------------
+        tail_cid = max(counts)
+        short = {
+            c: k for c, k in counts.items() if c != tail_cid and k != ROWS_PER_CHUNK
+        }
+        if short:
+            raise ValueError(
+                f"sce_zarr stream: non-tail chunk(s) {sorted(short)[:5]} hold "
+                f"fewer than ROWS_PER_CHUNK={ROWS_PER_CHUNK} rows — gaps in batch"
+            )
+        if resuming:
+            # Replay of a crashed publish: the store may already hold any
+            # prefix of this batch's chunks and/or the extended .zarray, so
+            # against-store checks would false-fail; instead require the
+            # regenerated batch to be bit-consistent with the intent, then
+            # re-publish idempotently (os.replace over identical content).
+            if len(dims) != 1 or dims[0] != intent["dim"]:
+                raise ValueError(
+                    f"sce_zarr stream: replayed batch {batchId} dims {dims} "
+                    f"disagree with its recorded intent dim {intent['dim']}"
+                )
+            if max_row + 1 != intent["shape0"] or min_row != intent["min_row"]:
+                raise ValueError(
+                    f"sce_zarr stream: replayed batch {batchId} rows "
+                    f"[{min_row}, {max_row}] disagree with its recorded intent "
+                    f"[{intent['min_row']}, {intent['shape0'] - 1}] — the "
+                    "replayed micro-batch is not the one that crashed"
+                )
+        else:
+            if len(dims) != 1 or (dim_old is not None and dims[0] != dim_old):
+                raise ValueError(
+                    f"sce_zarr stream: batch dims {dims} disagree (store dim "
+                    f"{dim_old}) — a zarr array is rectangular"
+                )
+            frozen = ((n_old + ROWS_PER_CHUNK - 1) // ROWS_PER_CHUNK) * ROWS_PER_CHUNK
+            if min_row < n_old:
+                raise ValueError(
+                    f"sce_zarr stream: batch writes row {min_row} below the "
+                    f"committed shape {n_old} — the store is grow-only"
+                )
+            if n_old and min_row != frozen:
+                raise ValueError(
+                    f"sce_zarr stream: batch starts at row {min_row} but the "
+                    f"frozen chunk boundary is {frozen} — the previous batch "
+                    "ended mid-chunk and its tail is padded; align "
+                    f"micro-batches to ROWS_PER_CHUNK={ROWS_PER_CHUNK}"
+                )
+            if not n_old and min_row != 0:
+                raise ValueError(
+                    f"sce_zarr stream: first batch must start at row 0, "
+                    f"got {min_row}"
+                )
+        # -- publish: intent FIRST, renames, .zarray, record LAST -----------
+        self._write_state(
+            state["last_batch"],
+            intent={
+                "query": self.query_id,
+                "batch": int(batchId),
+                "shape0": int(max_row + 1),
+                "min_row": int(min_row),
+                "dim": int(dims[0]),
+            },
+        )
         for cid, tmp in seen.items():
             os.replace(
                 os.path.join(self.path, tmp), os.path.join(self.path, f"{cid}.0")
@@ -563,14 +735,21 @@ class ZarrStreamChunkWriter(DataSourceStreamArrowWriter):
             compressor=_DEFAULT_COMPRESSOR,
             fill_value=0.0,
         )
-        self._record(batchId)
+        self._write_state(batchId, intent=None)
 
-    def _record(self, batchId: int) -> None:
+    def _write_state(self, last_batch: int, intent: dict | None) -> None:
         import json
 
         tmp = os.path.join(self.path, _STREAM_STATE + ".tmp")
         with open(tmp, "w") as fh:
-            json.dump({"last_batch": int(batchId)}, fh)
+            json.dump(
+                {
+                    "last_batch": int(last_batch),
+                    "query": self.query_id,
+                    "intent": intent,
+                },
+                fh,
+            )
         os.replace(tmp, os.path.join(self.path, _STREAM_STATE))
 
     def abort(self, messages, batchId: int) -> None:

@@ -570,21 +570,18 @@ def test_pyds_stream_rejects_shrunken_store(spark, tmp_path):
         r.partitions({"idx": 0}, {"idx": 5})
 
 
-def test_pyds_stream_manifest_is_numeric_ordered(tmp_path):
-    """'10.0' must follow '2.0' in the offset manifest — lexicographic
-    listing would break the replayable-prefix property."""
+def _mk_stream_store(xdir, n_rows, chunk_rows=2, ncols=1, base=0.0):
+    """Hand-built uncompressed grow-only store: every shape-covered chunk
+    materialized, chunk i holding rows [i*chunk_rows, ...)."""
     import json as _json
 
-    from single_cell_experiments_spark.sources.pyds import ZarrChunkStreamReader
-
-    xdir = tmp_path / "X"
-    xdir.mkdir()
+    xdir.mkdir(exist_ok=True)
     (xdir / ".zarray").write_text(
         _json.dumps(
             {
                 "zarr_format": 2,
-                "shape": [22, 1],
-                "chunks": [2, 1],
+                "shape": [n_rows, ncols],
+                "chunks": [chunk_rows, ncols],
                 "dtype": "<f8",
                 "compressor": None,
                 "fill_value": 0.0,
@@ -593,11 +590,125 @@ def test_pyds_stream_manifest_is_numeric_ordered(tmp_path):
             }
         )
     )
-    for c in (0, 1, 2, 10):
-        (xdir / f"{c}.0").write_bytes(np.zeros(2, dtype="<f8").tobytes())
+    n_chunks = -(-n_rows // chunk_rows)
+    for c in range(n_chunks):
+        block = (
+            np.arange(chunk_rows * ncols, dtype="<f8") + base + 100 * c
+        )
+        (xdir / f"{c}.0").write_bytes(block.tobytes())
+
+
+def test_pyds_stream_manifest_is_numeric_ordered(tmp_path):
+    """Index 10 must plan chunk '10.0' after '9.0' — the index→name map is
+    numeric grid order, never a lexicographic directory listing (which
+    would interleave '10.0' before '2.0' and break the replayable prefix)."""
+    from single_cell_experiments_spark.sources.pyds import ZarrChunkStreamReader
+
+    xdir = tmp_path / "X"
+    _mk_stream_store(xdir, n_rows=22, chunk_rows=2)
     r = ZarrChunkStreamReader({"path": str(xdir)})
-    names = [os.path.basename(p.chunk_path) for p in r.partitions({"idx": 0}, {"idx": 4})]
-    assert names == ["0.0", "1.0", "2.0", "10.0"]
+    end = r.latestOffset()
+    assert end == {"idx": 11, "rows": 22}
+    names = [os.path.basename(p.chunk_path) for p in r.partitions({"idx": 0}, end)]
+    assert names[:3] == ["0.0", "1.0", "2.0"]
+    assert names[-2:] == ["9.0", "10.0"]
+
+
+def test_pyds_stream_live_growth_decodes_new_chunks(tmp_path):
+    """The r11-advice silent-loss case: chunks appended AFTER the reader was
+    constructed must decode with the FRESH shape (latestOffset re-reads
+    .zarray per poll; partitions embed the planned row count), not trim to
+    zero rows against the constructor-time shape."""
+    from single_cell_experiments_spark.sources.pyds import ZarrChunkStreamReader
+
+    xdir = tmp_path / "X"
+    _mk_stream_store(xdir, n_rows=4, chunk_rows=2)
+    r = ZarrChunkStreamReader({"path": str(xdir)})
+    o1 = r.latestOffset()
+    assert o1 == {"idx": 2, "rows": 4}
+
+    # grow the store out from under the live reader (same writer layout)
+    _mk_stream_store(xdir, n_rows=7, chunk_rows=2)
+
+    o2 = r.latestOffset()
+    assert o2 == {"idx": 4, "rows": 7}
+    parts = r.partitions(o1, o2)
+    assert [os.path.basename(p.chunk_path) for p in parts] == ["2.0", "3.0"]
+    rows = []
+    for p in parts:
+        for rb in r.read(p):
+            rows.extend(rb.to_pydict()["row"])
+    # chunk 2 = rows 4,5; chunk 3 = tail, row 6 only (shape 7 trims row 7)
+    assert rows == [4, 5, 6], "appended chunks must yield their rows, not 0"
+
+
+def test_pyds_stream_replay_is_plan_exact_after_growth(tmp_path):
+    """A replayed [start, end) batch must decode the SAME rows it held at
+    plan time even if the tail chunk's validity grew afterwards: the trim
+    row-count rides in the partition, not in a live .zarray read."""
+    from single_cell_experiments_spark.sources.pyds import ZarrChunkStreamReader
+
+    xdir = tmp_path / "X"
+    _mk_stream_store(xdir, n_rows=3, chunk_rows=2)  # chunk 1 = tail, 1 valid row
+    r = ZarrChunkStreamReader({"path": str(xdir)})
+    end = r.latestOffset()
+    assert end == {"idx": 2, "rows": 3}
+    parts = r.partitions({"idx": 0, "rows": 0}, end)
+
+    # the store grows: tail padding becomes real rows per the new shape
+    _mk_stream_store(xdir, n_rows=4, chunk_rows=2)
+
+    rows = []
+    for p in parts:
+        for rb in r.read(p):
+            rows.extend(rb.to_pydict()["row"])
+    assert rows == [0, 1, 2], "replay decoded the grown shape, not the plan"
+
+    # a fresh reader (driver restart) replaying the same offsets agrees
+    r2 = ZarrChunkStreamReader({"path": str(xdir)})
+    rows2 = []
+    for p in r2.partitions({"idx": 0, "rows": 0}, end):
+        for rb in r2.read(p):
+            rows2.extend(rb.to_pydict()["row"])
+    assert rows2 == [0, 1, 2]
+
+
+def test_pyds_stream_poll_is_offset_bounded(tmp_path, monkeypatch):
+    """r11 verdict #1: a latestOffset poll after N chunks are verified must
+    touch only indices >= N — no directory relisting, no re-probe of the
+    consumed prefix."""
+    from single_cell_experiments_spark.sources import pyds as pyds_mod
+    from single_cell_experiments_spark.sources.pyds import ZarrChunkStreamReader
+
+    xdir = tmp_path / "X"
+    _mk_stream_store(xdir, n_rows=20, chunk_rows=2)  # 10 chunks
+    r = ZarrChunkStreamReader({"path": str(xdir)})
+
+    listed = []
+    real_listdir = os.listdir
+    monkeypatch.setattr(os, "listdir", lambda p: listed.append(p) or real_listdir(p))
+    probed = []
+    real_exists = os.path.exists
+    monkeypatch.setattr(
+        os.path, "exists", lambda p: probed.append(p) or real_exists(p)
+    )
+
+    assert r.latestOffset()["idx"] == 10
+    assert str(xdir) not in listed, "latestOffset relisted the chunk directory"
+    first_probes = len(probed)
+    assert first_probes <= 11  # 10 hits + 1 miss at the shape bound
+
+    probed.clear()
+    assert r.latestOffset()["idx"] == 10  # idle poll
+    assert probed == [], "idle poll re-probed the verified prefix"
+
+    _mk_stream_store(xdir, n_rows=24, chunk_rows=2)  # +2 chunks
+    probed.clear()
+    assert r.latestOffset() == {"idx": 12, "rows": 24}
+    assert all(
+        os.path.basename(p) in ("10.0", "11.0", "12.0") for p in probed
+    ), f"growth poll probed consumed prefix: {probed}"
+    assert str(xdir) not in listed
 
 
 def _rb(rows_vals):
@@ -694,3 +805,115 @@ def test_pyds_stream_writer_rejects_overwrite_mode(tmp_path):
 
     with pytest.raises(ValueError, match="append-only"):
         ZarrStreamChunkWriter(str(tmp_path / "a"), overwrite=True)
+
+
+def test_pyds_stream_writer_rejects_foreign_query_low_batchid(tmp_path):
+    """r11 advice (medium): a NEW query (fresh checkpoint → batchIds restart
+    at 0) writing to a store owned by another query must raise loudly — the
+    old guard silently swept its first batches as 'replays'."""
+    from single_cell_experiments_spark.sources.pyds import ZarrStreamChunkWriter
+    from single_cell_experiments_spark.sources.zarrv2 import ROWS_PER_CHUNK
+
+    path = str(tmp_path / "arr")
+    a = ZarrStreamChunkWriter(path, overwrite=False, query_id="ckpt-A")
+    m = a.write(iter([_rb([(r, [r, 1.0]) for r in range(ROWS_PER_CHUNK)])]))
+    a.commit([m], batchId=0)
+    m = a.write(
+        iter([_rb([(ROWS_PER_CHUNK + r, [r, 2.0]) for r in range(ROWS_PER_CHUNK)])])
+    )
+    a.commit([m], batchId=1)
+
+    b = ZarrStreamChunkWriter(path, overwrite=False, query_id="ckpt-B")
+    mb = b.write(
+        iter([_rb([(2 * ROWS_PER_CHUNK + r, [r, 3.0]) for r in range(3)])])
+    )
+    with pytest.raises(ValueError, match="different streaming query"):
+        b.commit([mb], batchId=0)  # would have been silently dropped before
+
+    # replay from the OWNING query is still a clean no-op
+    mr = a.write(
+        iter([_rb([(ROWS_PER_CHUNK + r, [r, 2.0]) for r in range(ROWS_PER_CHUNK)])])
+    )
+    a.commit([mr], batchId=1)
+
+    # ... and query B CAN continue the store at a fresh batchId > last_batch
+    # (grow-only validation still guards the data); ownership rebinds.
+    mb2 = b.write(
+        iter([_rb([(2 * ROWS_PER_CHUNK + r, [r, 3.0]) for r in range(3)])])
+    )
+    b.commit([mb2], batchId=2)
+    from single_cell_experiments_spark.sources.zarrv2 import read_zarray_meta
+
+    assert read_zarray_meta(path)["shape"] == [2 * ROWS_PER_CHUNK + 3, 2]
+
+
+def test_pyds_stream_writer_crashed_publish_replays_idempotently(tmp_path):
+    """Crash AFTER the publish intent / renames but BEFORE the batchId is
+    recorded: the replay must complete the commit (same rows), not
+    false-fail grow-only validation against the half-published store."""
+    import json as _json
+
+    from single_cell_experiments_spark.sources.pyds import (
+        _STREAM_STATE,
+        ZarrStreamChunkWriter,
+    )
+    from single_cell_experiments_spark.sources.zarrv2 import (
+        ROWS_PER_CHUNK,
+        read_zarray_meta,
+    )
+
+    path = str(tmp_path / "arr")
+    w = ZarrStreamChunkWriter(path, overwrite=False, query_id="ckpt-A")
+    m0 = w.write(iter([_rb([(r, [r, 0.5]) for r in range(ROWS_PER_CHUNK)])]))
+    w.commit([m0], batchId=0)
+
+    batch1 = [(ROWS_PER_CHUNK + r, [50.0 + r, 1.5]) for r in range(4)]
+    m1 = w.write(iter([_rb(batch1)]))
+    w.commit([m1], batchId=1)
+
+    # simulate the crash window: data + .zarray published (commit ran), but
+    # rewind the sidecar to "intent written, batchId not recorded"
+    state_path = os.path.join(path, _STREAM_STATE)
+    st = _json.loads(open(state_path).read())
+    assert st == {"last_batch": 1, "query": "ckpt-A", "intent": None}
+    st["last_batch"] = 0
+    st["intent"] = {
+        "query": "ckpt-A",
+        "batch": 1,
+        "shape0": ROWS_PER_CHUNK + 4,
+        "min_row": ROWS_PER_CHUNK,
+        "dim": 2,
+    }
+    open(state_path, "w").write(_json.dumps(st))
+
+    # Spark redelivers batch 1 after restart: tasks regenerate, commit resumes
+    m1r = w.write(iter([_rb(batch1)]))
+    w.commit([m1r], batchId=1)
+    assert read_zarray_meta(path)["shape"] == [ROWS_PER_CHUNK + 4, 2]
+    st2 = _json.loads(open(state_path).read())
+    assert st2 == {"last_batch": 1, "query": "ckpt-A", "intent": None}
+
+    # a replay whose rows DISAGREE with the intent is rejected, not committed
+    st2["last_batch"] = 0
+    st2["intent"] = {
+        "query": "ckpt-A",
+        "batch": 1,
+        "shape0": ROWS_PER_CHUNK + 4,
+        "min_row": ROWS_PER_CHUNK,
+        "dim": 2,
+    }
+    open(state_path, "w").write(_json.dumps(st2))
+    bad = w.write(iter([_rb(batch1[:2])]))  # fewer rows than the intent
+    with pytest.raises(ValueError, match="recorded intent"):
+        w.commit([bad], batchId=1)
+
+
+def test_pyds_writer_rejects_duplicate_row_ids(tmp_path):
+    """r11 advice (low): a duplicate row id cancelling a gap passed the
+    dense-range check and last-write-won silently; it must raise in the
+    task that builds the chunk."""
+    from single_cell_experiments_spark.sources.pyds import ZarrChunkWriter
+
+    w = ZarrChunkWriter(str(tmp_path / "arr"), overwrite=True)
+    with pytest.raises(ValueError, match="duplicate row id"):
+        w.write(iter([_rb([(0, [1.0, 1.0]), (0, [9.0, 9.0]), (2, [2.0, 2.0]), (3, [3.0, 3.0])])]))
