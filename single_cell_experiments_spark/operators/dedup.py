@@ -115,11 +115,16 @@ _BAND_SIGS = [
 LSH_BUCKET_CAP = 2000
 
 
-def _lsh_core_sql(shingles_cte: str) -> str:
+def _lsh_core_sql(shingles_cte: str, cap: int | None = None) -> str:
     """Dialect-shared LSH candidate pipeline (shingles → signatures →
     banded buckets → size-capped candidate pairs → intersection counts +
     set sizes).  Consumers append their scoring SELECT (Jaccard,
-    containment, ...)."""
+    containment, ...).  ``cap`` overrides ``LSH_BUCKET_CAP`` per query
+    (r11 advice: the cap is a recall/cost trade and must be tunable);
+    the dropped-bucket count it implies is observable via the registered
+    ``dedup_lsh_bucket_audit`` query and measured (including true-pair
+    recall loss at 20×) in SCALE.md §12."""
+    cap = LSH_BUCKET_CAP if cap is None else int(cap)
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, {sig} AS sig FROM sigs" for b, sig in enumerate(_BAND_SIGS)
     )
@@ -129,7 +134,7 @@ shingles AS (SELECT DISTINCT doc_id, h FROM shingles_raw),
 sigs AS (SELECT doc_id, {_MH_AGGS} FROM shingles GROUP BY doc_id),
 bands AS ({band_rows}),
 bcap AS (SELECT band, sig FROM bands GROUP BY band, sig
-         HAVING COUNT(*) <= {LSH_BUCKET_CAP}),
+         HAVING COUNT(*) <= {cap}),
 bandsok AS (
   SELECT b.doc_id, b.band, b.sig
   FROM bands b JOIN bcap c ON c.band = b.band AND c.sig = b.sig
@@ -149,9 +154,9 @@ inter AS (
 )"""
 
 
-def _minhash_sql(shingles_cte: str) -> str:
+def _minhash_sql(shingles_cte: str, cap: int | None = None) -> str:
     """Dialect-shared core of the MinHash-LSH query (post-shingling)."""
-    return f"""{_lsh_core_sql(shingles_cte)}
+    return f"""{_lsh_core_sql(shingles_cte, cap=cap)}
 SELECT i.doc1, i.doc2,
        round(CAST(i.i AS DOUBLE) / (z1.n + z2.n - i.i), 6) AS jaccard
 FROM inter i
@@ -159,6 +164,148 @@ JOIN sizes z1 ON z1.doc_id = i.doc1
 JOIN sizes z2 ON z2.doc_id = i.doc2
 WHERE CAST(i.i AS DOUBLE) / (z1.n + z2.n - i.i) >= {MINHASH_JACCARD_MIN}
 """
+
+
+def _lsh_star_sql(shingles_cte: str, cap: int | None = None) -> str:
+    """MinHash-LSH candidate generation with STAR SALVAGE of over-cap
+    buckets (r12, from the measured 20× recall loss — SCALE.md §12): a
+    bucket larger than ``cap`` is a template cluster, not noise, and
+    simply dropping it loses every true pair inside (measured 94% of
+    true colliding pairs at the 20× degenerate-copy stress point).  But
+    enumerating its C(n,2) pairs is exactly the blow-up the cap exists to
+    prevent — so each over-cap bucket instead emits O(n) EXEMPLAR→MEMBER
+    pairs (exemplar = min doc_id member), each still exact-Jaccard
+    verified.  Downstream connected-components (the dedup keeper path —
+    ``dedup_cluster_keeper``, ``dedup_composed_pipeline``) then recovers
+    the full cluster through the star's center: member—exemplar—member
+    connects everything the dropped pairs would have, at linear cost.
+    ``via_star = 1`` marks pairs reachable ONLY through salvage, so the
+    pair list stays honest about which edges are star-compressed.
+
+    Scale: Σ(bucket) replaces Σ(bucket²) for over-cap buckets — at the
+    20× stress point that is ~141k star edges instead of 758M enumerated
+    pairs, and the candidate bound stays cap-bounded for every normal
+    bucket.
+    """
+    cap = LSH_BUCKET_CAP if cap is None else int(cap)
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {sig} AS sig FROM sigs" for b, sig in enumerate(_BAND_SIGS)
+    )
+    return f"""
+WITH shingles_raw AS ({shingles_cte}),
+shingles AS (SELECT DISTINCT doc_id, h FROM shingles_raw),
+sigs AS (SELECT doc_id, {_MH_AGGS} FROM shingles GROUP BY doc_id),
+bands AS ({band_rows}),
+bcap AS (SELECT band, sig FROM bands GROUP BY band, sig
+         HAVING COUNT(*) <= {cap}),
+bandsok AS (
+  SELECT b.doc_id, b.band, b.sig
+  FROM bands b JOIN bcap c ON c.band = b.band AND c.sig = b.sig
+),
+cand AS (
+  SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
+  FROM bandsok b1 JOIN bandsok b2
+    ON b1.band = b2.band AND b1.sig = b2.sig AND b1.doc_id < b2.doc_id
+),
+bover AS (SELECT band, sig, MIN(doc_id) AS ex FROM bands GROUP BY band, sig
+          HAVING COUNT(*) > {cap}),
+star AS (
+  SELECT DISTINCT o.ex AS doc1, b.doc_id AS doc2
+  FROM bands b JOIN bover o ON o.band = b.band AND o.sig = b.sig
+  WHERE b.doc_id <> o.ex
+),
+cand_all AS (
+  SELECT doc1, doc2, MIN(via_star) AS via_star
+  FROM (SELECT doc1, doc2, 0 AS via_star FROM cand
+        UNION ALL SELECT doc1, doc2, 1 AS via_star FROM star) u
+  GROUP BY doc1, doc2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc1, c.doc2, MIN(c.via_star) AS via_star, COUNT(*) AS i
+  FROM cand_all c
+  JOIN shingles s1 ON s1.doc_id = c.doc1
+  JOIN shingles s2 ON s2.doc_id = c.doc2 AND s2.h = s1.h
+  GROUP BY c.doc1, c.doc2
+)
+SELECT i.doc1, i.doc2,
+       round(CAST(i.i AS DOUBLE) / (z1.n + z2.n - i.i), 6) AS jaccard,
+       CAST(i.via_star AS BIGINT) AS via_star
+FROM inter i
+JOIN sizes z1 ON z1.doc_id = i.doc1
+JOIN sizes z2 ON z2.doc_id = i.doc2
+WHERE CAST(i.i AS DOUBLE) / (z1.n + z2.n - i.i) >= {MINHASH_JACCARD_MIN}
+"""
+
+
+@query(
+    "dedup_minhash_lsh_star",
+    oracle=_lsh_star_sql(_DD_SHINGLES),
+    tags=("dedup", "lsh"),
+)
+def dedup_minhash_lsh_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered twin of ``_lsh_star_sql`` at the default cap — see that
+    builder's docstring for the over-cap star-salvage semantics.  At the
+    verified scales no bucket is over-cap, so the output equals
+    ``dedup_minhash_lsh`` with ``via_star = 0`` throughout — the salvage
+    tier's non-interference when buckets are healthy is exactly what the
+    hash check pins; its recovery behavior under a forced tiny cap is
+    pinned by ``tests/test_lsh_star.py``, and its measured recall at the
+    20× degenerate stress point is in SCALE.md §12.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__docs")
+    return spark.sql(_lsh_star_sql(_SPARK_SHINGLES))
+
+
+def _lsh_bucket_audit_sql(shingles_cte: str, intdiv: str, cap: int | None = None) -> str:
+    """Per-band LSH bucket census under the size cap — the observability
+    surface for the capped candidate generator (r11 advice): how many
+    buckets exist, how many the cap DROPS (with their member count), the
+    largest bucket, and the Σ C(n,2) candidate-pair bound admitted vs
+    total.  Pure integer arithmetic, dialect-shared (``intdiv``: 'div'
+    Spark, '//' DuckDB), so the census itself is oracle-checked; at an
+    unusual corpus scale a user runs this FIRST and tunes ``cap`` with
+    numbers instead of discovering silent recall loss later."""
+    cap = LSH_BUCKET_CAP if cap is None else int(cap)
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {sig} AS sig FROM sigs" for b, sig in enumerate(_BAND_SIGS)
+    )
+    return f"""
+WITH shingles_raw AS ({shingles_cte}),
+shingles AS (SELECT DISTINCT doc_id, h FROM shingles_raw),
+sigs AS (SELECT doc_id, {_MH_AGGS} FROM shingles GROUP BY doc_id),
+bands AS ({band_rows}),
+buckets AS (SELECT band, sig, COUNT(*) AS n FROM bands GROUP BY band, sig)
+SELECT band,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(CASE WHEN n > {cap} THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_buckets,
+       CAST(SUM(CASE WHEN n > {cap} THEN n ELSE 0 END) AS BIGINT) AS n_dropped_members,
+       CAST(MAX(n) AS BIGINT) AS max_bucket,
+       CAST(SUM(CASE WHEN n <= {cap} THEN (n * (n - 1)) {intdiv} 2 ELSE 0 END) AS BIGINT)
+         AS admitted_pair_bound,
+       CAST(SUM((n * (n - 1)) {intdiv} 2) AS BIGINT) AS total_pair_bound
+FROM buckets
+GROUP BY band
+"""
+
+
+@query(
+    "dedup_lsh_bucket_audit",
+    oracle=_lsh_bucket_audit_sql(_DD_SHINGLES, "//"),
+    tags=("dedup", "lsh", "eval"),
+)
+def dedup_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered twin of ``_lsh_bucket_audit_sql`` over the documents
+    table at the default ``LSH_BUCKET_CAP`` — see that builder's docstring.
+    At the verified scales every band reports 0 dropped buckets (the cap
+    is 5× the largest observed bucket), which is itself the pinned fact:
+    the cap changes nothing where correctness is hash-checked, and the
+    audit is how a user proves the same before trusting a new corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__docs")
+    return spark.sql(_lsh_bucket_audit_sql(_SPARK_SHINGLES, "div"))
 
 
 #: minimum max-directional containment to emit a pair.

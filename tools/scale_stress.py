@@ -430,8 +430,216 @@ def r9_stress(args: list[str]) -> int:
     return 0
 
 
+def lshcap_stress(args: list[str]) -> int:
+    """``--lshcap [k]``: measure the TRUE-PAIR recall loss of
+    ``dedup.LSH_BUCKET_CAP`` at k× documents (r11 verdict #2) — the same
+    disjoint-vocab synthetic corpus whose 20× run produced the 770M
+    uncapped candidate bound and motivated the cap.
+
+    Ground truth is enumerated, not discovered: (a) LINEAGE pairs — the
+    k synthesized copies of each base doc (doc_id ≡ base mod 1e6), the
+    degenerate near-identical regime that filled the over-cap buckets;
+    (b) copy-replicated BASE near-dup pairs — the 1× registered
+    ``dedup_minhash_lsh`` output shifted into every copy.  Every
+    enumerated pair is then EXACT-Jaccard-verified on the k× corpus
+    (shingle-set intersection), so "true pair" means J ≥ threshold by
+    recomputation, never by sketch.  For each true pair we test (1) does
+    ANY of its 3 band buckets collide (uncapped LSH recall) and (2) does
+    any collide in a bucket of size ≤ cap (capped recall) — the gap is
+    the cap's measured loss.  Limitation: pairs outside (a)∪(b) are not
+    enumerated; the cap's loss on them is bounded by the same per-band
+    geometry but not measured here.
+    """
+    from single_cell_experiments_spark.operators.dedup import (
+        _BAND_SIGS,
+        _MH_AGGS,
+        _SPARK_SHINGLES,
+        LSH_BUCKET_CAP,
+        MINHASH_JACCARD_MIN,
+    )
+    from single_cell_experiments_spark.registry import fresh_fn
+    from single_cell_experiments_spark.session import get_spark
+
+    k = int(args[0]) if args else 20
+    cap = int(args[1]) if len(args) > 1 else LSH_BUCKET_CAP
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out = f"/tmp/sce_stress_r10k_x{k}"  # reuse the kcore/cap-bound corpus
+    spark = get_spark(app_name="sce-lshcap-stress", extra_confs={
+        "spark.speculation": "true",
+        "spark.speculation.interval": "5s",
+        "spark.speculation.multiplier": "4",
+        "spark.speculation.quantile": "0.75",
+    })
+    synthesize(spark, src, out, k, tables=("documents",))
+    t0 = time.perf_counter()
+
+    # 1× base near-dup pairs FIRST and eagerly: the registry fn rebinds the
+    # __docs view to the 1× table, and temp-view references in later
+    # spark.sql() calls resolve at sql() time — materialize before the 20×
+    # corpus claims the view name (first run of this measurement silently
+    # emptied the lineage arm through exactly that collision).
+    bp_path = os.path.join(out, "_lshcap_base_pairs.parquet")
+    if not os.path.exists(bp_path):
+        fresh_fn("dedup_minhash_lsh")(spark, src).select("doc1", "doc2").write.parquet(bp_path)
+    spark.read.parquet(bp_path).createOrReplaceTempView("base_pairs")
+
+    docs = spark.read.parquet(os.path.join(out, "documents.parquet"))
+    docs.createOrReplaceTempView("__docs")
+
+    # shingles + band signatures, materialized once (reused 3×)
+    shing = os.path.join(out, "_lshcap_shingles.parquet")
+    if not os.path.exists(shing):
+        spark.sql(
+            f"SELECT DISTINCT doc_id, h FROM ({_SPARK_SHINGLES})"
+        ).write.parquet(shing)
+    spark.read.parquet(shing).createOrReplaceTempView("shingles")
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {sig} AS sig FROM sigs"
+        for b, sig in enumerate(_BAND_SIGS)
+    )
+    spark.sql(
+        f"WITH sigs AS (SELECT doc_id, {_MH_AGGS} FROM shingles GROUP BY doc_id) "
+        f"SELECT * FROM ({band_rows})"
+    ).createOrReplaceTempView("bands")
+    spark.sql(
+        "SELECT band, sig, COUNT(*) AS n FROM bands GROUP BY band, sig"
+    ).cache().createOrReplaceTempView("buckets")
+
+    # truth enumeration: lineage pairs + copy-replicated 1× near-dup pairs
+    spark.sql(
+        f"""
+        SELECT a.doc_id AS d1, b.doc_id AS d2, 'lineage' AS kind
+        FROM __docs a JOIN __docs b
+          ON a.doc_id % 1000000 = b.doc_id % 1000000 AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT p.doc1 + c.id * 1000000, p.doc2 + c.id * 1000000, 'base_neardup'
+        FROM base_pairs p CROSS JOIN range({k}) c
+        """
+    ).createOrReplaceTempView("pairs")
+
+    verdicts = spark.sql(
+        f"""
+        WITH sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+        inter AS (
+          SELECT p.d1, p.d2, COUNT(*) AS i
+          FROM pairs p
+          JOIN shingles s1 ON s1.doc_id = p.d1
+          JOIN shingles s2 ON s2.doc_id = p.d2 AND s2.h = s1.h
+          GROUP BY p.d1, p.d2
+        ),
+        coll AS (
+          SELECT p.d1, p.d2,
+                 MAX(CASE WHEN b1.sig = b2.sig THEN 1 ELSE 0 END) AS collides,
+                 MAX(CASE WHEN b1.sig = b2.sig AND bu.n <= {cap} THEN 1 ELSE 0 END)
+                   AS admitted
+          FROM pairs p
+          JOIN bands b1 ON b1.doc_id = p.d1
+          JOIN bands b2 ON b2.doc_id = p.d2 AND b2.band = b1.band
+          JOIN buckets bu ON bu.band = b1.band AND bu.sig = b1.sig
+          GROUP BY p.d1, p.d2
+        ),
+        -- star salvage (dedup._lsh_star_sql semantics): over-cap buckets
+        -- emit exemplar->member edges; a pair is CLUSTER-RECOVERED if it
+        -- shares an over-cap bucket whose exemplar both endpoints
+        -- Jaccard-verify against (lower bound: multi-hop CC paths through
+        -- capped pairs are not counted).
+        over_b AS (
+          SELECT band, sig, MIN(doc_id) AS ex
+          FROM bands GROUP BY band, sig HAVING COUNT(*) > {cap}
+        ),
+        om AS (
+          SELECT b.doc_id, o.band, o.sig, o.ex
+          FROM bands b JOIN over_b o ON o.band = b.band AND o.sig = b.sig
+        ),
+        star_edges AS (SELECT DISTINCT doc_id, ex FROM om WHERE doc_id <> ex),
+        star_ok AS (
+          SELECT e.doc_id, e.ex
+          FROM star_edges e
+          JOIN (SELECT e2.doc_id, e2.ex, COUNT(*) AS i
+                FROM star_edges e2
+                JOIN shingles s1 ON s1.doc_id = e2.doc_id
+                JOIN shingles s2 ON s2.doc_id = e2.ex AND s2.h = s1.h
+                GROUP BY e2.doc_id, e2.ex) v
+            ON v.doc_id = e.doc_id AND v.ex = e.ex
+          JOIN sizes z1 ON z1.doc_id = e.doc_id
+          JOIN sizes z2 ON z2.doc_id = e.ex
+          WHERE CAST(v.i AS DOUBLE) / (z1.n + z2.n - v.i) >= {MINHASH_JACCARD_MIN}
+        ),
+        starrec AS (
+          SELECT p.d1, p.d2,
+                 MAX(CASE WHEN (m1.doc_id = m1.ex OR s1.doc_id IS NOT NULL)
+                           AND (m2.doc_id = m2.ex OR s2.doc_id IS NOT NULL)
+                          THEN 1 ELSE 0 END) AS star_recovered
+          FROM pairs p
+          JOIN om m1 ON m1.doc_id = p.d1
+          JOIN om m2 ON m2.doc_id = p.d2 AND m2.band = m1.band AND m2.sig = m1.sig
+          LEFT JOIN star_ok s1 ON s1.doc_id = p.d1 AND s1.ex = m1.ex
+          LEFT JOIN star_ok s2 ON s2.doc_id = p.d2 AND s2.ex = m2.ex
+          GROUP BY p.d1, p.d2
+        )
+        SELECT p.kind,
+               CAST(COALESCE(i.i, 0) AS DOUBLE)
+                 / (z1.n + z2.n - COALESCE(i.i, 0)) >= {MINHASH_JACCARD_MIN} AS is_true,
+               c.collides, c.admitted,
+               GREATEST(c.admitted, COALESCE(sr.star_recovered, 0)) AS recovered,
+               COUNT(*) AS cnt
+        FROM pairs p
+        JOIN coll c ON c.d1 = p.d1 AND c.d2 = p.d2
+        LEFT JOIN inter i ON i.d1 = p.d1 AND i.d2 = p.d2
+        LEFT JOIN starrec sr ON sr.d1 = p.d1 AND sr.d2 = p.d2
+        JOIN sizes z1 ON z1.doc_id = p.d1
+        JOIN sizes z2 ON z2.doc_id = p.d2
+        GROUP BY 1, 2, 3, 4, 5
+        """
+    ).toPandas()
+    bstats = spark.sql(
+        f"""SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                  CAST(SUM(CASE WHEN n > {cap} THEN 1 ELSE 0 END) AS BIGINT) AS n_over_cap,
+                  CAST(MAX(n) AS BIGINT) AS max_bucket,
+                  CAST(SUM(CASE WHEN n <= {cap} THEN n*(n-1) div 2 ELSE 0 END) AS BIGINT)
+                    AS admitted_pair_bound,
+                  CAST(SUM(n*(n-1) div 2) AS BIGINT) AS total_pair_bound
+           FROM buckets"""
+    ).toPandas().iloc[0]
+    wall = round(time.perf_counter() - t0, 1)
+
+    def _agg(df):
+        true = df[df["is_true"]]
+        n_true = int(true["cnt"].sum())
+        coll = int(true[true["collides"] == 1]["cnt"].sum())
+        adm = int(true[true["admitted"] == 1]["cnt"].sum())
+        rec = int(true[true["recovered"] == 1]["cnt"].sum())
+        return {
+            "n_pairs": int(df["cnt"].sum()),
+            "n_true": n_true,
+            "true_lsh_colliding": coll,
+            "true_cap_admitted": adm,
+            "true_star_recovered": rec,
+            "uncapped_recall": round(coll / n_true, 6) if n_true else None,
+            "capped_recall": round(adm / n_true, 6) if n_true else None,
+            "star_recall_lb": round(rec / n_true, 6) if n_true else None,
+            "cap_loss_of_colliding": round((coll - adm) / coll, 6) if coll else None,
+            "star_loss_of_colliding": round((coll - rec) / coll, 6) if coll else None,
+        }
+
+    result = {
+        "mode": "lshcap",
+        "multiplier": k,
+        "cap": cap,
+        "jaccard_min": MINHASH_JACCARD_MIN,
+        "overall": _agg(verdicts),
+        "by_kind": {kind: _agg(g) for kind, g in verdicts.groupby("kind")},
+        "buckets": {s: int(bstats[s]) for s in bstats.index},
+        "wall_sec": wall,
+    }
+    print(json.dumps(result))
+    return 0
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if "--lshcap" in sys.argv:
+        return lshcap_stress(args)
     if "--communities" in sys.argv:
         k = int(args[0]) if args else 20
         src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
