@@ -112,6 +112,16 @@ _BAND_SIGS = [
 #: verified scales (398 at sf0.1), so registered results are unchanged;
 #: at the 20× stress point the cap admits 12.3M of the 770M bound
 #: (drops 48 degenerate buckets).  Shared SQL — both engines apply it.
+#:
+#: MEASURED recall (r12, SCALE.md §13): in the 20× degenerate-copy corpus
+#: the drop-only cap keeps just 5.5% of true pairs — the over-cap buckets
+#: ARE the signal when duplicates are what filled them.  Hence the cap is
+#: a parameter on every builder (``cap=``), the per-band census is a
+#: registered query (``dedup_lsh_bucket_audit``), and the production
+#: answer for over-cap buckets is the STAR-SALVAGE tier
+#: (``dedup_minhash_lsh_star``: O(n) verified exemplar→member pairs per
+#: over-cap bucket, 87.2% measured recall at the same stress point) —
+#: not a bigger cap.
 LSH_BUCKET_CAP = 2000
 
 
