@@ -881,6 +881,66 @@ def dedup_cluster_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KEEPER_STAR_ORACLE = f"""
+WITH pairs AS MATERIALIZED ({_lsh_star_sql(_DD_SHINGLES)}),
+edges AS MATERIALIZED (
+  SELECT doc1 AS u, doc2 AS v FROM pairs
+  UNION
+  SELECT doc2, doc1 FROM pairs
+),
+{_cc_labels_sql()},
+labels AS (SELECT id AS doc_id, lbl AS component_id FROM lchecked),
+membered AS (
+  SELECT d.doc_id,
+         COALESCE(l.component_id, d.doc_id) AS component_id,
+         CAST(length(d.text) AS BIGINT) AS text_len
+  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+)
+SELECT doc_id, component_id, text_len,
+       row_number() OVER (PARTITION BY component_id
+                          ORDER BY text_len DESC, doc_id) = 1 AS keep
+FROM membered
+"""
+
+
+@query(
+    "dedup_cluster_keeper_star",
+    oracle=_KEEPER_STAR_ORACLE,
+    tags=("dedup", "components", "pipeline", "lsh"),
+)
+def dedup_cluster_keeper_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_cluster_keeper`` fed by the STAR-SALVAGE candidate tier
+    (``_lsh_star_sql``) with O(log n) star-CC labels — the end-to-end
+    keeper path that stays correct when a corpus has degenerate over-cap
+    LSH buckets: the drop-only tier loses those clusters entirely
+    (measured — SCALE.md §13), while the exemplar stars hand CC exactly
+    the spokes it needs to reassemble them at O(n) per bucket.  At the
+    verified scales no bucket is over-cap, so output is hash-identical to
+    ``dedup_cluster_keeper`` — the non-interference half of the contract;
+    the recovery half is pinned under a forced tiny cap in
+    ``tests/test_lsh_star.py``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__docs")
+    pairs = materialize(spark.sql(_lsh_star_sql(_SPARK_SHINGLES)))
+    labels = cc_star_labels(pairs)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("bigint").alias("text_len")
+    )
+    membered = d.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component_id", "doc_id").alias("component_id"),
+        "text_len",
+    )
+    w = W.partitionBy("component_id").orderBy(F.col("text_len").desc(), F.col("doc_id"))
+    return membered.select(
+        "doc_id",
+        "component_id",
+        "text_len",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
 # --- PageRank over the near-dup graph ----------------------------------------
 
 PR_SCALE = 10**12

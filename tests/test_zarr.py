@@ -673,6 +673,68 @@ def test_pyds_stream_replay_is_plan_exact_after_growth(tmp_path):
     assert rows2 == [0, 1, 2]
 
 
+def test_pyds_stream_colchunk_grid_indexing(tmp_path):
+    """Multi-column-chunk grid: manifest index i names chunk
+    (i div ncol).(i mod ncol) in row-major order, latestOffset advances in
+    whole row-chunk GROUPS, and each chunk decodes its own column slice."""
+    import json as _json
+
+    from single_cell_experiments_spark.sources.pyds import ZarrChunkStreamReader
+
+    xdir = tmp_path / "X"
+    xdir.mkdir()
+    (xdir / ".zarray").write_text(
+        _json.dumps(
+            {
+                "zarr_format": 2,
+                "shape": [4, 4],
+                "chunks": [2, 2],
+                "dtype": "<f8",
+                "compressor": None,
+                "fill_value": 0.0,
+                "order": "C",
+                "filters": None,
+            }
+        )
+    )
+    for i in range(2):
+        for j in range(2):
+            block = np.arange(4, dtype="<f8") + 100 * i + 10 * j
+            (xdir / f"{i}.{j}").write_bytes(block.tobytes())
+
+    r = ZarrChunkStreamReader({"path": str(xdir)})
+    end = r.latestOffset()
+    assert end == {"idx": 4, "rows": 4}
+    parts = r.partitions({"idx": 0, "rows": 0}, end)
+    assert [os.path.basename(p.chunk_path) for p in parts] == [
+        "0.0",
+        "0.1",
+        "1.0",
+        "1.1",
+    ]
+    out = {}
+    for p in parts:
+        for rb in r.read(p):
+            d = rb.to_pydict()
+            for row, col0, vals in zip(d["row"], d["col0"], d["values"]):
+                out[(row, col0)] = vals
+    # chunk (1, 1) covers rows 2-3, cols 2-3: values 110 + [0..3]
+    assert out[(2, 2)] == [110.0, 111.0]
+    assert out[(3, 2)] == [112.0, 113.0]
+    assert out[(0, 0)] == [0.0, 1.0]
+    assert out[(0, 2)] == [10.0, 11.0]
+
+    # a half-written row-chunk group (only '2.0' exists) must NOT advance
+    # the offset: whole groups only.
+    meta = _json.loads((xdir / ".zarray").read_text())
+    meta["shape"] = [6, 4]
+    (xdir / ".zarray").write_text(_json.dumps(meta))
+    (xdir / "2.0").write_bytes(np.zeros(4, dtype="<f8").tobytes())
+    assert r.latestOffset() == {"idx": 4, "rows": 4}
+    (xdir / "2.1").write_bytes(np.zeros(4, dtype="<f8").tobytes())
+    assert r.latestOffset() == {"idx": 6, "rows": 6}
+
+
 def test_pyds_stream_poll_is_offset_bounded(tmp_path, monkeypatch):
     """r11 verdict #1: a latestOffset poll after N chunks are verified must
     touch only indices >= N — no directory relisting, no re-probe of the
