@@ -93,10 +93,36 @@ FROM (SELECT doc_id, text, unnest(range(1, length(text) - {SHINGLE_K - 2})) AS p
 _MH_AGGS = ",\n       ".join(
     f"MIN(({a}*h + {b}) % {MERSENNE31}) AS mh{i}" for i, (a, b) in enumerate(MINHASH_COEF)
 )
-_BAND_SIGS = [
-    "concat_ws(',', " + ", ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)) + ")"
-    for b in range(BANDS)
-]
+def _band_sig_exprs(bands: int, rows_per_band: int) -> list[str]:
+    """Band-signature SQL expressions over the H=12 minhash columns:
+    band b = the concat of its ``rows_per_band`` consecutive minhashes.
+    ``bands × rows_per_band`` must not exceed H.  The banding pair is the
+    recall/cost dial of LSH: collision probability for a pair at Jaccard
+    J is ``1 − (1 − J^rows)^bands`` — fewer rows per band catch low-J
+    pairs that longer bands structurally miss (measured: the 3×4 default
+    collides only 28% of true pairs in the J≈0.15–0.3 regime, SCALE §13),
+    at the cost of looser buckets (larger Σ(bucket²) candidate volume)."""
+    if bands * rows_per_band > len(MINHASH_COEF):
+        raise ValueError(
+            f"banding {bands}x{rows_per_band} needs more than the "
+            f"H={len(MINHASH_COEF)} minhashes"
+        )
+    return [
+        "concat_ws(',', "
+        + ", ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+        + ")"
+        for b in range(bands)
+    ]
+
+
+_BAND_SIGS = _band_sig_exprs(BANDS, ROWS_PER_BAND)
+
+#: High-recall banding over the SAME 12 minhashes: 6 bands × 2 rows.
+#: At J=0.2 the pair-collision probability is 1−(1−0.2²)⁶ ≈ 0.22 versus
+#: 1−(1−0.2⁴)³ ≈ 0.005 for the 3×4 default — the dial that answers the
+#: measured low-J recall gap without recomputing signatures.
+BANDS_HIRECALL, ROWS_PER_BAND_HIRECALL = 6, 2
+_BAND_SIGS_HIRECALL = _band_sig_exprs(BANDS_HIRECALL, ROWS_PER_BAND_HIRECALL)
 
 
 #: LSH bucket-size cap: a (band, sig) bucket larger than this is dropped
@@ -125,7 +151,9 @@ _BAND_SIGS = [
 LSH_BUCKET_CAP = 2000
 
 
-def _lsh_core_sql(shingles_cte: str, cap: int | None = None) -> str:
+def _lsh_core_sql(
+    shingles_cte: str, cap: int | None = None, band_sigs: list[str] | None = None
+) -> str:
     """Dialect-shared LSH candidate pipeline (shingles → signatures →
     banded buckets → size-capped candidate pairs → intersection counts +
     set sizes).  Consumers append their scoring SELECT (Jaccard,
@@ -133,10 +161,12 @@ def _lsh_core_sql(shingles_cte: str, cap: int | None = None) -> str:
     (r11 advice: the cap is a recall/cost trade and must be tunable);
     the dropped-bucket count it implies is observable via the registered
     ``dedup_lsh_bucket_audit`` query and measured (including true-pair
-    recall loss at 20×) in SCALE.md §12."""
+    recall loss at 20×) in SCALE.md §13.  ``band_sigs`` swaps the banding
+    (see ``_band_sig_exprs`` — the recall/cost dial)."""
     cap = LSH_BUCKET_CAP if cap is None else int(cap)
     band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, {sig} AS sig FROM sigs" for b, sig in enumerate(_BAND_SIGS)
+        f"SELECT doc_id, {b} AS band, {sig} AS sig FROM sigs"
+        for b, sig in enumerate(band_sigs if band_sigs is not None else _BAND_SIGS)
     )
     return f"""
 WITH shingles_raw AS ({shingles_cte}),
@@ -164,9 +194,11 @@ inter AS (
 )"""
 
 
-def _minhash_sql(shingles_cte: str, cap: int | None = None) -> str:
+def _minhash_sql(
+    shingles_cte: str, cap: int | None = None, band_sigs: list[str] | None = None
+) -> str:
     """Dialect-shared core of the MinHash-LSH query (post-shingling)."""
-    return f"""{_lsh_core_sql(shingles_cte, cap=cap)}
+    return f"""{_lsh_core_sql(shingles_cte, cap=cap, band_sigs=band_sigs)}
 SELECT i.doc1, i.doc2,
        round(CAST(i.i AS DOUBLE) / (z1.n + z2.n - i.i), 6) AS jaccard
 FROM inter i
@@ -426,6 +458,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("__docs")
     return spark.sql(_minhash_sql(_SPARK_SHINGLES))
+
+
+@query(
+    "dedup_minhash_lsh_hirecall",
+    oracle=_minhash_sql(_DD_SHINGLES, band_sigs=_BAND_SIGS_HIRECALL),
+    tags=("dedup", "lsh"),
+)
+def dedup_minhash_lsh_hirecall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_minhash_lsh`` with the HIGH-RECALL 6×2 banding over the
+    same 12 minhashes (``_BAND_SIGS_HIRECALL``) — the r12 answer to the
+    measured low-J recall gap (SCALE §13: the 3×4 default collides only
+    28% of true pairs at J≈0.15–0.3; 6×2 lifts the collision curve ~45×
+    at J=0.2).  Candidates are still exact-Jaccard verified at the same
+    threshold, so this output is a SUPERSET of the default query's (a
+    4-row band agreeing implies both of its 2-row halves agree —
+    superset pinned in ``tests/test_lsh_star.py``); the price is looser
+    buckets (larger Σ(bucket²)), which is why it is a registered VARIANT
+    and not the default: pick by corpus J-regime using
+    ``dedup_lsh_bucket_audit`` numbers, not by faith.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__docs")
+    return spark.sql(_minhash_sql(_SPARK_SHINGLES, band_sigs=_BAND_SIGS_HIRECALL))
 
 
 # --- SimHash ----------------------------------------------------------------------

@@ -99,6 +99,34 @@ def test_star_sql_dialects_agree(star_results):
     }
 
 
+def test_hirecall_banding_is_superset(spark):
+    """6×2 banding candidates ⊇ 3×4 banding candidates (a 4-row band
+    agreeing implies both of its 2-row halves agree), so the verified
+    output of the hi-recall variant is a superset at equal caps."""
+    from single_cell_experiments_spark.registry import fresh_fn
+
+    sf = "/root/testdata/sf0.001"
+    hi = {
+        (r.doc1, r.doc2, r.jaccard)
+        for r in fresh_fn("dedup_minhash_lsh_hirecall")(spark, sf).collect()
+    }
+    lo = {
+        (r.doc1, r.doc2, r.jaccard)
+        for r in fresh_fn("dedup_minhash_lsh")(spark, sf).collect()
+    }
+    assert lo <= hi
+
+
+def test_band_sig_exprs_bounds():
+    import pytest as _pytest
+
+    from single_cell_experiments_spark.operators.dedup import _band_sig_exprs
+
+    assert len(_band_sig_exprs(6, 2)) == 6
+    with _pytest.raises(ValueError, match="minhashes"):
+        _band_sig_exprs(7, 2)
+
+
 def test_default_cap_star_equals_plain_minhash(spark):
     """At the default cap on the sf0.001 documents, no bucket is over-cap:
     star output == plain minhash output with via_star = 0 everywhere."""

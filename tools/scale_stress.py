@@ -452,6 +452,7 @@ def lshcap_stress(args: list[str]) -> int:
     """
     from single_cell_experiments_spark.operators.dedup import (
         _BAND_SIGS,
+        _BAND_SIGS_HIRECALL,
         _MH_AGGS,
         _SPARK_SHINGLES,
         LSH_BUCKET_CAP,
@@ -460,6 +461,8 @@ def lshcap_stress(args: list[str]) -> int:
     from single_cell_experiments_spark.registry import fresh_fn
     from single_cell_experiments_spark.session import get_spark
 
+    hirecall = "--hirecall" in sys.argv
+    band_sigs = _BAND_SIGS_HIRECALL if hirecall else _BAND_SIGS
     k = int(args[0]) if args else 20
     cap = int(args[1]) if len(args) > 1 else LSH_BUCKET_CAP
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -495,7 +498,7 @@ def lshcap_stress(args: list[str]) -> int:
     spark.read.parquet(shing).createOrReplaceTempView("shingles")
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, {sig} AS sig FROM sigs"
-        for b, sig in enumerate(_BAND_SIGS)
+        for b, sig in enumerate(band_sigs)
     )
     spark.sql(
         f"WITH sigs AS (SELECT doc_id, {_MH_AGGS} FROM shingles GROUP BY doc_id) "
@@ -623,7 +626,7 @@ def lshcap_stress(args: list[str]) -> int:
         }
 
     result = {
-        "mode": "lshcap",
+        "mode": "lshcap-hirecall" if hirecall else "lshcap",
         "multiplier": k,
         "cap": cap,
         "jaccard_min": MINHASH_JACCARD_MIN,
