@@ -1673,3 +1673,79 @@ def dedup_pipeline_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("verdict"),
         )
     )
+
+
+_PIPELINE_VERDICT_STAR_ORACLE = _PIPELINE_VERDICT_ORACLE.replace(
+    f"pairs AS MATERIALIZED ({_minhash_sql(_DD_SHINGLES_SURV)})",
+    f"pairs AS MATERIALIZED ({_lsh_star_sql(_DD_SHINGLES_SURV)})",
+)
+assert _PIPELINE_VERDICT_STAR_ORACLE != _PIPELINE_VERDICT_ORACLE
+
+
+@query(
+    "dedup_pipeline_verdict_star",
+    oracle=_PIPELINE_VERDICT_STAR_ORACLE,
+    tags=("dedup", "pipeline", "composition", "lsh"),
+)
+def dedup_pipeline_verdict_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_pipeline_verdict`` with the near-dup tier swapped to the
+    STAR-SALVAGE candidate generator (``_lsh_star_sql``) — the composed
+    flagship pipeline in its degenerate-bucket-safe configuration: raw →
+    normalized → capped LSH ∪ exemplar stars → star-CC → keeper, one
+    verdict per document.  Identical to the plain pipeline when no bucket
+    is over-cap (the verified-scale case the driver hash-checks); at the
+    20× degenerate stress point the plain tier orphans ~40k docs as
+    spurious keepers while the star tier reassembles their clusters
+    (SCALE §13c — measured on the keeper stage these verdicts feed).
+    Same handoff structure and scale shape as the plain pipeline
+    (survivor-restricted shingles, O(log n) star CC, component-keyed
+    keeper window).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    reps1 = d.groupBy("text").agg(F.min("doc_id").alias("exact_rep"))
+    n1 = reps1.select(
+        F.col("exact_rep").alias("rep"),
+        F.trim(F.regexp_replace(F.lower(F.col("text")), _NORM_PAT, " ")).alias(
+            "norm_key"
+        ),
+    )
+    ng = n1.groupBy("norm_key").agg(F.min("rep").alias("norm_rep"))
+    n2map = n1.join(ng, "norm_key").select("rep", "norm_rep")
+    surviving = ng.select(F.col("norm_rep").alias("doc_id")).distinct()
+
+    d.join(surviving, "doc_id").createOrReplaceTempView("__docs")
+    pairs = spark.sql(_lsh_star_sql(_SPARK_SHINGLES)).select("doc1", "doc2")
+    labels = cc_star_labels(pairs)
+
+    comp = surviving.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component_id", "doc_id").cast("bigint").alias("component_id"),
+    )
+    lens = d.select("doc_id", F.length("text").cast("bigint").alias("text_len"))
+    w = W.partitionBy("component_id").orderBy(F.col("text_len").desc(), F.col("doc_id"))
+    keeper = (
+        comp.join(lens, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("component_id", F.col("doc_id").alias("keeper_doc"))
+    )
+
+    return (
+        d.select("doc_id", "text")
+        .join(reps1, "text")
+        .join(n2map, F.col("exact_rep") == F.col("rep"))
+        .join(comp.withColumnRenamed("doc_id", "norm_rep"), "norm_rep")
+        .join(keeper, "component_id")
+        .select(
+            "doc_id",
+            F.col("exact_rep").cast("bigint").alias("exact_rep"),
+            F.col("norm_rep").cast("bigint").alias("norm_rep"),
+            "component_id",
+            (F.col("doc_id") == F.col("keeper_doc")).alias("keep"),
+            F.when(F.col("doc_id") != F.col("exact_rep"), "exact_dup")
+            .when(F.col("doc_id") != F.col("norm_rep"), "normalized_dup")
+            .when(F.col("doc_id") != F.col("keeper_doc"), "near_dup")
+            .otherwise("keeper")
+            .alias("verdict"),
+        )
+    )

@@ -869,6 +869,57 @@ def test_pyds_stream_writer_rejects_overwrite_mode(tmp_path):
         ZarrStreamChunkWriter(str(tmp_path / "a"), overwrite=True)
 
 
+def test_pyds_connector_reads_sharded_v3_store(spark, tmp_path):
+    """The DataSource sniffs zarr.json and decodes sharding_indexed shard
+    objects — connector output must equal the proven mapInPandas v3
+    reader on the same store."""
+    from pyspark.sql import functions as F
+
+    from single_cell_experiments_spark.sources.pyds import read_zarr_pyds
+    from single_cell_experiments_spark.sources.zarrv3 import (
+        read_zarr_v3_matrix,
+        write_zarr_v3_group,
+    )
+
+    e = spark.createDataFrame(
+        [(i, [float(i), float(i) + 0.5, 42.0 - i]) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+    store = str(tmp_path / "v3s")
+    write_zarr_v3_group(e, store, shard_inner_rows=16)
+
+    via_connector = {
+        (r.row, r.col0, tuple(r["values"]))
+        for r in read_zarr_pyds(spark, os.path.join(store, "X")).collect()
+    }
+    via_reader = {
+        (r.row, r.col0, tuple(r["values"]))
+        for r in read_zarr_v3_matrix(spark, os.path.join(store, "X")).collect()
+    }
+    assert via_connector == via_reader and len(via_connector) == 100
+
+
+def test_pyds_writers_reject_v3_destination(spark, tmp_path):
+    """The connector's writers produce v2 stores; pointing them at a v3
+    store must fail loudly, not interleave .zarray into zarr.json-land."""
+    from single_cell_experiments_spark.sources.pyds import (
+        ZarrChunkWriter,
+        ZarrStreamChunkWriter,
+    )
+    from single_cell_experiments_spark.sources.zarrv3 import write_zarr_v3_group
+
+    e = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(4)], "vec_id long, embedding array<float>"
+    )
+    store = str(tmp_path / "v3w")
+    write_zarr_v3_group(e, store)
+    xdir = os.path.join(store, "X")
+    with pytest.raises(ValueError, match="V3 store"):
+        ZarrChunkWriter(xdir, overwrite=True)
+    with pytest.raises(ValueError, match="V3 store"):
+        ZarrStreamChunkWriter(xdir, overwrite=False)
+
+
 def test_pyds_stream_writer_rejects_foreign_query_low_batchid(tmp_path):
     """r11 advice (medium): a NEW query (fresh checkpoint → batchIds restart
     at 0) writing to a store owned by another query must raise loudly — the
