@@ -899,6 +899,38 @@ def test_pyds_connector_reads_sharded_v3_store(spark, tmp_path):
     assert via_connector == via_reader and len(via_connector) == 100
 
 
+def test_pyds_stream_reads_sharded_v3_store(spark, tmp_path):
+    """Stream offsets over a V3 sharding_indexed array: meta['chunks'] is
+    the SHARD shape (the outer grid chunk keys address), so each manifest
+    index is one shard object under the nested default key encoding."""
+    from single_cell_experiments_spark.sources.pyds import ZarrChunkStreamReader
+    from single_cell_experiments_spark.sources.zarrv3 import write_zarr_v3_group
+
+    e = spark.createDataFrame(
+        [(i, [float(i), 7.0]) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+    store = str(tmp_path / "v3ss")
+    write_zarr_v3_group(e, store, rows_per_chunk=64, shard_inner_rows=16)
+    xdir = os.path.join(store, "X")
+
+    r = ZarrChunkStreamReader({"path": xdir})
+    end = r.latestOffset()
+    assert end == {"idx": 2, "rows": 100}
+    parts = r.partitions({"idx": 0, "rows": 0}, end)
+    rel = [os.path.relpath(p.chunk_path, xdir) for p in parts]
+    assert rel == ["c/0/0", "c/1/0"]
+    rows = {}
+    for p in parts:
+        for rb in r.read(p):
+            d = rb.to_pydict()
+            for row, vals in zip(d["row"], d["values"]):
+                rows[row] = vals
+    assert len(rows) == 100  # shard 2 trimmed to 36 valid rows
+    assert rows[99] == [99.0, 7.0]
+    assert rows[0] == [0.0, 7.0]
+
+
 def test_pyds_writers_reject_v3_destination(spark, tmp_path):
     """The connector's writers produce v2 stores; pointing them at a v3
     store must fail loudly, not interleave .zarray into zarr.json-land."""
