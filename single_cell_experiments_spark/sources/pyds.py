@@ -93,7 +93,7 @@ class ZarrChunkReader(DataSourceReader):
             paths = []
             for dirpath, _, names in os.walk(path):  # default keys nest c/i/j
                 for nm in names:
-                    if nm != "zarr.json":
+                    if nm != "zarr.json" and not nm.startswith("."):
                         paths.append(os.path.join(dirpath, nm))
             self.chunk_paths = sorted(paths)
 
