@@ -208,7 +208,9 @@ WHERE CAST(i.i AS DOUBLE) / (z1.n + z2.n - i.i) >= {MINHASH_JACCARD_MIN}
 """
 
 
-def _lsh_star_sql(shingles_cte: str, cap: int | None = None) -> str:
+def _lsh_star_sql(
+    shingles_cte: str, cap: int | None = None, band_sigs: list[str] | None = None
+) -> str:
     """MinHash-LSH candidate generation with STAR SALVAGE of over-cap
     buckets (r12, from the measured 20× recall loss — SCALE.md §12): a
     bucket larger than ``cap`` is a template cluster, not noise, and
@@ -231,7 +233,8 @@ def _lsh_star_sql(shingles_cte: str, cap: int | None = None) -> str:
     """
     cap = LSH_BUCKET_CAP if cap is None else int(cap)
     band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, {sig} AS sig FROM sigs" for b, sig in enumerate(_BAND_SIGS)
+        f"SELECT doc_id, {b} AS band, {sig} AS sig FROM sigs"
+        for b, sig in enumerate(band_sigs if band_sigs is not None else _BAND_SIGS)
     )
     return f"""
 WITH shingles_raw AS ({shingles_cte}),

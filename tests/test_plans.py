@@ -474,3 +474,14 @@ def test_gap_fill_linear_has_no_unbounded_following_frame(spark):
     plan = df._jdf.queryExecution().executedPlan().toString().lower()
     assert "unboundedfollowing" not in plan, plan[:2000]
     assert "unboundedpreceding" in plan
+
+
+def test_lsh_star_and_hirecall_stay_bucket_local(spark):
+    """The r12 LSH variants must keep every pair-producing join keyed
+    (bucket equi-joins / shingle hash joins) — no cartesian products or
+    nested-loop fallbacks anywhere in the candidate generation."""
+    for name in ("dedup_minhash_lsh_star", "dedup_minhash_lsh_hirecall",
+                 "dedup_lsh_bucket_audit"):
+        plan = inspect.executed_plan(QS[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
