@@ -466,6 +466,56 @@ def zarr_pyds_v3_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     return zarr_matrix_coo(x, ids)
 
 
+@query(
+    "zarr_v2_to_v3_migrate",
+    oracle=_PYDS_ORACLE,
+    tags=("sources", "zarr", "datasource", "v3", "migration"),
+    cache=False,
+)
+def zarr_v2_to_v3_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-generation STORE MIGRATION (r12): a v2 store (blosc-lz4 flat
+    keys) is read through the connector, reassembled to (vec_id,
+    embedding) wide rows, written as a v3 group (codec chain, nested
+    default keys) by the chunk-aligned v3 writer, and read back through
+    the SAME ``sce_zarr`` format string — the sniff routes each side to
+    its generation.  Hash equality against the parquet oracle proves the
+    v2 decode → row reassembly → v3 encode → v3 decode chain is value
+    exact end to end: the upgrade path a real deployment runs once per
+    array, expressed as two scans and one chunk-group exchange.
+    """
+    import hashlib
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from .zarrv2 import _DEFAULT_COMPRESSOR, write_zarr_group, zarr_matrix_coo
+    from .zarrv3 import write_zarr_v3_group
+
+    e = load_table(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    v2_store = os.path.join(tempfile.gettempdir(), f"sce_zarr_mig2_{tag}")
+    v3_store = os.path.join(tempfile.gettempdir(), f"sce_zarr_mig3_{tag}")
+    write_zarr_group(e, v2_store, compressor=_DEFAULT_COMPRESSOR)
+    shutil.rmtree(v3_store, ignore_errors=True)
+
+    # v2 → wide rows: chunk-slice rows carry whole rows (row-chunked store),
+    # vec_id is the positional axis (dense 0..n-1), so row IS the id.
+    x2 = read_zarr_pyds(spark, os.path.join(v2_store, "X"))
+    wide = x2.select(
+        F.col("row").alias("vec_id"),
+        F.transform("values", lambda v: v.cast("float")).alias("embedding"),
+    )
+    write_zarr_v3_group(wide, v3_store)
+
+    x3 = read_zarr_pyds(spark, os.path.join(v3_store, "X"))
+    ids = read_zarr_pyds(spark, os.path.join(v3_store, "vec_id")).withColumnRenamed(
+        "value", "vec_id"
+    )
+    return zarr_matrix_coo(x3, ids)
+
+
 # --- write side: DataSourceArrowWriter ----------------------------------------
 
 
