@@ -321,13 +321,20 @@ class ZarrDataSource(DataSource):
         ckpt = self.options.get("checkpointlocation") or self.options.get(
             "checkpointLocation"
         )
-        return ZarrStreamChunkWriter(path, overwrite, query_id=ckpt)
+        return ZarrStreamChunkWriter(
+            path,
+            overwrite,
+            query_id=ckpt,
+            version=int(self.options.get("zarr_format", "2")),
+        )
 
     def writer(self, schema, overwrite: bool) -> "ZarrChunkWriter":
         path = self.options.get("path")
         if not path:
             raise ValueError("sce_zarr requires .option('path', <array dir>)")
-        return ZarrChunkWriter(path, overwrite)
+        return ZarrChunkWriter(
+            path, overwrite, version=int(self.options.get("zarr_format", "2"))
+        )
 
 
 def read_zarr_pyds(spark: SparkSession, array_path: str) -> DataFrame:
@@ -534,16 +541,23 @@ class ZarrCommit(WriterCommitMessage):
         self.min_row = min_row
 
 
-def _build_chunk_files(iterator, path: str) -> ZarrCommit:
+def _build_chunk_files(iterator, path: str, encode=None) -> ZarrCommit:
     """Task-side chunk build shared by the batch and STREAMING Arrow
-    writers: decode Arrow batches of (row, col0, values) rows into padded,
-    blosc-compressed whole-chunk objects under attempt-unique temp names
-    (see ``ZarrChunkWriter`` for the contract and retry-safety argument)."""
+    writers of BOTH format generations: decode Arrow batches of
+    (row, col0, values) rows into padded whole-chunk objects under
+    attempt-unique FLAT temp names (commit maps them to the format's
+    final key layout — see ``ZarrChunkWriter`` for the contract and
+    retry-safety argument).  ``encode`` turns a padded float64 block's
+    bytes into the chunk object's bytes; default is the v2 blosc-lz4
+    compressor."""
     import uuid
 
     import numpy as np
 
     from .zarrv2 import _compress, _DEFAULT_COMPRESSOR, ROWS_PER_CHUNK
+
+    if encode is None:
+        encode = lambda raw: _compress(raw, _DEFAULT_COMPRESSOR, typesize=8)  # noqa: E731
 
     attempt = uuid.uuid4().hex[:12]
     by_chunk: dict = {}
@@ -587,9 +601,16 @@ def _build_chunk_files(iterator, path: str) -> ZarrCommit:
             min_row = r if min_row is None else min(min_row, r)
         tmp_name = f"{cid}.0{_TMP_MARK}{attempt}"
         with open(os.path.join(path, tmp_name), "wb") as fh:
-            fh.write(_compress(block.tobytes(), _DEFAULT_COMPRESSOR, typesize=8))
+            fh.write(encode(block.tobytes()))
         chunks.append((cid, tmp_name, len(members)))
     return ZarrCommit(chunks, n_rows, max_row, dim, min_row)
+
+
+def _v3_encode_chunk(raw: bytes) -> bytes:
+    """v3 default codec chain (bytes→blosc→crc32c) over a float64 block."""
+    from .zarrv3 import _DEFAULT_CODECS, _encode_chain
+
+    return _encode_chain(raw, _DEFAULT_CODECS, typesize=8)
 
 
 class ZarrChunkWriter(DataSourceArrowWriter):
@@ -621,14 +642,19 @@ class ZarrChunkWriter(DataSourceArrowWriter):
     later successful write would trip over.
     """
 
-    def __init__(self, path: str, overwrite: bool):
+    def __init__(self, path: str, overwrite: bool, version: int = 2):
+        if version not in (2, 3):
+            raise ValueError(f"sce_zarr: zarr_format must be 2 or 3, got {version}")
         self.path = path
         self.overwrite = overwrite
+        self.version = version
         os.makedirs(path, exist_ok=True)
-        if os.path.exists(os.path.join(path, "zarr.json")):
+        other = "zarr.json" if version == 2 else ".zarray"
+        if os.path.exists(os.path.join(path, other)):
             raise ValueError(
-                f"sce_zarr: {path!r} is a Zarr V3 store — the connector "
-                "writes v2; use zarrv3.write_zarr_v3_group for v3 output"
+                f"sce_zarr: {path!r} already holds a Zarr V{5 - version} store — "
+                f"refusing to write V{version} objects into it; use a fresh "
+                "path (or mode('overwrite') on a same-format store)"
             )
         if not overwrite and any(
             not f.startswith(".") and _TMP_MARK not in f for f in os.listdir(path)
@@ -638,7 +664,16 @@ class ZarrChunkWriter(DataSourceArrowWriter):
             )
 
     def write(self, iterator):
-        return _build_chunk_files(iterator, self.path)
+        return _build_chunk_files(
+            iterator, self.path, encode=_v3_encode_chunk if self.version == 3 else None
+        )
+
+    def _final_chunk_path(self, cid: int) -> str:
+        if self.version == 2:
+            return os.path.join(self.path, f"{cid}.0")
+        p = os.path.join(self.path, "c", str(cid), "0")  # default key encoding
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        return p
 
     def _sweep_tmp(self) -> None:
         for f in os.listdir(self.path):
@@ -695,22 +730,40 @@ class ZarrChunkWriter(DataSourceArrowWriter):
         dim = dims[0]
         # -- publish: clear old data, rename winners, sweep losers ---------
         if self.overwrite:
+            import shutil
+
             for f in os.listdir(self.path):
-                if _TMP_MARK not in f:
-                    os.remove(os.path.join(self.path, f))
+                if _TMP_MARK in f:
+                    continue
+                full = os.path.join(self.path, f)
+                if os.path.isdir(full):  # v3 nested chunk-key tree
+                    shutil.rmtree(full)
+                else:
+                    os.remove(full)
         for cid, tmp in seen.items():
-            os.replace(
-                os.path.join(self.path, tmp), os.path.join(self.path, f"{cid}.0")
-            )
+            os.replace(os.path.join(self.path, tmp), self._final_chunk_path(cid))
         self._sweep_tmp()
-        _write_zarray_meta(
-            self.path,
-            shape=[int(n), int(dim)],
-            chunks=[ROWS_PER_CHUNK, int(dim)],
-            dtype="<f8",
-            compressor=_DEFAULT_COMPRESSOR,
-            fill_value=0.0,
-        )
+        if self.version == 2:
+            _write_zarray_meta(
+                self.path,
+                shape=[int(n), int(dim)],
+                chunks=[ROWS_PER_CHUNK, int(dim)],
+                dtype="<f8",
+                compressor=_DEFAULT_COMPRESSOR,
+                fill_value=0.0,
+            )
+        else:
+            from .zarrv3 import _DEFAULT_CODECS, _DEFAULT_KEYENC, _write_v3_meta
+
+            _write_v3_meta(
+                self.path,
+                [int(n), int(dim)],
+                [ROWS_PER_CHUNK, int(dim)],
+                "float64",
+                _DEFAULT_CODECS,
+                0.0,
+                _DEFAULT_KEYENC,
+            )
 
     def abort(self, messages):
         self._sweep_tmp()
@@ -766,23 +819,42 @@ class ZarrStreamChunkWriter(DataSourceStreamArrowWriter):
     ``abort`` sweeps temps only.
     """
 
-    def __init__(self, path: str, overwrite: bool, query_id: str | None = None):
+    def __init__(
+        self,
+        path: str,
+        overwrite: bool,
+        query_id: str | None = None,
+        version: int = 2,
+    ):
         if overwrite:
             raise ValueError(
                 "sce_zarr streaming sink is append-only (grow-only array); "
                 "outputMode('append') only"
             )
+        if version not in (2, 3):
+            raise ValueError(f"sce_zarr: zarr_format must be 2 or 3, got {version}")
         self.path = path
         self.query_id = query_id
+        self.version = version
         os.makedirs(path, exist_ok=True)
-        if os.path.exists(os.path.join(path, "zarr.json")):
+        other = "zarr.json" if version == 2 else ".zarray"
+        if os.path.exists(os.path.join(path, other)):
             raise ValueError(
-                f"sce_zarr: {path!r} is a Zarr V3 store — the streaming sink "
-                "appends v2; use zarrv3.write_zarr_v3_group for v3 output"
+                f"sce_zarr: {path!r} already holds a Zarr V{5 - version} store — "
+                f"the streaming sink appends V{version}; use a fresh path"
             )
 
     def write(self, iterator):
-        return _build_chunk_files(iterator, self.path)
+        return _build_chunk_files(
+            iterator, self.path, encode=_v3_encode_chunk if self.version == 3 else None
+        )
+
+    def _final_chunk_path(self, cid: int) -> str:
+        if self.version == 2:
+            return os.path.join(self.path, f"{cid}.0")
+        p = os.path.join(self.path, "c", str(cid), "0")  # default key encoding
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        return p
 
     # -- driver-side state ---------------------------------------------------
 
@@ -844,7 +916,12 @@ class ZarrStreamChunkWriter(DataSourceStreamArrowWriter):
             and intent.get("query") == self.query_id
         )
         try:
-            meta = read_zarray_meta(self.path)
+            if self.version == 2:
+                meta = read_zarray_meta(self.path)
+            else:
+                from .zarrv3 import read_zarr_v3_meta
+
+                meta = read_zarr_v3_meta(self.path)
             n_old, dim_old = int(meta["shape"][0]), int(meta["shape"][1])
         except FileNotFoundError:
             n_old, dim_old = 0, None
@@ -932,18 +1009,29 @@ class ZarrStreamChunkWriter(DataSourceStreamArrowWriter):
             },
         )
         for cid, tmp in seen.items():
-            os.replace(
-                os.path.join(self.path, tmp), os.path.join(self.path, f"{cid}.0")
-            )
+            os.replace(os.path.join(self.path, tmp), self._final_chunk_path(cid))
         self._sweep_tmp()
-        _write_zarray_meta(
-            self.path,
-            shape=[int(max_row + 1), int(dims[0])],
-            chunks=[ROWS_PER_CHUNK, int(dims[0])],
-            dtype="<f8",
-            compressor=_DEFAULT_COMPRESSOR,
-            fill_value=0.0,
-        )
+        if self.version == 2:
+            _write_zarray_meta(
+                self.path,
+                shape=[int(max_row + 1), int(dims[0])],
+                chunks=[ROWS_PER_CHUNK, int(dims[0])],
+                dtype="<f8",
+                compressor=_DEFAULT_COMPRESSOR,
+                fill_value=0.0,
+            )
+        else:
+            from .zarrv3 import _DEFAULT_CODECS, _DEFAULT_KEYENC, _write_v3_meta
+
+            _write_v3_meta(
+                self.path,
+                [int(max_row + 1), int(dims[0])],
+                [ROWS_PER_CHUNK, int(dims[0])],
+                "float64",
+                _DEFAULT_CODECS,
+                0.0,
+                _DEFAULT_KEYENC,
+            )
         self._write_state(batchId, intent=None)
 
     def _write_state(self, last_batch: int, intent: dict | None) -> None:
@@ -1007,6 +1095,119 @@ def zarr_pyds_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     slices.write.format("sce_zarr").option("path", path).mode("overwrite").save()
     x = read_zarr_pyds(spark, path)
     ids = x.select("row", F.col("row").alias("vec_id")).distinct()
+    return zarr_matrix_coo(x, ids)
+
+
+@query(
+    "zarr_pyds_v3_write_roundtrip",
+    oracle=_PYDS_ORACLE,
+    tags=("sources", "zarr", "datasource", "v3", "sinks"),
+    cache=False,
+)
+def zarr_pyds_v3_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The connector's WRITE half on the v3 generation (r12):
+    ``df.write.format("sce_zarr").option("zarr_format", "3")`` — the same
+    chunk-group contract and two-phase commit as the v2 writer, with
+    chunks encoded through the v3 default codec chain
+    (bytes→blosc→crc32c), renamed into the nested default chunk-key tree
+    (``c/i/0``), and ``zarr.json`` written LAST.  Reading the store back
+    through the connector (which sniffs v3) and hashing against the
+    parquet oracle proves the encode chain, key layout, and metadata
+    agree with the independent v3 reader.
+    """
+    from pyspark.sql import functions as F
+
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..catalog import load_table
+    from .zarrv2 import ROWS_PER_CHUNK, zarr_matrix_coo
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"sce_zarr_pyds3w_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    shutil.rmtree(path, ignore_errors=True)  # mode('overwrite') is same-format
+    spark.dataSource.register(ZarrDataSource)
+    slices = e.select(
+        F.col("vec_id").alias("row"),
+        F.lit(0).cast("bigint").alias("col0"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("values"),
+    ).repartition(F.expr(f"row div {ROWS_PER_CHUNK}"))
+    (
+        slices.write.format("sce_zarr")
+        .option("path", path)
+        .option("zarr_format", "3")
+        .mode("overwrite")
+        .save()
+    )
+    x = read_zarr_pyds(spark, path)
+    ids = x.select("row", F.col("row").alias("vec_id")).distinct()
+    return zarr_matrix_coo(x, ids)
+
+
+@query(
+    "zarr_pyds_v3_stream_write_roundtrip",
+    oracle=_PYDS_ORACLE,
+    tags=("sources", "zarr", "datasource", "v3", "streaming", "sinks"),
+    cache=False,
+)
+def zarr_pyds_v3_stream_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming zarr→zarr copy ACROSS generations (r12): a v2 store is
+    consumed through the stream source and appended through the stream
+    SINK in v3 mode (same grow-only chunk-granular protocol, query
+    identity + publish intent, v3 codec chain + nested keys +
+    ``zarr.json`` shape extension), then the v3 DESTINATION is batch-read
+    through the connector and COO-hashed against the parquet oracle —
+    one hash proving the v2 offsets, the v3 commit protocol, and both
+    generations' decode/encode paths compose in one streaming query.
+    """
+    import hashlib
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from .zarrv2 import (
+        _DEFAULT_COMPRESSOR,
+        ROWS_PER_CHUNK,
+        write_zarr_group,
+        zarr_matrix_coo,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    src_store = os.path.join(tempfile.gettempdir(), f"sce_zarr_pyds3sw_src_{tag}")
+    write_zarr_group(e, src_store, compressor=_DEFAULT_COMPRESSOR)
+
+    dst = os.path.join(tempfile.gettempdir(), f"sce_zarr_pyds3sw_dst_{tag}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"sce_zarr_pyds3sw_ckpt_{tag}")
+    for p in (dst, ckpt):  # each invocation is a fresh end-to-end copy
+        shutil.rmtree(p, ignore_errors=True)
+
+    spark.dataSource.register(ZarrDataSource)
+    stream = (
+        spark.readStream.format("sce_zarr")
+        .option("path", os.path.join(src_store, "X"))
+        .load()
+        .repartition(F.expr(f"row div {ROWS_PER_CHUNK}"))
+    )
+    (
+        stream.writeStream.format("sce_zarr")
+        .option("path", dst)
+        .option("zarr_format", "3")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    x = read_zarr_pyds(spark, dst)
+    ids = read_zarr_pyds(spark, os.path.join(src_store, "vec_id")).withColumnRenamed(
+        "value", "vec_id"
+    )
     return zarr_matrix_coo(x, ids)
 
 

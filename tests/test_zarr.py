@@ -931,6 +931,54 @@ def test_pyds_stream_reads_sharded_v3_store(spark, tmp_path):
     assert rows[0] == [0.0, 7.0]
 
 
+def test_pyds_stream_writer_v3_mode_grow_only(tmp_path):
+    """The streaming sink in zarr_format=3 mode: chunk-aligned appends grow
+    zarr.json, objects land in the nested default key tree through the v3
+    codec chain, replay is a no-op, and the grow-only validation holds."""
+    import json as _json
+
+    from single_cell_experiments_spark.sources.pyds import ZarrStreamChunkWriter
+    from single_cell_experiments_spark.sources.zarrv2 import ROWS_PER_CHUNK
+    from single_cell_experiments_spark.sources.zarrv3 import (
+        _decode_chain,
+        read_zarr_v3_meta,
+    )
+
+    path = str(tmp_path / "arr3")
+    w = ZarrStreamChunkWriter(path, overwrite=False, query_id="ckpt-A", version=3)
+
+    m0 = w.write(iter([_rb([(r, [r, r + 0.25]) for r in range(ROWS_PER_CHUNK)])]))
+    w.commit([m0], batchId=0)
+    meta = read_zarr_v3_meta(path)
+    assert meta["shape"] == [ROWS_PER_CHUNK, 2]
+    assert os.path.exists(os.path.join(path, "c", "0", "0"))
+
+    tail = [(ROWS_PER_CHUNK + i, [50.0 + i, 1.5]) for i in range(3)]
+    m1 = w.write(iter([_rb(tail)]))
+    w.commit([m1], batchId=1)
+    assert read_zarr_v3_meta(path)["shape"] == [ROWS_PER_CHUNK + 3, 2]
+
+    # replay: no-op, no temps left
+    m1r = w.write(iter([_rb(tail)]))
+    w.commit([m1r], batchId=1)
+    assert not [f for f in os.listdir(path) if ".__tmp__" in f]
+
+    # grow-only still enforced in v3 mode
+    bad = w.write(iter([_rb([(0, [9.0, 9.0])])]))
+    with pytest.raises(ValueError, match="grow-only"):
+        w.commit([bad], batchId=2)
+
+    # decode chunk 1 through the v3 chain: row RPC+2 holds [52.0, 1.5]
+    meta = read_zarr_v3_meta(path)
+    with open(os.path.join(path, "c", "1", "0"), "rb") as fh:
+        blob = fh.read()
+    block = np.frombuffer(
+        _decode_chain(blob, meta["codecs"]), dtype=meta["dtype"]
+    ).reshape(meta["chunks"])
+    assert list(block[2]) == [52.0, 1.5]
+    assert list(block[3]) == [0.0, 0.0]  # frozen tail padding
+
+
 def test_pyds_writers_reject_v3_destination(spark, tmp_path):
     """The connector's writers produce v2 stores; pointing them at a v3
     store must fail loudly, not interleave .zarray into zarr.json-land."""
