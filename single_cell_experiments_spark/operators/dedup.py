@@ -152,7 +152,10 @@ LSH_BUCKET_CAP = 2000
 
 
 def _lsh_core_sql(
-    shingles_cte: str, cap: int | None = None, band_sigs: list[str] | None = None
+    shingles_cte: str,
+    cap: int | None = None,
+    band_sigs: list[str] | None = None,
+    star: bool = False,
 ) -> str:
     """Dialect-shared LSH candidate pipeline (shingles → signatures →
     banded buckets → size-capped candidate pairs → intersection counts +
@@ -162,12 +165,36 @@ def _lsh_core_sql(
     the dropped-bucket count it implies is observable via the registered
     ``dedup_lsh_bucket_audit`` query and measured (including true-pair
     recall loss at 20×) in SCALE.md §13.  ``band_sigs`` swaps the banding
-    (see ``_band_sig_exprs`` — the recall/cost dial)."""
+    (see ``_band_sig_exprs`` — the recall/cost dial).  ``star`` adds the
+    over-cap STAR-SALVAGE tier (see ``_lsh_star_sql``) to the candidate
+    set and carries its ``via_star`` flag through ``inter`` — one source
+    of truth for the shared pipeline, so a fix to the capped core cannot
+    silently miss the star variant."""
     cap = LSH_BUCKET_CAP if cap is None else int(cap)
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, {sig} AS sig FROM sigs"
         for b, sig in enumerate(band_sigs if band_sigs is not None else _BAND_SIGS)
     )
+    star_ctes = (
+        f""",
+bover AS (SELECT band, sig, MIN(doc_id) AS ex FROM bands GROUP BY band, sig
+          HAVING COUNT(*) > {cap}),
+star AS (
+  SELECT DISTINCT o.ex AS doc1, b.doc_id AS doc2
+  FROM bands b JOIN bover o ON o.band = b.band AND o.sig = b.sig
+  WHERE b.doc_id <> o.ex
+),
+cand_all AS (
+  SELECT doc1, doc2, MIN(via_star) AS via_star
+  FROM (SELECT doc1, doc2, 0 AS via_star FROM cand
+        UNION ALL SELECT doc1, doc2, 1 AS via_star FROM star) u
+  GROUP BY doc1, doc2
+)"""
+        if star
+        else ""
+    )
+    inter_src = "cand_all" if star else "cand"
+    via_sel = ", MIN(c.via_star) AS via_star" if star else ""
     return f"""
 WITH shingles_raw AS ({shingles_cte}),
 shingles AS (SELECT DISTINCT doc_id, h FROM shingles_raw),
@@ -183,11 +210,11 @@ cand AS (
   SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
   FROM bandsok b1 JOIN bandsok b2
     ON b1.band = b2.band AND b1.sig = b2.sig AND b1.doc_id < b2.doc_id
-),
+){star_ctes},
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
 inter AS (
-  SELECT c.doc1, c.doc2, COUNT(*) AS i
-  FROM cand c
+  SELECT c.doc1, c.doc2{via_sel}, COUNT(*) AS i
+  FROM {inter_src} c
   JOIN shingles s1 ON s1.doc_id = c.doc1
   JOIN shingles s2 ON s2.doc_id = c.doc2 AND s2.h = s1.h
   GROUP BY c.doc1, c.doc2
@@ -212,7 +239,7 @@ def _lsh_star_sql(
     shingles_cte: str, cap: int | None = None, band_sigs: list[str] | None = None
 ) -> str:
     """MinHash-LSH candidate generation with STAR SALVAGE of over-cap
-    buckets (r12, from the measured 20× recall loss — SCALE.md §12): a
+    buckets (r12, from the measured 20× recall loss — SCALE.md §13): a
     bucket larger than ``cap`` is a template cluster, not noise, and
     simply dropping it loses every true pair inside (measured 94% of
     true colliding pairs at the 20× degenerate-copy stress point).  But
@@ -229,50 +256,10 @@ def _lsh_star_sql(
     Scale: Σ(bucket) replaces Σ(bucket²) for over-cap buckets — at the
     20× stress point that is ~141k star edges instead of 758M enumerated
     pairs, and the candidate bound stays cap-bounded for every normal
-    bucket.
+    bucket.  The candidate pipeline itself is ``_lsh_core_sql(star=True)``
+    — one shared source of truth; only the scoring tail lives here.
     """
-    cap = LSH_BUCKET_CAP if cap is None else int(cap)
-    band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, {sig} AS sig FROM sigs"
-        for b, sig in enumerate(band_sigs if band_sigs is not None else _BAND_SIGS)
-    )
-    return f"""
-WITH shingles_raw AS ({shingles_cte}),
-shingles AS (SELECT DISTINCT doc_id, h FROM shingles_raw),
-sigs AS (SELECT doc_id, {_MH_AGGS} FROM shingles GROUP BY doc_id),
-bands AS ({band_rows}),
-bcap AS (SELECT band, sig FROM bands GROUP BY band, sig
-         HAVING COUNT(*) <= {cap}),
-bandsok AS (
-  SELECT b.doc_id, b.band, b.sig
-  FROM bands b JOIN bcap c ON c.band = b.band AND c.sig = b.sig
-),
-cand AS (
-  SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
-  FROM bandsok b1 JOIN bandsok b2
-    ON b1.band = b2.band AND b1.sig = b2.sig AND b1.doc_id < b2.doc_id
-),
-bover AS (SELECT band, sig, MIN(doc_id) AS ex FROM bands GROUP BY band, sig
-          HAVING COUNT(*) > {cap}),
-star AS (
-  SELECT DISTINCT o.ex AS doc1, b.doc_id AS doc2
-  FROM bands b JOIN bover o ON o.band = b.band AND o.sig = b.sig
-  WHERE b.doc_id <> o.ex
-),
-cand_all AS (
-  SELECT doc1, doc2, MIN(via_star) AS via_star
-  FROM (SELECT doc1, doc2, 0 AS via_star FROM cand
-        UNION ALL SELECT doc1, doc2, 1 AS via_star FROM star) u
-  GROUP BY doc1, doc2
-),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
-inter AS (
-  SELECT c.doc1, c.doc2, MIN(c.via_star) AS via_star, COUNT(*) AS i
-  FROM cand_all c
-  JOIN shingles s1 ON s1.doc_id = c.doc1
-  JOIN shingles s2 ON s2.doc_id = c.doc2 AND s2.h = s1.h
-  GROUP BY c.doc1, c.doc2
-)
+    return f"""{_lsh_core_sql(shingles_cte, cap=cap, band_sigs=band_sigs, star=True)}
 SELECT i.doc1, i.doc2,
        round(CAST(i.i AS DOUBLE) / (z1.n + z2.n - i.i), 6) AS jaccard,
        CAST(i.via_star AS BIGINT) AS via_star
@@ -303,7 +290,12 @@ def dedup_minhash_lsh_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_lsh_star_sql(_SPARK_SHINGLES))
 
 
-def _lsh_bucket_audit_sql(shingles_cte: str, intdiv: str, cap: int | None = None) -> str:
+def _lsh_bucket_audit_sql(
+    shingles_cte: str,
+    intdiv: str,
+    cap: int | None = None,
+    band_sigs: list[str] | None = None,
+) -> str:
     """Per-band LSH bucket census under the size cap — the observability
     surface for the capped candidate generator (r11 advice): how many
     buckets exist, how many the cap DROPS (with their member count), the
@@ -314,7 +306,8 @@ def _lsh_bucket_audit_sql(shingles_cte: str, intdiv: str, cap: int | None = None
     numbers instead of discovering silent recall loss later."""
     cap = LSH_BUCKET_CAP if cap is None else int(cap)
     band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, {sig} AS sig FROM sigs" for b, sig in enumerate(_BAND_SIGS)
+        f"SELECT doc_id, {b} AS band, {sig} AS sig FROM sigs"
+        for b, sig in enumerate(band_sigs if band_sigs is not None else _BAND_SIGS)
     )
     return f"""
 WITH shingles_raw AS ({shingles_cte}),

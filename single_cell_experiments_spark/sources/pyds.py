@@ -93,7 +93,11 @@ class ZarrChunkReader(DataSourceReader):
             paths = []
             for dirpath, _, names in os.walk(path):  # default keys nest c/i/j
                 for nm in names:
-                    if nm != "zarr.json" and not nm.startswith("."):
+                    if (
+                        nm != "zarr.json"
+                        and not nm.startswith(".")
+                        and _TMP_MARK not in nm
+                    ):
                         paths.append(os.path.join(dirpath, nm))
             self.chunk_paths = sorted(paths)
 
@@ -120,14 +124,17 @@ class ZarrChunkReader(DataSourceReader):
 
 
 class ZarrStreamPartition(InputPartition):
-    """One chunk object plus the array length AS OF PLANNING: executor
-    decode trims the tail chunk against ``plan_rows``, never against a
-    ``.zarray`` re-read, so replaying [start, end) after a restart yields
-    bit-identical rows even if the store grew in between."""
+    """One chunk object plus the batch's ROW RANGE as of planning:
+    executor decode trims the tail against ``plan_rows`` and drops rows
+    below ``skip_rows`` (already delivered by an earlier batch when a
+    tail chunk grew in place), never consulting a live metadata read —
+    so replaying [start, end) after a restart yields bit-identical rows
+    even if the store grew in between."""
 
-    def __init__(self, chunk_path: str, plan_rows: int):
+    def __init__(self, chunk_path: str, plan_rows: int, skip_rows: int = 0):
         self.chunk_path = chunk_path
         self.plan_rows = plan_rows
+        self.skip_rows = skip_rows
 
 
 class ZarrChunkStreamReader(DataSourceStreamReader):
@@ -140,15 +147,18 @@ class ZarrChunkStreamReader(DataSourceStreamReader):
     path as the batch reader.
 
     Why manifest position is a sound offset: a grow-only array appends
-    chunks with strictly increasing leading chunk coordinates (rows
-    append at the end), so index ``i`` ALWAYS names the same chunk object
-    — ``(i div ncol).(i mod ncol)`` in row-major grid order — and the
-    prefix below a consumed index is immutable.  The offset additionally
-    carries the shape row count at poll time, and every planned partition
-    embeds it, so tail-chunk trimming is pinned at PLAN time: a replay
-    after the store grew re-decodes exactly the rows the original batch
-    held (r11 advice: decoding against live/stale instance metadata
-    either lost appended rows or replayed grown tails).
+    rows at the end, so index ``i`` ALWAYS names the same chunk object —
+    ``(i div ncol).(i mod ncol)`` in row-major grid order — and the rows
+    below a consumed row count are immutable.  The offset carries the
+    shape row count at poll time, and every planned partition embeds the
+    batch's [skip_rows, plan_rows) row range, so each batch delivers
+    exactly the rows between its offsets: tail-chunk trimming is pinned
+    at PLAN time (a replay after the store grew re-decodes exactly the
+    rows the original batch held — r11 advice: decoding against
+    live/stale instance metadata either lost appended rows or replayed
+    grown tails), and a tail chunk REWRITTEN IN PLACE by an appending
+    writer (zarr-python resize+append) is re-planned for just its new
+    rows instead of being silently marked consumed (r12 review).
 
     ``.zarray`` is re-read inside every ``latestOffset`` poll — a
     concurrent writer's shape bump is picked up there, and the offset is
@@ -231,20 +241,42 @@ class ZarrChunkStreamReader(DataSourceStreamReader):
         }
 
     def partitions(self, start: dict, end: dict):
-        rows = end.get("rows")
-        if rows is None:  # pre-r12 checkpoint offset: fall back to live shape
-            rows = int(self._read_meta()["shape"][0])
+        """Plan the batch from the ROW range [start.rows, end.rows) — not
+        the chunk-index range alone: a writer that grows the TAIL chunk in
+        place (zarr-python's resize+append rewrites the last chunk object
+        and bumps the shape) advances ``rows`` without advancing ``idx``,
+        and the partially-delivered tail chunk must be re-planned with a
+        ``skip_rows`` trim instead of being silently marked consumed."""
+        end_rows = end.get("rows")
+        if end_rows is None:  # pre-r12 checkpoint offset: fall back to live shape
+            end_rows = int(self._read_meta()["shape"][0])
+        end_rows = int(end_rows)
+        start_rows = start.get("rows")
+        if start_rows is None:  # pre-r12 start offset: whole chunks consumed
+            start_rows = (start.get("idx", 0) // self.ncol) * self.chunk_rows
+        start_rows = min(int(start_rows), end_rows)
+        first_group = start_rows // self.chunk_rows
+        end_group = -(-end_rows // self.chunk_rows)  # ceil
+        if end.get("idx") is not None and end["idx"] > end_group * self.ncol:
+            raise RuntimeError(
+                f"sce_zarr stream: committed offset covers {end['idx']} chunk "
+                f"objects but the array shape covers only "
+                f"{end_group * self.ncol} — the store shrank below a "
+                "committed offset; a grow-only array never deletes chunks"
+            )
         parts = []
-        for i in range(start["idx"], end["idx"]):
-            p = self._chunk_file(i)
-            if not os.path.exists(p):
-                raise RuntimeError(
-                    f"sce_zarr stream: chunk object {os.path.basename(p)} "
-                    f"(manifest index {i} < offset {end['idx']}) is missing — "
-                    "the store shrank below a committed offset; a grow-only "
-                    "array never deletes chunks"
-                )
-            parts.append(ZarrStreamPartition(p, int(rows)))
+        for g in range(first_group, end_group):
+            for c in range(self.ncol):
+                i = g * self.ncol + c
+                p = self._chunk_file(i)
+                if not os.path.exists(p):
+                    raise RuntimeError(
+                        f"sce_zarr stream: chunk object {os.path.basename(p)} "
+                        f"(manifest index {i} < offset) is missing — the "
+                        "store shrank below a committed offset; a grow-only "
+                        "array never deletes chunks"
+                    )
+                parts.append(ZarrStreamPartition(p, end_rows, start_rows))
         return parts
 
     def read(self, partition: ZarrStreamPartition):
@@ -267,7 +299,10 @@ class ZarrChunkStreamReader(DataSourceStreamReader):
             decode = _decode_blocks_v3(self.array_path, meta)
         pdf_in = pd.DataFrame({"path": [partition.chunk_path], "content": [content]})
         for out in decode(iter([pdf_in])):
-            yield pa.RecordBatch.from_pandas(out, preserve_index=False)
+            if partition.skip_rows:  # tail rows an earlier batch delivered
+                out = out[out["row"] >= partition.skip_rows]
+            if len(out):
+                yield pa.RecordBatch.from_pandas(out, preserve_index=False)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the checkpoint; nothing source-side to release
@@ -613,6 +648,30 @@ def _v3_encode_chunk(raw: bytes) -> bytes:
     return _encode_chain(raw, _DEFAULT_CODECS, typesize=8)
 
 
+def _check_writer_version(path: str, version: int) -> None:
+    """Shared writer-constructor guard: version must be 2 or 3, and the
+    destination must not already hold the OTHER generation's store."""
+    if version not in (2, 3):
+        raise ValueError(f"sce_zarr: zarr_format must be 2 or 3, got {version}")
+    other = "zarr.json" if version == 2 else ".zarray"
+    if os.path.exists(os.path.join(path, other)):
+        raise ValueError(
+            f"sce_zarr: {path!r} already holds a Zarr V{5 - version} store — "
+            f"refusing to write V{version} objects into it; use a fresh path"
+        )
+
+
+def _final_chunk_dest(path: str, cid: int, version: int) -> str:
+    """Final chunk-object path for row-chunk ``cid`` in the format's key
+    layout: flat ``{cid}.0`` (v2) or the nested default tree ``c/{cid}/0``
+    (v3, directories created)."""
+    if version == 2:
+        return os.path.join(path, f"{cid}.0")
+    p = os.path.join(path, "c", str(cid), "0")
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    return p
+
+
 class ZarrChunkWriter(DataSourceArrowWriter):
     """Arrow-batched chunk writer for row-chunked 2-D float64 arrays.
 
@@ -643,19 +702,11 @@ class ZarrChunkWriter(DataSourceArrowWriter):
     """
 
     def __init__(self, path: str, overwrite: bool, version: int = 2):
-        if version not in (2, 3):
-            raise ValueError(f"sce_zarr: zarr_format must be 2 or 3, got {version}")
         self.path = path
         self.overwrite = overwrite
         self.version = version
         os.makedirs(path, exist_ok=True)
-        other = "zarr.json" if version == 2 else ".zarray"
-        if os.path.exists(os.path.join(path, other)):
-            raise ValueError(
-                f"sce_zarr: {path!r} already holds a Zarr V{5 - version} store — "
-                f"refusing to write V{version} objects into it; use a fresh "
-                "path (or mode('overwrite') on a same-format store)"
-            )
+        _check_writer_version(path, version)
         if not overwrite and any(
             not f.startswith(".") and _TMP_MARK not in f for f in os.listdir(path)
         ):
@@ -669,11 +720,7 @@ class ZarrChunkWriter(DataSourceArrowWriter):
         )
 
     def _final_chunk_path(self, cid: int) -> str:
-        if self.version == 2:
-            return os.path.join(self.path, f"{cid}.0")
-        p = os.path.join(self.path, "c", str(cid), "0")  # default key encoding
-        os.makedirs(os.path.dirname(p), exist_ok=True)
-        return p
+        return _final_chunk_dest(self.path, cid, self.version)
 
     def _sweep_tmp(self) -> None:
         for f in os.listdir(self.path):
@@ -831,18 +878,11 @@ class ZarrStreamChunkWriter(DataSourceStreamArrowWriter):
                 "sce_zarr streaming sink is append-only (grow-only array); "
                 "outputMode('append') only"
             )
-        if version not in (2, 3):
-            raise ValueError(f"sce_zarr: zarr_format must be 2 or 3, got {version}")
         self.path = path
         self.query_id = query_id
         self.version = version
         os.makedirs(path, exist_ok=True)
-        other = "zarr.json" if version == 2 else ".zarray"
-        if os.path.exists(os.path.join(path, other)):
-            raise ValueError(
-                f"sce_zarr: {path!r} already holds a Zarr V{5 - version} store — "
-                f"the streaming sink appends V{version}; use a fresh path"
-            )
+        _check_writer_version(path, version)
 
     def write(self, iterator):
         return _build_chunk_files(
@@ -850,11 +890,7 @@ class ZarrStreamChunkWriter(DataSourceStreamArrowWriter):
         )
 
     def _final_chunk_path(self, cid: int) -> str:
-        if self.version == 2:
-            return os.path.join(self.path, f"{cid}.0")
-        p = os.path.join(self.path, "c", str(cid), "0")  # default key encoding
-        os.makedirs(os.path.dirname(p), exist_ok=True)
-        return p
+        return _final_chunk_dest(self.path, cid, self.version)
 
     # -- driver-side state ---------------------------------------------------
 
@@ -891,7 +927,10 @@ class ZarrStreamChunkWriter(DataSourceStreamArrowWriter):
 
         state = self._state()
         if batchId <= state["last_batch"]:
-            if state["query"] != self.query_id:
+            # A sidecar with no recorded owner (pre-r12 store) is adoptable:
+            # the only information we have is the batch watermark, and the
+            # pre-r12 semantics for batchId <= last_batch was replay-no-op.
+            if state["query"] is not None and state["query"] != self.query_id:
                 raise ValueError(
                     f"sce_zarr stream: batch {batchId} was already committed to "
                     f"{self.path!r} by a different streaming query "

@@ -735,6 +735,53 @@ def test_pyds_stream_colchunk_grid_indexing(tmp_path):
     assert r.latestOffset() == {"idx": 6, "rows": 6}
 
 
+def test_pyds_stream_delivers_in_place_tail_growth(tmp_path):
+    """zarr-python's append pattern rewrites the TAIL chunk in place and
+    bumps the shape — rows advance while the chunk count does not.  The
+    batch between those offsets must re-plan the tail chunk and deliver
+    exactly its new rows (the r12 review's silent-loss case: an idx-range
+    plan returned [] while the offset committed past the new rows)."""
+    import json as _json
+
+    from single_cell_experiments_spark.sources.pyds import ZarrChunkStreamReader
+
+    xdir = tmp_path / "X"
+    _mk_stream_store(xdir, n_rows=3, chunk_rows=2)  # chunk 1 = tail, 1 valid row
+    r = ZarrChunkStreamReader({"path": str(xdir)})
+    o1 = r.latestOffset()
+    assert o1 == {"idx": 2, "rows": 3}
+
+    # in-place append: rewrite chunk 1 with its full 2 rows + bump shape
+    _mk_stream_store(xdir, n_rows=4, chunk_rows=2)
+
+    o2 = r.latestOffset()
+    assert o2 == {"idx": 2, "rows": 4}, "rows must advance on tail growth"
+    parts = r.partitions(o1, o2)
+    assert [os.path.basename(p.chunk_path) for p in parts] == ["1.0"]
+    rows = []
+    for p in parts:
+        for rb in r.read(p):
+            rows.extend(rb.to_pydict()["row"])
+    assert rows == [3], f"batch must deliver exactly the new tail row, got {rows}"
+
+    # replay of the PREVIOUS batch still excludes the grown row
+    rows1 = []
+    for p in r.partitions({"idx": 0, "rows": 0}, o1):
+        for rb in r.read(p):
+            rows1.extend(rb.to_pydict()["row"])
+    assert rows1 == [0, 1, 2]
+
+    # and a further ordinary append (new chunk) composes with the tail fix
+    _mk_stream_store(xdir, n_rows=6, chunk_rows=2)
+    o3 = r.latestOffset()
+    assert o3 == {"idx": 3, "rows": 6}
+    rows2 = []
+    for p in r.partitions(o2, o3):
+        for rb in r.read(p):
+            rows2.extend(rb.to_pydict()["row"])
+    assert rows2 == [4, 5]
+
+
 def test_pyds_stream_poll_is_offset_bounded(tmp_path, monkeypatch):
     """r11 verdict #1: a latestOffset poll after N chunks are verified must
     touch only indices >= N — no directory relisting, no re-probe of the
