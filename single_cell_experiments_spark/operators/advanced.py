@@ -2109,3 +2109,92 @@ def scd2_point_in_time_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = table_view(spark, sf_dir, "events")
     return spark.sql(_pit_sql("ts_s", e))
+
+
+# --- interval coalescing (gaps-and-islands with variable-length spans) --------
+
+IC_BASE_S = 60   # minimum activity-interval length (seconds)
+IC_MOD = 541     # event_id-keyed length spread (prime, up to ~9 min extra)
+
+_IC_ORACLE = f"""
+WITH iv AS (
+  SELECT user_id, event_id, ({_DD_TS_S}) AS s,
+         ({_DD_TS_S}) + {IC_BASE_S} + event_id % {IC_MOD} AS e
+  FROM events
+),
+flagged AS (
+  SELECT user_id, s, e, event_id,
+         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+                OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS is_new
+  FROM iv
+),
+islands AS (
+  SELECT user_id, s, e,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, event_id
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+)
+SELECT user_id, CAST(island AS BIGINT) AS island_seq,
+       CAST(MIN(s) AS BIGINT) AS start_s,
+       CAST(MAX(e) AS BIGINT) AS end_s,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(e) - MIN(s) AS BIGINT) AS span_s
+FROM islands GROUP BY user_id, island
+"""
+
+
+@query(
+    "events_interval_coalesce",
+    oracle=_IC_ORACLE,
+    tags=("relational", "events", "intervals"),
+)
+def events_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge each user's overlapping/adjacent activity intervals into
+    maximal islands — the interval-coalesce primitive (IP-lease merging,
+    reservation consolidation, uptime stitching) that completes the
+    interval family: ``interval_overlap_pairs`` finds crossings between
+    sets, ``scd2_*`` versions rows, this FLATTENS one set.  Every event
+    opens an interval [ts, ts + 60 + event_id % {IC_MOD}) — the
+    variable-length spread is what makes this a genuinely different
+    operator from ``sessionize_events``: with mixed lengths a long
+    interval can swallow several short successors, so island detection
+    MUST compare each start against the RUNNING MAX of all previous ends
+    (a lag(end) gap test — sessionize's shape — would wrongly split
+    whenever a short interval nests inside a long one's shadow).
+
+    Scale shape: one hash exchange on user_id; the running-max flag and
+    the running-sum island id ride the SAME window sort, so Catalyst plans
+    the windows without a second exchange, and the final roll-up groups on
+    (user_id, island) — a prefix of the existing partitioning.  All values
+    are epoch-second BIGINTs (ns timestamps via the catalog's ts_s shim);
+    event_id tiebreak keeps equal-start ordering total in both engines.
+    """
+    e = load_table(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        "event_id",
+        F.col("ts_s").alias("s"),
+        (F.col("ts_s") + IC_BASE_S + F.col("event_id") % IC_MOD).alias("e"),
+    )
+    w = W.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max_end = F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "is_new",
+        F.when(prev_max_end.isNull() | (F.col("s") > prev_max_end), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return islands.groupBy(
+        "user_id", F.col("island").cast("bigint").alias("island_seq")
+    ).agg(
+        F.min("s").cast("bigint").alias("start_s"),
+        F.max("e").cast("bigint").alias("end_s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.max("e") - F.min("s")).cast("bigint").alias("span_s"),
+    )

@@ -544,7 +544,12 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_QUERY = ("spark", "join", "window")
 
-_BM25_TAIL = f"""
+#: The BM25 pipeline as reusable CTEs (engine-portable SQL): ``bm`` is the
+#: top-20 ranked list so ``hybrid_rank_rrf`` can fuse it without repeating
+#: the scoring math.  ORDER BY + LIMIT live INSIDE the CTE (both engines
+#: honor them there); the outer SELECT of ``bm25_rank_docs`` emits the same
+#: multiset as the pre-refactor tail.
+_BM25_CTES = f"""
 , dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
 avgdl AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
 qdf AS (SELECT w, df FROM df WHERE w IN {BM25_QUERY!r}),
@@ -557,14 +562,18 @@ scored AS (
               / (SELECT avgdl FROM avgdl))),
          6) AS s
   FROM tf t JOIN qdf q ON q.w = t.w JOIN dl ON dl.doc_id = t.doc_id
+),
+bm AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS bm25,
+         CAST(COUNT(*) AS BIGINT) AS n_terms
+  FROM scored GROUP BY doc_id
+  ORDER BY bm25 DESC, doc_id ASC
+  LIMIT 20
 )
-SELECT doc_id,
-       CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS bm25,
-       CAST(COUNT(*) AS BIGINT) AS n_terms
-FROM scored GROUP BY doc_id
-ORDER BY bm25 DESC, doc_id ASC
-LIMIT 20
 """
+
+_BM25_TAIL = _BM25_CTES + "SELECT doc_id, bm25, n_terms FROM bm"
 
 
 @query(
@@ -1030,3 +1039,282 @@ def doc_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("documents")
     return spark.sql("WITH " + _tfidf_base(_SP_TOKS) + _surprisal_tail("div"))
+
+
+# --- count-min sketch (mergeable frequency estimation) ------------------------
+
+#: Count-min parameters.  Depth 4 × width 512 → 2048 int64 counters (16 KiB
+#: of state regardless of corpus size); the standard guarantees are
+#: ε = e/width ≈ 0.53 % of the stream length for the overcount, with
+#: failure probability e^−depth ≈ 1.8 %.
+CMS_P = 1_000_000_007
+CMS_W = 512
+CMS_HASHES = ((131, 7), (137, 11), (139, 13), (149, 17))
+CMS_TOPK = 20
+
+#: Word → integer key as a char-polynomial fold — the ONE deterministic
+#: hash both engines can evaluate identically (builtin hash()/xxhash64
+#: differ between Spark and DuckDB, so the key must be arithmetic).
+_CMS_KEY_SP = (
+    "aggregate(sequence(1, length(w)), 0L,"
+    f" (acc, i) -> (acc * 131 + ascii(substring(w, i, 1))) % {CMS_P})"
+)
+_CMS_KEY_DD = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), range(1, length(w) + 1)),"
+    f" (acc, i) -> (acc * 131 + ascii(substr(w, CAST(i AS INT), 1))) % {CMS_P})"
+)
+
+_CMS_ROWS_DD = ",".join(f"({r},{a},{b})" for r, (a, b) in enumerate(CMS_HASHES))
+
+_CMS_ORACLE = f"""
+WITH toks AS ({_DD_TOKS}),
+keyed AS (SELECT {_CMS_KEY_DD} AS k FROM toks),
+cells AS (
+  SELECT h.r, ((h.a * keyed.k + h.b) % {CMS_P}) % {CMS_W} AS b
+  FROM keyed CROSS JOIN (VALUES {_CMS_ROWS_DD}) AS h(r, a, b)
+),
+sketch AS (SELECT r, b, CAST(COUNT(*) AS BIGINT) AS c FROM cells GROUP BY r, b),
+exact AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq_exact, {_CMS_KEY_DD} AS k
+  FROM toks GROUP BY w ORDER BY freq_exact DESC, w LIMIT {CMS_TOPK}
+),
+probe AS (
+  SELECT e.w, e.freq_exact, h.r, ((h.a * e.k + h.b) % {CMS_P}) % {CMS_W} AS b
+  FROM exact e CROSS JOIN (VALUES {_CMS_ROWS_DD}) AS h(r, a, b)
+)
+SELECT p.w AS word, p.freq_exact,
+       CAST(MIN(s.c) AS BIGINT) AS freq_cms,
+       CAST(MIN(s.c) - p.freq_exact AS BIGINT) AS overcount
+FROM probe p JOIN sketch s ON s.r = p.r AND s.b = p.b
+GROUP BY p.w, p.freq_exact
+"""
+
+
+def _cms_cells_expr(key_col: str) -> str:
+    """explode() of the depth-4 (row, bucket) cells for one integer key."""
+    structs = ",".join(
+        f"struct({r}L AS r, (({a}L * {key_col} + {b}L) % {CMS_P}) % {CMS_W} AS b)"
+        for r, (a, b) in enumerate(CMS_HASHES)
+    )
+    return f"explode(array({structs}))"
+
+
+@query("cms_word_freq", oracle=_CMS_ORACLE, tags=("text", "sketch", "cms"))
+def cms_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch word-frequency estimation, audited against truth:
+    build the depth-4 × width-512 sketch over the token stream, then report
+    the top-{CMS_TOPK} words' exact counts next to their CMS point
+    estimates (min over the 4 hashed counters) and the resulting
+    overcount.  Completes the mergeable-sketch family — bitmap (exact
+    distinct), HLL (approx distinct), Misra-Gries (heavy hitters), CMS
+    (point frequency) — each constant-state and partial-agg friendly.
+
+    Scale shape: the sketch build is the 100 TB path — tokens explode to
+    4 (row, bucket) cells and hash-aggregate into AT MOST 2048 groups, so
+    the map-side partial agg absorbs virtually everything and the exchange
+    carries ≤ 2048 rows per task regardless of corpus size; sketches from
+    disjoint corpus shards ADD cell-wise (the mergeability that makes CMS
+    the distributed answer to "how often does X occur" when the vocabulary
+    itself cannot be materialized).  The truth side (exact top-20) exists
+    only to audit the estimate; the 80-cell probe table broadcasts.
+    Determinism: the word key is a char-polynomial fold evaluated with
+    identical BIGINT arithmetic in both engines (no builtin hash), and
+    every output column is integer — CMS ≥ exact by construction, with
+    equality whenever none of a word's 4 counters absorbed a collision.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    toks = spark.sql(_SP_TOKS)
+
+    keyed = toks.selectExpr(f"{_CMS_KEY_SP} AS k")
+    cells = keyed.select(F.expr(_cms_cells_expr("k")).alias("cell")).select(
+        "cell.r", "cell.b"
+    )
+    sketch = cells.groupBy("r", "b").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+
+    exact = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq_exact"))
+        .orderBy(F.desc("freq_exact"), "w")
+        .limit(CMS_TOPK)
+        .withColumn("k", F.expr(_CMS_KEY_SP))
+    )
+    probe = exact.select(
+        "w", "freq_exact", F.expr(_cms_cells_expr("k")).alias("cell")
+    ).select("w", "freq_exact", "cell.r", "cell.b")
+
+    return (
+        sketch.join(F.broadcast(probe), ["r", "b"])
+        .groupBy("w", "freq_exact")
+        .agg(F.min("c").cast("bigint").alias("freq_cms"))
+        .select(
+            F.col("w").alias("word"),
+            "freq_exact",
+            "freq_cms",
+            (F.col("freq_cms") - F.col("freq_exact")).cast("bigint").alias("overcount"),
+        )
+    )
+
+
+# --- hybrid retrieval: reciprocal rank fusion ---------------------------------
+
+RRF_K = 60      # standard RRF dampening constant (Cormack et al.)
+RRF_LIST = 20   # per-ranker candidate list length
+RRF_TOPN = 15   # fused results returned
+
+
+def _rrf_tail(intdiv: str) -> str:
+    """Fusion CTEs appended after ``_BM25_CTES``; ``intdiv`` is the
+    engine's integer-division operator (Spark ``div``, DuckDB ``//``)."""
+    return f"""
+, ttr AS (
+  SELECT doc_id,
+         (COUNT(DISTINCT w) * 1000000) {intdiv} COUNT(*) AS ttr_ppm
+  FROM toks GROUP BY doc_id
+  ORDER BY ttr_ppm DESC, doc_id ASC LIMIT {RRF_LIST}
+),
+r1 AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_bm25 FROM bm),
+r2 AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY ttr_ppm DESC, doc_id) AS r_ttr FROM ttr),
+fused AS (
+  SELECT COALESCE(r1.doc_id, r2.doc_id) AS doc_id,
+         COALESCE(r1.r_bm25, 0) AS r_bm25,
+         COALESCE(r2.r_ttr, 0) AS r_ttr,
+         (CASE WHEN r1.r_bm25 IS NULL THEN 0
+               ELSE 1000000 {intdiv} ({RRF_K} + r1.r_bm25) END
+          + CASE WHEN r2.r_ttr IS NULL THEN 0
+                 ELSE 1000000 {intdiv} ({RRF_K} + r2.r_ttr) END) AS rrf_ppm
+  FROM r1 FULL OUTER JOIN r2 ON r1.doc_id = r2.doc_id
+)
+SELECT doc_id, CAST(r_bm25 AS BIGINT) AS r_bm25, CAST(r_ttr AS BIGINT) AS r_ttr,
+       CAST(rrf_ppm AS BIGINT) AS rrf_ppm
+FROM fused ORDER BY rrf_ppm DESC, doc_id ASC LIMIT {RRF_TOPN}
+"""
+
+
+@query(
+    "hybrid_rank_rrf",
+    oracle="WITH " + _tfidf_base(_DD_TOKS) + _BM25_CTES + _rrf_tail("//"),
+    tags=("text", "retrieval", "rrf"),
+)
+def hybrid_rank_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two heterogeneous document rankers — the
+    standard hybrid-retrieval combiner (score = Σ 1/(k + rankᵢ), k=60):
+    ranker 1 is the BM25 top-20 for the fixed query (relevance), ranker 2
+    is lexical diversity (type/token ratio — a quality prior real curation
+    pipelines fuse with relevance when mining training data).  RRF needs
+    only RANKS, never comparable scores, which is exactly why it survives
+    fusing a float BM25 with an integer quality signal.
+
+    Determinism: both input orderings carry a doc_id tiebreak, so the
+    ROW_NUMBER ranks are total orders; the fused score is integer
+    (1000000 div (60+rank)) — no float leaves the rankers.  Scale shape:
+    each ranker is already bounded (top-{RRF_LIST} TakeOrdered), so the
+    fusion is a FULL OUTER join of two ≤{RRF_LIST}-row lists — driver-free,
+    broadcast-trivial, constant cost however large the corpus; all real
+    work lives in the rankers themselves, which are linear + one keyed
+    exchange each (shared toks/tf CTE base — Catalyst reuses the scan).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    return spark.sql("WITH " + _tfidf_base(_SP_TOKS) + _BM25_CTES + _rrf_tail("div"))
+
+
+# --- bigram language-model scoring --------------------------------------------
+
+BGLM_SCALE = 1_000_000  # probability → ppm fixed-point
+
+
+_BGLM_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents
+),
+bg AS (
+  SELECT doc_id, ws[p] AS w1, ws[p + 1] AS w2
+  FROM (SELECT doc_id, ws, unnest(range(1, length(ws))) AS p
+        FROM tok WHERE length(ws) >= 2)
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT w) AS v FROM (SELECT unnest(ws) AS w FROM tok)),
+scored AS (
+  SELECT bg.doc_id,
+         ((c2.c2 + 1) * {BGLM_SCALE}) // (c1.c1 + (SELECT v FROM v)) AS ppm
+  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+),
+per AS (SELECT doc_id, COUNT(*) AS n_bigrams, SUM(ppm) AS sum_ppm
+        FROM scored GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(CASE WHEN per.doc_id IS NULL THEN 0
+                 ELSE per.sum_ppm // per.n_bigrams END AS BIGINT) AS lm_score_ppm
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+"""
+
+
+@query("doc_bigram_lm_score", oracle=_BGLM_ORACLE, tags=("text", "quality", "lm"))
+def doc_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document add-one-smoothed bigram language-model score — the
+    order-2 upgrade of ``doc_surprisal_score``'s unigram model, i.e. the
+    KenLM-slot quality filter with actual CONTEXT: each bigram (w₁,w₂)
+    scores p = (c(w₁,w₂)+1)/(c(w₁·)+V) against corpus counts, and a
+    document's score is the mean bigram probability in ppm.  Templated /
+    boilerplate docs score high (their word transitions are corpus-common);
+    shuffled-word or rare-transition noise scores low — the two tails a
+    curation mixture drops.
+
+    Fixed-point contract: probabilities never exist as floats — the ppm
+    value is a single BIGINT integer division per bigram, identical in
+    both engines (no ln/exp, so no ulp hazard anywhere).  Scale shape:
+    bigram extraction is a row-local higher-order expression; the model
+    tables are two hash aggregations on (w₁,w₂)/(w₁) with map-side
+    partials; scoring re-joins the bigram stream on the same keys (the
+    (w₁,w₂) exchange is reused by AQE where sizes allow); V is one scalar
+    broadcast.  Everything is linear in corpus size — at 100 TB the c2
+    table is the only vocabulary²-bounded state, and it shrinks to the
+    OBSERVED bigram set (≪ V²), exactly like the production n-gram LM
+    count tables it stands in for.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("ws")
+    )
+    bg = (
+        t.where(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vdf = t.select(F.explode("ws").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    scored = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(vdf))
+        .select("doc_id", F.expr(f"(c2 + 1) * {BGLM_SCALE} div (c1 + v)").alias("ppm"))
+    )
+    per = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("ppm").alias("sum_ppm"),
+    )
+    return (
+        d.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.when(F.col("n_bigrams").isNull(), F.lit(0))
+            .otherwise(F.expr("sum_ppm div n_bigrams"))
+            .cast("bigint")
+            .alias("lm_score_ppm"),
+        )
+    )

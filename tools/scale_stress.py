@@ -62,6 +62,17 @@ R10C_QUERIES = ("interval_overlap_pairs",)
 #: multiply users; per-user version/band counts stay constant, so the
 #: PIT join and the band join grow linearly — the claimed scale shape).
 R11_QUERIES = ("scd2_point_in_time_purchases", "stream_left_join_unattributed")
+#: r12 depth batch: CMS build stays a ≤2048-group agg however large the
+#: stream (the claim under test); bigram-LM model tables grow with the
+#: OBSERVED bigram set (disjoint-vocab copies → linear); RRF cost lives
+#: in its two bounded rankers; interval coalesce is one user-keyed window
+#: pass over k× events.
+R12B_QUERIES = (
+    "cms_word_freq",
+    "doc_bigram_lm_score",
+    "hybrid_rank_rrf",
+    "events_interval_coalesce",
+)
 TABLES = ("lineitem", "orders", "events")
 R9_TABLES = ("events", "documents")
 R10B_TABLES = ("events", "documents", "orders")
@@ -319,6 +330,7 @@ def r9_stress(args: list[str]) -> int:
     r10c = "--r10c" in sys.argv
     r10k = "--r10k" in sys.argv
     r11 = "--r11" in sys.argv
+    r12b = "--r12b" in sys.argv
     k = int(args[0]) if args else (3 if dupes else (5 if r10k else 20))
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # Speculation re-launches a straggler whose (indirect) result the
@@ -364,6 +376,11 @@ def r9_stress(args: list[str]) -> int:
         synthesize(spark, src, out, k, tables=("events",))
         names = R11_QUERIES
         tables = ("events",)
+    elif r12b:
+        out = f"/tmp/sce_stress_r12b_x{k}"
+        synthesize(spark, src, out, k, tables=R9_TABLES)
+        names = R12B_QUERIES
+        tables = R9_TABLES
     elif r10k:
         out = f"/tmp/sce_stress_r10k_x{k}"
         synthesize(spark, src, out, k, tables=("documents",))
@@ -420,7 +437,7 @@ def r9_stress(args: list[str]) -> int:
         ddb_t[n] = round(statistics.median(ts), 3)
 
     print(json.dumps({
-        "mode": ("dupes" if dupes else "r11" if r11 else "r10k" if r10k else "r10c" if r10c else "r10b" if r10b else "r10" if r10 else "r9"),
+        "mode": ("dupes" if dupes else "r12b" if r12b else "r11" if r11 else "r10k" if r10k else "r10c" if r10c else "r10b" if r10b else "r10" if r10 else "r9"),
         "multiplier": k,
         "table_mb": sizes,
         "spark_sec": spark_t,
@@ -663,7 +680,7 @@ def main() -> int:
         os.makedirs(out, exist_ok=True)
         print(json.dumps({"multiplier": k, **louvain2_stress(spark, src, out, k)}))
         return 0
-    if any(f in sys.argv for f in ("--r9", "--dupes", "--r10", "--r10b", "--r10c", "--r10k", "--r11")):
+    if any(f in sys.argv for f in ("--r9", "--dupes", "--r10", "--r10b", "--r10c", "--r10k", "--r11", "--r12b")):
         return r9_stress(args)
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
