@@ -2198,3 +2198,76 @@ def events_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         (F.max("e") - F.min("s")).cast("bigint").alias("span_s"),
     )
+
+
+# --- time-weighted average (TWAP) ---------------------------------------------
+
+_TWAP_ORACLE = f"""
+WITH t AS (
+  SELECT user_id, event_id, ({_DD_TS_S}) AS ts_s,
+         ({_DD_TS_S}) // 86400 AS day_k,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v_c
+  FROM events
+),
+g AS (
+  SELECT user_id, day_k, ts_s, v_c,
+         lead(ts_s) OVER (PARTITION BY user_id, day_k
+                          ORDER BY ts_s, event_id) - ts_s AS gap
+  FROM t
+)
+SELECT user_id, CAST(day_k * 86400 AS BIGINT) AS day_s,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COALESCE(SUM(gap), 0) AS BIGINT) AS dwell_s,
+       CAST(CASE WHEN COALESCE(SUM(gap), 0) = 0 THEN NULL
+                 ELSE SUM(v_c * gap) // SUM(gap) END AS BIGINT) AS twap_c
+FROM g GROUP BY user_id, day_k
+"""
+
+
+@query("twap_user_daily", oracle=_TWAP_ORACLE, tags=("relational", "events", "timeseries"))
+def twap_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user-per-day TIME-weighted average of the event value — the
+    TWAP/TWAS primitive (billing meters, position marks, sensor duty
+    cycles) that complements the COUNT-weighted family (``ewma_user_value``
+    weights by event order, plain AVG weights every event equally): each
+    observation holds until the next one, so its weight is the gap to its
+    successor, and the day's value is Σ(v·gap)/Σ(gap).  Days with a single
+    event (or all events at one instant) have zero dwell and an undefined
+    TWAP — emitted as NULL, never a fake zero.
+
+    Fixed-point contract: values enter as exact integer cents
+    (FLOOR(v·100+0.5) — the engine's proven money path), gaps are integer
+    seconds, and the TWAP is one BIGINT division — no float crosses an
+    aggregation in either engine.  Scale shape: one hash exchange on
+    (user_id, day_k); the lead() gap and the roll-up group share that
+    partitioning (no second exchange); duplicate timestamps get zero gap
+    weight under the event_id-tiebroken order, identically in both
+    engines.  At 100 TB this is the shape you want: day-keyed state,
+    linear scan, no global sort.
+    """
+    e = load_table(spark, sf_dir, "events")
+    t = e.select(
+        "user_id",
+        "event_id",
+        "ts_s",
+        F.expr("ts_s div 86400").alias("day_k"),
+        F.expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)").alias("v_c"),
+    )
+    w = W.partitionBy("user_id", "day_k").orderBy("ts_s", "event_id")
+    g = t.withColumn("gap", F.lead("ts_s").over(w) - F.col("ts_s"))
+    return g.groupBy("user_id", "day_k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.coalesce(F.sum("gap"), F.lit(0)).cast("bigint").alias("dwell_s"),
+        F.when(
+            F.coalesce(F.sum("gap"), F.lit(0)) == 0, F.lit(None).cast("bigint")
+        )
+        .otherwise(F.expr("sum(v_c * gap) div sum(gap)"))
+        .cast("bigint")
+        .alias("twap_c"),
+    ).select(
+        "user_id",
+        (F.col("day_k") * 86400).cast("bigint").alias("day_s"),
+        "n_events",
+        "dwell_s",
+        "twap_c",
+    )

@@ -581,3 +581,78 @@ def sample_weighted_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("es_key"), F.asc("doc_id"))
         .limit(_WSAMPLE_K)
     )
+
+
+# --- referential-integrity audit ----------------------------------------------
+
+#: (relationship label, child table, child key, parent table, parent key).
+#: The full FK graph of the star schema — the ingest-validation sweep a
+#: pipeline runs before admitting a new data drop.
+RI_RELATIONSHIPS = (
+    ("lineitem->orders",   "lineitem", "l_orderkey",  "orders",   "o_orderkey"),
+    ("lineitem->part",     "lineitem", "l_partkey",   "part",     "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey",   "supplier", "s_suppkey"),
+    ("orders->customer",   "orders",   "o_custkey",   "customer", "c_custkey"),
+    ("customer->nation",   "customer", "c_nationkey", "nation",   "n_nationkey"),
+    ("supplier->nation",   "supplier", "s_nationkey", "nation",   "n_nationkey"),
+    ("nation->region",     "nation",   "n_regionkey", "region",   "r_regionkey"),
+)
+
+_RI_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{rel}' AS rel, CAST(COUNT(*) AS BIGINT) AS n_child,
+       CAST(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan,
+       CAST(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS orphan_ppm
+FROM {child} c LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p
+  ON c.{ck} = p.{pk}"""
+    for rel, child, ck, parent, pk in RI_RELATIONSHIPS
+)
+
+
+@query("referential_integrity_audit", oracle=_RI_ORACLE, tags=("quality", "audit", "join"))
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-key audit over every foreign-key edge of the star schema —
+    the ingest gate that runs before a data drop is admitted: for each
+    child→parent relationship, the child row count, the number of child
+    rows whose key has NO parent (orphans), and the orphan rate in ppm.
+    One output row per relationship, so the result is a constant-size
+    health report however large the tables.
+
+    Orphan detection is a LEFT join against the DISTINCT parent keys with
+    a NULL-probe count — the same multiset the driver would get from
+    NOT EXISTS, including the NULL-key edge (a NULL child key never
+    matches, so it counts as an orphan — the conservative reading an
+    admission gate wants).  Scale shape: each relationship is ONE keyed
+    join; every parent key set here is dimension-sized (AQE broadcasts
+    them), and the one fact-fact edge (lineitem→orders) hash-joins on the
+    natural key with map-side-partial count aggregation above it.  The
+    seven audits are independent branches union'd into one plan — on a
+    cluster they schedule concurrently; nothing is collected per-edge.
+    """
+    parts = []
+    for rel, child, ck, parent, pk in RI_RELATIONSHIPS:
+        c = load_table(spark, sf_dir, child).select(F.col(ck).alias("k"))
+        p = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pk).alias("k"))
+            .distinct()
+            .withColumn("__hit", F.lit(1))
+        )
+        orphans = F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0))
+        parts.append(
+            c.join(p, "k", "left")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_child"),
+                orphans.cast("bigint").alias("n_orphan"),
+            )
+            .select(
+                F.lit(rel).alias("rel"),
+                "n_child",
+                "n_orphan",
+                F.expr("n_orphan * 1000000 div n_child").cast("bigint").alias("orphan_ppm"),
+            )
+        )
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out

@@ -1318,3 +1318,89 @@ def doc_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lm_score_ppm"),
         )
     )
+
+
+# --- PMI-lift collocation extraction ------------------------------------------
+
+COLLOC_MIN_COUNT = 5   # bigram support threshold (standard PMI noise floor)
+COLLOC_TOPK = 25
+
+_COLLOC_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents
+),
+toks AS (SELECT doc_id, unnest(ws) AS w FROM tok),
+bg AS (
+  SELECT ws[p] AS w1, ws[p + 1] AS w2
+  FROM (SELECT ws, unnest(range(1, length(ws))) AS p
+        FROM tok WHERE length(ws) >= 2)
+),
+c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2
+       HAVING COUNT(*) >= {COLLOC_MIN_COUNT}),
+c1 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM toks GROUP BY w),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks)
+SELECT c2.w1, c2.w2, c2.c2,
+       CAST((c2.c2 * 1000000 * (SELECT n FROM n)) // (a.c1 * b.c1) AS BIGINT)
+         AS lift_ppm
+FROM c2 JOIN c1 a ON a.w = c2.w1 JOIN c1 b ON b.w = c2.w2
+ORDER BY lift_ppm DESC, c2.w1, c2.w2 LIMIT {COLLOC_TOPK}
+"""
+
+
+@query("collocations_lift", oracle=_COLLOC_ORACLE, tags=("text", "collocation", "pmi"))
+def collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by PMI lift: rank word bigrams by
+    p(w₁w₂)/(p(w₁)p(w₂)) = c₂·N/(c₁(w₁)·c₁(w₂)) with a support floor of
+    {COLLOC_MIN_COUNT} — the classic multiword-expression miner ("new
+    york", "machine learning") whose output feeds tokenizer-merge and
+    stop-phrase lists in corpus prep.  Lift is exp(PMI), so ranking by it
+    IS ranking by PMI without ever taking a log.
+
+    Fixed-point contract: lift is one BIGINT expression
+    (c₂·10⁶·N div c₁·c₁′) — exact in both engines at registered scales
+    (peak intermediate ≈ c₂·10⁶·N ≤ 2e18 at the 20× stress corpus; a
+    trillion-token corpus needs the same ranking in DOUBLE or a split
+    scale — the comparison is then approximate but the candidate set,
+    support-floored counts, and top-k machinery are unchanged).  Scale
+    shape: bigram and unigram counts are two keyed hash-aggs with
+    map-side partials; the support floor prunes the c₂ table BEFORE both
+    c₁ joins (broadcastable — O(vocab) each); final top-{COLLOC_TOPK} is
+    TakeOrdered, no global sort.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("ws")
+    )
+    toks = t.select(F.explode("ws").alias("w"))
+    bg = (
+        t.where(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    c2 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+        .where(F.col("c2") >= COLLOC_MIN_COUNT)
+    )
+    c1 = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    ndf = toks.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        c2.join(F.broadcast(c1.withColumnRenamed("w", "w1").withColumnRenamed("c1", "c1a")), "w1")
+        .join(F.broadcast(c1.withColumnRenamed("w", "w2").withColumnRenamed("c1", "c1b")), "w2")
+        .crossJoin(F.broadcast(ndf))
+        .select(
+            "w1",
+            "w2",
+            "c2",
+            F.expr("c2 * 1000000 * n div (c1a * c1b)").cast("bigint").alias("lift_ppm"),
+        )
+        .orderBy(F.desc("lift_ppm"), "w1", "w2")
+        .limit(COLLOC_TOPK)
+    )

@@ -72,6 +72,8 @@ R12B_QUERIES = (
     "doc_bigram_lm_score",
     "hybrid_rank_rrf",
     "events_interval_coalesce",
+    "twap_user_daily",
+    "collocations_lift",
 )
 TABLES = ("lineitem", "orders", "events")
 R9_TABLES = ("events", "documents")
