@@ -239,8 +239,16 @@ def write_zarr_group(
 def read_zarray_meta(array_path: str) -> dict:
     with open(os.path.join(array_path, ".zarray")) as f:
         meta = json.load(f)
+    return _validate_v2_meta(meta, array_path)
+
+
+def _validate_v2_meta(meta: dict, where: str) -> dict:
+    """The v2 array-metadata guards, shared by the per-array ``.zarray``
+    path and the consolidated ``.zmetadata`` path (same dict, same
+    refusals — a store must not decode differently depending on which
+    metadata source served it)."""
     if meta.get("zarr_format") != 2:
-        raise ValueError(f"not a zarr v2 array: {array_path}")
+        raise ValueError(f"not a zarr v2 array: {where}")
     if meta.get("filters"):
         raise NotImplementedError("zarr filters are not supported")
     return meta
@@ -317,7 +325,10 @@ def read_zarr_matrix(spark: SparkSession, array_path: str) -> DataFrame:
     ``zarr_matrix_coo``; the registered ``zarr_colchunk_roundtrip`` query
     hash-checks this path end to end).
     """
-    meta = read_zarray_meta(array_path)
+    return _plan_matrix_read(spark, array_path, read_zarray_meta(array_path))
+
+
+def _plan_matrix_read(spark: SparkSession, array_path: str, meta: dict) -> DataFrame:
     if len(meta["shape"]) != 2:
         raise ValueError(f"read_zarr_matrix expects a 2-D array, got {meta['shape']}")
     schema = StructType(
@@ -337,7 +348,10 @@ def read_zarr_matrix(spark: SparkSession, array_path: str) -> DataFrame:
 
 def read_zarr_vector(spark: SparkSession, array_path: str) -> DataFrame:
     """1-D Zarr v2 array -> (row: bigint, value: bigint|double) rows."""
-    meta = read_zarray_meta(array_path)
+    return _plan_vector_read(spark, array_path, read_zarray_meta(array_path))
+
+
+def _plan_vector_read(spark: SparkSession, array_path: str, meta: dict) -> DataFrame:
     if len(meta["shape"]) != 1:
         raise ValueError(f"read_zarr_vector expects a 1-D array, got {meta['shape']}")
     vtype = LongType() if np.dtype(meta["dtype"]).kind in "iu" else DoubleType()
@@ -428,3 +442,128 @@ def zarr_colchunk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _zarr_roundtrip_coo(
         spark, sf_dir, "col", blosc, cols_per_chunk=(int(e_dim) + 1) // 2
     )
+
+
+# --- consolidated metadata (.zmetadata) ----------------------------------------
+
+#: zarr-python's v2 consolidated-metadata container version.
+ZARR_CONSOLIDATED_FORMAT = 1
+
+_META_NAMES = (".zgroup", ".zarray", ".zattrs")
+
+
+def consolidate_metadata(group_path: str) -> dict:
+    """Write zarr-python-compatible consolidated metadata for the group:
+    one ``.zmetadata`` JSON at the root holding every member ``.zgroup`` /
+    ``.zarray`` / ``.zattrs`` document under slash-separated relative keys
+    (``{"metadata": {".zgroup": ..., "X/.zarray": ...},
+    "zarr_consolidated_format": 1}`` — the exact shape
+    ``zarr.consolidate_metadata`` produces, so stores we consolidate open
+    in zarr-python and vice versa).
+
+    This is the object-store survival trait: opening an UNconsolidated
+    group costs one GET per member metadata key (O(arrays) round-trips —
+    real AnnData groups carry hundreds of obs/var arrays), while a
+    consolidated store opens with ONE metadata GET regardless of member
+    count.  Written atomically (tmp + rename) so a concurrent reader never
+    sees a half-consolidated document.
+    """
+    meta: dict[str, dict] = {}
+    for root, _dirs, files in os.walk(group_path):
+        for fname in files:
+            if fname not in _META_NAMES:
+                continue
+            rel = os.path.relpath(os.path.join(root, fname), group_path).replace(
+                os.sep, "/"
+            )
+            with open(os.path.join(root, fname)) as fh:
+                meta[rel] = json.load(fh)
+    doc = {
+        "metadata": {k: meta[k] for k in sorted(meta)},
+        "zarr_consolidated_format": ZARR_CONSOLIDATED_FORMAT,
+    }
+    tmp = os.path.join(group_path, ".zmetadata.__tmp__")
+    with open(tmp, "w") as fh:
+        json.dump(doc, fh, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(group_path, ".zmetadata"))
+    return doc
+
+
+def read_consolidated_meta(group_path: str) -> dict:
+    """Parse the group's ``.zmetadata`` -> {relative key: metadata dict}.
+
+    Raises ``FileNotFoundError`` when the store is not consolidated and
+    ``ValueError`` on a container version we did not implement against
+    (decoding anyway could silently misread a future layout).
+    """
+    with open(os.path.join(group_path, ".zmetadata")) as fh:
+        doc = json.load(fh)
+    fmt = doc.get("zarr_consolidated_format")
+    if fmt != ZARR_CONSOLIDATED_FORMAT:
+        raise ValueError(
+            f"unsupported zarr_consolidated_format {fmt!r} at {group_path}"
+            f" (implemented: {ZARR_CONSOLIDATED_FORMAT})"
+        )
+    md = doc.get("metadata")
+    if not isinstance(md, dict):
+        raise ValueError(f"malformed .zmetadata at {group_path}: no metadata map")
+    return md
+
+
+def _consolidated_array_meta(group_path: str, array: str) -> dict:
+    md = read_consolidated_meta(group_path)
+    key = f"{array}/.zarray"
+    if key not in md:
+        raise KeyError(f"array {array!r} not in consolidated metadata ({group_path})")
+    return _validate_v2_meta(md[key], f"{group_path}:{key}")
+
+
+def read_zarr_matrix_consolidated(
+    spark: SparkSession, group_path: str, array: str = "X"
+) -> DataFrame:
+    """``read_zarr_matrix`` planned from the group's ``.zmetadata`` —
+    zero per-array metadata reads (the member ``.zarray`` is never
+    opened); chunk objects are still listed and decoded executor-side."""
+    meta = _consolidated_array_meta(group_path, array)
+    return _plan_matrix_read(spark, os.path.join(group_path, array), meta)
+
+
+def read_zarr_vector_consolidated(
+    spark: SparkSession, group_path: str, array: str
+) -> DataFrame:
+    """``read_zarr_vector`` planned from the group's ``.zmetadata``."""
+    meta = _consolidated_array_meta(group_path, array)
+    return _plan_vector_read(spark, os.path.join(group_path, array), meta)
+
+
+@query(
+    "zarr_consolidated_roundtrip",
+    oracle=_ZARR_ROUNDTRIP_ORACLE,
+    tags=("sources", "zarr", "consolidated"),
+    cache=False,
+)
+def zarr_consolidated_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated-metadata end-to-end: embeddings → Zarr v2 group write
+    → ``consolidate_metadata`` (zarr-python's ``.zmetadata`` format) →
+    BOTH arrays planned exclusively from the consolidated document →
+    row-index join → COO, hash-equal to the same oracle as
+    ``zarr_roundtrip``.  The open path every cloud AnnData store wants:
+    one metadata GET for the whole group instead of one per member array
+    (exclusivity — the member ``.zarray`` never being read — is pinned in
+    tests by deleting the sidecars from a consolidated copy and reading it
+    anyway).
+    """
+    import tempfile
+
+    e = load_table(spark, sf_dir, "embeddings")
+    store = os.path.join(
+        tempfile.gettempdir(),
+        f"sce_zarr_consol_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    write_zarr_group(e, store, compressor=_DEFAULT_COMPRESSOR)
+    consolidate_metadata(store)
+    x = read_zarr_matrix_consolidated(spark, store, "X")
+    ids = read_zarr_vector_consolidated(spark, store, "vec_id").withColumnRenamed(
+        "value", "vec_id"
+    )
+    return zarr_matrix_coo(x, ids)

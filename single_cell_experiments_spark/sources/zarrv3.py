@@ -182,6 +182,12 @@ def read_zarr_v3_meta(array_path: str) -> dict:
     inner-chunk geometry."""
     with open(os.path.join(array_path, "zarr.json")) as f:
         meta = json.load(f)
+    return _validate_v3_array_meta(meta, array_path)
+
+
+def _validate_v3_array_meta(meta: dict, array_path: str) -> dict:
+    """The v3 array-metadata guards, shared by the per-array ``zarr.json``
+    path and the consolidated-group path (same document, same refusals)."""
     if meta.get("zarr_format") != 3 or meta.get("node_type") != "array":
         raise ValueError(f"not a zarr v3 array: {array_path}")
     grid = meta.get("chunk_grid", {})
@@ -787,6 +793,146 @@ def zarr_v3_sharded_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_zarr_v3_group(e, store, shard_inner_rows=16)
     x = read_zarr_v3_matrix(spark, os.path.join(store, "X"))
     ids = read_zarr_v3_vector(spark, os.path.join(store, "vec_id")).withColumnRenamed(
+        "value", "vec_id"
+    )
+    return zarr_matrix_coo(x, ids)
+
+
+# --- consolidated metadata (inline in the root zarr.json) ------------------------
+
+def consolidate_metadata_v3(group_path: str) -> dict:
+    """Inline every child node's ``zarr.json`` into the root group
+    document under ``consolidated_metadata`` — zarr-python 3's v3-native
+    consolidation (``{"metadata": {"X": <array zarr.json>, ...},
+    "kind": "inline", "must_understand": false}``; child keys are node
+    paths relative to the group, no file-name suffix).  Same object-store
+    motivation as v2's ``.zmetadata``: open the whole group with ONE
+    metadata GET.  ``must_understand: false`` is what keeps the store
+    readable by consumers that predate consolidation — they just fall
+    back to per-node reads.  Written atomically (tmp + rename).
+    """
+    root_file = os.path.join(group_path, "zarr.json")
+    with open(root_file) as fh:
+        root = json.load(fh)
+    if root.get("zarr_format") != 3 or root.get("node_type") != "group":
+        raise ValueError(f"not a zarr v3 group: {group_path}")
+
+    members: dict[str, dict] = {}
+    for dirpath, _dirs, files in os.walk(group_path):
+        if dirpath == group_path or "zarr.json" not in files:
+            continue
+        rel = os.path.relpath(dirpath, group_path).replace(os.sep, "/")
+        # nested chunk-key trees ("X/c/0/1") contain no zarr.json, so any
+        # directory that carries one is a real child node.
+        with open(os.path.join(dirpath, "zarr.json")) as fh:
+            members[rel] = json.load(fh)
+
+    root["consolidated_metadata"] = {
+        "metadata": {k: members[k] for k in sorted(members)},
+        "kind": "inline",
+        "must_understand": False,
+    }
+    tmp = root_file + ".__tmp__"
+    with open(tmp, "w") as fh:
+        json.dump(root, fh, indent=1, sort_keys=True)
+    os.replace(tmp, root_file)
+    return root
+
+
+def read_consolidated_meta_v3(group_path: str) -> dict:
+    """Root ``zarr.json`` -> {child path: metadata dict} from the inline
+    ``consolidated_metadata``.  Raises ``KeyError`` when the group is not
+    consolidated and ``ValueError`` on a kind we did not implement
+    against (per the spec, an unknown kind with ``must_understand`` unset
+    must not be silently reinterpreted)."""
+    with open(os.path.join(group_path, "zarr.json")) as fh:
+        root = json.load(fh)
+    if root.get("zarr_format") != 3 or root.get("node_type") != "group":
+        raise ValueError(f"not a zarr v3 group: {group_path}")
+    cm = root.get("consolidated_metadata")
+    if cm is None:
+        raise KeyError(f"group {group_path} carries no consolidated_metadata")
+    if cm.get("kind") != "inline":
+        raise ValueError(f"unsupported consolidated_metadata kind {cm.get('kind')!r}")
+    md = cm.get("metadata")
+    if not isinstance(md, dict):
+        raise ValueError(f"malformed consolidated_metadata at {group_path}")
+    return md
+
+
+def _consolidated_v3_array_meta(group_path: str, array: str) -> dict:
+    md = read_consolidated_meta_v3(group_path)
+    if array not in md:
+        raise KeyError(f"array {array!r} not in consolidated metadata ({group_path})")
+    return _validate_v3_array_meta(md[array], f"{group_path}:{array}")
+
+
+def read_zarr_v3_matrix_consolidated(
+    spark: SparkSession, group_path: str, array: str = "X"
+) -> DataFrame:
+    """``read_zarr_v3_matrix`` planned from the group's inline
+    consolidated metadata — the member ``zarr.json`` is never opened."""
+    meta = _consolidated_v3_array_meta(group_path, array)
+    if len(meta["shape"]) != 2:
+        raise ValueError(f"read_zarr_v3_matrix expects 2-D, got {meta['shape']}")
+    array_path = os.path.join(group_path, array)
+    schema = StructType(
+        [
+            StructField("row", LongType()),
+            StructField("col0", LongType()),
+            StructField("values", ArrayType(DoubleType())),
+        ]
+    )
+    return _v3_chunk_files(spark, array_path).mapInPandas(
+        _decode_blocks_v3(array_path, meta), schema=schema
+    )
+
+
+def read_zarr_v3_vector_consolidated(
+    spark: SparkSession, group_path: str, array: str
+) -> DataFrame:
+    """``read_zarr_v3_vector`` planned from the group's inline
+    consolidated metadata."""
+    meta = _consolidated_v3_array_meta(group_path, array)
+    if len(meta["shape"]) != 1:
+        raise ValueError(f"read_zarr_v3_vector expects 1-D, got {meta['shape']}")
+    array_path = os.path.join(group_path, array)
+    vtype = LongType() if meta["dtype"].kind in "iub" else DoubleType()
+    schema = StructType([StructField("row", LongType()), StructField("value", vtype)])
+    return _v3_chunk_files(spark, array_path).mapInPandas(
+        _decode_blocks_v3(array_path, meta), schema=schema
+    )
+
+
+@query(
+    "zarr_v3_consolidated_roundtrip",
+    oracle=_ZARR_V3_ORACLE,
+    tags=("sources", "zarr", "v3", "consolidated"),
+    cache=False,
+)
+def zarr_v3_consolidated_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated metadata on the CURRENT generation: embeddings → v3
+    group write → inline consolidation into the root ``zarr.json``
+    (zarr-python 3's format, ``must_understand: false``) → both arrays
+    planned exclusively from the consolidated document → COO, hash-equal
+    to the same oracle as ``zarr_v3_roundtrip``.  With v2's
+    ``.zmetadata`` this completes one-GET group opening across BOTH
+    format generations; exclusivity is pinned in tests by deleting the
+    member ``zarr.json`` files from a consolidated copy.
+    """
+    import tempfile
+
+    from .zarrv2 import zarr_matrix_coo
+
+    e = load_table(spark, sf_dir, "embeddings")
+    store = os.path.join(
+        tempfile.gettempdir(),
+        f"sce_zarr3_consol_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    write_zarr_v3_group(e, store)
+    consolidate_metadata_v3(store)
+    x = read_zarr_v3_matrix_consolidated(spark, store, "X")
+    ids = read_zarr_v3_vector_consolidated(spark, store, "vec_id").withColumnRenamed(
         "value", "vec_id"
     )
     return zarr_matrix_coo(x, ids)

@@ -1157,3 +1157,108 @@ def test_pyds_writer_rejects_duplicate_row_ids(tmp_path):
     w = ZarrChunkWriter(str(tmp_path / "arr"), overwrite=True)
     with pytest.raises(ValueError, match="duplicate row id"):
         w.write(iter([_rb([(0, [1.0, 1.0]), (0, [9.0, 9.0]), (2, [2.0, 2.0]), (3, [3.0, 3.0])])]))
+
+
+# --- consolidated metadata (.zmetadata) ---------------------------------------
+
+
+def _tiny_group(spark, tmp_path):
+    from single_cell_experiments_spark.sources.zarrv2 import write_zarr_group
+
+    rows = [(i, [float(i), float(i) + 0.5]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    store = str(tmp_path / "grp")
+    write_zarr_group(df, store, rows_per_chunk=4)
+    return store
+
+
+def test_consolidate_metadata_matches_member_files(spark, tmp_path):
+    """.zmetadata must be the exact union of the member metadata files
+    under zarr-python's key scheme (root .zgroup, <array>/.zarray)."""
+    import json as _json
+    import os as _os
+
+    from single_cell_experiments_spark.sources.zarrv2 import (
+        consolidate_metadata,
+        read_consolidated_meta,
+    )
+
+    store = _tiny_group(spark, tmp_path)
+    doc = consolidate_metadata(store)
+    assert doc["zarr_consolidated_format"] == 1
+
+    md = read_consolidated_meta(store)
+    assert set(md) == {".zgroup", "X/.zarray", "vec_id/.zarray"}
+    for key in md:
+        with open(_os.path.join(store, key)) as fh:
+            assert md[key] == _json.load(fh), key
+
+
+def test_consolidated_read_never_opens_member_zarray(spark, tmp_path):
+    """Exclusivity: delete every member .zarray from a consolidated copy —
+    the consolidated readers still decode the store bit-exactly, while the
+    per-array path (correctly) fails."""
+    import os as _os
+
+    from single_cell_experiments_spark.sources.zarrv2 import (
+        consolidate_metadata,
+        read_zarr_matrix,
+        read_zarr_matrix_consolidated,
+        read_zarr_vector_consolidated,
+    )
+
+    store = _tiny_group(spark, tmp_path)
+    consolidate_metadata(store)
+    before = {
+        (r.row, r.col0, tuple(r["values"]))
+        for r in read_zarr_matrix_consolidated(spark, store, "X").collect()
+    }
+    for arr in ("X", "vec_id"):
+        _os.remove(_os.path.join(store, arr, ".zarray"))
+
+    after = {
+        (r.row, r.col0, tuple(r["values"]))
+        for r in read_zarr_matrix_consolidated(spark, store, "X").collect()
+    }
+    assert after == before and len(after) == 10
+    ids = sorted(
+        r.value for r in read_zarr_vector_consolidated(spark, store, "vec_id").collect()
+    )
+    assert ids == list(range(10))
+
+    with pytest.raises(FileNotFoundError):
+        read_zarr_matrix(spark, os.path.join(store, "X"))
+
+
+def test_consolidated_rejects_unknown_container_version(spark, tmp_path):
+    from single_cell_experiments_spark.sources.zarrv2 import (
+        consolidate_metadata,
+        read_consolidated_meta,
+    )
+
+    store = _tiny_group(spark, tmp_path)
+    consolidate_metadata(store)
+    p = os.path.join(store, ".zmetadata")
+    doc = json.loads(open(p).read())
+    doc["zarr_consolidated_format"] = 2
+    open(p, "w").write(json.dumps(doc))
+    with pytest.raises(ValueError, match="zarr_consolidated_format"):
+        read_consolidated_meta(store)
+
+
+def test_consolidated_guards_match_per_array_guards(spark, tmp_path):
+    """A filters-bearing array must be refused identically through both
+    metadata sources (same dict, same refusal)."""
+    from single_cell_experiments_spark.sources.zarrv2 import (
+        consolidate_metadata,
+        read_zarr_matrix_consolidated,
+    )
+
+    store = _tiny_group(spark, tmp_path)
+    zp = os.path.join(store, "X", ".zarray")
+    meta = json.loads(open(zp).read())
+    meta["filters"] = [{"id": "delta"}]
+    open(zp, "w").write(json.dumps(meta))
+    consolidate_metadata(store)
+    with pytest.raises(NotImplementedError, match="filters"):
+        read_zarr_matrix_consolidated(spark, store, "X")

@@ -367,3 +367,123 @@ def test_sharded_write_read_roundtrip_2d(spark, tmp_path):
         dtype=np.float32,
     )
     assert np.array_equal(got, emb)
+
+
+# --- consolidated metadata (inline, root zarr.json) -----------------------------
+
+
+def _tiny_v3_group(spark, tmp_path):
+    from single_cell_experiments_spark.sources.zarrv3 import write_zarr_v3_group
+
+    rows = [(i, [float(i), float(i) + 0.5]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    store = str(tmp_path / "g3")
+    write_zarr_v3_group(df, store, rows_per_chunk=4)
+    return store
+
+
+def test_v3_consolidate_inlines_member_documents(spark, tmp_path):
+    import json as _json
+    import os as _os
+
+    from single_cell_experiments_spark.sources.zarrv3 import (
+        consolidate_metadata_v3,
+        read_consolidated_meta_v3,
+    )
+
+    store = _tiny_v3_group(spark, tmp_path)
+    # member documents captured BEFORE consolidation mutates the root
+    members_before = {}
+    for arr in ("X", "vec_id"):
+        with open(_os.path.join(store, arr, "zarr.json")) as fh:
+            members_before[arr] = _json.load(fh)
+
+    root = consolidate_metadata_v3(store)
+    cm = root["consolidated_metadata"]
+    assert cm["kind"] == "inline" and cm["must_understand"] is False
+
+    md = read_consolidated_meta_v3(store)
+    assert md == members_before
+    # root stays a valid, still-openable group document
+    with open(_os.path.join(store, "zarr.json")) as fh:
+        again = _json.load(fh)
+    assert again["node_type"] == "group" and again["zarr_format"] == 3
+
+
+def test_v3_consolidated_read_never_opens_member_zarr_json(spark, tmp_path):
+    import os as _os
+
+    from single_cell_experiments_spark.sources.zarrv3 import (
+        consolidate_metadata_v3,
+        read_zarr_v3_matrix,
+        read_zarr_v3_matrix_consolidated,
+        read_zarr_v3_vector_consolidated,
+    )
+
+    store = _tiny_v3_group(spark, tmp_path)
+    consolidate_metadata_v3(store)
+    before = {
+        (r.row, r.col0, tuple(r["values"]))
+        for r in read_zarr_v3_matrix_consolidated(spark, store, "X").collect()
+    }
+    for arr in ("X", "vec_id"):
+        _os.remove(_os.path.join(store, arr, "zarr.json"))
+
+    after = {
+        (r.row, r.col0, tuple(r["values"]))
+        for r in read_zarr_v3_matrix_consolidated(spark, store, "X").collect()
+    }
+    assert after == before and len(after) == 10
+    ids = sorted(
+        r.value
+        for r in read_zarr_v3_vector_consolidated(spark, store, "vec_id").collect()
+    )
+    assert ids == list(range(10))
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_zarr_v3_matrix(spark, os.path.join(store, "X"))
+
+
+def test_v3_consolidated_rejects_unknown_kind_and_unconsolidated(spark, tmp_path):
+    import json as _json
+    import pytest as _pytest
+
+    from single_cell_experiments_spark.sources.zarrv3 import (
+        consolidate_metadata_v3,
+        read_consolidated_meta_v3,
+    )
+
+    store = _tiny_v3_group(spark, tmp_path)
+    with _pytest.raises(KeyError, match="no consolidated_metadata"):
+        read_consolidated_meta_v3(store)
+
+    consolidate_metadata_v3(store)
+    p = os.path.join(store, "zarr.json")
+    doc = _json.loads(open(p).read())
+    doc["consolidated_metadata"]["kind"] = "external"
+    open(p, "w").write(_json.dumps(doc))
+    with _pytest.raises(ValueError, match="kind"):
+        read_consolidated_meta_v3(store)
+
+
+def test_v3_consolidated_guards_match_per_array_guards(spark, tmp_path):
+    """An unsupported construct must be refused identically through the
+    consolidated path (same validator, same refusal by name)."""
+    import json as _json
+    import pytest as _pytest
+
+    from single_cell_experiments_spark.sources.zarrv3 import (
+        consolidate_metadata_v3,
+        read_zarr_v3_matrix_consolidated,
+    )
+
+    store = _tiny_v3_group(spark, tmp_path)
+    zp = os.path.join(store, "X", "zarr.json")
+    meta = _json.loads(open(zp).read())
+    meta["chunk_grid"]["name"] = "rectilinear"
+    open(zp, "w").write(_json.dumps(meta))
+    consolidate_metadata_v3(store)
+    with _pytest.raises(NotImplementedError, match="chunk grid"):
+        read_zarr_v3_matrix_consolidated(spark, store, "X")
