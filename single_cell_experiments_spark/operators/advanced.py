@@ -2158,7 +2158,7 @@ def events_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     reservation consolidation, uptime stitching) that completes the
     interval family: ``interval_overlap_pairs`` finds crossings between
     sets, ``scd2_*`` versions rows, this FLATTENS one set.  Every event
-    opens an interval [ts, ts + 60 + event_id % {IC_MOD}) — the
+    opens an interval [ts, ts + 60 + event_id % 541) — the
     variable-length spread is what makes this a genuinely different
     operator from ``sessionize_events``: with mixed lengths a long
     interval can swallow several short successors, so island detection

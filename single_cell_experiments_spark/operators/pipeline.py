@@ -598,11 +598,17 @@ RI_RELATIONSHIPS = (
     ("nation->region",     "nation",   "n_regionkey", "region",   "r_regionkey"),
 )
 
+#: COALESCE + the empty-child CASE keep the degenerate drop LOUD-but-sane:
+#: an empty child table must report (0, 0, 0) — a NULL n_orphan would slip
+#: past any `n_orphan == 0` admission predicate, which is the exact class
+#: of silent pass an ingest gate exists to prevent.
 _RI_ORACLE = "\nUNION ALL\n".join(
     f"""SELECT '{rel}' AS rel, CAST(COUNT(*) AS BIGINT) AS n_child,
-       CAST(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan,
-       CAST(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) * 1000000
-            // COUNT(*) AS BIGINT) AS orphan_ppm
+       CAST(COALESCE(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_orphan,
+       CAST(CASE WHEN COUNT(*) = 0 THEN 0
+            ELSE COALESCE(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END), 0)
+                 * 1000000 // COUNT(*) END AS BIGINT) AS orphan_ppm
 FROM {child} c LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p
   ON c.{ck} = p.{pk}"""
     for rel, child, ck, parent, pk in RI_RELATIONSHIPS
@@ -638,7 +644,9 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .withColumn("__hit", F.lit(1))
         )
-        orphans = F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0))
+        orphans = F.coalesce(
+            F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)), F.lit(0)
+        )
         parts.append(
             c.join(p, "k", "left")
             .agg(
@@ -649,7 +657,10 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(rel).alias("rel"),
                 "n_child",
                 "n_orphan",
-                F.expr("n_orphan * 1000000 div n_child").cast("bigint").alias("orphan_ppm"),
+                F.when(F.col("n_child") == 0, F.lit(0))
+                .otherwise(F.expr("n_orphan * 1000000 div n_child"))
+                .cast("bigint")
+                .alias("orphan_ppm"),
             )
         )
     out = parts[0]

@@ -573,7 +573,14 @@ bm AS (
 )
 """
 
-_BM25_TAIL = _BM25_CTES + "SELECT doc_id, bm25, n_terms FROM bm"
+#: The outer SELECT re-states the ordering: moving ORDER BY/LIMIT inside
+#: the CTE fixes the 20-row membership, but the public query's contract
+#: is a RANKED list — without this the top-20 would come back in
+#: engine/plan-dependent order (invisible to the order-insensitive
+#: parity harness, visible to any .head(k) consumer).
+_BM25_TAIL = (
+    _BM25_CTES + "SELECT doc_id, bm25, n_terms FROM bm ORDER BY bm25 DESC, doc_id ASC"
+)
 
 
 @query(
@@ -1103,7 +1110,7 @@ def _cms_cells_expr(key_col: str) -> str:
 def cms_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch word-frequency estimation, audited against truth:
     build the depth-4 × width-512 sketch over the token stream, then report
-    the top-{CMS_TOPK} words' exact counts next to their CMS point
+    the top-20 words' exact counts next to their CMS point
     estimates (min over the 4 hashed counters) and the resulting
     overcount.  Completes the mergeable-sketch family — bitmap (exact
     distinct), HLL (approx distinct), Misra-Gries (heavy hitters), CMS
@@ -1208,8 +1215,8 @@ def hybrid_rank_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: both input orderings carry a doc_id tiebreak, so the
     ROW_NUMBER ranks are total orders; the fused score is integer
     (1000000 div (60+rank)) — no float leaves the rankers.  Scale shape:
-    each ranker is already bounded (top-{RRF_LIST} TakeOrdered), so the
-    fusion is a FULL OUTER join of two ≤{RRF_LIST}-row lists — driver-free,
+    each ranker is already bounded (top-20 TakeOrdered), so the
+    fusion is a FULL OUTER join of two ≤20-row lists — driver-free,
     broadcast-trivial, constant cost however large the corpus; all real
     work lives in the rankers themselves, which are linear + one keyed
     exchange each (shared toks/tf CTE base — Catalyst reuses the scan).
@@ -1351,7 +1358,7 @@ ORDER BY lift_ppm DESC, c2.w1, c2.w2 LIMIT {COLLOC_TOPK}
 def collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation extraction by PMI lift: rank word bigrams by
     p(w₁w₂)/(p(w₁)p(w₂)) = c₂·N/(c₁(w₁)·c₁(w₂)) with a support floor of
-    {COLLOC_MIN_COUNT} — the classic multiword-expression miner ("new
+    5 — the classic multiword-expression miner ("new
     york", "machine learning") whose output feeds tokenizer-merge and
     stop-phrase lists in corpus prep.  Lift is exp(PMI), so ranking by it
     IS ranking by PMI without ever taking a log.
@@ -1364,7 +1371,7 @@ def collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     support-floored counts, and top-k machinery are unchanged).  Scale
     shape: bigram and unigram counts are two keyed hash-aggs with
     map-side partials; the support floor prunes the c₂ table BEFORE both
-    c₁ joins (broadcastable — O(vocab) each); final top-{COLLOC_TOPK} is
+    c₁ joins (broadcastable — O(vocab) each); final top-25 is
     TakeOrdered, no global sort.
     """
     d = load_table(spark, sf_dir, "documents")

@@ -482,8 +482,13 @@ def consolidate_metadata(group_path: str) -> dict:
         "metadata": {k: meta[k] for k in sorted(meta)},
         "zarr_consolidated_format": ZARR_CONSOLIDATED_FORMAT,
     }
-    tmp = os.path.join(group_path, ".zmetadata.__tmp__")
-    with open(tmp, "w") as fh:
+    # mkstemp (not a fixed tmp name): two concurrent consolidations of the
+    # same store must each rename a COMPLETE document into place — a shared
+    # tmp path would let their writes interleave before the rename.
+    import tempfile as _tempfile
+
+    fd, tmp = _tempfile.mkstemp(dir=group_path, prefix=".zmetadata.tmp.")
+    with os.fdopen(fd, "w") as fh:
         json.dump(doc, fh, indent=1, sort_keys=True)
     os.replace(tmp, os.path.join(group_path, ".zmetadata"))
     return doc

@@ -488,7 +488,10 @@ def read_zarr_v3_matrix(spark: SparkSession, array_path: str) -> DataFrame:
     """2-D Zarr v3 array -> (row, col0, values: array<double>) slice rows
     — the ``zarrv2.read_zarr_matrix`` contract, so ``zarr_matrix_coo``
     and every downstream consumer work unchanged on v3 stores."""
-    meta = read_zarr_v3_meta(array_path)
+    return _plan_v3_matrix_read(spark, array_path, read_zarr_v3_meta(array_path))
+
+
+def _plan_v3_matrix_read(spark: SparkSession, array_path: str, meta: dict) -> DataFrame:
     if len(meta["shape"]) != 2:
         raise ValueError(f"read_zarr_v3_matrix expects 2-D, got {meta['shape']}")
     schema = StructType(
@@ -505,7 +508,10 @@ def read_zarr_v3_matrix(spark: SparkSession, array_path: str) -> DataFrame:
 
 def read_zarr_v3_vector(spark: SparkSession, array_path: str) -> DataFrame:
     """1-D Zarr v3 array -> (row: bigint, value: bigint|double) rows."""
-    meta = read_zarr_v3_meta(array_path)
+    return _plan_v3_vector_read(spark, array_path, read_zarr_v3_meta(array_path))
+
+
+def _plan_v3_vector_read(spark: SparkSession, array_path: str, meta: dict) -> DataFrame:
     if len(meta["shape"]) != 1:
         raise ValueError(f"read_zarr_v3_vector expects 1-D, got {meta['shape']}")
     vtype = LongType() if meta["dtype"].kind in "iub" else DoubleType()
@@ -832,8 +838,12 @@ def consolidate_metadata_v3(group_path: str) -> dict:
         "kind": "inline",
         "must_understand": False,
     }
-    tmp = root_file + ".__tmp__"
-    with open(tmp, "w") as fh:
+    # mkstemp (not a fixed tmp name): concurrent consolidations must each
+    # rename a COMPLETE document into place (see zarrv2.consolidate_metadata).
+    import tempfile as _tempfile
+
+    fd, tmp = _tempfile.mkstemp(dir=group_path, prefix="zarr.json.tmp.")
+    with os.fdopen(fd, "w") as fh:
         json.dump(root, fh, indent=1, sort_keys=True)
     os.replace(tmp, root_file)
     return root
@@ -873,19 +883,7 @@ def read_zarr_v3_matrix_consolidated(
     """``read_zarr_v3_matrix`` planned from the group's inline
     consolidated metadata — the member ``zarr.json`` is never opened."""
     meta = _consolidated_v3_array_meta(group_path, array)
-    if len(meta["shape"]) != 2:
-        raise ValueError(f"read_zarr_v3_matrix expects 2-D, got {meta['shape']}")
-    array_path = os.path.join(group_path, array)
-    schema = StructType(
-        [
-            StructField("row", LongType()),
-            StructField("col0", LongType()),
-            StructField("values", ArrayType(DoubleType())),
-        ]
-    )
-    return _v3_chunk_files(spark, array_path).mapInPandas(
-        _decode_blocks_v3(array_path, meta), schema=schema
-    )
+    return _plan_v3_matrix_read(spark, os.path.join(group_path, array), meta)
 
 
 def read_zarr_v3_vector_consolidated(
@@ -894,14 +892,7 @@ def read_zarr_v3_vector_consolidated(
     """``read_zarr_v3_vector`` planned from the group's inline
     consolidated metadata."""
     meta = _consolidated_v3_array_meta(group_path, array)
-    if len(meta["shape"]) != 1:
-        raise ValueError(f"read_zarr_v3_vector expects 1-D, got {meta['shape']}")
-    array_path = os.path.join(group_path, array)
-    vtype = LongType() if meta["dtype"].kind in "iub" else DoubleType()
-    schema = StructType([StructField("row", LongType()), StructField("value", vtype)])
-    return _v3_chunk_files(spark, array_path).mapInPandas(
-        _decode_blocks_v3(array_path, meta), schema=schema
-    )
+    return _plan_v3_vector_read(spark, os.path.join(group_path, array), meta)
 
 
 @query(

@@ -189,41 +189,63 @@ def test_interval_coalesce_matches_python_sweep(spark):
     assert got == expect
 
 
-def test_interval_coalesce_long_interval_swallows_short(spark):
-    """The case that forces running-max (not lag-gap) semantics: a long
-    interval spans past two short ones; a third starts after the SHORT
-    predecessors end but inside the long one's shadow — one island."""
-    from pyspark.sql import Window as W
-    from pyspark.sql import functions as F
+def test_interval_coalesce_long_interval_swallows_short(spark, tmp_path):
+    """The case that forces running-max (not lag-gap) semantics, driven
+    through the REAL operator on a synthetic events store: one 600-second
+    interval (event_id % 541 == 540) shadows two 60-second ones, and a
+    fourth event starts after every short end but inside the long one's
+    span — one island.  A lag-gap regression (sessionize semantics) would
+    split it, and this test — not just the sf0.001 parity sweep, whose
+    data need not contain the shadow case — catches it."""
+    import os
 
-    rows = [  # (user, event_id, s, e): long [0,1000) over shorts at 100, 200
-        (1, 1, 0, 1000),
-        (1, 2, 100, 160),
-        (1, 3, 200, 260),
-        (1, 4, 500, 560),   # starts > every short end, still inside long
-        (1, 5, 2000, 2060), # genuinely new island
-    ]
-    df = spark.createDataFrame(rows, "user_id int, event_id int, s long, e long")
-    w = W.partitionBy("user_id").orderBy("s", "event_id")
-    prev_max = F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1))
-    out = (
-        df.withColumn(
-            "is_new", F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0)
-        )
-        .withColumn(
-            "island", F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-        )
-        .groupBy("island")
-        .agg(F.count(F.lit(1)).alias("n"), F.min("s").alias("s"), F.max("e").alias("e"))
-        .orderBy("island")
-        .collect()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from single_cell_experiments_spark.operators.advanced import (
+        IC_BASE_S,
+        IC_MOD,
+        events_interval_coalesce,
     )
-    assert [(r.island, r.n, r.s, r.e) for r in out] == [(1, 4, 0, 1000), (2, 1, 2000, 2060)]
-    # lag-gap semantics would have split event 4 into its own island:
+
+    # (event_id, ts_s): interval length = IC_BASE_S + event_id % IC_MOD
+    rows = [
+        (540, 0),      # [0, 600) — the long shadow
+        (1082, 100),   # % 541 == 0 -> [100, 160)
+        (1623, 200),   # [200, 260)
+        (2164, 500),   # starts > both short ends (160, 260), < 600
+        (2705, 2000),  # genuinely new island
+    ]
+    assert all(
+        IC_BASE_S + eid % IC_MOD == (600 if eid == 540 else 60) for eid, _ in rows
+    )
+
+    scratch = str(tmp_path / "iv")
+    os.makedirs(scratch)
+    table = pa.table(
+        {
+            "event_id": pa.array([eid for eid, _ in rows], pa.int64()),
+            "ts": pa.array([s * 10**9 for _, s in rows], pa.timestamp("ns")),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array(["view"] * len(rows)),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(table, f"{scratch}/events.parquet")
+
+    got = sorted(
+        (r.island_seq, r.n_events, r.start_s, r.end_s)
+        for r in events_interval_coalesce(spark, scratch).collect()
+    )
+    assert got == [(1, 4, 0, 600), (2, 1, 2000, 2060)]
+
+    # lag-gap semantics (the sessionize shape) would produce FOUR islands
+    # on the same input — the wrong answer the running max avoids:
     lag_gap_islands = 0
     prev_e = None
-    for _, _, s, e in sorted((r[1], r[0], r[2], r[3]) for r in rows):
+    for eid, s in sorted(rows, key=lambda t: t[1]):
         if prev_e is None or s > prev_e:
             lag_gap_islands += 1
-        prev_e = e  # lag: compare against the PREVIOUS row's end only
-    assert lag_gap_islands == 4  # the wrong answer the running max avoids
+        prev_e = s + IC_BASE_S + eid % IC_MOD
+    assert lag_gap_islands == 4
