@@ -82,29 +82,67 @@ class AnnFrame:
         ``sources.zarrv2.write_zarr_group`` (``X`` matrix + ``vec_id``
         index; ref ``AnnDataRdd.from_zarr`` [M]).  Chunk objects are
         listed and decoded executor-side; column-chunked grids reassemble
-        on ``row``."""
-        from .sources.zarrv2 import read_zarr_matrix, read_zarr_vector
+        on ``row``.
 
-        x_slices = read_zarr_matrix(spark, os.path.join(group_path, "X"))
-        ids = read_zarr_vector(spark, os.path.join(group_path, "vec_id")).select(
+        Consolidated-aware: when the group carries ``.zmetadata``
+        (``sources.zarrv2.consolidate_metadata``), BOTH the member
+        discovery (which obs_/var_ arrays exist) and every array's
+        metadata come from that ONE document — no per-array ``.zarray``
+        reads, no directory listing for metadata; unconsolidated groups
+        fall back to the per-array path unchanged."""
+        from .sources.zarrv2 import (
+            _plan_matrix_read,
+            _plan_vector_read,
+            _validate_v2_meta,
+            read_consolidated_meta,
+            read_zarr_matrix,
+            read_zarr_vector,
+        )
+
+        try:
+            md = read_consolidated_meta(group_path)
+        except FileNotFoundError:
+            md = None
+
+        def _matrix(arr: str):
+            if md is not None:
+                meta = _validate_v2_meta(md[f"{arr}/.zarray"], f"{group_path}:{arr}")
+                return _plan_matrix_read(spark, os.path.join(group_path, arr), meta)
+            return read_zarr_matrix(spark, os.path.join(group_path, arr))
+
+        def _vector(arr: str):
+            if md is not None:
+                meta = _validate_v2_meta(md[f"{arr}/.zarray"], f"{group_path}:{arr}")
+                return _plan_vector_read(spark, os.path.join(group_path, arr), meta)
+            return read_zarr_vector(spark, os.path.join(group_path, arr))
+
+        if md is not None:
+            members = sorted(
+                k.split("/")[0] for k in md if k.endswith("/.zarray")
+            )
+        else:
+            members = sorted(os.listdir(group_path))
+
+        x_slices = _matrix("X")
+        ids = _vector("vec_id").select(
             F.col("row"), F.col("value").alias("row_id")
         )
         # sibling obs_* 1-D arrays -> obs annotation columns
         obs = None
-        for entry in sorted(os.listdir(group_path)):
+        for entry in members:
             if not entry.startswith("obs_"):
                 continue
-            col = read_zarr_vector(spark, os.path.join(group_path, entry)).select(
+            col = _vector(entry).select(
                 "row", F.col("value").alias(entry[4:])
             )
             obs = col if obs is None else obs.join(col, "row")
         if obs is not None:
             obs = obs.join(ids, "row").drop("row")
         var = None
-        for entry in sorted(os.listdir(group_path)):
+        for entry in members:
             if not entry.startswith("var_"):
                 continue
-            col = read_zarr_vector(spark, os.path.join(group_path, entry)).select(
+            col = _vector(entry).select(
                 (F.col("row") + 1).alias("pos"), F.col("value").alias(entry[4:])
             )
             var = col if var is None else var.join(col, "pos")

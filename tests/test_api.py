@@ -607,3 +607,36 @@ def test_communities_louvain_matches_registered_kernel(spark):
 
     with pytest.raises(ValueError):
         _af(spark).communities(SC_NEIGHBORS_K, method="leiden-nope")
+
+
+def test_from_zarr_consolidated_is_equivalent_and_exclusive(spark, tmp_path):
+    """A consolidated group must load identically through from_zarr —
+    including obs_* discovery from the .zmetadata keys — and must never
+    touch the member .zarray files (proven by deleting them)."""
+    import os
+
+    import numpy as np
+
+    from single_cell_experiments_spark.sources.zarrv2 import consolidate_metadata
+
+    af = _af(spark)
+    path = str(tmp_path / "grp_consol")
+    af.to_zarr(path)
+
+    plain = AnnFrame.from_zarr(spark, path)
+    want_x = {int(r["row_id"]): np.array(r["values"]) for r in plain.x.collect()}
+    want_obs = {int(r["row_id"]): int(r["label"]) for r in plain.obs.collect()}
+
+    consolidate_metadata(path)
+    for entry in os.listdir(path):
+        zp = os.path.join(path, entry, ".zarray")
+        if os.path.isfile(zp):
+            os.remove(zp)
+
+    back = AnnFrame.from_zarr(spark, path)
+    got_x = {int(r["row_id"]): np.array(r["values"]) for r in back.x.collect()}
+    got_obs = {int(r["row_id"]): int(r["label"]) for r in back.obs.collect()}
+    assert set(got_x) == set(want_x)
+    for k in want_x:
+        np.testing.assert_array_equal(got_x[k], want_x[k])
+    assert got_obs == want_obs
