@@ -104,21 +104,38 @@ class AnnFrame:
         except FileNotFoundError:
             md = None
 
+        def _consolidated_meta(arr: str) -> dict:
+            key = f"{arr}/.zarray"
+            if key not in md:
+                raise KeyError(
+                    f"consolidated metadata at {group_path} has no entry for"
+                    f" required array {arr!r} ({key} missing) — the store's"
+                    f" .zmetadata is stale or the group layout is not the"
+                    f" flat AnnData shape this reader expects"
+                )
+            return _validate_v2_meta(md[key], f"{group_path}:{arr}")
+
         def _matrix(arr: str):
             if md is not None:
-                meta = _validate_v2_meta(md[f"{arr}/.zarray"], f"{group_path}:{arr}")
+                meta = _consolidated_meta(arr)
                 return _plan_matrix_read(spark, os.path.join(group_path, arr), meta)
             return read_zarr_matrix(spark, os.path.join(group_path, arr))
 
         def _vector(arr: str):
             if md is not None:
-                meta = _validate_v2_meta(md[f"{arr}/.zarray"], f"{group_path}:{arr}")
+                meta = _consolidated_meta(arr)
                 return _plan_vector_read(spark, os.path.join(group_path, arr), meta)
             return read_zarr_vector(spark, os.path.join(group_path, arr))
 
         if md is not None:
+            # Top-level arrays only (key shape "<name>/.zarray").  Nested
+            # nodes ("a/b/.zarray") would otherwise surface their first
+            # path segment as a member and then KeyError on the lookup of
+            # "<segment>/.zarray" below; this group layout is flat by
+            # construction (X + vec_id + obs_*/var_* siblings), so nested
+            # keys are simply not members.
             members = sorted(
-                k.split("/")[0] for k in md if k.endswith("/.zarray")
+                k.rsplit("/", 1)[0] for k in md if k.endswith("/.zarray") and k.count("/") == 1
             )
         else:
             members = sorted(os.listdir(group_path))

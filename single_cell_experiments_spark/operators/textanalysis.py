@@ -1406,7 +1406,19 @@ def collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w1",
             "w2",
             "c2",
-            F.expr("c2 * 1000000 * n div (c1a * c1b)").cast("bigint").alias("lift_ppm"),
+            # Guard the documented ~2e18 headroom at runtime: in non-ANSI
+            # Spark c2*1e6*n would silently WRAP past int64 and rank on
+            # garbage.  The comparison itself stays in-range (int64max div
+            # 1000000 div c2), and raise_error makes an oversized corpus
+            # fail loudly instead.  Never fires at registered scales, so
+            # the DuckDB oracle (which has no raise_error) is unaffected.
+            F.expr(
+                "CASE WHEN n > (9223372036854775807 div 1000000) div c2"
+                " THEN cast(raise_error('collocations_lift: c2*1e6*N exceeds"
+                " int64 — recompute lift in DECIMAL for this corpus size')"
+                " as bigint)"
+                " ELSE c2 * 1000000 * n div (c1a * c1b) END"
+            ).cast("bigint").alias("lift_ppm"),
         )
         .orderBy(F.desc("lift_ppm"), "w1", "w2")
         .limit(COLLOC_TOPK)

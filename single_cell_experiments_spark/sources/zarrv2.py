@@ -469,7 +469,17 @@ def consolidate_metadata(group_path: str) -> dict:
     sees a half-consolidated document.
     """
     meta: dict[str, dict] = {}
-    for root, _dirs, files in os.walk(group_path):
+    for root, dirs, files in os.walk(group_path):
+        # Prune non-node subtrees in place: only directories that are
+        # themselves zarr group/array nodes can hold metadata documents.
+        # Without this the walk visits every "/"-separated chunk directory
+        # — O(total chunk objects) local I/O for a metadata-only pass.
+        dirs[:] = [
+            d
+            for d in dirs
+            if os.path.exists(os.path.join(root, d, ".zgroup"))
+            or os.path.exists(os.path.join(root, d, ".zarray"))
+        ]
         for fname in files:
             if fname not in _META_NAMES:
                 continue
@@ -490,8 +500,21 @@ def consolidate_metadata(group_path: str) -> dict:
     fd, tmp = _tempfile.mkstemp(dir=group_path, prefix=".zmetadata.tmp.")
     with os.fdopen(fd, "w") as fh:
         json.dump(doc, fh, indent=1, sort_keys=True)
+    # mkstemp creates 0600; the rename would carry that over, leaving the
+    # one consolidated document more restrictive than every other store
+    # file written via plain open().  Re-grant to the umask default so
+    # other-uid readers of a shared store see consistent permissions.
+    _chmod_umask_default(tmp)
     os.replace(tmp, os.path.join(group_path, ".zmetadata"))
     return doc
+
+
+def _chmod_umask_default(path: str) -> None:
+    """chmod ``path`` to 0666 masked by the process umask — the mode a
+    plain ``open(..., "w")`` would have produced."""
+    um = os.umask(0)
+    os.umask(um)
+    os.chmod(path, 0o666 & ~um)
 
 
 def read_consolidated_meta(group_path: str) -> dict:

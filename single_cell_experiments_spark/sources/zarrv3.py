@@ -824,12 +824,17 @@ def consolidate_metadata_v3(group_path: str) -> dict:
         raise ValueError(f"not a zarr v3 group: {group_path}")
 
     members: dict[str, dict] = {}
-    for dirpath, _dirs, files in os.walk(group_path):
+    for dirpath, dirs, files in os.walk(group_path):
+        # Prune non-node subtrees in place: only directories that carry a
+        # zarr.json are real child nodes; nested chunk-key trees
+        # ("X/c/0/1") contain none, and walking them is O(total chunk
+        # objects) local I/O for a metadata-only pass.
+        dirs[:] = [
+            d for d in dirs if os.path.exists(os.path.join(dirpath, d, "zarr.json"))
+        ]
         if dirpath == group_path or "zarr.json" not in files:
             continue
         rel = os.path.relpath(dirpath, group_path).replace(os.sep, "/")
-        # nested chunk-key trees ("X/c/0/1") contain no zarr.json, so any
-        # directory that carries one is a real child node.
         with open(os.path.join(dirpath, "zarr.json")) as fh:
             members[rel] = json.load(fh)
 
@@ -845,6 +850,12 @@ def consolidate_metadata_v3(group_path: str) -> dict:
     fd, tmp = _tempfile.mkstemp(dir=group_path, prefix="zarr.json.tmp.")
     with os.fdopen(fd, "w") as fh:
         json.dump(root, fh, indent=1, sort_keys=True)
+    # mkstemp's 0600 would survive the rename, making the one root
+    # document more restrictive than the rest of the store (see
+    # zarrv2._chmod_umask_default).
+    from .zarrv2 import _chmod_umask_default
+
+    _chmod_umask_default(tmp)
     os.replace(tmp, root_file)
     return root
 
