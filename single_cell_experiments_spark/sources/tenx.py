@@ -306,3 +306,99 @@ def tenx_csc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("row") + 1).alias("pos"),
         F.round(F.col("value").cast("double"), 6).alias("v"),
     )
+
+
+# Dense read-back of the migrated store: every (cell, gene) position, with
+# the fixture's dropped non-positive entries restored as the fill value 0.
+_TENX_MIGRATE_ORACLE = """
+SELECT vec_id, pos, round(CASE WHEN v > 0 THEN v ELSE 0.0 END, 6) AS v
+FROM (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+)
+"""
+
+
+@query(
+    "tenx_to_zarr_migrate",
+    oracle=_TENX_MIGRATE_ORACLE,
+    tags=("sources", "tenx", "zarr", "migration", "singlecell"),
+    cache=False,
+)
+def tenx_to_zarr_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FLAGSHIP ETL as one composed query (SURVEY §2.A A3+A2
+    [M]: the headline experiment converts the 10x 1.3M-neuron ``matrix.h5``
+    CSC matrix into the chunked store before any computation runs): 10x CSC
+    container → nnz-balanced distributed slice decode (``ingest_csc``) →
+    per-cell densification → chunk-group exchange → chunk-aligned Zarr v2
+    write (``write_zarr_group``) → read-back through the ``sce_zarr``
+    connector, hash-checked against the parquet oracle.  This composes the
+    two previously separately-verified halves (``tenx_csc_ingest``,
+    ``zarr_pyds_roundtrip``) into the actual conversion a reference user
+    runs, proving CSC decode → transpose-to-cell-major → dense chunk encode
+    → chunk decode is value-exact end to end.
+
+    Scale shape: (1) slice decode is one mapInPandas pass, task balance by
+    nnz bytes, no driver matrix data; (2) densify is ONE keyed exchange —
+    groupBy(cell) map_from_entries with a ``spark.range`` left join so
+    all-zero cells still land (try_element_at + coalesce fills the CSC
+    holes with the zarr fill value); (3) the writer's groupBy(chunk_id) is
+    the chunk-group exchange.  At 100 TB the two exchanges collapse toward
+    one: CSC column slices are contiguous CELL ranges, so aligning
+    ``target_nnz_per_slice`` boundaries to ``rows_per_chunk`` multiples
+    makes the densify shuffle write straight into chunk groups (AQE
+    coalesces the near-empty remainder partitions); neither exchange
+    carries more than the nnz payload + fill.
+    """
+    import tempfile
+
+    store = NpzCscStore(_embeddings_csc_fixture(sf_dir))
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"sce_tenx_mig_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    return migrate_csc_to_zarr(spark, store, out, target_nnz_per_slice=4096)
+
+
+def migrate_csc_to_zarr(
+    spark: SparkSession,
+    store: CscStore,
+    out_path: str,
+    target_nnz_per_slice: int = 1 << 20,
+    rows_per_chunk: int | None = None,
+) -> DataFrame:
+    """CSC store (genes × cells) → cell-major dense Zarr v2 group at
+    ``out_path`` → connector read-back as (vec_id, pos, v) COO.  The core
+    of ``tenx_to_zarr_migrate`` (see its docstring for the scale
+    contract); callable on any ``CscStore`` backend (h5/npz)."""
+    from .zarrv2 import _DEFAULT_COMPRESSOR, write_zarr_group, zarr_matrix_coo
+
+    n_genes, n_cells = store.shape()
+    coo = ingest_csc(spark, store, target_nnz_per_slice=target_nnz_per_slice)
+
+    # CSC (gene, cell, value) → cell-major dense rows (AnnData X layout).
+    cells = spark.range(n_cells).select(F.col("id").alias("vec_id"))
+    per_cell = coo.groupBy(F.col("col").alias("vec_id")).agg(
+        F.map_from_entries(F.collect_list(F.struct("row", "value"))).alias("m")
+    )
+    wide = cells.join(per_cell, "vec_id", "left").select(
+        "vec_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_genes - 1)),
+            lambda i: F.coalesce(
+                F.try_element_at("m", i.cast("long")), F.lit(0.0)
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+
+    kw = {} if rows_per_chunk is None else {"rows_per_chunk": rows_per_chunk}
+    write_zarr_group(wide, out_path, compressor=_DEFAULT_COMPRESSOR, **kw)
+
+    from .pyds import read_zarr_pyds
+
+    x = read_zarr_pyds(spark, os.path.join(out_path, "X"))
+    ids = read_zarr_pyds(spark, os.path.join(out_path, "vec_id")).withColumnRenamed(
+        "value", "vec_id"
+    )
+    return zarr_matrix_coo(x, ids)

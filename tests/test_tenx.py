@@ -196,3 +196,41 @@ def test_minih5_h5py_interop(tmp_path):
         for k, v in arrs.items():
             np.testing.assert_array_equal(f.dataset(f"matrix/{k}"), v)
         np.testing.assert_array_equal(f.dataset("matrix/chunked"), arrs["data"])
+
+
+def test_h5_to_zarr_migrate_matches_dense_reference(spark, tmp_path):
+    """The flagship ETL end to end on a real HDF5 container: CellRanger-
+    layout matrix.h5 → balanced slice decode → densify → chunk-aligned
+    zarr write → connector read-back, checked cell-for-cell against the
+    dense numpy transpose (zeros included — the fill path is on trial).
+    Tiny rows_per_chunk forces multiple chunk groups and a padded edge
+    chunk."""
+    from single_cell_experiments_spark.sources.tenx import (
+        H5CscStore,
+        migrate_csc_to_zarr,
+    )
+
+    rng = np.random.default_rng(41)
+    dense, indptr, indices, data = _random_csc(rng, n_rows=9, n_cols=26)
+    path = str(tmp_path / "matrix.h5")
+    _write_matrix_h5(path, dense, indptr, indices, data)
+    out = (
+        migrate_csc_to_zarr(
+            spark,
+            H5CscStore(path),
+            str(tmp_path / "store"),
+            target_nnz_per_slice=7,
+            rows_per_chunk=5,
+        )
+        .toPandas()
+        .sort_values(["vec_id", "pos"])
+        .reset_index(drop=True)
+    )
+    n_genes, n_cells = dense.shape
+    assert len(out) == n_genes * n_cells
+    expect = dense.T.astype(np.float32).ravel()  # cell-major, zeros included
+    np.testing.assert_allclose(
+        out["v"].to_numpy(), np.round(expect.astype(np.float64), 6)
+    )
+    assert out["vec_id"].tolist() == np.repeat(np.arange(n_cells), n_genes).tolist()
+    assert out["pos"].tolist() == list(range(1, n_genes + 1)) * n_cells
