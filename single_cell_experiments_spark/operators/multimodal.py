@@ -397,6 +397,157 @@ def _decode_ppm(blob: bytes) -> dict:
     return {"width": w, "height": h, "channels": 3, "pixels": px.copy()}
 
 
+# --- PNG (stdlib zlib + spec filters — the most common real format that
+# needs no third-party dep; r12 verdict #5) -------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+#: PNG color type → channel count for the 8-bit non-palette types we decode.
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def encode_png(pixels, filter_type: int = 0) -> bytes:
+    """uint8 pixel array ((h, w) gray, (h, w, 1/2/3/4)) → 8-bit
+    non-interlaced PNG bytes (IHDR/IDAT/IEND, zlib level 6) — the fixture
+    generator for the real decode path; any viewer/PIL opens the output.
+    ``filter_type`` applies one spec filter (0–4) to EVERY row so tests
+    can roundtrip each unfilter branch against known pixels (real encoders
+    pick per-row; the decode side never assumes uniformity)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    if filter_type not in range(5):
+        raise ValueError(f"PNG filter type {filter_type} not in 0..4")
+
+    lines = px.reshape(h, w * c).astype(np.int32)
+    prev = np.zeros(w * c, dtype=np.int32)
+    raw = bytearray()
+    for r in range(h):
+        cur = lines[r]
+        left = np.concatenate([np.zeros(c, np.int32), cur[:-c]]) if w * c > c else np.zeros_like(cur)
+        upleft = np.concatenate([np.zeros(c, np.int32), prev[:-c]]) if w * c > c else np.zeros_like(cur)
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 1:
+            enc = cur - left
+        elif filter_type == 2:
+            enc = cur - prev
+        elif filter_type == 3:
+            enc = cur - ((left + prev) >> 1)
+        else:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
+            enc = cur - pred
+        raw.append(filter_type)
+        raw += (enc & 0xFF).astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(blob: bytes) -> dict:
+    """8-bit non-interlaced gray / gray+alpha / RGB / RGBA PNG in pure
+    stdlib zlib + numpy: chunk walk → concatenated-IDAT inflate → per-row
+    unfilter (all five spec filters; Up/None are vectorized, Sub/Average/
+    Paeth run the spec recurrence per row — each byte depends on the
+    already-reconstructed left neighbor, so the loop is inherent, and at
+    pipeline scale rows decode in parallel across documents anyway).
+    Palette, 16-bit, and interlaced variants raise the PIL gate error."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if blob[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack_from(">I", blob, pos)
+        tag = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length  # length + tag + data + crc
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0 or comp != 0 or filt != 0:
+        raise NotImplementedError(
+            f"PNG decode supports 8-bit non-interlaced gray/RGB/alpha (got "
+            f"depth={depth}, color_type={color_type}, interlace={interlace})"
+            " — use PIL for palette/16-bit/interlaced variants"
+        )
+    c = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * c
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel payload has wrong length")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        line = np.frombuffer(raw, np.uint8, stride, r * (stride + 1) + 1).astype(np.int32)
+        if ft == 0:
+            cur = line
+        elif ft == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ft == 1:  # Sub
+            cur = line
+            for i in range(c, stride):
+                cur[i] = (cur[i] + cur[i - c]) & 0xFF
+        elif ft == 3:  # Average
+            cur = line
+            for i in range(stride):
+                a = cur[i - c] if i >= c else 0
+                cur[i] = (cur[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            cur = line
+            for i in range(stride):
+                a = cur[i - c] if i >= c else 0
+                b = int(prev[i])
+                cc = int(prev[i - c]) if i >= c else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                cur[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG row filter {ft} not in spec range 0..4")
+        out[r] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(h, w, c)
+    return {"width": w, "height": h, "channels": c, "pixels": px}
+
+
 _REAL_DECODE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -436,16 +587,23 @@ def real_decode_meta(blobs: DataFrame) -> DataFrame:
 
 
 def decode_image_real(blob: bytes) -> dict:
-    """Real image decode.  Uncompressed 24-bpp BMP and binary PPM (P6)
-    decode in pure numpy — real formats, zero dependencies, so the
-    swap-in point is exercised end-to-end in this container (see
-    ``tests/test_multimodal.py``); every other format (PNG/JPEG/...)
-    needs PIL and raises a clear gate error without it.  Returns
-    ``{width, height, channels, pixels}`` (pixels = (h, w, c) uint8)."""
+    """Real image decode.  Uncompressed 24-bpp BMP, binary PPM (P6), and
+    8-bit non-interlaced PNG (gray/RGB/±alpha — stdlib zlib inflate +
+    spec unfiltering incl. Paeth) decode with zero third-party
+    dependencies, so the swap-in point is exercised end-to-end in this
+    container (see ``tests/test_multimodal.py``); every other format
+    (JPEG/palette-PNG/...) needs PIL and raises a clear gate error
+    without it.  Returns ``{width, height, channels, pixels}``
+    (pixels = (h, w, c) uint8)."""
     if blob[:2] == b"BM":
         return _decode_bmp(blob)
     if blob[:2] == b"P6":
         return _decode_ppm(blob)
+    if blob[: len(_PNG_SIG)] == _PNG_SIG:
+        try:
+            return _decode_png(blob)
+        except NotImplementedError:
+            pass  # palette/16-bit/interlaced → fall through to the PIL gate
     try:
         from PIL import Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover - environment-dependent
