@@ -89,3 +89,51 @@ def test_fine_cells_refine_coarse_and_recall_is_monotone(spark):
     rf = {int(r.vec_id): int(r.n_hit) for r in sc_ivf_fine_recall(spark, SF_DIR).collect()}
     assert set(rf) == set(rc)
     assert all(rf[v] <= rc[v] for v in rf)
+
+
+def test_nnd_rounds_are_monotone_and_graph_is_valid(spark):
+    """NN-descent: (a) the round-r edge set's exact-top-k recall never
+    decreases with rounds (candidates always include current edges, so
+    per-vector kept distances are non-increasing), (b) the built graph is
+    a well-formed top-K_BUILD ranking (dense ranks 1..K per vector, no
+    self-edges), (c) the registered recall audit agrees with a direct
+    membership recount."""
+    from single_cell_experiments_spark.operators.singlecell import (
+        SC_NND_K_BUILD,
+        SC_NND_ROUNDS,
+        sc_neighbors_nnd_recall,
+        sc_nnd_edges,
+    )
+
+    exact = {
+        (int(r.vec_id), int(r.nbr))
+        for r in sc_neighbor_edges(spark, SF_DIR).collect()
+    }
+
+    prev_hits = -1
+    final_edges = None
+    for rounds in range(SC_NND_ROUNDS + 1):
+        edges = sc_nnd_edges(spark, SF_DIR, rounds=rounds).collect()
+        hits = sum((int(r.vec_id), int(r.nbr)) in exact for r in edges)
+        assert hits >= prev_hits, f"recall dropped at round {rounds}"
+        prev_hits = hits
+        final_edges = edges
+
+    per_vec: dict[int, list[int]] = {}
+    for r in final_edges:
+        assert int(r.vec_id) != int(r.nbr)
+        per_vec.setdefault(int(r.vec_id), []).append(int(r.rk))
+    for v, rks in per_vec.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1)), v
+        assert len(rks) <= SC_NND_K_BUILD
+
+    # registered audit vs direct recount
+    audit = {
+        int(r.vec_id): int(r.n_hit)
+        for r in sc_neighbors_nnd_recall(spark, SF_DIR).collect()
+    }
+    got = {(int(r.vec_id), int(r.nbr)) for r in final_edges}
+    direct: dict[int, int] = {}
+    for v, n in exact:
+        direct[v] = direct.get(v, 0) + ((v, n) in got)
+    assert audit == direct
