@@ -2566,3 +2566,299 @@ def sc_communities_louvain2(
         lv2.select(F.col("id").alias("lbl"), F.col("lbl").alias("c2")),
         "lbl",
     ).select(F.col("id").alias("vec_id"), big(F.col("c2")).alias("community"))
+
+
+# --- deterministic 2-D embedding (the Scanpy tl.umap slot) ---------------------
+
+SC_SPECTRAL_T = 6  # fixed power-iteration rounds per layout axis
+#: fixed-point scale: layout values are BIGINT micro-units (value × 1e6).
+_SL_SCALE = 1_000_000
+
+
+def _sl_idiv(x: str, y: str, dv: str) -> str:
+    """Truncate-toward-zero integer division for a possibly-negative
+    numerator over a positive denominator.  Spark's ``div`` truncates but
+    DuckDB's ``//`` floors, so negatives are routed through the
+    engine-agreeing nonnegative case."""
+    return (
+        f"(CASE WHEN ({x}) >= 0 THEN ({x}) {dv} ({y})"
+        f" ELSE -((-({x})) {dv} ({y})) END)"
+    )
+
+
+#: exact integer sqrt in two column stages (see _sl_isqrt_cols): the double
+#: sqrt seed is correctly rounded per IEEE-754 (deterministic in both
+#: engines), and the ±1 corrections make the result the true floor sqrt by
+#: pure integer comparison — no float ever crosses an engine boundary.
+def _sl_isqrt_cols(n_expr: str, out: str) -> tuple[str, str, str]:
+    """Three SELECT-stage column lists computing ``out`` = floor(sqrt(n)).
+    Stage 1 emits ``__n`` and the double-seeded ``__s``; stage 2 corrects
+    down; stage 3 corrects up."""
+    s1 = f"({n_expr}) AS __n, CAST(floor(sqrt(CAST(({n_expr}) AS DOUBLE))) AS BIGINT) AS __s"
+    s2 = "__n, (__s - (CASE WHEN __s * __s > __n THEN 1 ELSE 0 END)) AS __s"
+    s3 = f"(__s + (CASE WHEN (__s + 1) * (__s + 1) <= __n THEN 1 ELSE 0 END)) AS {out}"
+    return s1, s2, s3
+
+
+def _sl_isqrt_sql(n_expr: str, out: str, src: str, keys: str = "u") -> str:
+    """SELECT pipeline computing ``keys, {out} = isqrt(n_expr)`` from ``src``.
+    ``keys`` may be source-qualified (``e.u, e.v``); the outer correction
+    stages reference the bare column names."""
+    s1, s2, s3 = _sl_isqrt_cols(n_expr, out)
+    k_in = f"{keys}, " if keys else ""
+    bare = ", ".join(p.strip().split(".")[-1] for p in keys.split(",") if p.strip())
+    k_out = f"{bare}, " if bare else ""
+    return (
+        f"SELECT {k_out}{s3} FROM ("
+        f"SELECT {k_out}{s2} FROM ("
+        f"SELECT {k_in}{s1} FROM {src}) q1) q2"
+    )
+
+
+def _spectral_chain_sql(
+    t_steps: int = SC_SPECTRAL_T, dv: str = "//", mat: str = " MATERIALIZED"
+) -> str:
+    """CTE chain (appended after an ``edges(u, v)`` CTE — symmetric, unit
+    weights): fixed-iteration DEFLATED POWER ITERATION for the 2nd and 3rd
+    eigenvectors of the symmetric-normalized adjacency Â = D^-1/2 A D^-1/2
+    — the spectral initialization UMAP itself uses (umap-learn
+    ``init="spectral"``) and the classic Laplacian-eigenmap layout.  The
+    top eigenvector of Â is known analytically (φ ∝ √deg, eigenvalue 1),
+    so axis one deflates against φ only and axis two against φ and the
+    finished axis one: T matvec→deflate→normalize rounds, no eigensolver.
+
+    ENGINE-EXACT BY CONSTRUCTION — pure BIGINT fixed point: vectors live
+    in micro-units, every product is integer, every division is the
+    truncate-toward-zero ``_sl_idiv`` on a positive denominator, and the
+    only sqrt is the ±1-corrected integer ``isqrt`` (the float-grid
+    variant measurably diverged: Spark rounds a double's SHORTEST decimal
+    repr HALF_UP while DuckDB rounds the binary value, and per-step
+    rounding amplified the rare tie disagreements — same lesson as the
+    integer-exact PageRank/Leiden oracles, relearned here and pinned by
+    this builder).  ``dv`` is the integer-division token ('//' DuckDB,
+    'div' Spark); ``mat`` injects MATERIALIZED for DuckDB.
+
+    Overflow bounds (int64): matvec terms w·x ≤ 1e6·1e6 = 1e12 summed
+    over degree ≤ ~1e6 rows; projections Σφ·z ≤ n·1e12 — safe to n ≈ 9e6
+    layout nodes, loudly past any driver scale; norm² Σv² same bound.
+    """
+    idiv = lambda x, y: _sl_idiv(x, y, dv)  # noqa: E731
+
+    def dn(out: str, src: str, col: str, defls: list[str]) -> str:
+        """Deflate ``src(u, {col})`` (micro) against each unit vector in
+        ``defls`` (micro), normalize to micro-unit length, emit
+        ``out(u, val)``."""
+        prs = ",\n".join(
+            f"""pr_{out}_{i} AS (
+  SELECT {idiv(f"SUM(d.val * s.{col})", str(_SL_SCALE))} AS pr
+  FROM {src} s JOIN {dcte} d ON d.u = s.u
+)"""
+            for i, dcte in enumerate(defls)
+        )
+        sub = " - ".join(
+            idiv(f"(SELECT pr FROM pr_{out}_{i}) * d{i}.val", str(_SL_SCALE))
+            for i in range(len(defls))
+        )
+        joins = " ".join(f"JOIN {dcte} d{i} ON d{i}.u = s.u" for i, dcte in enumerate(defls))
+        return f"""{prs},
+v_{out} AS{mat} (
+  SELECT s.u, CAST(s.{col} - {sub} AS BIGINT) AS v
+  FROM {src} s {joins}
+),
+n_{out} AS (
+  {_sl_isqrt_sql("SUM(v * v)", "nr", f"v_{out}", keys="")}
+),
+{out} AS{mat} (
+  SELECT u, CAST({idiv(f"v * {_SL_SCALE}", f"(SELECT nr FROM n_{out})")} AS BIGINT) AS val
+  FROM v_{out}
+)"""
+
+    parts = [
+        f"""deg AS{mat} (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY u),
+tot AS (SELECT CAST(SUM(d) AS BIGINT) AS m2 FROM deg),
+wts AS{mat} (
+  {_sl_isqrt_sql(f"CAST({_SL_SCALE} AS BIGINT) * {_SL_SCALE} {dv} (du.d * dv2.d)", "w",
+                 "edges e JOIN deg du ON du.u = e.u JOIN deg dv2 ON dv2.u = e.v",
+                 keys="e.u, e.v")}
+),
+phi AS{mat} (
+  {_sl_isqrt_sql(f"d * CAST({_SL_SCALE} AS BIGINT) * {_SL_SCALE} {dv} (SELECT m2 FROM tot)", "val",
+                 "deg", keys="u")}
+)"""
+    ]
+
+    def axis(name: str, lcg_a: int, lcg_c: int, defls: list[str]) -> None:
+        parts.append(
+            f"""r_{name} AS (
+  SELECT u, CAST(((u * {lcg_a} + {lcg_c}) % 2048) * {_SL_SCALE} {dv} 2048 AS BIGINT) AS val
+  FROM deg
+)"""
+        )
+        parts.append(dn(f"{name}0", f"r_{name}", "val", defls))
+        for t in range(1, t_steps + 1):
+            parts.append(
+                f"""z_{name}{t} AS{mat} (
+  SELECT w.u, {idiv("SUM(w.w * x.val)", str(_SL_SCALE))} AS val
+  FROM wts w JOIN {name}{t - 1} x ON x.u = w.v
+  GROUP BY w.u
+)"""
+            )
+            parts.append(dn(f"{name}{t}", f"z_{name}{t}", "val", defls))
+
+    axis("sx", 1103515245, 12345, ["phi"])
+    axis("sy", 69069, 1, ["phi", f"sx{t_steps}"])
+    return ",\n".join(parts)
+
+
+def _spectral_select_sql(t_steps: int = SC_SPECTRAL_T) -> str:
+    return f"""
+SELECT x.u AS vec_id, CAST(x.val AS BIGINT) AS sx_micro, CAST(y.val AS BIGINT) AS sy_micro
+FROM sx{t_steps} x JOIN sy{t_steps} y ON y.u = x.u
+"""
+
+
+_SC_SPECTRAL_ORACLE = f"""
+WITH knn AS MATERIALIZED ({_SC_NEIGHBORS_ORACLE}),
+mutual AS MATERIALIZED (
+  SELECT x.vec_id AS u, x.nbr AS v
+  FROM knn x JOIN knn y ON x.vec_id = y.nbr AND x.nbr = y.vec_id
+),
+edges AS MATERIALIZED (SELECT u, v FROM mutual),
+{_spectral_chain_sql()}
+{_spectral_select_sql()}
+"""
+
+
+@query(
+    "sc_spectral_layout",
+    oracle=_SC_SPECTRAL_ORACLE,
+    tags=("singlecell", "embedding", "graph", "iterative"),
+)
+def sc_spectral_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 2-D embedding of the mutual-kNN graph — the Scanpy
+    ``tl.umap`` slot (r12 verdict #7), completing the pp.neighbors →
+    clustering → layout story: spectral coordinates (Laplacian-eigenmap
+    axes, exactly umap-learn's ``init="spectral"`` starting layout)
+    computed by fixed-round deflated power iteration on the
+    symmetric-normalized adjacency of the same mutual graph
+    ``sc_knn_clusters`` components run on, in BIGINT micro fixed point
+    end to end (see ``_spectral_chain_sql`` for the engine-exactness and
+    overflow arguments).  Stochastic-gradient UMAP refinement is
+    deliberately out of scope — seed-dependent, untestable cross-engine;
+    the spectral init is the deterministic core a production layout
+    starts from, and numpy float parity of these axes is pinned in
+    tests/test_spectral.py.
+
+    Scale shape: each round is ONE keyed exchange — the matvec joins the
+    O(n·k) weighted edge list against the O(n) vector on the neighbor key
+    — plus O(1)-row scalar aggregates for the deflation/normalization
+    constants; T is fixed (plan-static), per-round state is the vector,
+    and nothing ever shuffles the n² distance matrix.  The Spark side
+    runs the IDENTICAL integer fragments stepwise over temp views with a
+    ``materialize()`` between rounds (one 90-CTE chain overruns the
+    analyzer's fixed-point budget; the driver loop is the house shape for
+    iterative ops — PageRank, Louvain).  Isolated cells (no mutual
+    neighbor) carry no layout row, as in ``sc_knn_clusters``.
+    """
+    knn = sc_neighbor_edges(spark, sf_dir).select("vec_id", "nbr")
+    rev = knn.select(F.col("nbr").alias("vec_id"), F.col("vec_id").alias("nbr"))
+    mutual = materialize(
+        knn.intersect(rev).select(F.col("vec_id").alias("u"), F.col("nbr").alias("v"))
+    )
+
+    def mv(df: DataFrame, name: str) -> DataFrame:
+        m = materialize(df)
+        m.createOrReplaceTempView(name)
+        return m
+
+    idiv = lambda x, y: _sl_idiv(x, y, "div")  # noqa: E731
+
+    mv(mutual, "__sl_edges")
+    mv(
+        spark.sql("SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM __sl_edges GROUP BY u"),
+        "__sl_deg",
+    )
+    mv(
+        spark.sql(
+            _sl_isqrt_sql(
+                f"CAST({_SL_SCALE} AS BIGINT) * {_SL_SCALE} div (du.d * dv2.d)",
+                "w",
+                "__sl_edges e JOIN __sl_deg du ON du.u = e.u JOIN __sl_deg dv2 ON dv2.u = e.v",
+                keys="e.u, e.v",
+            )
+        ),
+        "__sl_wts",
+    )
+    mv(
+        spark.sql(
+            _sl_isqrt_sql(
+                f"d * CAST({_SL_SCALE} AS BIGINT) * {_SL_SCALE}"
+                " div (SELECT CAST(SUM(d) AS BIGINT) FROM __sl_deg)",
+                "val",
+                "__sl_deg",
+                keys="u",
+            )
+        ),
+        "__sl_phi",
+    )
+
+    def dn(src_view: str, defls: list[str], tag: str) -> str:
+        for i, dcte in enumerate(defls):
+            mv(
+                spark.sql(
+                    f"""SELECT {idiv("SUM(d.val * s.val)", str(_SL_SCALE))} AS pr
+FROM {src_view} s JOIN {dcte} d ON d.u = s.u"""
+                ),
+                f"__sl_{tag}_pr{i}",
+            )
+        sub = " - ".join(
+            idiv(f"(SELECT pr FROM __sl_{tag}_pr{i}) * d{i}.val", str(_SL_SCALE))
+            for i in range(len(defls))
+        )
+        joins = " ".join(f"JOIN {dcte} d{i} ON d{i}.u = s.u" for i, dcte in enumerate(defls))
+        mv(
+            spark.sql(
+                f"SELECT s.u, CAST(s.val - {sub} AS BIGINT) AS v FROM {src_view} s {joins}"
+            ),
+            f"__sl_{tag}_v",
+        )
+        mv(
+            spark.sql(_sl_isqrt_sql("SUM(v * v)", "nr", f"__sl_{tag}_v", keys="")),
+            f"__sl_{tag}_n",
+        )
+        mv(
+            spark.sql(
+                f"""SELECT u, CAST({idiv(f"v * {_SL_SCALE}", f"(SELECT nr FROM __sl_{tag}_n)")} AS BIGINT) AS val
+FROM __sl_{tag}_v"""
+            ),
+            f"__sl_{tag}",
+        )
+        return f"__sl_{tag}"
+
+    def axis(name: str, lcg_a: int, lcg_c: int, defls: list[str]) -> str:
+        mv(
+            spark.sql(
+                f"""SELECT u, CAST(((u * {lcg_a} + {lcg_c}) % 2048) * {_SL_SCALE} div 2048 AS BIGINT) AS val
+FROM __sl_deg"""
+            ),
+            f"__sl_r_{name}",
+        )
+        cur = dn(f"__sl_r_{name}", defls, f"{name}0")
+        for t in range(1, SC_SPECTRAL_T + 1):
+            mv(
+                spark.sql(
+                    f"""SELECT w.u, {idiv("SUM(w.w * x.val)", str(_SL_SCALE))} AS val
+FROM __sl_wts w JOIN {cur} x ON x.u = w.v
+GROUP BY w.u"""
+                ),
+                f"__sl_z_{name}{t}",
+            )
+            cur = dn(f"__sl_z_{name}{t}", defls, f"{name}{t}")
+        return cur
+
+    fx = axis("sx", 1103515245, 12345, ["__sl_phi"])
+    fy = axis("sy", 69069, 1, ["__sl_phi", fx])
+    return spark.sql(
+        f"""SELECT x.u AS vec_id, CAST(x.val AS BIGINT) AS sx_micro, CAST(y.val AS BIGINT) AS sy_micro
+FROM {fx} x JOIN {fy} y ON y.u = x.u"""
+    )
