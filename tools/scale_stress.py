@@ -658,8 +658,212 @@ def lshcap_stress(args: list[str]) -> int:
     return 0
 
 
+def _ui_totals(spark) -> dict:
+    """Cumulative stage totals from the app's own UI REST API (the public
+    surface for shuffle telemetry; py4j overloads on AppStatusStore don't
+    resolve).  Caller diffs two snapshots around the measured region."""
+    import json as _json
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    stages = _json.load(
+        urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/stages?status=complete")
+    )
+    return {
+        "stages": len(stages),
+        "tasks": sum(s.get("numCompleteTasks", 0) for s in stages),
+        "input_mb": round(sum(s.get("inputBytes", 0) for s in stages) / 1e6, 1),
+        "shuffle_write_mb": round(
+            sum(s.get("shuffleWriteBytes", 0) for s in stages) / 1e6, 1
+        ),
+        "shuffle_read_mb": round(
+            sum(s.get("shuffleReadBytes", 0) for s in stages) / 1e6, 1
+        ),
+    }
+
+
+def _ui_diff(a: dict, b: dict) -> dict:
+    return {k: round(b[k] - a[k], 1) for k in a}
+
+
+def r13_zarr_stress(args: list[str]) -> int:
+    """``--r13zarr [k]`` (default 100): the v3 SHARDED connector at 100×
+    embeddings (r12 verdict #3 — the brief's design point, not the 20×
+    the earlier sections measured).  Key-shifted DENSE re-ids (the v3
+    writer's positional contract), one object per 64-row shard with
+    16-row inner chunks through bytes→blosc→crc32c, read back through
+    ``spark.read.format("sce_zarr")``.  Integrity is exact: COO row count
+    must be n·d and the BIGINT micro-sum of round(v, 6) must equal the
+    same reduction over the source parquet.  Telemetry: wall per phase,
+    store object census, and REST-scraped shuffle/input bytes — the
+    numbers that show the plan shape is flat (no hidden quadratic)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from single_cell_experiments_spark.session import get_spark
+    from single_cell_experiments_spark.sources.pyds import read_zarr_pyds
+    from single_cell_experiments_spark.sources.zarrv2 import zarr_matrix_coo
+    from single_cell_experiments_spark.sources.zarrv3 import write_zarr_v3_group
+
+    k = int(args[0]) if args else 100
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out = f"/tmp/sce_stress_r13z_x{k}"
+    spark = get_spark(
+        app_name="sce-r13-zarr-stress", extra_confs={"spark.ui.enabled": "true"}
+    )
+    dst = os.path.join(out, "embeddings.parquet")
+    if not os.path.exists(dst):
+        df = spark.read.parquet(os.path.join(src, "embeddings.parquet"))
+        n_src = df.count()
+        copies = spark.range(k).withColumnRenamed("id", "__copy")
+        wide = df.crossJoin(copies).withColumn(
+            "vec_id", F.col("vec_id") + F.col("__copy") * n_src
+        )
+        wide.repartition(32).drop("__copy").write.mode("overwrite").parquet(dst)
+
+    import shutil
+
+    srcagg = (
+        spark.read.parquet(dst)
+        .select(F.posexplode("embedding").alias("p", "v32"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.expr("CAST(round(CAST(v32 AS DOUBLE), 6) * 1000000 AS BIGINT)")
+            ).alias("s"),
+        )
+        .collect()[0]
+    )
+
+    configs = {
+        # the registered query's coverage config (tiny shards — one task
+        # per 64-row object: the task-per-object floor dominates) vs the
+        # production sizing a 100 TB store would use (the same plan, the
+        # object-count dial turned: tasks shrink 64×, range reads grow).
+        "coverage_64x16": {"rows_per_chunk": 64, "shard_inner_rows": 16},
+        "production_4096x256": {"rows_per_chunk": 4096, "shard_inner_rows": 256},
+    }
+    results = {}
+    for cname, kw in configs.items():
+        store = os.path.join(out, f"v3store_{cname}")
+        shutil.rmtree(store, ignore_errors=True)
+
+        u0 = _ui_totals(spark)
+        t0 = time.perf_counter()
+        meta = write_zarr_v3_group(spark.read.parquet(dst), store, **kw)
+        t_write = round(time.perf_counter() - t0, 2)
+        u1 = _ui_totals(spark)
+
+        t0 = time.perf_counter()
+        x = read_zarr_pyds(spark, os.path.join(store, "X"))
+        ids = read_zarr_pyds(spark, os.path.join(store, "vec_id")).withColumnRenamed(
+            "value", "vec_id"
+        )
+        coo = zarr_matrix_coo(x, ids)
+        got = coo.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(round(v, 6) * 1000000 AS BIGINT)")).alias("s"),
+        ).collect()[0]
+        t_read = round(time.perf_counter() - t0, 2)
+        u2 = _ui_totals(spark)
+
+        files = [
+            p
+            for p in glob.glob(os.path.join(store, "**"), recursive=True)
+            if os.path.isfile(p)
+        ]
+        results[cname] = {
+            "rows": int(meta["shape"][0]),
+            "shards": int(meta["n_chunks"]),
+            "coo_rows": int(got["n"]),
+            "exact_integrity": bool(
+                got["n"] == srcagg["n"] and got["s"] == srcagg["s"]
+            ),
+            "store_mb": round(sum(os.path.getsize(p) for p in files) / 1e6, 1),
+            "store_objects": len(files),
+            "write_sec": t_write,
+            "read_agg_sec": t_read,
+            "write_ui": _ui_diff(u0, u1),
+            "read_ui": _ui_diff(u1, u2),
+        }
+    print(json.dumps({"mode": "r13zarr", "multiplier": k, "configs": results}))
+    return 0
+
+
+def r13_dedup_stress(args: list[str]) -> int:
+    """``--r13dedup [k]`` (default 100): the composed star-salvage dedup
+    pipeline at 100× documents — the r12 verdict's 100× ask (§13 measured
+    the 20× regime).  Same disjoint-vocab synthesis (copy-invariant
+    punctuation shingles still merge buckets across copies, so the
+    over-cap star path is genuinely exercised at this size).  One timed
+    fresh run of ``dedup_pipeline_verdict_star`` (Spark only — the
+    unrolled CC oracle at this multiplier is the §13b hours-scale
+    pathology), plus the ``dedup_lsh_bucket_audit`` census on the same
+    corpus for the measured candidate bound, and REST shuffle totals."""
+    from single_cell_experiments_spark.registry import fresh_fn
+    from single_cell_experiments_spark.session import get_spark
+
+    k = int(args[0]) if args else 100
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out = f"/tmp/sce_stress_r13d_x{k}"
+    spark = get_spark(
+        app_name="sce-r13-dedup-stress",
+        extra_confs={
+            "spark.ui.enabled": "true",
+            "spark.speculation": "true",
+            "spark.speculation.interval": "5s",
+            "spark.speculation.multiplier": "4",
+            "spark.speculation.quantile": "0.75",
+        },
+    )
+    synthesize(spark, src, out, k, tables=("documents",))
+    doc_mb = round(
+        sum(
+            os.path.getsize(os.path.join(out, "documents.parquet", f))
+            for f in os.listdir(os.path.join(out, "documents.parquet"))
+            if f.endswith(".parquet")
+        )
+        / 1e6,
+        1,
+    )
+
+    u0 = _ui_totals(spark)
+    t0 = time.perf_counter()
+    audit = fresh_fn("dedup_lsh_bucket_audit")(spark, out).toPandas()
+    t_audit = round(time.perf_counter() - t0, 1)
+    _reset(spark)
+    u1 = _ui_totals(spark)
+
+    t0 = time.perf_counter()
+    verdicts = fresh_fn("dedup_pipeline_verdict_star")(spark, out).toPandas()
+    t_pipe = round(time.perf_counter() - t0, 1)
+    u2 = _ui_totals(spark)
+
+    print(json.dumps({
+        "mode": "r13dedup",
+        "multiplier": k,
+        "documents_mb": doc_mb,
+        "bucket_audit": audit.to_dict("records"),
+        "audit_sec": t_audit,
+        "pipeline_rows": len(verdicts),
+        "pipeline_sec": t_pipe,
+        "audit_ui": _ui_diff(u0, u1),
+        "pipeline_ui": _ui_diff(u1, u2),
+        "verdict_counts": {
+            str(kk): int(v) for kk, v in verdicts.groupby("verdict").size().items()
+        },
+    }))
+    return 0
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if "--r13zarr" in sys.argv:
+        return r13_zarr_stress(args)
+    if "--r13dedup" in sys.argv:
+        return r13_dedup_stress(args)
     if "--lshcap" in sys.argv:
         return lshcap_stress(args)
     if "--communities" in sys.argv:
