@@ -1317,12 +1317,12 @@ def sc_nnd_edges(
             _norm2(F.col("embedding")).alias("na"),
         )
     )
-    b = materialize(
-        e.select(
-            F.col("vec_id").alias("nbr"),
-            F.col("embedding").alias("eb"),
-            _norm2(F.col("embedding")).alias("nb"),
-        )
+    # b is a column-renamed view of the SAME materialized rows — one scan,
+    # one block copy (r13 review: materializing both sides doubled it).
+    b = a.select(
+        F.col("vec_id").alias("nbr"),
+        F.col("ea").alias("eb"),
+        F.col("na").alias("nb"),
     )
 
     def score(pairs: DataFrame) -> DataFrame:

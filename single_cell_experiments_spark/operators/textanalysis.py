@@ -1407,16 +1407,18 @@ def collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w2",
             "c2",
             # Guard the documented ~2e18 headroom at runtime: in non-ANSI
-            # Spark c2*1e6*n would silently WRAP past int64 and rank on
-            # garbage.  The comparison itself stays in-range (int64max div
-            # 1000000 div c2), and raise_error makes an oversized corpus
+            # Spark the numerator c2*1e6*n OR the denominator c1a*c1b
+            # would silently WRAP past int64 and rank on garbage.  Both
+            # comparisons stay in-range themselves (int64max div the
+            # other factor), and raise_error makes an oversized corpus
             # fail loudly instead.  Never fires at registered scales, so
             # the DuckDB oracle (which has no raise_error) is unaffected.
             F.expr(
                 "CASE WHEN n > (9223372036854775807 div 1000000) div c2"
-                " THEN cast(raise_error('collocations_lift: c2*1e6*N exceeds"
-                " int64 — recompute lift in DECIMAL for this corpus size')"
-                " as bigint)"
+                "       OR c1a > 9223372036854775807 div c1b"
+                " THEN cast(raise_error('collocations_lift: c2*1e6*N or"
+                " c1*c1 exceeds int64 — recompute lift in DECIMAL for this"
+                " corpus size') as bigint)"
                 " ELSE c2 * 1000000 * n div (c1a * c1b) END"
             ).cast("bigint").alias("lift_ppm"),
         )

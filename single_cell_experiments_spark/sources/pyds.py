@@ -378,6 +378,20 @@ def read_zarr_pyds(spark: SparkSession, array_path: str) -> DataFrame:
     return spark.read.format("sce_zarr").option("path", array_path).load()
 
 
+def read_zarr_group_coo(spark: SparkSession, store: str) -> DataFrame:
+    """Open a written group (``X`` matrix + ``vec_id`` index) through the
+    connector and reassemble the (vec_id, pos, v) COO — the read-back
+    contract every roundtrip/migration query and stress run shares (one
+    definition instead of the five copies the r13 review found)."""
+    from .zarrv2 import zarr_matrix_coo
+
+    x = read_zarr_pyds(spark, os.path.join(store, "X"))
+    ids = read_zarr_pyds(spark, os.path.join(store, "vec_id")).withColumnRenamed(
+        "value", "vec_id"
+    )
+    return zarr_matrix_coo(x, ids)
+
+
 # Same oracle as zarr_roundtrip: the store is written from embeddings and
 # must read back value-exact through the connector.
 _PYDS_ORACLE = """
@@ -410,11 +424,7 @@ def zarr_pyds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"sce_zarr_pyds_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
     )
     write_zarr_group(e, store, compressor=_DEFAULT_COMPRESSOR)
-    x = read_zarr_pyds(spark, os.path.join(store, "X"))
-    ids = read_zarr_pyds(spark, os.path.join(store, "vec_id")).withColumnRenamed(
-        "value", "vec_id"
-    )
-    return zarr_matrix_coo(x, ids)
+    return read_zarr_group_coo(spark, store)
 
 
 @query(
@@ -450,11 +460,7 @@ def zarr_pyds_v3_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"sce_zarr_pyds3_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
     )
     write_zarr_v3_group(e, store, cols_per_chunk=(e_dim + 1) // 2)
-    x = read_zarr_pyds(spark, os.path.join(store, "X"))
-    ids = read_zarr_pyds(spark, os.path.join(store, "vec_id")).withColumnRenamed(
-        "value", "vec_id"
-    )
-    return zarr_matrix_coo(x, ids)
+    return read_zarr_group_coo(spark, store)
 
 
 @query(
@@ -551,11 +557,7 @@ def zarr_v2_to_v3_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_zarr_v3_group(wide, v3_store)
 
-    x3 = read_zarr_pyds(spark, os.path.join(v3_store, "X"))
-    ids = read_zarr_pyds(spark, os.path.join(v3_store, "vec_id")).withColumnRenamed(
-        "value", "vec_id"
-    )
-    return zarr_matrix_coo(x3, ids)
+    return read_zarr_group_coo(spark, v3_store)
 
 
 # --- write side: DataSourceArrowWriter ----------------------------------------

@@ -372,7 +372,7 @@ def migrate_csc_to_zarr(
     ``out_path`` → connector read-back as (vec_id, pos, v) COO.  The core
     of ``tenx_to_zarr_migrate`` (see its docstring for the scale
     contract); callable on any ``CscStore`` backend (h5/npz)."""
-    from .zarrv2 import _DEFAULT_COMPRESSOR, write_zarr_group, zarr_matrix_coo
+    from .zarrv2 import _DEFAULT_COMPRESSOR, write_zarr_group
 
     n_genes, n_cells = store.shape()
     coo = ingest_csc(spark, store, target_nnz_per_slice=target_nnz_per_slice)
@@ -395,10 +395,6 @@ def migrate_csc_to_zarr(
     kw = {} if rows_per_chunk is None else {"rows_per_chunk": rows_per_chunk}
     write_zarr_group(wide, out_path, compressor=_DEFAULT_COMPRESSOR, **kw)
 
-    from .pyds import read_zarr_pyds
+    from .pyds import read_zarr_group_coo
 
-    x = read_zarr_pyds(spark, os.path.join(out_path, "X"))
-    ids = read_zarr_pyds(spark, os.path.join(out_path, "vec_id")).withColumnRenamed(
-        "value", "vec_id"
-    )
-    return zarr_matrix_coo(x, ids)
+    return read_zarr_group_coo(spark, out_path)

@@ -509,12 +509,23 @@ def consolidate_metadata(group_path: str) -> dict:
     return doc
 
 
+def _read_umask() -> int:
+    """Read the process umask once at import, while the interpreter is
+    still single-threaded: the only portable read is the set-and-restore
+    idiom, and running it later would race concurrent file creation in
+    other threads (files born with umask 0 inside the window)."""
+    um = os.umask(0)
+    os.umask(um)
+    return um
+
+
+_UMASK = _read_umask()
+
+
 def _chmod_umask_default(path: str) -> None:
     """chmod ``path`` to 0666 masked by the process umask — the mode a
     plain ``open(..., "w")`` would have produced."""
-    um = os.umask(0)
-    os.umask(um)
-    os.chmod(path, 0o666 & ~um)
+    os.chmod(path, 0o666 & ~_UMASK)
 
 
 def read_consolidated_meta(group_path: str) -> dict:

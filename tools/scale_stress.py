@@ -703,8 +703,7 @@ def r13_zarr_stress(args: list[str]) -> int:
     from pyspark.sql import functions as F
 
     from single_cell_experiments_spark.session import get_spark
-    from single_cell_experiments_spark.sources.pyds import read_zarr_pyds
-    from single_cell_experiments_spark.sources.zarrv2 import zarr_matrix_coo
+    from single_cell_experiments_spark.sources.pyds import read_zarr_group_coo
     from single_cell_experiments_spark.sources.zarrv3 import write_zarr_v3_group
 
     k = int(args[0]) if args else 100
@@ -757,11 +756,7 @@ def r13_zarr_stress(args: list[str]) -> int:
         u1 = _ui_totals(spark)
 
         t0 = time.perf_counter()
-        x = read_zarr_pyds(spark, os.path.join(store, "X"))
-        ids = read_zarr_pyds(spark, os.path.join(store, "vec_id")).withColumnRenamed(
-            "value", "vec_id"
-        )
-        coo = zarr_matrix_coo(x, ids)
+        coo = read_zarr_group_coo(spark, store)
         got = coo.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.expr("CAST(round(v, 6) * 1000000 AS BIGINT)")).alias("s"),
