@@ -749,6 +749,28 @@ class AnnFrame:
             F.col("id").alias("row_id"), F.col("lbl").cast("bigint").alias("community")
         )
 
+    def layout(self, k: int) -> DataFrame:
+        """Scanpy ``tl.umap`` slot → ``(row_id, sx_micro, sy_micro)``:
+        deterministic 2-D spectral coordinates (Laplacian-eigenmap axes,
+        umap-learn's ``init="spectral"`` starting layout) of this
+        matrix's mutual-kNN graph, in BIGINT micro fixed point — the
+        chainable twin of the registered ``sc_spectral_layout`` (see
+        ``operators.singlecell.spectral_layout_edges`` for the
+        engine-exactness and scale contracts).  Cells without a mutual
+        neighbor carry no layout row, as in ``clusters``."""
+        from .operators.singlecell import spectral_layout_edges
+        from .session import materialize
+
+        knn = self.neighbors(k).select("row_id", "nbr")
+        rev = knn.select(F.col("nbr").alias("row_id"), F.col("row_id").alias("nbr"))
+        mutual = knn.intersect(rev).select(
+            F.col("row_id").alias("u"), F.col("nbr").alias("v")
+        )
+        spark = self.x.sparkSession
+        return spectral_layout_edges(spark, materialize(mutual)).select(
+            F.col("u").alias("row_id"), "sx_micro", "sy_micro"
+        )
+
     # ---- the flagship composition -------------------------------------------
 
     def recipe_zheng17(

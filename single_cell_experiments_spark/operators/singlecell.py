@@ -2762,9 +2762,21 @@ def sc_spectral_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     knn = sc_neighbor_edges(spark, sf_dir).select("vec_id", "nbr")
     rev = knn.select(F.col("nbr").alias("vec_id"), F.col("vec_id").alias("nbr"))
-    mutual = materialize(
-        knn.intersect(rev).select(F.col("vec_id").alias("u"), F.col("nbr").alias("v"))
+    mutual = knn.intersect(rev).select(
+        F.col("vec_id").alias("u"), F.col("nbr").alias("v")
     )
+    return spectral_layout_edges(spark, mutual).select(
+        F.col("u").alias("vec_id"), "sx_micro", "sy_micro"
+    )
+
+
+def spectral_layout_edges(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """The spectral-layout core over any symmetric unit-weight edge list
+    ``(u, v)`` → ``(u, sx_micro, sy_micro)`` — shared by the registered
+    ``sc_spectral_layout`` and ``AnnFrame.layout``.  Stepwise driver loop
+    with a ``materialize()`` per round; integer fragments identical to
+    the unrolled oracle chain (see ``_spectral_chain_sql``)."""
+    mutual = materialize(edges)
 
     def mv(df: DataFrame, name: str) -> DataFrame:
         m = materialize(df)
@@ -2859,6 +2871,6 @@ GROUP BY w.u"""
     fx = axis("sx", 1103515245, 12345, ["__sl_phi"])
     fy = axis("sy", 69069, 1, ["__sl_phi", fx])
     return spark.sql(
-        f"""SELECT x.u AS vec_id, CAST(x.val AS BIGINT) AS sx_micro, CAST(y.val AS BIGINT) AS sy_micro
+        f"""SELECT x.u, CAST(x.val AS BIGINT) AS sx_micro, CAST(y.val AS BIGINT) AS sy_micro
 FROM {fx} x JOIN {fy} y ON y.u = x.u"""
     )

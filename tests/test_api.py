@@ -640,3 +640,26 @@ def test_from_zarr_consolidated_is_equivalent_and_exclusive(spark, tmp_path):
     for k in want_x:
         np.testing.assert_array_equal(got_x[k], want_x[k])
     assert got_obs == want_obs
+
+
+def test_layout_matches_reference_on_own_graph(spark):
+    """AnnFrame.layout: the chainable tl.umap slot must reproduce the
+    integer spectral iteration exactly on ITS OWN mutual-kNN graph (the
+    API's neighbor distances are raw doubles vs the registry's rounded
+    ones, so the graph — not the layout arithmetic — is the only place
+    the surfaces may differ; the layout core is shared code)."""
+    from single_cell_experiments_spark.operators.singlecell import SC_NEIGHBORS_K
+    from tests.test_spectral import _reference_layout
+
+    af = _af(spark)
+    knn = {(int(r.row_id), int(r.nbr)) for r in af.neighbors(SC_NEIGHBORS_K).collect()}
+    edges = sorted(p for p in knn if (p[1], p[0]) in knn)
+    nodes, _phi, sx, sy = _reference_layout(edges)
+
+    got = {
+        int(r.row_id): (int(r.sx_micro), int(r.sy_micro))
+        for r in af.layout(SC_NEIGHBORS_K).collect()
+    }
+    assert set(got) == set(nodes)
+    for i, u in enumerate(nodes):
+        assert got[u] == (int(sx[i]), int(sy[i])), u
