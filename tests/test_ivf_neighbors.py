@@ -137,3 +137,33 @@ def test_nnd_rounds_are_monotone_and_graph_is_valid(spark):
     for v, n in exact:
         direct[v] = direct.get(v, 0) + ((v, n) in got)
     assert audit == direct
+
+
+def test_ivfseed_descent_beats_ring_seed_and_bucket_ceiling(spark):
+    """The combined-seed claim, asserted not just documented: at equal
+    width, IVF+ring-seeded descent recalls strictly more exact edges than
+    (a) the ring-only descent at its default rounds and (b) the IVF
+    bucket ceiling (edges whose endpoints share a coarse cell)."""
+    from single_cell_experiments_spark.operators.singlecell import (
+        sc_nnd_edges,
+        sc_nnd_edges_ivfseed,
+    )
+
+    exact = {
+        (int(r.vec_id), int(r.nbr))
+        for r in sc_neighbor_edges(spark, SF_DIR).collect()
+    }
+    ring = {
+        (int(r.vec_id), int(r.nbr)) for r in sc_nnd_edges(spark, SF_DIR).collect()
+    }
+    comb = {
+        (int(r.vec_id), int(r.nbr))
+        for r in sc_nnd_edges_ivfseed(spark, SF_DIR).collect()
+    }
+    cells = {int(r.vec_id): int(r.cell) for r in sc_ivf_cells(spark, SF_DIR).collect()}
+
+    hits_ring = len(exact & ring)
+    hits_comb = len(exact & comb)
+    bucket_ceiling = sum(cells[u] == cells[v] for u, v in exact)
+    assert hits_comb > hits_ring
+    assert hits_comb > bucket_ceiling
