@@ -1592,6 +1592,59 @@ def dedup_fuzzy_prefix_pairs_star(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.sql(_fuzzy_sql("__docs", star=True))
 
 
+def _fuzzy_audit_sql(table: str, dv: str, cap: int | None = None) -> str:
+    """Per-pass census of the fuzzy tier's blocking keys — the
+    observability counterpart the capped ``_fuzzy_sql`` core lacks (r13
+    advice: the plain query silently drops over-cap blocks; this makes
+    the truncation a queryable number instead of tribal knowledge).
+    One row per blocking pass: block count, over-cap block/doc counts,
+    the largest block, and admitted vs dropped pair work (Σ n·(n−1)/2
+    split at the cap) — the exact quadratic budget the cap bounds.
+    ``dv`` is the integer-division token ('//' DuckDB, 'div' Spark);
+    n·(n−1) is always even so the division is exact in both."""
+    cap = FUZZY_BLOCK_CAP if cap is None else int(cap)
+    return f"""
+WITH p AS (
+  SELECT doc_id, substr(text, 1, 10) AS blk1,
+         right(substr(text, 1, 40), 10) AS blk2
+  FROM {table} WHERE lang = 'en'
+),
+blks AS (
+  SELECT 1 AS pno, blk1 AS blk, doc_id FROM p
+  UNION ALL
+  SELECT 2, blk2, doc_id FROM p
+),
+sz AS (SELECT pno, blk, COUNT(*) AS n FROM blks GROUP BY pno, blk)
+SELECT CAST(pno AS BIGINT) AS pno,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(CASE WHEN n > {cap} THEN 1 ELSE 0 END) AS BIGINT) AS overcap_blocks,
+       CAST(SUM(CASE WHEN n > {cap} THEN n ELSE 0 END) AS BIGINT) AS overcap_docs,
+       CAST(MAX(n) AS BIGINT) AS max_block,
+       CAST(SUM(CASE WHEN n <= {cap} THEN (n * (n - 1)) {dv} 2 ELSE 0 END) AS BIGINT) AS admitted_pairs,
+       CAST(SUM(CASE WHEN n > {cap} THEN (n * (n - 1)) {dv} 2 ELSE 0 END) AS BIGINT) AS dropped_pairs
+FROM sz GROUP BY pno ORDER BY pno
+"""
+
+
+@query(
+    "dedup_fuzzy_block_audit",
+    oracle=_fuzzy_audit_sql("documents", "//"),
+    tags=("dedup", "fuzzy", "audit"),
+)
+def dedup_fuzzy_block_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-key census for the edit-distance tier (see
+    ``_fuzzy_audit_sql``): run beside ``dedup_fuzzy_prefix_pairs`` in
+    production so a corpus that trips ``FUZZY_BLOCK_CAP`` reports HOW MANY
+    blocks/docs/pairs the capped core dropped (and hence whether the
+    ``_star`` salvage twin is required), mirroring the role
+    ``dedup_lsh_bucket_audit`` plays for the MinHash tier.  Scale: one
+    groupBy over the block keys then a 2-row rollup — strictly cheaper
+    than the pair join it audits."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__docs")
+    return spark.sql(_fuzzy_audit_sql("__docs", "div"))
+
+
 # --- the composed curation pipeline: raw → normalized → LSH → CC → keeper ------
 
 _DD_SHINGLES_SURV = f"""

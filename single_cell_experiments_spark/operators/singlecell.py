@@ -36,6 +36,8 @@ normalize/log1p/recipe is ``|v|``; (c) HVG dispersion is the variance
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -1431,7 +1433,16 @@ def sc_nnd_edges_ivfseed(
     HNSW builds likewise warm-start graph refinement from a coarse
     quantizer).  Seed is fully deterministic (IVF cells are centroid
     arithmetic; rings are integer arithmetic), so the unrolled oracle
-    mirrors it exactly."""
+    mirrors it exactly.
+
+    ``split`` must satisfy ``0 < split <= k``; at ``split == k`` the
+    global-ring branch is skipped entirely (Spark's ``sequence(1, 0)``
+    DESCENDS and would emit a spurious j=1 edge where the oracle's
+    ``range(1, 1)`` is empty — r13 advice)."""
+    if not 0 < split <= k:
+        raise ValueError(
+            f"seed split must satisfy 0 < split <= k (got split={split}, k={k})"
+        )
     w_cell = W.partitionBy("cell").orderBy("vec_id")
     mem = materialize(
         sc_ivf_cells(spark, sf_dir).select(
@@ -1455,16 +1466,19 @@ def sc_nnd_edges_ivfseed(
         .where(F.col("nbr") != F.col("vec_id"))
         .select("vec_id", "nbr")
     )
-    e = load_table(spark, sf_dir, "embeddings")
-    n = e.count()
-    global_ring = (
-        e.select(
-            "vec_id", F.explode(F.sequence(F.lit(1), F.lit(k - split))).alias("j")
+    if split < k:
+        e = load_table(spark, sf_dir, "embeddings")
+        n = e.count()
+        global_ring = (
+            e.select(
+                "vec_id", F.explode(F.sequence(F.lit(1), F.lit(k - split))).alias("j")
+            )
+            .select("vec_id", ((F.col("vec_id") + F.col("j")) % n).alias("nbr"))
+            .where(F.col("nbr") != F.col("vec_id"))
         )
-        .select("vec_id", ((F.col("vec_id") + F.col("j")) % n).alias("nbr"))
-        .where(F.col("nbr") != F.col("vec_id"))
-    )
-    seed = cell_ring.union(global_ring).distinct()
+        seed = cell_ring.union(global_ring).distinct()
+    else:
+        seed = cell_ring.distinct()
     return sc_nnd_edges(spark, sf_dir, rounds=rounds, k=k, seed=seed)
 
 
@@ -2814,6 +2828,11 @@ def _spectral_chain_sql(
     Overflow bounds (int64): matvec terms w·x ≤ 1e6·1e6 = 1e12 summed
     over degree ≤ ~1e6 rows; projections Σφ·z ≤ n·1e12 — safe to n ≈ 9e6
     layout nodes, loudly past any driver scale; norm² Σv² same bound.
+    The LCG start vector reduces node ids mod 2048 BEFORE the multiply
+    (``((u % 2048) * a + c) % 2048`` — congruent to the naive form for
+    all non-negative ids, bit-identical output for the registered dense
+    ids), so arbitrary bigint row_ids through ``AnnFrame.layout`` can't
+    silently wrap int64 in non-ANSI Spark (r13 advice).
     """
     idiv = lambda x, y: _sl_idiv(x, y, dv)  # noqa: E731
 
@@ -2863,7 +2882,7 @@ phi AS{mat} (
     def axis(name: str, lcg_a: int, lcg_c: int, defls: list[str]) -> None:
         parts.append(
             f"""r_{name} AS (
-  SELECT u, CAST(((u * {lcg_a} + {lcg_c}) % 2048) * {_SL_SCALE} {dv} 2048 AS BIGINT) AS val
+  SELECT u, CAST((((u % 2048) * {lcg_a} + {lcg_c}) % 2048) * {_SL_SCALE} {dv} 2048 AS BIGINT) AS val
   FROM deg
 )"""
         )
@@ -2943,12 +2962,20 @@ def sc_spectral_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-invocation temp-view namespace for ``spectral_layout_edges`` — a
+#: second concurrent layout (another frame, another k) must not clobber the
+#: views a still-uncollected first result reads (r13 advice, medium).
+_SL_NONCE = itertools.count()
+
+
 def spectral_layout_edges(spark: SparkSession, edges: DataFrame) -> DataFrame:
     """The spectral-layout core over any symmetric unit-weight edge list
     ``(u, v)`` → ``(u, sx_micro, sy_micro)`` — shared by the registered
     ``sc_spectral_layout`` and ``AnnFrame.layout``.  Stepwise driver loop
     with a ``materialize()`` per round; integer fragments identical to
-    the unrolled oracle chain (see ``_spectral_chain_sql``)."""
+    the unrolled oracle chain (see ``_spectral_chain_sql``).  Temp views
+    are namespaced per invocation so overlapping calls can't cross-read."""
+    p = f"__sl{next(_SL_NONCE)}_"
     mutual = materialize(edges)
 
     def mv(df: DataFrame, name: str) -> DataFrame:
@@ -2958,33 +2985,33 @@ def spectral_layout_edges(spark: SparkSession, edges: DataFrame) -> DataFrame:
 
     idiv = lambda x, y: _sl_idiv(x, y, "div")  # noqa: E731
 
-    mv(mutual, "__sl_edges")
+    mv(mutual, f"{p}edges")
     mv(
-        spark.sql("SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM __sl_edges GROUP BY u"),
-        "__sl_deg",
+        spark.sql(f"SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM {p}edges GROUP BY u"),
+        f"{p}deg",
     )
     mv(
         spark.sql(
             _sl_isqrt_sql(
                 f"CAST({_SL_SCALE} AS BIGINT) * {_SL_SCALE} div (du.d * dv2.d)",
                 "w",
-                "__sl_edges e JOIN __sl_deg du ON du.u = e.u JOIN __sl_deg dv2 ON dv2.u = e.v",
+                f"{p}edges e JOIN {p}deg du ON du.u = e.u JOIN {p}deg dv2 ON dv2.u = e.v",
                 keys="e.u, e.v",
             )
         ),
-        "__sl_wts",
+        f"{p}wts",
     )
     mv(
         spark.sql(
             _sl_isqrt_sql(
                 f"d * CAST({_SL_SCALE} AS BIGINT) * {_SL_SCALE}"
-                " div (SELECT CAST(SUM(d) AS BIGINT) FROM __sl_deg)",
+                f" div (SELECT CAST(SUM(d) AS BIGINT) FROM {p}deg)",
                 "val",
-                "__sl_deg",
+                f"{p}deg",
                 keys="u",
             )
         ),
-        "__sl_phi",
+        f"{p}phi",
     )
 
     def dn(src_view: str, defls: list[str], tag: str) -> str:
@@ -2994,10 +3021,10 @@ def spectral_layout_edges(spark: SparkSession, edges: DataFrame) -> DataFrame:
                     f"""SELECT {idiv("SUM(d.val * s.val)", str(_SL_SCALE))} AS pr
 FROM {src_view} s JOIN {dcte} d ON d.u = s.u"""
                 ),
-                f"__sl_{tag}_pr{i}",
+                f"{p}{tag}_pr{i}",
             )
         sub = " - ".join(
-            idiv(f"(SELECT pr FROM __sl_{tag}_pr{i}) * d{i}.val", str(_SL_SCALE))
+            idiv(f"(SELECT pr FROM {p}{tag}_pr{i}) * d{i}.val", str(_SL_SCALE))
             for i in range(len(defls))
         )
         joins = " ".join(f"JOIN {dcte} d{i} ON d{i}.u = s.u" for i, dcte in enumerate(defls))
@@ -3005,44 +3032,44 @@ FROM {src_view} s JOIN {dcte} d ON d.u = s.u"""
             spark.sql(
                 f"SELECT s.u, CAST(s.val - {sub} AS BIGINT) AS v FROM {src_view} s {joins}"
             ),
-            f"__sl_{tag}_v",
+            f"{p}{tag}_v",
         )
         mv(
-            spark.sql(_sl_isqrt_sql("SUM(v * v)", "nr", f"__sl_{tag}_v", keys="")),
-            f"__sl_{tag}_n",
+            spark.sql(_sl_isqrt_sql("SUM(v * v)", "nr", f"{p}{tag}_v", keys="")),
+            f"{p}{tag}_n",
         )
         mv(
             spark.sql(
-                f"""SELECT u, CAST({idiv(f"v * {_SL_SCALE}", f"(SELECT nr FROM __sl_{tag}_n)")} AS BIGINT) AS val
-FROM __sl_{tag}_v"""
+                f"""SELECT u, CAST({idiv(f"v * {_SL_SCALE}", f"(SELECT nr FROM {p}{tag}_n)")} AS BIGINT) AS val
+FROM {p}{tag}_v"""
             ),
-            f"__sl_{tag}",
+            f"{p}{tag}",
         )
-        return f"__sl_{tag}"
+        return f"{p}{tag}"
 
     def axis(name: str, lcg_a: int, lcg_c: int, defls: list[str]) -> str:
         mv(
             spark.sql(
-                f"""SELECT u, CAST(((u * {lcg_a} + {lcg_c}) % 2048) * {_SL_SCALE} div 2048 AS BIGINT) AS val
-FROM __sl_deg"""
+                f"""SELECT u, CAST((((u % 2048) * {lcg_a} + {lcg_c}) % 2048) * {_SL_SCALE} div 2048 AS BIGINT) AS val
+FROM {p}deg"""
             ),
-            f"__sl_r_{name}",
+            f"{p}r_{name}",
         )
-        cur = dn(f"__sl_r_{name}", defls, f"{name}0")
+        cur = dn(f"{p}r_{name}", defls, f"{name}0")
         for t in range(1, SC_SPECTRAL_T + 1):
             mv(
                 spark.sql(
                     f"""SELECT w.u, {idiv("SUM(w.w * x.val)", str(_SL_SCALE))} AS val
-FROM __sl_wts w JOIN {cur} x ON x.u = w.v
+FROM {p}wts w JOIN {cur} x ON x.u = w.v
 GROUP BY w.u"""
                 ),
-                f"__sl_z_{name}{t}",
+                f"{p}z_{name}{t}",
             )
-            cur = dn(f"__sl_z_{name}{t}", defls, f"{name}{t}")
+            cur = dn(f"{p}z_{name}{t}", defls, f"{name}{t}")
         return cur
 
-    fx = axis("sx", 1103515245, 12345, ["__sl_phi"])
-    fy = axis("sy", 69069, 1, ["__sl_phi", fx])
+    fx = axis("sx", 1103515245, 12345, [f"{p}phi"])
+    fy = axis("sy", 69069, 1, [f"{p}phi", fx])
     return spark.sql(
         f"""SELECT x.u, CAST(x.val AS BIGINT) AS sx_micro, CAST(y.val AS BIGINT) AS sy_micro
 FROM {fx} x JOIN {fy} y ON y.u = x.u"""

@@ -167,3 +167,24 @@ def test_ivfseed_descent_beats_ring_seed_and_bucket_ceiling(spark):
     bucket_ceiling = sum(cells[u] == cells[v] for u, v in exact)
     assert hits_comb > hits_ring
     assert hits_comb > bucket_ceiling
+
+
+def test_ivfseed_split_validation(spark):
+    """r13 advice: split == k would make the engine's global ring emit a
+    spurious descending-sequence edge where the oracle's range is empty —
+    split == k now legally skips the branch, out-of-range raises."""
+    import pytest
+
+    from single_cell_experiments_spark.operators.singlecell import (
+        SC_NND_K_BUILD,
+        sc_nnd_edges_ivfseed,
+    )
+
+    with pytest.raises(ValueError):
+        sc_nnd_edges_ivfseed(spark, SF_DIR, split=0)
+    with pytest.raises(ValueError):
+        sc_nnd_edges_ivfseed(spark, SF_DIR, split=SC_NND_K_BUILD + 1)
+    # split == k: cell-ring-only seed, no global-ring branch, valid graph.
+    g = sc_nnd_edges_ivfseed(spark, SF_DIR, rounds=1, split=SC_NND_K_BUILD)
+    rows = g.collect()
+    assert rows and all(int(r.vec_id) != int(r.nbr) for r in rows)

@@ -55,7 +55,7 @@ def _reference_layout(edges: list[tuple[int, int]]):
 
     def axis(a: int, c: int, defls: list[np.ndarray]) -> np.ndarray:
         u_ids = np.array(nodes, dtype=np.int64)
-        r = ((u_ids * a + c) % 2048) * _SL_SCALE // 2048
+        r = (((u_ids % 2048) * a + c) % 2048) * _SL_SCALE // 2048
         cur = dn(r.astype(np.int64), defls)
         for _ in range(SC_SPECTRAL_T):
             z = np.zeros(n, dtype=np.int64)
@@ -106,3 +106,32 @@ def test_layout_axes_are_unit_orthogonal_and_deflated(spark):
     assert abs(np.dot(x, y)) < 1e-3
     # a layout, not a constant: both axes spread
     assert np.std(x) > 0 and np.std(y) > 0
+
+
+def test_overlapping_layout_invocations_do_not_cross_read(spark):
+    """r13 advice (medium): a second spectral_layout_edges call before the
+    first result is collected must not clobber the first's temp views —
+    the per-invocation namespace keeps both lazily-evaluable."""
+    from single_cell_experiments_spark.operators.singlecell import (
+        spectral_layout_edges,
+    )
+
+    knn = sc_neighbor_edges(spark, SF_DIR).select("vec_id", "nbr")
+    pairs = {(int(r.vec_id), int(r.nbr)) for r in knn.collect()}
+    mutual = sorted(p for p in pairs if (p[1], p[0]) in pairs)
+    df_full = spark.createDataFrame(mutual, "u BIGINT, v BIGINT")
+    # second graph: a strict sub-graph (drop the highest-id node's edges)
+    top = max(u for u, _ in mutual)
+    sub = [p for p in mutual if top not in p]
+    df_sub = spark.createDataFrame(sub, "u BIGINT, v BIGINT")
+
+    first = spectral_layout_edges(spark, df_full)   # NOT collected yet
+    second = spectral_layout_edges(spark, df_sub)   # would clobber pre-fix
+    got_first = {int(r.u): (int(r.sx_micro), int(r.sy_micro)) for r in first.collect()}
+    got_second = {int(r.u): (int(r.sx_micro), int(r.sy_micro)) for r in second.collect()}
+
+    nodes, _phi, sx, sy = _reference_layout(mutual)
+    assert set(got_first) == set(nodes)
+    for i, u in enumerate(nodes):
+        assert got_first[u] == (int(sx[i]), int(sy[i])), u
+    assert top in got_first and top not in got_second
