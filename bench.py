@@ -55,6 +55,15 @@ HEADLINE = (
 
 RUNS = 9  # median of 9: robust to transient machine-load spikes
 
+#: Floor gate (r13 verdict #5): accept a timed section only if its median
+#: empty-job dispatch floor is below this; above it the host is running a
+#: co-tenant and the sample measures the neighbor, not the engine.  90 ms
+#: sits between the quiet-host band (53-85 ms across rounds) and the
+#: measured noisy band (103-155 ms).
+FLOOR_GATE_MS = 90.0
+FLOOR_MAX_ATTEMPTS = 4
+FLOOR_RETRY_SLEEP_S = 25.0
+
 #: BASELINE.md's DuckDB query texts, re-run LIVE inside the same
 #: interleaved timing rounds as the Spark samples (r7): the recorded
 #: BASELINE.md numbers were measured on an unloaded host, while each
@@ -164,7 +173,6 @@ def main() -> int:
     # the load the timed samples actually experienced).
     for _ in range(3):
         spark.range(1).count()
-    floor_samples: list[float] = []
 
     # Eight passes: measured fresh medians keep improving through the first
     # ~6 full passes as the JVM C2 compiler finishes with the scan/agg/
@@ -203,25 +211,53 @@ def main() -> int:
     # Interleave the timed runs round-robin so a transient VM load spike
     # lands on at most one sample of each query instead of sinking one
     # query's entire median.
-    fresh_times: dict[str, list[float]] = {name: [] for name in names}
-    ddb_times: dict[str, list[float]] = {name: [] for name in ddb_names}
-    for _ in range(RUNS):
-        for name in names:
+    def timed_section():
+        f_times: dict[str, list[float]] = {name: [] for name in names}
+        d_times: dict[str, list[float]] = {name: [] for name in ddb_names}
+        floors: list[float] = []
+        for _ in range(RUNS):
+            for name in names:
+                t0 = time.perf_counter()
+                fresh[name](spark, sf_dir).toPandas()
+                f_times[name].append(time.perf_counter() - t0)
+            for name in ddb_names:
+                t0 = time.perf_counter()
+                ddb.sql(DUCKDB_SQL[name]).df()
+                d_times[name].append(time.perf_counter() - t0)
+            # One empty-job floor sample per round — every fresh query above
+            # pays 1-2 of these round-trips (BASELINE.md §round 5), and the
+            # floor swings 85-155 ms with ambient VM load; sampling it inside
+            # the timed section makes each recorded bench attributable.
             t0 = time.perf_counter()
-            fresh[name](spark, sf_dir).toPandas()
-            fresh_times[name].append(time.perf_counter() - t0)
-        for name in ddb_names:
-            t0 = time.perf_counter()
-            ddb.sql(DUCKDB_SQL[name]).df()
-            ddb_times[name].append(time.perf_counter() - t0)
-        # One empty-job floor sample per round — every fresh query above
-        # pays 1-2 of these round-trips (BASELINE.md §round 5), and the
-        # floor swings 85-155 ms with ambient VM load; sampling it inside
-        # the timed section makes each recorded bench attributable.
-        t0 = time.perf_counter()
-        spark.range(1).count()
-        floor_samples.append(time.perf_counter() - t0)
-    job_floor_ms = round(statistics.median(floor_samples) * 1000, 1)
+            spark.range(1).count()
+            floors.append(time.perf_counter() - t0)
+        return f_times, d_times, round(statistics.median(floors) * 1000, 1)
+
+    # Floor gate (r13 verdict #5): a recorded artifact whose empty-job floor
+    # is co-tenant-inflated measures the host, not the engine — r13's
+    # recorded 1.87× was a 152.7 ms-floor sample of the same code that
+    # measured 1.49× at an 81 ms floor.  Rather than refuse to emit (the
+    # driver needs its one JSON line), the timed section RE-SAMPLES with
+    # back-off until the floor is quiet (< FLOOR_GATE_MS), keeping the
+    # quietest attempt if the host never settles; ``floor_attempts`` and
+    # the accepted floor are recorded so the artifact is auditable, and
+    # ``vs_duckdb_live`` remains the machine-paired tiebreak either way.
+    best = None
+    attempts = 0
+    for attempt in range(FLOOR_MAX_ATTEMPTS):
+        attempts = attempt + 1
+        fresh_times, ddb_times, job_floor_ms = timed_section()
+        if best is None or job_floor_ms < best[2]:
+            best = (fresh_times, ddb_times, job_floor_ms)
+        if job_floor_ms < FLOOR_GATE_MS:
+            break
+        print(
+            f"  floor {job_floor_ms} ms >= {FLOOR_GATE_MS} ms gate "
+            f"(attempt {attempts}/{FLOOR_MAX_ATTEMPTS}) — host noisy, re-sampling",
+            file=sys.stderr,
+        )
+        time.sleep(FLOOR_RETRY_SLEEP_S)
+    fresh_times, ddb_times, job_floor_ms = best
     ddb_query = {n: round(statistics.median(ddb_times[n]), 4) for n in ddb_names}
 
     # Warm column: cached plan, shuffle-output reuse — repeat-call latency.
@@ -254,6 +290,7 @@ def main() -> int:
                 "cold_total_sec": round(sum(cold_query.values()), 4),
                 "cold_queries": cold_query,
                 "job_floor_ms": job_floor_ms,
+                "floor_attempts": attempts,
                 "duckdb_live_total_sec": round(sum(ddb_query.values()), 4),
                 "duckdb_live_queries": ddb_query,
                 "vs_duckdb_live": (

@@ -156,6 +156,7 @@ def _lsh_core_sql(
     cap: int | None = None,
     band_sigs: list[str] | None = None,
     star: bool = False,
+    ln: str = "len",
 ) -> str:
     """Dialect-shared LSH candidate pipeline (shingles → signatures →
     banded buckets → size-capped candidate pairs → intersection counts +
@@ -169,7 +170,24 @@ def _lsh_core_sql(
     over-cap STAR-SALVAGE tier (see ``_lsh_star_sql``) to the candidate
     set and carries its ``via_star`` flag through ``inter`` — one source
     of truth for the shared pipeline, so a fix to the capped core cannot
-    silently miss the star variant."""
+    silently miss the star variant.
+
+    VERIFY STAGE (r13 verdict #1 — the rewrite that unlocked the 100×
+    in-container stress): exact-Jaccard verification used to explode each
+    candidate pair against BOTH full shingle sets (pairs × ~300 shingle
+    rows through a join THEN a re-shuffling groupBy — the single dominant
+    shuffle term of the composed pipeline; 2.2 GB at the 40× stress
+    point, out-of-disk at 100× on one node).  Now each doc's distinct
+    shingle hashes are carried ONCE as a sorted BIGINT array (``docsets``
+    — one groupBy over shingles, same exchange the old ``sizes`` census
+    already paid), and the intersection count is a row-local
+    ``array_intersect`` on the joined pair row: shuffle is pairs × O(1)
+    array payloads, the post-join aggregation disappears entirely, and
+    set sizes fall out of the same arrays for free.  ``array_agg`` /
+    ``array_sort`` / ``array_intersect`` are dialect-shared; only the
+    array-length function differs (``ln``: 'len' DuckDB, 'size' Spark).
+    Counts are bit-identical to the explode-join by construction
+    (distinct elements both sides, order-insensitive intersection)."""
     cap = LSH_BUCKET_CAP if cap is None else int(cap)
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, {sig} AS sig FROM sigs"
@@ -194,7 +212,7 @@ cand_all AS (
         else ""
     )
     inter_src = "cand_all" if star else "cand"
-    via_sel = ", MIN(c.via_star) AS via_star" if star else ""
+    via_sel = ", c.via_star" if star else ""
     return f"""
 WITH shingles_raw AS ({shingles_cte}),
 shingles AS (SELECT DISTINCT doc_id, h FROM shingles_raw),
@@ -211,21 +229,26 @@ cand AS (
   FROM bandsok b1 JOIN bandsok b2
     ON b1.band = b2.band AND b1.sig = b2.sig AND b1.doc_id < b2.doc_id
 ){star_ctes},
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+docsets AS (SELECT doc_id, array_sort(array_agg(h)) AS hs FROM shingles GROUP BY doc_id),
+sizes AS (SELECT doc_id, CAST({ln}(hs) AS BIGINT) AS n FROM docsets),
 inter AS (
-  SELECT c.doc1, c.doc2{via_sel}, COUNT(*) AS i
+  SELECT c.doc1, c.doc2{via_sel},
+         CAST({ln}(array_intersect(a1.hs, a2.hs)) AS BIGINT) AS i
   FROM {inter_src} c
-  JOIN shingles s1 ON s1.doc_id = c.doc1
-  JOIN shingles s2 ON s2.doc_id = c.doc2 AND s2.h = s1.h
-  GROUP BY c.doc1, c.doc2
+  JOIN docsets a1 ON a1.doc_id = c.doc1
+  JOIN docsets a2 ON a2.doc_id = c.doc2
 )"""
 
 
 def _minhash_sql(
-    shingles_cte: str, cap: int | None = None, band_sigs: list[str] | None = None
+    shingles_cte: str,
+    cap: int | None = None,
+    band_sigs: list[str] | None = None,
+    ln: str = "len",
 ) -> str:
-    """Dialect-shared core of the MinHash-LSH query (post-shingling)."""
-    return f"""{_lsh_core_sql(shingles_cte, cap=cap, band_sigs=band_sigs)}
+    """Dialect-shared core of the MinHash-LSH query (post-shingling).
+    ``ln`` is the array-length token ('len' DuckDB, 'size' Spark)."""
+    return f"""{_lsh_core_sql(shingles_cte, cap=cap, band_sigs=band_sigs, ln=ln)}
 SELECT i.doc1, i.doc2,
        round(CAST(i.i AS DOUBLE) / (z1.n + z2.n - i.i), 6) AS jaccard
 FROM inter i
@@ -236,7 +259,10 @@ WHERE CAST(i.i AS DOUBLE) / (z1.n + z2.n - i.i) >= {MINHASH_JACCARD_MIN}
 
 
 def _lsh_star_sql(
-    shingles_cte: str, cap: int | None = None, band_sigs: list[str] | None = None
+    shingles_cte: str,
+    cap: int | None = None,
+    band_sigs: list[str] | None = None,
+    ln: str = "len",
 ) -> str:
     """MinHash-LSH candidate generation with STAR SALVAGE of over-cap
     buckets (r12, from the measured 20× recall loss — SCALE.md §13): a
@@ -259,7 +285,7 @@ def _lsh_star_sql(
     bucket.  The candidate pipeline itself is ``_lsh_core_sql(star=True)``
     — one shared source of truth; only the scoring tail lives here.
     """
-    return f"""{_lsh_core_sql(shingles_cte, cap=cap, band_sigs=band_sigs, star=True)}
+    return f"""{_lsh_core_sql(shingles_cte, cap=cap, band_sigs=band_sigs, star=True, ln=ln)}
 SELECT i.doc1, i.doc2,
        round(CAST(i.i AS DOUBLE) / (z1.n + z2.n - i.i), 6) AS jaccard,
        CAST(i.via_star AS BIGINT) AS via_star
@@ -287,7 +313,7 @@ def dedup_minhash_lsh_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("__docs")
-    return spark.sql(_lsh_star_sql(_SPARK_SHINGLES))
+    return spark.sql(_lsh_star_sql(_SPARK_SHINGLES, ln="size"))
 
 
 def _lsh_bucket_audit_sql(
@@ -350,11 +376,11 @@ def dedup_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONTAINMENT_MIN = 0.5
 
 
-def _containment_sql(shingles_cte: str) -> str:
+def _containment_sql(shingles_cte: str, ln: str = "len") -> str:
     """Containment scoring over the LSH candidate set: |A∩B|/|A| and
     |A∩B|/|B| — the asymmetric near-dup measure (quotes, subsets,
     boilerplate wrappers) that symmetric Jaccard under-reports."""
-    return f"""{_lsh_core_sql(shingles_cte)}
+    return f"""{_lsh_core_sql(shingles_cte, ln=ln)}
 SELECT i.doc1, i.doc2,
        round(CAST(i.i AS DOUBLE) / z1.n, 6) AS c_fwd,
        round(CAST(i.i AS DOUBLE) / z2.n, 6) AS c_rev,
@@ -453,7 +479,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("__docs")
-    return spark.sql(_minhash_sql(_SPARK_SHINGLES))
+    return spark.sql(_minhash_sql(_SPARK_SHINGLES, ln="size"))
 
 
 @query(
@@ -476,7 +502,7 @@ def dedup_minhash_lsh_hirecall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("__docs")
-    return spark.sql(_minhash_sql(_SPARK_SHINGLES, band_sigs=_BAND_SIGS_HIRECALL))
+    return spark.sql(_minhash_sql(_SPARK_SHINGLES, band_sigs=_BAND_SIGS_HIRECALL, ln="size"))
 
 
 # --- SimHash ----------------------------------------------------------------------
@@ -973,7 +999,7 @@ def dedup_cluster_keeper_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("__docs")
-    pairs = materialize(spark.sql(_lsh_star_sql(_SPARK_SHINGLES)))
+    pairs = materialize(spark.sql(_lsh_star_sql(_SPARK_SHINGLES, ln="size")))
     labels = cc_star_labels(pairs)
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.length("text").cast("bigint").alias("text_len")
@@ -1175,9 +1201,12 @@ def dedup_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- MinHash estimator quality audit -----------------------------------------
 
-def _minhash_quality_sql(shingles_cte: str, intdiv: str) -> str:
+def _minhash_quality_sql(shingles_cte: str, intdiv: str, ln: str = "len") -> str:
     """Estimate-vs-exact Jaccard audit over the LSH candidate pairs.
-    ``intdiv``: 'div' (Spark) or '//' (DuckDB)."""
+    ``intdiv``: 'div' (Spark) or '//' (DuckDB); ``ln``: array-length
+    token ('len' DuckDB, 'size' Spark).  The exact-intersection stage is
+    the same per-doc sorted-array ``array_intersect`` as
+    ``_lsh_core_sql`` (r13 verdict #1) — no pair × shingle explode."""
     h = len(MINHASH_COEF)
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, {sig} AS sig FROM sigs"
@@ -1198,13 +1227,14 @@ cand AS (
   FROM bands b1 JOIN bands b2
     ON b1.band = b2.band AND b1.sig = b2.sig AND b1.doc_id < b2.doc_id
 ),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+docsets AS (SELECT doc_id, array_sort(array_agg(h)) AS hs FROM shingles GROUP BY doc_id),
+sizes AS (SELECT doc_id, CAST({ln}(hs) AS BIGINT) AS n FROM docsets),
 inter AS (
-  SELECT c.doc1, c.doc2, COUNT(*) AS i
+  SELECT c.doc1, c.doc2,
+         CAST({ln}(array_intersect(a1.hs, a2.hs)) AS BIGINT) AS i
   FROM cand c
-  JOIN shingles s1 ON s1.doc_id = c.doc1
-  JOIN shingles s2 ON s2.doc_id = c.doc2 AND s2.h = s1.h
-  GROUP BY c.doc1, c.doc2
+  JOIN docsets a1 ON a1.doc_id = c.doc1
+  JOIN docsets a2 ON a2.doc_id = c.doc2
 ),
 est AS (
   SELECT c.doc1, c.doc2, ({n_match}) AS n_match
@@ -1244,7 +1274,7 @@ def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("__docs")
-    return spark.sql(_minhash_quality_sql(_SPARK_SHINGLES, "div"))
+    return spark.sql(_minhash_quality_sql(_SPARK_SHINGLES, "div", ln="size"))
 
 
 # --- triangle participation counts over the near-dup graph -------------------
@@ -1452,7 +1482,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("__docs")
-    return spark.sql(_containment_sql(_SPARK_SHINGLES))
+    return spark.sql(_containment_sql(_SPARK_SHINGLES, ln="size"))
 
 
 # --- edit-distance near-dup tier (blocked levenshtein join) -------------------
@@ -1753,7 +1783,7 @@ def dedup_pipeline_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving = ng.select(F.col("norm_rep").alias("doc_id")).distinct()
 
     d.join(surviving, "doc_id").createOrReplaceTempView("__docs")
-    pairs = spark.sql(_minhash_sql(_SPARK_SHINGLES)).select("doc1", "doc2")
+    pairs = spark.sql(_minhash_sql(_SPARK_SHINGLES, ln="size")).select("doc1", "doc2")
     labels = cc_star_labels(pairs)
 
     comp = surviving.join(labels, "doc_id", "left").select(
@@ -1829,7 +1859,7 @@ def dedup_pipeline_verdict_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving = ng.select(F.col("norm_rep").alias("doc_id")).distinct()
 
     d.join(surviving, "doc_id").createOrReplaceTempView("__docs")
-    pairs = spark.sql(_lsh_star_sql(_SPARK_SHINGLES)).select("doc1", "doc2")
+    pairs = spark.sql(_lsh_star_sql(_SPARK_SHINGLES, ln="size")).select("doc1", "doc2")
     labels = cc_star_labels(pairs)
 
     comp = surviving.join(labels, "doc_id", "left").select(

@@ -1292,17 +1292,29 @@ seed AS MATERIALIZED (
 #: cell (exploitation — bucket-local near pairs, the generator's 23.65%
 #: sf0.01 ceiling on its own) and half on the global id ring (exploration
 #: — the cross-bucket hops pure bucketing can never make), then let the
-#: co-neighbor closure propagate.  Measured exact-top-4 edge recall at
+#: co-neighbor closure propagate.  Measured exact-top-k edge recall at
 #: sf0.01: ring-only 18.1% (2 rounds), IVF-cell-only 23.65% (plateaus at
 #: the bucket ceiling), COMBINED 32.8% / 52.8% / 70.9% at 1 / 2 / 3
 #: rounds — triple the bucket ceiling from the same per-round O(n·k²).
-SC_NND_SEED_SPLIT = 6  # of SC_NND_K_BUILD seed edges, this many cell-local
-SC_NND_ROUNDS_IVFSEED = 3
+#:
+#: r14 (r13 verdict #3 — push recall toward the exact graph): at build
+#: width 12 the closure SATURATES ≈ 92% (measured 91.35% / 92.10% at 6 /
+#: 7 rounds — the documented ceiling of the k=12 candidate closure), so
+#: more rounds cannot reach 90%+ economically.  The standard production
+#: lever is BUILD WIDER THAN YOU EMIT (NN-descent/DiskANN build K > query
+#: k): descend at width 16, emit the top-12 — measured trimmed recall
+#: 92.35% / 97.20% at 3 / 4 rounds (98.7% at width 18), i.e. 4 rounds ×
+#: (16/12)² ≈ 7.1 width-12-round-equivalents buys 97.2% where 7 actual
+#: width-12 rounds buys 92.1%.  Adopted: width 16, split 8, 4 rounds,
+#: emit top-SC_NND_K_BUILD.
+SC_NND_SEED_SPLIT = 8  # of SC_NND_BUILD_WIDTH_IVFSEED seed edges, cell-local
+SC_NND_ROUNDS_IVFSEED = 4
+SC_NND_BUILD_WIDTH_IVFSEED = 16  # descend wider than the emitted top-12
 
 
 def _nnd_ivfseed_chain_sql(
     rounds: int = SC_NND_ROUNDS_IVFSEED,
-    k: int = SC_NND_K_BUILD,
+    k: int = SC_NND_BUILD_WIDTH_IVFSEED,
     split: int = SC_NND_SEED_SPLIT,
 ) -> str:
     """The combined-seed chain (see ``SC_NND_SEED_SPLIT``): requires the
@@ -1421,7 +1433,7 @@ def sc_nnd_edges_ivfseed(
     spark: SparkSession,
     sf_dir: str,
     rounds: int = SC_NND_ROUNDS_IVFSEED,
-    k: int = SC_NND_K_BUILD,
+    k: int = SC_NND_BUILD_WIDTH_IVFSEED,
     split: int = SC_NND_SEED_SPLIT,
 ) -> DataFrame:
     """NN-descent with the COMBINED seed (``SC_NND_SEED_SPLIT`` cell-local
@@ -1548,6 +1560,7 @@ _SC_NND_IVFSEED_ORACLE = f"""
 WITH {_SC_IVF_CHAIN},
 {_nnd_ivfseed_chain_sql()}
 SELECT vec_id, nbr, d2, rk FROM g{SC_NND_ROUNDS_IVFSEED}
+WHERE rk <= {SC_NND_K_BUILD}
 """
 
 
@@ -1559,20 +1572,27 @@ SELECT vec_id, nbr, d2, rk FROM g{SC_NND_ROUNDS_IVFSEED}
 def sc_neighbors_nnd_ivfseed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered twin of ``sc_nnd_edges_ivfseed`` — the combined-seed
     NN-descent graph, hash-checked round for round (IVF chain + seed +
-    descent all unrolled in the oracle; see the builder's docstring for
-    the measured recall story)."""
-    return sc_nnd_edges_ivfseed(spark, sf_dir)
+    descent all unrolled in the oracle; see the builder's docstring and
+    ``SC_NND_BUILD_WIDTH_IVFSEED`` for the measured recall story).  The
+    descent runs at build width {SC_NND_BUILD_WIDTH_IVFSEED} and EMITS the
+    top-{SC_NND_K_BUILD} — the graph a consumer (``AnnFrame.neighbors``,
+    clustering, layout) actually wants, at 97.2% measured sf0.01 edge
+    recall."""
+    return sc_nnd_edges_ivfseed(spark, sf_dir).where(
+        F.col("rk") <= SC_NND_K_BUILD
+    )
 
 
 _SC_NND_IVFSEED_RECALL_ORACLE = f"""
 WITH {_SC_IVF_CHAIN},
 {_nnd_ivfseed_chain_sql()},
+gtrim AS (SELECT vec_id, nbr FROM g{SC_NND_ROUNDS_IVFSEED} WHERE rk <= {SC_NND_K_BUILD}),
 exact AS MATERIALIZED ({_SC_NEIGHBORS_ORACLE})
 SELECT e.vec_id,
        CAST(SUM(CASE WHEN g.nbr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
        CAST(SUM(CASE WHEN g.nbr IS NOT NULL THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
             AS BIGINT) AS recall_micro
-FROM exact e LEFT JOIN g{SC_NND_ROUNDS_IVFSEED} g
+FROM exact e LEFT JOIN gtrim g
   ON g.vec_id = e.vec_id AND g.nbr = e.nbr
 GROUP BY e.vec_id
 """
@@ -1586,11 +1606,16 @@ GROUP BY e.vec_id
 def sc_neighbors_nnd_ivfseed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge-recall audit for the combined-seed descent — beside
     ``sc_neighbors_nnd_recall`` it REGISTERS the measured improvement
-    (sf0.01: 70.9% vs 18.1% ring-only vs the 23.65% IVF bucket ceiling),
-    so the seeding claim is driver-hash-verified, not a docstring."""
+    (sf0.01, emitted top-{SC_NND_K_BUILD} of the width-16 build: 97.2%,
+    vs 70.9% for the width-12 3-round build, 18.1% ring-only, and the
+    23.65% IVF bucket ceiling — see ``SC_NND_BUILD_WIDTH_IVFSEED`` for
+    the ceiling measurements), so the seeding AND widen-then-trim claims
+    are driver-hash-verified, not a docstring."""
     exact = sc_neighbor_edges(spark, sf_dir)
-    g = sc_nnd_edges_ivfseed(spark, sf_dir).select(
-        "vec_id", "nbr", F.lit(1).alias("hit")
+    g = (
+        sc_nnd_edges_ivfseed(spark, sf_dir)
+        .where(F.col("rk") <= SC_NND_K_BUILD)
+        .select("vec_id", "nbr", F.lit(1).alias("hit"))
     )
     return (
         exact.join(g, ["vec_id", "nbr"], "left")

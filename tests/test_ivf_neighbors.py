@@ -176,15 +176,17 @@ def test_ivfseed_split_validation(spark):
     import pytest
 
     from single_cell_experiments_spark.operators.singlecell import (
-        SC_NND_K_BUILD,
+        SC_NND_BUILD_WIDTH_IVFSEED,
         sc_nnd_edges_ivfseed,
     )
 
     with pytest.raises(ValueError):
         sc_nnd_edges_ivfseed(spark, SF_DIR, split=0)
     with pytest.raises(ValueError):
-        sc_nnd_edges_ivfseed(spark, SF_DIR, split=SC_NND_K_BUILD + 1)
+        sc_nnd_edges_ivfseed(spark, SF_DIR, split=SC_NND_BUILD_WIDTH_IVFSEED + 1)
     # split == k: cell-ring-only seed, no global-ring branch, valid graph.
-    g = sc_nnd_edges_ivfseed(spark, SF_DIR, rounds=1, split=SC_NND_K_BUILD)
+    g = sc_nnd_edges_ivfseed(
+        spark, SF_DIR, rounds=1, split=SC_NND_BUILD_WIDTH_IVFSEED
+    )
     rows = g.collect()
     assert rows and all(int(r.vec_id) != int(r.nbr) for r in rows)

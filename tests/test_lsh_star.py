@@ -36,8 +36,8 @@ def _docs():
 def star_results(spark):
     pdf = _docs()
     spark.createDataFrame(pdf).createOrReplaceTempView("__docs")
-    star = spark.sql(_lsh_star_sql(_SPARK_SHINGLES, cap=2)).collect()
-    plain = spark.sql(_minhash_sql(_SPARK_SHINGLES, cap=2)).collect()
+    star = spark.sql(_lsh_star_sql(_SPARK_SHINGLES, cap=2, ln="size")).collect()
+    plain = spark.sql(_minhash_sql(_SPARK_SHINGLES, cap=2, ln="size")).collect()
     return pdf, star, plain
 
 
