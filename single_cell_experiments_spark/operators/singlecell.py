@@ -2205,12 +2205,18 @@ q{r} AS MATERIALIZED (
 )"""
 
 
-def _sc_modularity_prefix(gnum: int = 1, gden: int = 1) -> str:
+def _sc_modularity_prefix(
+    gnum: int = 1, gden: int = 1, knn_cte: str | None = None, pre_ctes: str = ""
+) -> str:
     """Shared oracle prefix: kNN edges → unrolled level-1 phases →
     per-round Q → best-state pick, exposed as the ``lv1`` CTE — the
     composition point ``sc_communities_modularity`` terminates at,
     ``sc_communities_louvain2`` coarsens from, and
-    ``sc_communities_leiden`` refines from (at its γ)."""
+    ``sc_communities_leiden`` refines from (at its γ).  ``knn_cte``
+    swaps the graph source (default: the exact kNN over raw embeddings);
+    ``pre_ctes`` injects CTEs the custom source depends on (e.g. the
+    recipe chain for ``sc_notebook_e2e``) — both default to the exact
+    byte-for-byte prefix the standalone community oracles pin."""
     chain, _ = _modularity_chain_sql(SC_MODULARITY_ROUNDS, gnum, gden)
     names = ["l0"] + [f"l{i}b" for i in range(1, SC_MODULARITY_ROUNDS + 1)]
     qctes = ",".join(
@@ -2221,8 +2227,10 @@ def _sc_modularity_prefix(gnum: int = 1, gden: int = 1) -> str:
         f"SELECT id, lbl FROM {nm} WHERE {r} = (SELECT r FROM best)"
         for r, nm in enumerate(names)
     )
+    if knn_cte is None:
+        knn_cte = _SC_NEIGHBORS_ORACLE
     return f"""
-WITH knn AS MATERIALIZED ({_SC_NEIGHBORS_ORACLE}),
+WITH {pre_ctes}knn AS MATERIALIZED ({knn_cte}),
 edges AS MATERIALIZED (
   SELECT vec_id AS src, nbr AS dst FROM knn
   UNION
@@ -2828,7 +2836,11 @@ def _sl_isqrt_sql(n_expr: str, out: str, src: str, keys: str = "u") -> str:
 
 
 def _spectral_chain_sql(
-    t_steps: int = SC_SPECTRAL_T, dv: str = "//", mat: str = " MATERIALIZED"
+    t_steps: int = SC_SPECTRAL_T,
+    dv: str = "//",
+    mat: str = " MATERIALIZED",
+    pfx: str = "",
+    edges: str = "edges",
 ) -> str:
     """CTE chain (appended after an ``edges(u, v)`` CTE — symmetric, unit
     weights): fixed-iteration DEFLATED POWER ITERATION for the 2nd and 3rd
@@ -2860,11 +2872,13 @@ def _spectral_chain_sql(
     silently wrap int64 in non-ANSI Spark (r13 advice).
     """
     idiv = lambda x, y: _sl_idiv(x, y, dv)  # noqa: E731
+    nm = lambda x: f"{pfx}{x}"  # noqa: E731 — CTE-name namespace for composition
 
     def dn(out: str, src: str, col: str, defls: list[str]) -> str:
         """Deflate ``src(u, {col})`` (micro) against each unit vector in
         ``defls`` (micro), normalize to micro-unit length, emit
-        ``out(u, val)``."""
+        ``out(u, val)``.  ``out``/``src``/``defls`` arrive already
+        namespaced."""
         prs = ",\n".join(
             f"""pr_{out}_{i} AS (
   SELECT {idiv(f"SUM(d.val * s.{col})", str(_SL_SCALE))} AS pr
@@ -2891,46 +2905,46 @@ n_{out} AS (
 )"""
 
     parts = [
-        f"""deg AS{mat} (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY u),
-tot AS (SELECT CAST(SUM(d) AS BIGINT) AS m2 FROM deg),
-wts AS{mat} (
+        f"""{nm("deg")} AS{mat} (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM {edges} GROUP BY u),
+{nm("tot")} AS (SELECT CAST(SUM(d) AS BIGINT) AS m2 FROM {nm("deg")}),
+{nm("wts")} AS{mat} (
   {_sl_isqrt_sql(f"CAST({_SL_SCALE} AS BIGINT) * {_SL_SCALE} {dv} (du.d * dv2.d)", "w",
-                 "edges e JOIN deg du ON du.u = e.u JOIN deg dv2 ON dv2.u = e.v",
+                 f"{edges} e JOIN {nm('deg')} du ON du.u = e.u JOIN {nm('deg')} dv2 ON dv2.u = e.v",
                  keys="e.u, e.v")}
 ),
-phi AS{mat} (
-  {_sl_isqrt_sql(f"d * CAST({_SL_SCALE} AS BIGINT) * {_SL_SCALE} {dv} (SELECT m2 FROM tot)", "val",
-                 "deg", keys="u")}
+{nm("phi")} AS{mat} (
+  {_sl_isqrt_sql(f"d * CAST({_SL_SCALE} AS BIGINT) * {_SL_SCALE} {dv} (SELECT m2 FROM {nm('tot')})", "val",
+                 nm("deg"), keys="u")}
 )"""
     ]
 
     def axis(name: str, lcg_a: int, lcg_c: int, defls: list[str]) -> None:
         parts.append(
-            f"""r_{name} AS (
+            f"""{nm(f"r_{name}")} AS (
   SELECT u, CAST((((u % 2048) * {lcg_a} + {lcg_c}) % 2048) * {_SL_SCALE} {dv} 2048 AS BIGINT) AS val
-  FROM deg
+  FROM {nm("deg")}
 )"""
         )
-        parts.append(dn(f"{name}0", f"r_{name}", "val", defls))
+        parts.append(dn(nm(f"{name}0"), nm(f"r_{name}"), "val", defls))
         for t in range(1, t_steps + 1):
             parts.append(
-                f"""z_{name}{t} AS{mat} (
+                f"""{nm(f"z_{name}{t}")} AS{mat} (
   SELECT w.u, {idiv("SUM(w.w * x.val)", str(_SL_SCALE))} AS val
-  FROM wts w JOIN {name}{t - 1} x ON x.u = w.v
+  FROM {nm("wts")} w JOIN {nm(f"{name}{t - 1}")} x ON x.u = w.v
   GROUP BY w.u
 )"""
             )
-            parts.append(dn(f"{name}{t}", f"z_{name}{t}", "val", defls))
+            parts.append(dn(nm(f"{name}{t}"), nm(f"z_{name}{t}"), "val", defls))
 
-    axis("sx", 1103515245, 12345, ["phi"])
-    axis("sy", 69069, 1, ["phi", f"sx{t_steps}"])
+    axis("sx", 1103515245, 12345, [nm("phi")])
+    axis("sy", 69069, 1, [nm("phi"), nm(f"sx{t_steps}")])
     return ",\n".join(parts)
 
 
-def _spectral_select_sql(t_steps: int = SC_SPECTRAL_T) -> str:
+def _spectral_select_sql(t_steps: int = SC_SPECTRAL_T, pfx: str = "") -> str:
     return f"""
 SELECT x.u AS vec_id, CAST(x.val AS BIGINT) AS sx_micro, CAST(y.val AS BIGINT) AS sy_micro
-FROM sx{t_steps} x JOIN sy{t_steps} y ON y.u = x.u
+FROM {pfx}sx{t_steps} x JOIN {pfx}sy{t_steps} y ON y.u = x.u
 """
 
 
@@ -3098,4 +3112,140 @@ GROUP BY w.u"""
     return spark.sql(
         f"""SELECT x.u, CAST(x.val AS BIGINT) AS sx_micro, CAST(y.val AS BIGINT) AS sy_micro
 FROM {fx} x JOIN {fy} y ON y.u = x.u"""
+    )
+
+
+# --- the full Scanpy-notebook composition (pp → tl → viz, one program) --------
+
+def _sc_notebook_oracle() -> str:
+    """One SQL program for the whole notebook: recipe_zheng17 (pp) →
+    exact kNN over the PREPROCESSED matrix → γ=5/4 Louvain phase-1 +
+    Leiden refinement (tl.leiden) → deflated-power-iteration spectral
+    layout of the mutual graph (tl.umap's init) — composed from the four
+    pinned CTE chains (``_RECIPE_ORACLE``, the ``_SC_NB_DIST`` scoring
+    shape, ``_sc_modularity_prefix``/``_leiden_refine_sql``,
+    ``_spectral_chain_sql(pfx='nb_')``).  Zero-variance genes (z NULL
+    for every cell at that pos) are dropped before widening so the
+    reconstructed per-cell vectors stay position-aligned and NULL-free
+    in both engines."""
+    gnum, gden = SC_LEIDEN_GAMMA
+    pre = f"""recipe AS MATERIALIZED ({_RECIPE_ORACLE}),
+wide AS MATERIALIZED (
+  SELECT vec_id, list(z ORDER BY pos) AS embedding
+  FROM recipe WHERE z IS NOT NULL GROUP BY vec_id
+),
+"""
+    knn_cte = f"""
+SELECT vec_id, nbr, d2, rk FROM (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
+         {_SC_NB_DIST} AS d2,
+         CAST(row_number() OVER (PARTITION BY a.vec_id
+                                 ORDER BY {_SC_NB_DIST} ASC, b.vec_id ASC) AS BIGINT) AS rk
+  FROM wide a JOIN wide b ON a.vec_id <> b.vec_id
+) WHERE rk <= {SC_NEIGHBORS_K}
+"""
+    return f"""{_sc_modularity_prefix(gnum, gden, knn_cte=knn_cte, pre_ctes=pre)},
+{_leiden_refine_sql()},
+nb_mutual AS MATERIALIZED (
+  SELECT x.vec_id AS u, x.nbr AS v
+  FROM knn x JOIN knn y ON x.vec_id = y.nbr AND x.nbr = y.vec_id
+),
+{_spectral_chain_sql(pfx="nb_", edges="nb_mutual")}
+SELECT r.id AS vec_id, CAST(r.lbl AS BIGINT) AS community,
+       CAST(x.val AS BIGINT) AS sx_micro, CAST(y.val AS BIGINT) AS sy_micro
+FROM rchecked r
+JOIN nb_sx{SC_SPECTRAL_T} x ON x.u = r.id
+JOIN nb_sy{SC_SPECTRAL_T} y ON y.u = r.id
+"""
+
+
+@query(
+    "sc_notebook_e2e",
+    oracle=_sc_notebook_oracle(),
+    tags=("singlecell", "pipeline", "graph", "clustering", "embedding", "iterative"),
+)
+def sc_notebook_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE CAPSTONE (r13 verdict #6): the standard Scanpy notebook as one
+    DataFrame program — ``pp.recipe_zheng17`` → ``pp.neighbors`` on the
+    PREPROCESSED matrix (the real notebook order; the standalone
+    ``sc_neighbors`` runs on raw embeddings) → ``tl.leiden`` (γ = 5/4
+    phased Louvain + refinement split) → ``tl.umap``'s spectral init on
+    the mutual graph — emitting one row per laid-out cell:
+    (vec_id, community, sx_micro, sy_micro).
+
+    Every stage reuses the registered building block unchanged
+    (``sc_recipe_zheng17``, the ``sc_neighbor_edges`` scoring discipline,
+    ``louvain_phase1_labels``/``leiden_refine``,
+    ``spectral_layout_edges``), and the oracle composes the same four
+    pinned CTE chains — so the hash check certifies the COMPOSITION
+    (filter alignment, widened-array reconstruction, graph handoffs),
+    not re-derived math.
+
+    The COO→wide reconstruction: recipe output is dense per kept cell ×
+    kept gene, so ``collect_list(struct(pos, z))`` sorted by pos rebuilds
+    position-aligned vectors; zero-variance genes (z NULL for every cell
+    — the recipe's NULL-preserving clip) are dropped first, keeping both
+    engines' arrays identical.  Scale shape: recipe is two keyed
+    exchanges + broadcasts; widening is one groupBy(cell); exact kNN is
+    the documented O(n²) broadcast scorer (swap ``sc_nnd_edges_ivfseed``
+    in past ~10M cells — same downstream); communities/layout are the
+    fixed-round one-exchange-per-round iterations of their standalone
+    queries.
+    """
+    z = materialize(
+        sc_recipe_zheng17(spark, sf_dir).where(F.col("z").isNotNull())
+    )
+    wide = materialize(
+        z.groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "z"))).alias("pz"))
+        .select(
+            "vec_id", F.transform("pz", lambda s: s["z"]).alias("embedding")
+        )
+    )
+
+    from .similarity import _dot, _norm2
+
+    a = wide.select(
+        "vec_id",
+        F.col("embedding").alias("ea"),
+        _norm2(F.col("embedding")).alias("na"),
+    )
+    b = wide.select(
+        F.col("vec_id").alias("nbr"),
+        F.col("embedding").alias("eb"),
+        _norm2(F.col("embedding")).alias("nb"),
+    )
+    d2 = F.round(F.col("na") + F.col("nb") - 2 * _dot(F.col("ea"), F.col("eb")), 6)
+    rk = F.row_number().over(W.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("nbr")))
+    knn = materialize(
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("vec_id") != F.col("nbr"))
+        .select("vec_id", "nbr", d2.alias("d2"))
+        .withColumn("rk", big(rk))
+        .where(F.col("rk") <= SC_NEIGHBORS_K)
+        .select("vec_id", "nbr")
+    )
+
+    sym = materialize(
+        knn.select(F.col("vec_id").alias("src"), F.col("nbr").alias("dst"))
+        .union(knn.select(F.col("nbr").alias("src"), F.col("vec_id").alias("dst")))
+        .distinct()
+    )
+    lv1 = louvain_phase1_labels(sym, SC_MODULARITY_ROUNDS, gamma=SC_LEIDEN_GAMMA)
+    refined = leiden_refine(sym, lv1)
+
+    rev = knn.select(F.col("nbr").alias("vec_id"), F.col("vec_id").alias("nbr"))
+    mutual = knn.intersect(rev).select(
+        F.col("vec_id").alias("u"), F.col("nbr").alias("v")
+    )
+    layout = spectral_layout_edges(spark, mutual)
+
+    return (
+        refined.join(layout, refined["id"] == layout["u"])
+        .select(
+            F.col("id").alias("vec_id"),
+            big(F.col("lbl")).alias("community"),
+            "sx_micro",
+            "sy_micro",
+        )
     )
