@@ -229,16 +229,19 @@ class AnnFrame:
         )
 
     def to_zarr(self, path: str, rows_per_chunk: int = 64, **kw) -> dict:
-        """Write ``X`` + row index + numeric ``obs`` annotation columns as
-        a Zarr v2 group (ref ``AnnDataRdd.to_zarr`` [M]; annotations land
-        as ``obs_<name>`` 1-D arrays and round-trip through
+        """Write ``X`` + row index + numeric AND string/categorical ``obs``
+        annotation columns as a Zarr v2 group (ref ``AnnDataRdd.to_zarr``
+        [M]; annotations land as ``obs_<name>`` 1-D arrays — int64/float64
+        for numeric, fixed-width ``|S<n>`` for strings (r13 verdict #4:
+        real AnnData obs is mostly categorical) — and round-trip through
         ``from_zarr``).  Requires dense 0..n-1 row ids (positional
         addressing — reindex first if filtered)."""
         from .sources.zarrv2 import write_zarr_group
 
         numeric = ("bigint", "int", "smallint", "tinyint", "long", "double", "float")
+        writable = numeric + ("string",)
         obs_cols = tuple(
-            c for c, t in self.obs.dtypes if c != "row_id" and t in numeric
+            c for c, t in self.obs.dtypes if c != "row_id" and t in writable
         )
         wide = self.x.select(
             F.col("row_id").alias("vec_id"),
@@ -260,19 +263,26 @@ class AnnFrame:
             from .sources.zarrv2 import _compress, _write_zarray_meta
 
             rows = self.var.orderBy("pos").collect()
-            numeric_var = [
-                c for c, t in self.var.dtypes if c != "pos" and t in numeric
+            var_cols = [
+                c for c, t in self.var.dtypes if c != "pos" and t in writable
             ]
             comp = kw.get("compressor", {"id": "zlib", "level": 1})
-            for c in numeric_var:
-                is_int = dict(self.var.dtypes)[c] in (
-                    "bigint", "int", "smallint", "tinyint", "long",
-                )
-                npdt = np.dtype("<i8") if is_int else np.dtype("<f8")
-                arr = np.array([r[c] for r in rows], dtype=npdt)
+            for c in var_cols:
+                t = dict(self.var.dtypes)[c]
                 apath = os.path.join(path, f"var_{c}")
+                if t == "string":
+                    vals = [(r[c] or "").encode("utf-8") for r in rows]
+                    w = max(max((len(v) for v in vals), default=1), 1)
+                    npdt = np.dtype(f"S{w}")
+                    arr = np.array(vals, dtype=npdt)
+                    zdt, fill = f"|S{w}", None
+                else:
+                    is_int = t in ("bigint", "int", "smallint", "tinyint", "long")
+                    npdt = np.dtype("<i8") if is_int else np.dtype("<f8")
+                    arr = np.array([r[c] for r in rows], dtype=npdt)
+                    zdt, fill = str(npdt.str), 0
                 _write_zarray_meta(
-                    apath, [len(arr)], [max(len(arr), 1)], str(npdt.str), comp, 0
+                    apath, [len(arr)], [max(len(arr), 1)], zdt, comp, fill
                 )
                 with open(os.path.join(apath, "0"), "wb") as f:
                     f.write(_compress(arr.tobytes(order="C"), comp, npdt.itemsize))

@@ -56,6 +56,7 @@ from pyspark.sql.types import (
     ArrayType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -182,12 +183,30 @@ def write_zarr_group(
     )
     _write_zarray_meta(id_path, [n_rows], [rows_per_chunk], "<i8", compressor, 0)
     dtypes = dict(wide.dtypes)
+    # String/categorical obs columns (r13 verdict #4): fixed-width |S<n>
+    # bytes — the NumPy/Zarr-v2 spec dtype for strings WITHOUT filters
+    # (the VLenUTF8 object-dtype route needs a filter codec this reader
+    # loudly refuses).  Width = max UTF-8 byte length over the column,
+    # measured in one tiny extra aggregate before the write.
+    str_cols = [c for c in obs_cols if dtypes.get(c) == "string"]
+    str_width: dict[str, int] = {}
+    if str_cols:
+        widths = wide.agg(
+            *[F.max(F.octet_length(c)).alias(c) for c in str_cols]
+        ).collect()[0]
+        str_width = {c: max(int(widths[c] or 1), 1) for c in str_cols}
     obs_meta: dict[str, tuple[str, np.dtype]] = {}
     for col in obs_cols:
-        is_int = dtypes.get(col) in ("bigint", "int", "smallint", "tinyint", "long")
-        zdt, npdt = ("<i8", np.dtype("<i8")) if is_int else ("<f8", np.dtype("<f8"))
+        t = dtypes.get(col)
+        if t == "string":
+            w = str_width[col]
+            zdt, npdt, fill = f"|S{w}", np.dtype(f"S{w}"), None
+        elif t in ("bigint", "int", "smallint", "tinyint", "long"):
+            zdt, npdt, fill = "<i8", np.dtype("<i8"), 0
+        else:
+            zdt, npdt, fill = "<f8", np.dtype("<f8"), 0
         apath = os.path.join(path, f"obs_{col}")
-        _write_zarray_meta(apath, [n_rows], [rows_per_chunk], zdt, compressor, 0)
+        _write_zarray_meta(apath, [n_rows], [rows_per_chunk], zdt, compressor, fill)
         obs_meta[col] = (apath, npdt)
     with open(os.path.join(path, ".zgroup"), "w") as f:
         json.dump({"zarr_format": 2}, f)
@@ -217,7 +236,12 @@ def write_zarr_group(
             f.write(_compress(id_block.tobytes(order="C"), compressor, 8))
         for col, (apath, npdt) in obs_meta.items():
             block = np.zeros(rows_per_chunk, dtype=npdt)
-            block[offs] = pdf[col].to_numpy(dtype=npdt)
+            if npdt.kind == "S":
+                block[offs] = np.array(
+                    [(s or "").encode("utf-8") for s in pdf[col]], dtype=npdt
+                )
+            else:
+                block[offs] = pdf[col].to_numpy(dtype=npdt)
             with open(os.path.join(apath, f"{chunk_id}"), "wb") as f:
                 f.write(_compress(block.tobytes(order="C"), compressor, npdt.itemsize))
         return pd.DataFrame({"chunk_id": [chunk_id], "n_rows": [len(pdf)]})
@@ -304,6 +328,12 @@ def _decode_blocks(meta: dict):
                         yield pd.DataFrame(
                             {"row": rows, "value": vals.astype(np.int64)}
                         )
+                    elif dtype.kind == "S":
+                        # fixed-width bytes: numpy strips the trailing
+                        # null padding on item access; decode UTF-8
+                        yield pd.DataFrame(
+                            {"row": rows, "value": [b.decode("utf-8") for b in vals]}
+                        )
                     else:
                         yield pd.DataFrame(
                             {"row": rows, "value": vals.astype(np.float64)}
@@ -354,7 +384,12 @@ def read_zarr_vector(spark: SparkSession, array_path: str) -> DataFrame:
 def _plan_vector_read(spark: SparkSession, array_path: str, meta: dict) -> DataFrame:
     if len(meta["shape"]) != 1:
         raise ValueError(f"read_zarr_vector expects a 1-D array, got {meta['shape']}")
-    vtype = LongType() if np.dtype(meta["dtype"]).kind in "iu" else DoubleType()
+    kind = np.dtype(meta["dtype"]).kind
+    vtype = (
+        LongType()
+        if kind in "iu"
+        else StringType() if kind == "S" else DoubleType()
+    )
     schema = StructType([StructField("row", LongType()), StructField("value", vtype)])
     files = (
         spark.read.format("binaryFile")
@@ -606,3 +641,53 @@ def zarr_consolidated_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value", "vec_id"
     )
     return zarr_matrix_coo(x, ids)
+
+
+_ZARR_OBS_STRING_ORACLE = """
+SELECT vec_id,
+       'cell_type_' || CAST(vec_id % 5 AS VARCHAR) AS ct,
+       CAST(label AS BIGINT) AS lbl
+FROM embeddings
+"""
+
+
+@query(
+    "zarr_obs_string_roundtrip",
+    oracle=_ZARR_OBS_STRING_ORACLE,
+    tags=("sources", "zarr", "api", "categorical"),
+    cache=False,
+)
+def zarr_obs_string_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/categorical obs annotations through the v2 group end to end
+    (r13 verdict #4 — real AnnData obs is mostly categorical): wrap
+    embeddings as an ``AnnFrame`` whose obs carries a derived 5-level
+    string cell-type column beside a numeric one, ``to_zarr`` (the string
+    column lands as a fixed-width ``|S<n>`` 1-D array — the spec dtype
+    for strings without filter codecs; width measured from the data),
+    ``from_zarr`` the group back, and hash-compare BOTH recovered obs
+    columns against the oracle's direct derivation.  Pins the |S width
+    sizing, UTF-8 encode/null-pad/strip symmetry, chunk-grid placement,
+    and the StringType plumbing through the consolidated-or-not vector
+    reader.
+    """
+    import tempfile
+
+    from ..api import AnnFrame
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.concat(F.lit("cell_type_"), (F.col("vec_id") % 5).cast("string")).alias(
+            "ct"
+        ),
+        F.col("label").cast("bigint").alias("lbl"),
+    )
+    store = os.path.join(
+        tempfile.gettempdir(),
+        f"sce_zarr_obsstr_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    AnnFrame.from_table(e).to_zarr(store)
+    back = AnnFrame.from_zarr(spark, store)
+    return back.obs.select(
+        F.col("row_id").alias("vec_id"), "ct", F.col("lbl").cast("bigint").alias("lbl")
+    )

@@ -257,6 +257,7 @@ def _validate_v3_array_meta(meta: dict, array_path: str) -> dict:
         "codecs": codecs,
         "key_encoding": keyenc,
         "sharding": sharding,
+        "attributes": meta.get("attributes") or {},
     }
 
 
@@ -550,6 +551,7 @@ def _write_v3_meta(
     codecs: list[dict],
     fill_value,
     keyenc: dict,
+    attributes: dict | None = None,
 ) -> None:
     os.makedirs(path, exist_ok=True)
     meta = {
@@ -564,7 +566,7 @@ def _write_v3_meta(
         "chunk_key_encoding": keyenc,
         "fill_value": fill_value,
         "codecs": codecs,
-        "attributes": {},
+        "attributes": attributes or {},
     }
     with open(os.path.join(path, "zarr.json"), "w") as f:
         json.dump(meta, f)
@@ -938,3 +940,165 @@ def zarr_v3_consolidated_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         "value", "vec_id"
     )
     return zarr_matrix_coo(x, ids)
+
+
+# --- dictionary-encoded (categorical) 1-D string vectors ---------------------------
+
+def write_zarr_v3_dict_vector(
+    vec: DataFrame,
+    path: str,
+    rows_per_chunk: int = 64,
+    codecs: list[dict] | None = None,
+    keyenc: dict | None = None,
+) -> dict:
+    """Write a dense (vec_id, value: string) column as a DICTIONARY-ENCODED
+    Zarr v3 1-D array (r13 verdict #4: categorical obs annotations in the
+    current format generation): an int64 ``codes`` array through the
+    normal codec chain, with the sorted category list in the array's
+    ``attributes`` (``{"encoding": "dictionary", "categories": [...]}``) —
+    the AnnData categorical shape (codes + categories) expressed in the
+    one v3 construct every reader parses anyway (the zarr.json document),
+    avoiding both the fixed-width-bytes v3 extension dtype and a VLen
+    filter codec.
+
+    Categories are collected driver-side — O(distinct values), which is
+    what CATEGORICAL means (cell types, batches: tens, not millions); the
+    codes themselves are written distributed, one ``applyInPandas`` task
+    per chunk, exactly like the group writer's ``vec_id`` array.  A code
+    of -1 is reserved for NULL (AnnData's convention); fill_value is -1
+    so absent tail rows read back as NULL, not as category 0.
+    """
+    codecs = codecs if codecs is not None else _DEFAULT_CODECS
+    keyenc = keyenc if keyenc is not None else _DEFAULT_KEYENC
+    shutil.rmtree(path, ignore_errors=True)
+
+    cats = sorted(
+        r[0] for r in vec.select("value").where(F.col("value").isNotNull()).distinct().collect()
+    )
+    code_of = {c: i for i, c in enumerate(cats)}
+
+    bounds = vec.agg(
+        F.max("vec_id").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("vec_id").alias("nd"),
+    ).collect()[0]
+    n_rows = int(bounds["mx"]) + 1
+    if int(bounds["n"]) != n_rows or int(bounds["nd"]) != n_rows:
+        raise ValueError(
+            "zarr positional write needs dense 0..n-1 ids: "
+            f"max+1={n_rows}, rows={bounds['n']}, distinct={bounds['nd']}"
+        )
+
+    endian = "little"
+    for codec in codecs:
+        if codec.get("name") == "bytes":
+            endian = (codec.get("configuration") or {}).get("endian", "little")
+    i8 = np.dtype(("<" if endian == "little" else ">") + "i8")
+
+    _write_v3_meta(
+        path,
+        [n_rows],
+        [rows_per_chunk],
+        "int64",
+        codecs,
+        -1,
+        keyenc,
+        attributes={"encoding": "dictionary", "categories": cats},
+    )
+
+    result_schema = StructType(
+        [StructField("chunk_id", LongType()), StructField("n_rows", LongType())]
+    )
+
+    def _write_chunk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        (chunk_id,) = key
+        offs = pdf["vec_id"].to_numpy(dtype=np.int64) - chunk_id * rows_per_chunk
+        block = np.full(rows_per_chunk, -1, dtype=i8)
+        block[offs] = np.array(
+            [code_of.get(v, -1) if v is not None else -1 for v in pdf["value"]],
+            dtype=i8,
+        )
+        payload = _encode_chain(
+            np.ascontiguousarray(block).tobytes(order="C"), codecs, 8
+        )
+        keypath = os.path.join(path, _chunk_key_v3((int(chunk_id),), keyenc))
+        os.makedirs(os.path.dirname(keypath), exist_ok=True)
+        with open(keypath, "wb") as f:
+            f.write(payload)
+        return pd.DataFrame({"chunk_id": [chunk_id], "n_rows": [len(pdf)]})
+
+    n_chunks = (
+        vec.select("vec_id", "value")
+        .withColumn("chunk_id", F.expr(f"vec_id div {rows_per_chunk}"))
+        .groupBy("chunk_id")
+        .applyInPandas(_write_chunk, schema=result_schema)
+        .count()
+    )
+    return {"shape": [n_rows], "chunks": [rows_per_chunk], "n_chunks": int(n_chunks),
+            "categories": cats}
+
+
+def read_zarr_v3_dict_vector(spark: SparkSession, array_path: str) -> DataFrame:
+    """Read a dictionary-encoded v3 string vector back to
+    (row: bigint, value: string): plan the int64 codes read as usual,
+    then decode each code through the ``categories`` attribute with a
+    row-local literal-array lookup (no join, no shuffle — the dictionary
+    rides the plan as a constant, exactly how a categorical should
+    scale).  Code -1 (the NULL sentinel / fill) decodes to NULL."""
+    meta = read_zarr_v3_meta(array_path)
+    attrs = meta.get("attributes") or {}
+    if attrs.get("encoding") != "dictionary" or "categories" not in attrs:
+        raise ValueError(
+            f"not a dictionary-encoded vector: {array_path} (attributes"
+            f" lack encoding=dictionary/categories)"
+        )
+    cats = attrs["categories"]
+    codes = read_zarr_v3_vector(spark, array_path)
+    lut = F.array(*[F.lit(c) for c in cats])
+    return codes.select(
+        "row",
+        F.when(
+            (F.col("value") >= 0) & (F.col("value") < len(cats)),
+            F.element_at(lut, F.col("value").cast("int") + 1),
+        ).alias("value"),
+    )
+
+
+_ZARR_V3_DICT_ORACLE = """
+SELECT vec_id, 'cell_type_' || CAST(vec_id % 5 AS VARCHAR) AS ct
+FROM embeddings
+"""
+
+
+@query(
+    "zarr_v3_obs_dict_roundtrip",
+    oracle=_ZARR_V3_DICT_ORACLE,
+    tags=("sources", "zarr", "v3", "categorical"),
+    cache=False,
+)
+def zarr_v3_obs_dict_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical annotation through the v3 generation end to end: derive
+    a 5-level cell-type label per row, write it as a dictionary-encoded
+    v3 vector (int64 codes + categories in attributes), read it back
+    decoding codes through the stored dictionary, and hash-compare the
+    decoded strings against the oracle's direct derivation.  Pins the
+    whole codes↔categories contract: stable code assignment (sorted
+    categories), chunk-grid placement of codes, the -1/NULL sentinel
+    never colliding with a real category, and attribute round-tripping
+    through the zarr.json document."""
+    import tempfile
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vec = e.select(
+        "vec_id",
+        F.concat(F.lit("cell_type_"), (F.col("vec_id") % 5).cast("string")).alias(
+            "value"
+        ),
+    )
+    store = os.path.join(
+        tempfile.gettempdir(),
+        f"sce_zarr3_dict_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    write_zarr_v3_dict_vector(vec, store)
+    back = read_zarr_v3_dict_vector(spark, store)
+    return back.select(F.col("row").alias("vec_id"), F.col("value").alias("ct"))

@@ -663,3 +663,59 @@ def test_layout_matches_reference_on_own_graph(spark):
     assert set(got) == set(nodes)
     for i, u in enumerate(nodes):
         assert got[u] == (int(sx[i]), int(sy[i])), u
+
+
+def test_obs_var_string_annotations_roundtrip_zarr(spark, tmp_path):
+    """r13 verdict #4: string/categorical obs AND var columns survive the
+    v2 group roundtrip (obs as fixed-width |S<n> sibling arrays, var via
+    the driver-side writer), alongside numeric ones."""
+    e = load_table(spark, SF_DIR, "embeddings").limit(64)
+    n = e.count()
+    ids = e.select(F.col("vec_id").cast("bigint").alias("row_id"))
+    af0 = AnnFrame.from_table(
+        e.select(
+            "vec_id",
+            "embedding",
+            F.concat(F.lit("batch_"), (F.col("vec_id") % 3).cast("string")).alias(
+                "batch"
+            ),
+            (F.col("vec_id") * 2).cast("bigint").alias("total"),
+        )
+    )
+    dim = af0.n_vars
+    var = spark.range(1, dim + 1).select(
+        F.col("id").alias("pos"),
+        F.concat(F.lit("gene_"), F.col("id").cast("string")).alias("gname"),
+        (F.col("id") % 2).cast("bigint").alias("flagged"),
+    )
+    af0 = AnnFrame(af0.x, af0.obs, var)
+    store = str(tmp_path / "grp")
+    af0.to_zarr(store)
+    back = AnnFrame.from_zarr(spark, store)
+
+    obs = {int(r.row_id): (r.batch, int(r.total)) for r in back.obs.collect()}
+    assert len(obs) == n
+    for rid, (b, t) in obs.items():
+        assert b == f"batch_{rid % 3}" and t == rid * 2
+    gv = {int(r.pos): (r.gname, int(r.flagged)) for r in back.var.collect()}
+    assert len(gv) == dim
+    for pos, (g, fl) in gv.items():
+        assert g == f"gene_{pos}" and fl == pos % 2
+
+
+def test_v3_dict_vector_null_sentinel(spark, tmp_path):
+    """The -1 code is the NULL sentinel: NULL values round-trip as NULL,
+    never as category 0."""
+    from single_cell_experiments_spark.sources.zarrv3 import (
+        read_zarr_v3_dict_vector,
+        write_zarr_v3_dict_vector,
+    )
+
+    vec = spark.createDataFrame(
+        [(0, "a"), (1, None), (2, "b"), (3, "a")], "vec_id BIGINT, value STRING"
+    )
+    store = str(tmp_path / "dictvec")
+    info = write_zarr_v3_dict_vector(vec, store, rows_per_chunk=3)
+    assert info["categories"] == ["a", "b"]
+    got = {int(r.row): r.value for r in read_zarr_v3_dict_vector(spark, store).collect()}
+    assert got == {0: "a", 1: None, 2: "b", 3: "a"}
