@@ -719,3 +719,23 @@ def test_v3_dict_vector_null_sentinel(spark, tmp_path):
     assert info["categories"] == ["a", "b"]
     got = {int(r.row): r.value for r in read_zarr_v3_dict_vector(spark, store).collect()}
     assert got == {0: "a", 1: None, 2: "b", 3: "a"}
+
+
+def test_neighbors_nnd_object_api_valid_and_beats_seed(spark):
+    """AnnFrame.neighbors_nnd: valid top-k graph (k rows per node, no
+    self-edges, exact d2), and descent recall strictly improves on the
+    pure ring seed."""
+    af = AnnFrame.from_table(load_table(spark, SF_DIR, "embeddings"))
+    exact = {
+        (int(r.row_id), int(r.nbr)) for r in af.neighbors(4).collect()
+    }
+    g0 = {(int(r.row_id), int(r.nbr)) for r in af.neighbors_nnd(4, rounds=0).collect()}
+    g2 = af.neighbors_nnd(4, rounds=2).collect()
+    pairs2 = {(int(r.row_id), int(r.nbr)) for r in g2}
+    per_node: dict[int, int] = {}
+    for r in g2:
+        assert int(r.row_id) != int(r.nbr)
+        assert 1 <= int(r.rk) <= 4
+        per_node[int(r.row_id)] = per_node.get(int(r.row_id), 0) + 1
+    assert set(per_node.values()) == {4}
+    assert len(exact & pairs2) > len(exact & g0)
