@@ -230,10 +230,11 @@ cand AS (
     ON b1.band = b2.band AND b1.sig = b2.sig AND b1.doc_id < b2.doc_id
 ){star_ctes},
 docsets AS (SELECT doc_id, array_sort(array_agg(h)) AS hs FROM shingles GROUP BY doc_id),
-sizes AS (SELECT doc_id, CAST({ln}(hs) AS BIGINT) AS n FROM docsets),
 inter AS (
   SELECT c.doc1, c.doc2{via_sel},
-         CAST({ln}(array_intersect(a1.hs, a2.hs)) AS BIGINT) AS i
+         CAST({ln}(array_intersect(a1.hs, a2.hs)) AS BIGINT) AS i,
+         CAST({ln}(a1.hs) AS BIGINT) AS n1,
+         CAST({ln}(a2.hs) AS BIGINT) AS n2
   FROM {inter_src} c
   JOIN docsets a1 ON a1.doc_id = c.doc1
   JOIN docsets a2 ON a2.doc_id = c.doc2
@@ -250,11 +251,9 @@ def _minhash_sql(
     ``ln`` is the array-length token ('len' DuckDB, 'size' Spark)."""
     return f"""{_lsh_core_sql(shingles_cte, cap=cap, band_sigs=band_sigs, ln=ln)}
 SELECT i.doc1, i.doc2,
-       round(CAST(i.i AS DOUBLE) / (z1.n + z2.n - i.i), 6) AS jaccard
+       round(CAST(i.i AS DOUBLE) / (i.n1 + i.n2 - i.i), 6) AS jaccard
 FROM inter i
-JOIN sizes z1 ON z1.doc_id = i.doc1
-JOIN sizes z2 ON z2.doc_id = i.doc2
-WHERE CAST(i.i AS DOUBLE) / (z1.n + z2.n - i.i) >= {MINHASH_JACCARD_MIN}
+WHERE CAST(i.i AS DOUBLE) / (i.n1 + i.n2 - i.i) >= {MINHASH_JACCARD_MIN}
 """
 
 
@@ -287,12 +286,10 @@ def _lsh_star_sql(
     """
     return f"""{_lsh_core_sql(shingles_cte, cap=cap, band_sigs=band_sigs, star=True, ln=ln)}
 SELECT i.doc1, i.doc2,
-       round(CAST(i.i AS DOUBLE) / (z1.n + z2.n - i.i), 6) AS jaccard,
+       round(CAST(i.i AS DOUBLE) / (i.n1 + i.n2 - i.i), 6) AS jaccard,
        CAST(i.via_star AS BIGINT) AS via_star
 FROM inter i
-JOIN sizes z1 ON z1.doc_id = i.doc1
-JOIN sizes z2 ON z2.doc_id = i.doc2
-WHERE CAST(i.i AS DOUBLE) / (z1.n + z2.n - i.i) >= {MINHASH_JACCARD_MIN}
+WHERE CAST(i.i AS DOUBLE) / (i.n1 + i.n2 - i.i) >= {MINHASH_JACCARD_MIN}
 """
 
 
@@ -382,13 +379,11 @@ def _containment_sql(shingles_cte: str, ln: str = "len") -> str:
     boilerplate wrappers) that symmetric Jaccard under-reports."""
     return f"""{_lsh_core_sql(shingles_cte, ln=ln)}
 SELECT i.doc1, i.doc2,
-       round(CAST(i.i AS DOUBLE) / z1.n, 6) AS c_fwd,
-       round(CAST(i.i AS DOUBLE) / z2.n, 6) AS c_rev,
-       CAST(CASE WHEN z1.n <= z2.n THEN i.doc1 ELSE i.doc2 END AS BIGINT) AS contained_doc
+       round(CAST(i.i AS DOUBLE) / i.n1, 6) AS c_fwd,
+       round(CAST(i.i AS DOUBLE) / i.n2, 6) AS c_rev,
+       CAST(CASE WHEN i.n1 <= i.n2 THEN i.doc1 ELSE i.doc2 END AS BIGINT) AS contained_doc
 FROM inter i
-JOIN sizes z1 ON z1.doc_id = i.doc1
-JOIN sizes z2 ON z2.doc_id = i.doc2
-WHERE CAST(i.i AS DOUBLE) / LEAST(z1.n, z2.n) >= {CONTAINMENT_MIN}
+WHERE CAST(i.i AS DOUBLE) / LEAST(i.n1, i.n2) >= {CONTAINMENT_MIN}
 """
 
 
@@ -1216,7 +1211,7 @@ def _minhash_quality_sql(shingles_cte: str, intdiv: str, ln: str = "len") -> str
         f"(CASE WHEN s1.mh{i} = s2.mh{i} THEN 1 ELSE 0 END)" for i in range(h)
     )
     est = f"(e.n_match * 1000000 {intdiv} {h})"
-    exact = f"(COALESCE(i.i, 0) * 1000000 {intdiv} (z1.n + z2.n - COALESCE(i.i, 0)))"
+    exact = f"(i.i * 1000000 {intdiv} (i.n1 + i.n2 - i.i))"
     return f"""
 WITH shingles_raw AS ({shingles_cte}),
 shingles AS (SELECT DISTINCT doc_id, h FROM shingles_raw),
@@ -1228,10 +1223,11 @@ cand AS (
     ON b1.band = b2.band AND b1.sig = b2.sig AND b1.doc_id < b2.doc_id
 ),
 docsets AS (SELECT doc_id, array_sort(array_agg(h)) AS hs FROM shingles GROUP BY doc_id),
-sizes AS (SELECT doc_id, CAST({ln}(hs) AS BIGINT) AS n FROM docsets),
 inter AS (
   SELECT c.doc1, c.doc2,
-         CAST({ln}(array_intersect(a1.hs, a2.hs)) AS BIGINT) AS i
+         CAST({ln}(array_intersect(a1.hs, a2.hs)) AS BIGINT) AS i,
+         CAST({ln}(a1.hs) AS BIGINT) AS n1,
+         CAST({ln}(a2.hs) AS BIGINT) AS n2
   FROM cand c
   JOIN docsets a1 ON a1.doc_id = c.doc1
   JOIN docsets a2 ON a2.doc_id = c.doc2
@@ -1248,9 +1244,7 @@ SELECT e.doc1, e.doc2,
        CAST({exact} AS BIGINT) AS exact_micro,
        CAST(abs({est} - {exact}) AS BIGINT) AS err_micro
 FROM est e
-LEFT JOIN inter i ON i.doc1 = e.doc1 AND i.doc2 = e.doc2
-JOIN sizes z1 ON z1.doc_id = e.doc1
-JOIN sizes z2 ON z2.doc_id = e.doc2
+JOIN inter i ON i.doc1 = e.doc1 AND i.doc2 = e.doc2
 """
 
 
