@@ -687,6 +687,9 @@ def zarr_obs_string_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"sce_zarr_obsstr_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
     )
     AnnFrame.from_table(e).to_zarr(store)
+    # consolidate so the read-back plans the |S arrays from .zmetadata —
+    # the string dtype through the one-GET path, not just the sidecars
+    consolidate_metadata(store)
     back = AnnFrame.from_zarr(spark, store)
     return back.obs.select(
         F.col("row_id").alias("vec_id"), "ct", F.col("lbl").cast("bigint").alias("lbl")
