@@ -1231,8 +1231,10 @@ SC_NND_ROUNDS = 2  # fixed refinement rounds after the seed graph
 SC_NND_K_BUILD = 12
 
 
-def _nnd_score_sql(src: str, out: str, k: int) -> str:
-    """Score a candidate edge list against the embeddings and keep the
+def _nnd_score_sql(src: str, out: str, k: int, table: str = "embeddings") -> str:
+    """Score a candidate edge list against ``table`` (any
+    (vec_id, embedding) relation — the raw matrix by default, a
+    recipe-reconstructed one for the notebook ANN twin) and keep the
     top-``k`` per vector — the shared scoring tail of every NN-descent
     round (same rounded-d² + nbr tie-break discipline as the exact
     oracle, so ranks are engine-stable)."""
@@ -1242,48 +1244,59 @@ def _nnd_score_sql(src: str, out: str, k: int) -> str:
            CAST(row_number() OVER (PARTITION BY c.vec_id
                                    ORDER BY {_SC_NB_DIST} ASC, c.nbr ASC) AS BIGINT) AS rk
     FROM {src} c
-    JOIN embeddings a ON a.vec_id = c.vec_id
-    JOIN embeddings b ON b.vec_id = c.nbr
+    JOIN {table} a ON a.vec_id = c.vec_id
+    JOIN {table} b ON b.vec_id = c.nbr
   ) WHERE rk <= {k}
 )"""
 
 
-def _nnd_rounds_sql(rounds: int, k: int) -> str:
-    """The refinement rounds after ``g0`` — shared by both seed variants."""
+def _nnd_rounds_sql(rounds: int, k: int, table: str = "embeddings", pfx: str = "") -> str:
+    """The refinement rounds after ``{pfx}g0`` — shared by both seed
+    variants and (with ``pfx``) by composed oracles whose CTE namespace
+    must not collide."""
     parts = []
     for r in range(rounds):
         parts.append(
-            f"""u{r} AS MATERIALIZED (
-  SELECT vec_id, nbr FROM g{r} UNION SELECT nbr, vec_id FROM g{r}
+            f"""{pfx}u{r} AS MATERIALIZED (
+  SELECT vec_id, nbr FROM {pfx}g{r} UNION SELECT nbr, vec_id FROM {pfx}g{r}
 ),
-cand{r + 1} AS MATERIALIZED (
-  SELECT vec_id, nbr FROM u{r}
+{pfx}cand{r + 1} AS MATERIALIZED (
+  SELECT vec_id, nbr FROM {pfx}u{r}
   UNION
-  SELECT x.vec_id, y.nbr FROM u{r} x JOIN u{r} y
+  SELECT x.vec_id, y.nbr FROM {pfx}u{r} x JOIN {pfx}u{r} y
     ON x.nbr = y.vec_id AND x.vec_id <> y.nbr
 )"""
         )
-        parts.append(_nnd_score_sql(f"cand{r + 1}", f"g{r + 1}", k))
+        parts.append(_nnd_score_sql(f"{pfx}cand{r + 1}", f"{pfx}g{r + 1}", k, table))
     return ",\n".join(parts)
 
 
-def _nnd_chain_sql(rounds: int = SC_NND_ROUNDS, k: int = SC_NND_K_BUILD) -> str:
+def _nnd_chain_sql(
+    rounds: int = SC_NND_ROUNDS,
+    k: int = SC_NND_K_BUILD,
+    table: str = "embeddings",
+    pfx: str = "",
+) -> str:
     """Unrolled NN-descent CTE chain: deterministic ring seed
     (nbr = (vec_id + j) mod n, j = 1..k — seed-free, so the oracle can
     mirror the index build exactly, like the IVF centroids), then
     ``rounds`` refinement rounds.  Every CTE MATERIALIZED: each round
-    references the previous graph multiple times."""
+    references the previous graph multiple times.  ``table`` swaps the
+    vector source (ids need not be dense — ring targets that don't
+    exist simply drop in the scoring join); ``pfx`` namespaces the CTEs
+    for composition.  Defaults produce the exact text the standalone
+    ``sc_neighbors_nnd`` oracle pins."""
     parts = [
-        f"""nn AS (SELECT COUNT(*) AS n FROM embeddings),
-seed AS MATERIALIZED (
+        f"""{pfx}nn AS (SELECT COUNT(*) AS n FROM {table}),
+{pfx}seed AS MATERIALIZED (
   SELECT vec_id, nbr FROM (
-    SELECT e.vec_id, (e.vec_id + j.j) % nn.n AS nbr
-    FROM embeddings e CROSS JOIN nn
+    SELECT e.vec_id, (e.vec_id + j.j) % {pfx}nn.n AS nbr
+    FROM {table} e CROSS JOIN {pfx}nn
     CROSS JOIN (SELECT unnest(range(1, {k + 1})) AS j) j
   ) WHERE nbr <> vec_id
 )""",
-        _nnd_score_sql("seed", "g0", k),
-        _nnd_rounds_sql(rounds, k),
+        _nnd_score_sql(f"{pfx}seed", f"{pfx}g0", k, table),
+        _nnd_rounds_sql(rounds, k, table, pfx),
     ]
     return ",\n".join(parts)
 
@@ -3192,16 +3205,7 @@ def sc_notebook_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-round one-exchange-per-round iterations of their standalone
     queries.
     """
-    z = materialize(
-        sc_recipe_zheng17(spark, sf_dir).where(F.col("z").isNotNull())
-    )
-    wide = materialize(
-        z.groupBy("vec_id")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "z"))).alias("pz"))
-        .select(
-            "vec_id", F.transform("pz", lambda s: s["z"]).alias("embedding")
-        )
-    )
+    wide = _notebook_wide(spark, sf_dir)
 
     from .similarity import _dot, _norm2
 
@@ -3225,7 +3229,30 @@ def sc_notebook_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= SC_NEIGHBORS_K)
         .select("vec_id", "nbr")
     )
+    return _notebook_tail(spark, knn)
 
+
+def _notebook_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recipe_zheng17 output reconstructed as position-aligned per-cell
+    vectors (zero-variance / NULL-z genes dropped corpus-wide first) —
+    the shared front of both notebook capstones."""
+    z = materialize(
+        sc_recipe_zheng17(spark, sf_dir).where(F.col("z").isNotNull())
+    )
+    return materialize(
+        z.groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "z"))).alias("pz"))
+        .select(
+            "vec_id", F.transform("pz", lambda s: s["z"]).alias("embedding")
+        )
+    )
+
+
+def _notebook_tail(spark: SparkSession, knn: DataFrame) -> DataFrame:
+    """The shared tl half of the notebook capstones over a built
+    ``(vec_id, nbr)`` kNN edge list: γ=5/4 phased Louvain + Leiden
+    refinement on the symmetrized graph, spectral layout on the mutual
+    graph, one row per laid-out cell."""
     sym = materialize(
         knn.select(F.col("vec_id").alias("src"), F.col("nbr").alias("dst"))
         .union(knn.select(F.col("nbr").alias("src"), F.col("vec_id").alias("dst")))
@@ -3249,3 +3276,127 @@ def sc_notebook_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sy_micro",
         )
     )
+
+
+#: Build width / rounds of the notebook ANN twin's NN-descent generator:
+#: wider than the emitted SC_NEIGHBORS_K=4 (the §17 widen-then-trim lever)
+#: at the fixed 2-round budget the standalone ring-seed chain uses.
+NB_ANN_BUILD_K = 8
+NB_ANN_ROUNDS = 2
+
+
+def _sc_notebook_ann_oracle() -> str:
+    """The capstone with the SCALABLE generator: identical recipe front
+    and Leiden/layout tail, but the kNN graph comes from the fixed-round
+    ring-seeded NN-descent over the preprocessed vectors (built at width
+    {NB_ANN_BUILD_K}, emitting the top-{SC_NEIGHBORS_K}) instead of the
+    exact O(n²) scorer — the swap the exact capstone's docstring
+    prescribes past broadcastable size, here actually composed and
+    hash-pinned.  Recipe-kept cells have sparse ids, so ring targets that
+    fell to the filters simply drop in the scoring join (documented
+    ``_nnd_chain_sql`` semantics, mirrored on both sides)."""
+    gnum, gden = SC_LEIDEN_GAMMA
+    pre = f"""recipe AS MATERIALIZED ({_RECIPE_ORACLE}),
+wide AS MATERIALIZED (
+  SELECT vec_id, list(z ORDER BY pos) AS embedding
+  FROM recipe WHERE z IS NOT NULL GROUP BY vec_id
+),
+{_nnd_chain_sql(NB_ANN_ROUNDS, NB_ANN_BUILD_K, table="wide", pfx="ann_")},
+"""
+    knn_cte = f"""
+SELECT vec_id, nbr, d2, rk FROM ann_g{NB_ANN_ROUNDS} WHERE rk <= {SC_NEIGHBORS_K}
+"""
+    return f"""{_sc_modularity_prefix(gnum, gden, knn_cte=knn_cte, pre_ctes=pre)},
+{_leiden_refine_sql()},
+nb_mutual AS MATERIALIZED (
+  SELECT x.vec_id AS u, x.nbr AS v
+  FROM knn x JOIN knn y ON x.vec_id = y.nbr AND x.nbr = y.vec_id
+),
+{_spectral_chain_sql(pfx="nb_", edges="nb_mutual")}
+SELECT r.id AS vec_id, CAST(r.lbl AS BIGINT) AS community,
+       CAST(x.val AS BIGINT) AS sx_micro, CAST(y.val AS BIGINT) AS sy_micro
+FROM rchecked r
+JOIN nb_sx{SC_SPECTRAL_T} x ON x.u = r.id
+JOIN nb_sy{SC_SPECTRAL_T} y ON y.u = r.id
+"""
+
+
+@query(
+    "sc_notebook_e2e_ann",
+    oracle=_sc_notebook_ann_oracle(),
+    tags=("singlecell", "pipeline", "graph", "clustering", "embedding", "nnd", "iterative"),
+)
+def sc_notebook_e2e_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sc_notebook_e2e`` on the 100 TB path: the same recipe front and
+    Leiden-plus-layout tail, with the exact O(n²) kNN swapped for the
+    ring-seeded fixed-round NN-DESCENT over the preprocessed vectors
+    (build width ``NB_ANN_BUILD_K``, emit top-``SC_NEIGHBORS_K`` — the
+    SCALE §17 widen-then-trim shape).  The exact capstone's docstring
+    says "swap the generator past ~10M cells — same downstream"; this
+    query REGISTERS that swap, so generator pluggability is a
+    hash-verified property of the composition, not a comment.  Per-round
+    cost is O(n·k²) closure joins; nothing is quadratic in cells.
+
+    Recipe-kept cells keep their original (now sparse) ids: ring-seed
+    targets that fell to the pp filters drop in the scoring join on both
+    engines identically — at the registered scales ≥96% of cells keep a
+    full seed fan-out and the closure reconnects the rest."""
+    wide = _notebook_wide(spark, sf_dir)
+
+    from .similarity import _dot, _norm2
+
+    n = wide.count()
+    a = materialize(
+        wide.select(
+            "vec_id",
+            F.col("embedding").alias("ea"),
+            _norm2(F.col("embedding")).alias("na"),
+        )
+    )
+    b = a.select(
+        F.col("vec_id").alias("nbr"),
+        F.col("ea").alias("eb"),
+        F.col("na").alias("nb"),
+    )
+    d2 = F.round(F.col("na") + F.col("nb") - 2 * _dot(F.col("ea"), F.col("eb")), 6)
+
+    def score(pairs: DataFrame) -> DataFrame:
+        scored = pairs.join(a, "vec_id").join(b, "nbr").select(
+            "vec_id", "nbr", d2.alias("d2")
+        )
+        rk = F.row_number().over(
+            W.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("nbr"))
+        )
+        return scored.withColumn("rk", big(rk)).where(
+            F.col("rk") <= NB_ANN_BUILD_K
+        )
+
+    seed = (
+        a.select(
+            "vec_id",
+            F.explode(F.sequence(F.lit(1), F.lit(NB_ANN_BUILD_K))).alias("j"),
+        )
+        .select("vec_id", ((F.col("vec_id") + F.col("j")) % n).alias("nbr"))
+        .where(F.col("nbr") != F.col("vec_id"))
+    )
+    g = materialize(score(seed))
+    for _ in range(NB_ANN_ROUNDS):
+        u = materialize(
+            g.select("vec_id", "nbr")
+            .union(
+                g.select(F.col("nbr").alias("vec_id"), F.col("vec_id").alias("nbr"))
+            )
+            .distinct()
+        )
+        hop = (
+            u.alias("x")
+            .join(u.alias("y"), F.col("x.nbr") == F.col("y.vec_id"))
+            .select(F.col("x.vec_id").alias("vec_id"), F.col("y.nbr").alias("nbr"))
+            .where(F.col("vec_id") != F.col("nbr"))
+        )
+        g = materialize(score(u.union(hop).distinct()))
+
+    knn = materialize(
+        g.where(F.col("rk") <= SC_NEIGHBORS_K).select("vec_id", "nbr")
+    )
+    return _notebook_tail(spark, knn)
