@@ -242,11 +242,21 @@ def main() -> int:
     # quietest attempt if the host never settles; ``floor_attempts`` and
     # the accepted floor are recorded so the artifact is auditable, and
     # ``vs_duckdb_live`` remains the machine-paired tiebreak either way.
+    # Selection disclosure (r14 advice): when the gate PASSES, the kept
+    # section is simply the passing attempt (the gate short-circuits — no
+    # selection across sections happens).  Only when the host never settles
+    # does the fallback keep the MINIMUM-floor section, which makes that
+    # artifact's medians a min-of-N statistic, biased low in absolute terms
+    # (the ratio stays fair: Spark and DuckDB share the section).  Every
+    # attempt's floor is recorded in ``floor_samples_ms`` so readers can see
+    # which regime produced the artifact.
     best = None
     attempts = 0
+    floor_samples: list[float] = []
     for attempt in range(FLOOR_MAX_ATTEMPTS):
         attempts = attempt + 1
         fresh_times, ddb_times, job_floor_ms = timed_section()
+        floor_samples.append(job_floor_ms)
         if best is None or job_floor_ms < best[2]:
             best = (fresh_times, ddb_times, job_floor_ms)
         if job_floor_ms < FLOOR_GATE_MS:
@@ -291,6 +301,7 @@ def main() -> int:
                 "cold_queries": cold_query,
                 "job_floor_ms": job_floor_ms,
                 "floor_attempts": attempts,
+                "floor_samples_ms": floor_samples,
                 "duckdb_live_total_sec": round(sum(ddb_query.values()), 4),
                 "duckdb_live_queries": ddb_query,
                 "vs_duckdb_live": (

@@ -235,7 +235,13 @@ class AnnFrame:
         for numeric, fixed-width ``|S<n>`` for strings (r13 verdict #4:
         real AnnData obs is mostly categorical) — and round-trip through
         ``from_zarr``).  Requires dense 0..n-1 row ids (positional
-        addressing — reindex first if filtered)."""
+        addressing — reindex first if filtered).
+
+        NULL handling (r14 advice): string obs/var values coerce
+        NULL → ``""`` — the fixed-width ``|S<n>`` dtype has no NULL
+        sentinel, so the two are indistinguishable after a round-trip
+        (the v3 dict-encoded path reserves code -1 if NULL fidelity
+        matters)."""
         from .sources.zarrv2 import write_zarr_group
 
         numeric = ("bigint", "int", "smallint", "tinyint", "long", "double", "float")
@@ -730,12 +736,18 @@ class AnnFrame:
                 F.col("rk") <= bw
             )
 
+        # .distinct(): when bw >= n the ring wraps and (vec_id+j) % n
+        # repeats targets — without dedup the duplicate (vec_id, nbr)
+        # pairs survive scoring as duplicate edges on consecutive ranks,
+        # eating top-k slots (r14 advice; the refinement rounds already
+        # dedup their candidate sets the same way).
         seed = (
             a.select(
                 "vec_id", F.explode(F.sequence(F.lit(1), F.lit(bw))).alias("j")
             )
             .select("vec_id", ((F.col("vec_id") + F.col("j")) % n).alias("nbr"))
             .where(F.col("nbr") != F.col("vec_id"))
+            .distinct()
         )
         g = materialize(score(seed))
         for _ in range(rounds):

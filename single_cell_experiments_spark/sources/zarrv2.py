@@ -160,6 +160,12 @@ def write_zarr_group(
     objects — with ``cols_per_chunk`` set, one object per (row, col) grid
     cell (``"{r}.{c}"``), edge chunks padded on BOTH axes per the spec.
     Returns the group metadata (shape, chunks, n_chunks).
+
+    NULL handling (r14 advice): string obs values coerce NULL → ``""``
+    on write — fixed-width ``|S<n>`` has no NULL sentinel (NumPy strips
+    trailing padding on read, so ``""`` and NULL are indistinguishable
+    after a round-trip).  If NULL fidelity matters, pre-encode a
+    sentinel value (the v3 dict path reserves code -1 for exactly this).
     """
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
