@@ -53,11 +53,45 @@ _DBL = lambda c: c.cast("double")  # noqa: E731
 class AnnFrame:
     """Annotated matrix over Spark DataFrames (see module docstring)."""
 
-    def __init__(self, x: DataFrame, obs: DataFrame | None = None, var: DataFrame | None = None):
+    def __init__(
+        self,
+        x: DataFrame,
+        obs: DataFrame | None = None,
+        var: DataFrame | None = None,
+        obsm: "dict[str, DataFrame] | None" = None,
+        uns: dict | None = None,
+    ):
         self.x = x  # (row_id, values: array<double>)
         self.spark = x.sparkSession
         self.obs = obs if obs is not None else x.select("row_id")
         self.var = var  # (pos, ...) or None = trivial
+        # AnnData's other components (r14 verdict #1): ``obsm`` — per-cell
+        # computed matrices (X_pca / X_umap), each a (row_id, values
+        # array<double>) DataFrame; ``uns`` — unstructured JSON-able
+        # metadata.  Kernels return frames WITHOUT them (a kernel changes
+        # the matrix, invalidating derived embeddings — re-compute, then
+        # ``with_obsm`` before ``to_zarr``); both persist through
+        # ``to_zarr``/``from_zarr``.
+        self.obsm: dict[str, DataFrame] = dict(obsm) if obsm else {}
+        self.uns: dict = dict(uns) if uns else {}
+
+    def with_obsm(self, name: str, values: DataFrame) -> "AnnFrame":
+        """Annotate a computed per-cell matrix (AnnData ``obsm[name]``):
+        ``values`` is ``(row_id, values array<double>)`` — e.g. PCA scores
+        from :meth:`pca` or a 2-D layout from :meth:`layout` (cast to
+        double).  Returns a new frame; persisted by :meth:`to_zarr` as a
+        2-D float64 ``obsm_<name>`` member."""
+        out = AnnFrame(self.x, self.obs, self.var, self.obsm, self.uns)
+        out.obsm[name] = values
+        return out
+
+    def with_uns(self, key: str, value) -> "AnnFrame":
+        """Annotate unstructured metadata (AnnData ``uns[key]``) — any
+        JSON-serializable value; persisted by :meth:`to_zarr` in the
+        group's attributes document."""
+        out = AnnFrame(self.x, self.obs, self.var, self.obsm, self.uns)
+        out.uns[key] = value
+        return out
 
     # ---- constructors -------------------------------------------------------
 
@@ -144,7 +178,8 @@ class AnnFrame:
         ids = _vector("vec_id").select(
             F.col("row"), F.col("value").alias("row_id")
         )
-        # sibling obs_* 1-D arrays -> obs annotation columns
+        # sibling obs_* 1-D arrays -> obs annotation columns ("obs_" the
+        # 4-char prefix never matches "obsm_" members: "obsm"[3] != "_")
         obs = None
         for entry in members:
             if not entry.startswith("obs_"):
@@ -164,16 +199,30 @@ class AnnFrame:
             )
             var = col if var is None else var.join(col, "pos")
         # reassemble full rows from (possibly column-chunked) slices
-        coo = x_slices.select(
-            "row", "col0", F.posexplode("values").alias("p0", "v")
-        ).select("row", (F.col("col0") + F.col("p0") + 1).alias("pos"), "v")
-        wide = coo.groupBy("row").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
-            ).alias("values")
-        )
-        x = wide.join(ids, "row").select("row_id", "values")
-        return cls(x, obs, var)
+        def _reassemble(slices):
+            coo = slices.select(
+                "row", "col0", F.posexplode("values").alias("p0", "v")
+            ).select("row", (F.col("col0") + F.col("p0") + 1).alias("pos"), "v")
+            wide = coo.groupBy("row").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
+                ).alias("values")
+            )
+            return wide.join(ids, "row").select("row_id", "values")
+
+        x = _reassemble(x_slices)
+        # obsm_* 2-D members -> computed per-cell matrices (r14 verdict #1)
+        obsm = {
+            entry[5:]: _reassemble(_matrix(entry))
+            for entry in members
+            if entry.startswith("obsm_")
+        }
+        # uns from the group attributes (.zattrs; consolidated-aware)
+        from .sources.zarrv2 import read_group_attrs
+
+        attrs = md.get(".zattrs", {}) if md is not None else read_group_attrs(group_path)
+        uns = attrs.get("uns", {}) if isinstance(attrs, dict) else {}
+        return cls(x, obs, var, obsm, uns)
 
     @classmethod
     def from_coo(
@@ -234,7 +283,10 @@ class AnnFrame:
         [M]; annotations land as ``obs_<name>`` 1-D arrays — int64/float64
         for numeric, fixed-width ``|S<n>`` for strings (r13 verdict #4:
         real AnnData obs is mostly categorical) — and round-trip through
-        ``from_zarr``).  Requires dense 0..n-1 row ids (positional
+        ``from_zarr``).  ``obsm`` members persist as 2-D float64
+        ``obsm_<name>`` arrays and ``uns`` as the group's ``.zattrs``
+        JSON (r14 verdict #1), so the full AnnData component set
+        (X/obs/var/obsm/uns) survives a write→read cycle.  Requires dense 0..n-1 row ids (positional
         addressing — reindex first if filtered).
 
         NULL handling (r14 advice): string obs/var values coerce
@@ -292,6 +344,36 @@ class AnnFrame:
                 )
                 with open(os.path.join(apath, "0"), "wb") as f:
                     f.write(_compress(arr.tobytes(order="C"), comp, npdt.itemsize))
+        # obsm members: computed per-cell matrices (X_pca / X_umap ...) as
+        # 2-D float64 obsm_<name> arrays — distributed chunk writes like X
+        # (r14 verdict #1: the write→compute→write cycle the notebook
+        # capstone implies).  uns: one JSON attrs document at the root.
+        if self.obsm or self.uns:
+            import re
+
+            from .sources.zarrv2 import (
+                _DEFAULT_COMPRESSOR,
+                write_group_attrs,
+                write_zarr_obsm_member,
+            )
+
+            comp = kw.get("compressor", _DEFAULT_COMPRESSOR)
+            n_rows = int(info["shape"][0])
+            for name in sorted(self.obsm):
+                if not re.fullmatch(r"[A-Za-z0-9_.\-]+", name):
+                    raise ValueError(
+                        f"obsm member name {name!r} is not a safe store key"
+                        " (allowed: letters, digits, _ . -)"
+                    )
+                write_zarr_obsm_member(
+                    self.obsm[name].select("row_id", "values"),
+                    os.path.join(path, f"obsm_{name}"),
+                    n_rows,
+                    rows_per_chunk=rows_per_chunk,
+                    compressor=comp,
+                )
+            if self.uns:
+                write_group_attrs(path, {"uns": self.uns})
         return info
 
     def reindex(self) -> "AnnFrame":

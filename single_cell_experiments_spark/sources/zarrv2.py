@@ -266,6 +266,75 @@ def write_zarr_group(
     }
 
 
+def write_zarr_obsm_member(
+    values: DataFrame,
+    apath: str,
+    n_rows: int,
+    rows_per_chunk: int = ROWS_PER_CHUNK,
+    compressor: dict | None = _DEFAULT_COMPRESSOR,
+) -> dict:
+    """Write one AnnData ``obsm`` member — a computed per-cell matrix
+    ``(row_id, values array<double>)`` with dense 0..n_rows-1 ids — as a
+    2-D float64 Zarr v2 array at ``apath`` (r14 verdict #1: persist
+    computed embeddings like ``obsm['X_pca']``/``obsm['X_umap']``).
+
+    float64 on purpose: obsm members are DERIVED doubles (PCA scores,
+    layouts) — storing them at compute precision makes the
+    write→read→re-use cycle bit-exact, unlike X's float32 raw counts.
+    Same distributed shape as ``write_zarr_group``: the groupBy(chunk)
+    exchange IS the chunk-aligned repartition, the driver writes only
+    the small ``.zarray`` JSON."""
+    bounds = values.agg(
+        F.count(F.lit(1)).alias("n"), F.max(F.size("values")).alias("dim")
+    ).collect()[0]
+    if int(bounds["n"]) != n_rows:
+        raise ValueError(
+            f"obsm member must carry one row per cell: expected {n_rows},"
+            f" got {bounds['n']} (left-join to the obs index and fill first)"
+        )
+    dim = int(bounds["dim"])
+    _write_zarray_meta(
+        apath, [n_rows, dim], [rows_per_chunk, dim], "<f8", compressor, 0.0
+    )
+    result_schema = StructType([StructField("chunk_id", LongType())])
+
+    def _write_chunk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        (chunk_id,) = key
+        offs = pdf["row_id"].to_numpy(dtype=np.int64) - chunk_id * rows_per_chunk
+        block = np.zeros((rows_per_chunk, dim), dtype=np.dtype("<f8"))
+        block[offs] = np.array(pdf["values"].to_list(), dtype=np.float64)
+        with open(os.path.join(apath, f"{chunk_id}.0"), "wb") as f:
+            f.write(_compress(block.tobytes(order="C"), compressor, 8))
+        return pd.DataFrame({"chunk_id": [chunk_id]})
+
+    n_chunks = (
+        values.select("row_id", "values")
+        .withColumn("chunk_id", F.expr(f"row_id div {rows_per_chunk}"))
+        .groupBy("chunk_id")
+        .applyInPandas(_write_chunk, schema=result_schema)
+        .count()
+    )
+    return {"shape": [n_rows, dim], "chunks": [rows_per_chunk, dim], "n_chunks": int(n_chunks)}
+
+
+def write_group_attrs(group_path: str, attrs: dict) -> None:
+    """Write the group's ``.zattrs`` document (v2 user attributes) — the
+    AnnData ``uns`` carrier.  Driver-side: O(bytes of uns), like every
+    other metadata document."""
+    with open(os.path.join(group_path, ".zattrs"), "w") as f:
+        json.dump(attrs, f, sort_keys=True)
+
+
+def read_group_attrs(group_path: str) -> dict:
+    """Read the group's ``.zattrs`` (``{}`` when absent — attrs are
+    optional in the spec)."""
+    try:
+        with open(os.path.join(group_path, ".zattrs")) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {}
+
+
 def read_zarray_meta(array_path: str) -> dict:
     with open(os.path.join(array_path, ".zarray")) as f:
         meta = json.load(f)
@@ -699,4 +768,81 @@ def zarr_obs_string_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = AnnFrame.from_zarr(spark, store)
     return back.obs.select(
         F.col("row_id").alias("vec_id"), "ct", F.col("lbl").cast("bigint").alias("lbl")
+    )
+
+
+_ZARR_OBSM_ORACLE = """
+SELECT vec_id, pos, v, 4 AS uns_k
+FROM (
+  SELECT vec_id, 1 AS pos,
+         round(CAST(embedding[1] AS DOUBLE) - CAST(embedding[2] AS DOUBLE), 6) AS v
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id, 2 AS pos,
+         round(CAST(embedding[3] AS DOUBLE) + 2 * CAST(embedding[4] AS DOUBLE), 6) AS v
+  FROM embeddings
+)
+"""
+
+
+@query(
+    "zarr_obsm_roundtrip",
+    oracle=_ZARR_OBSM_ORACLE,
+    tags=("sources", "zarr", "api", "obsm"),
+    cache=False,
+)
+def zarr_obsm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AnnData ``obsm`` + ``uns`` through the v2 group end to end (r14
+    verdict #1 — the write→compute→write cycle): wrap embeddings as an
+    ``AnnFrame``, annotate a computed 2-D per-cell matrix (a
+    deterministic linear projection, the ``obsm['X_umap']`` slot) via
+    ``with_obsm`` and a ``uns['neighbors']`` metadata dict via
+    ``with_uns``, ``to_zarr`` (the member lands as a 2-D float64
+    ``obsm_X_umap`` array — DERIVED doubles store at compute precision,
+    so the cycle is bit-exact — and uns as the group ``.zattrs``),
+    consolidate, ``from_zarr``, and emit the recovered obsm COO with the
+    recovered uns parameter as a hashed column.  Pins the distributed
+    obsm chunk write, the float64 read-back, member discovery through
+    consolidated metadata, and the attrs JSON round-trip."""
+    import tempfile
+
+    from ..api import AnnFrame
+
+    e = load_table(spark, sf_dir, "embeddings")
+    proj = e.select(
+        F.col("vec_id").alias("row_id"),
+        F.array(
+            F.round(
+                F.element_at("embedding", 1).cast("double")
+                - F.element_at("embedding", 2).cast("double"),
+                6,
+            ),
+            F.round(
+                F.element_at("embedding", 3).cast("double")
+                + F.lit(2.0) * F.element_at("embedding", 4).cast("double"),
+                6,
+            ),
+        ).alias("values"),
+    )
+    store = os.path.join(
+        tempfile.gettempdir(),
+        f"sce_zarr_obsm_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    af = (
+        AnnFrame.from_table(e)
+        .with_obsm("X_umap", proj)
+        .with_uns("neighbors", {"k": 4, "method": "exact"})
+    )
+    af.to_zarr(store)
+    consolidate_metadata(store)
+    back = AnnFrame.from_zarr(spark, store)
+    uns_k = int(back.uns["neighbors"]["k"])
+    m = back.obsm["X_umap"]
+    return m.select(
+        F.col("row_id").alias("vec_id"), F.posexplode("values").alias("p0", "v")
+    ).select(
+        "vec_id",
+        (F.col("p0") + 1).cast("int").alias("pos"),
+        F.col("v").alias("v"),
+        F.lit(uns_k).cast("int").alias("uns_k"),
     )

@@ -1102,3 +1102,161 @@ def zarr_v3_obs_dict_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_zarr_v3_dict_vector(vec, store)
     back = read_zarr_v3_dict_vector(spark, store)
     return back.select(F.col("row").alias("vec_id"), F.col("value").alias("ct"))
+
+
+# --- obsm members + uns attributes (the AnnData component set, v3 side) --------
+
+def write_zarr_v3_obsm_member(
+    values: DataFrame,
+    apath: str,
+    n_rows: int,
+    rows_per_chunk: int = 64,
+    codecs: list[dict] | None = None,
+    keyenc: dict | None = None,
+) -> dict:
+    """Write one AnnData ``obsm`` member — a computed per-cell matrix
+    ``(row_id, values array<double>)`` with dense 0..n_rows-1 ids — as a
+    2-D float64 Zarr v3 array (r14 verdict #1, the v3 twin of
+    ``zarrv2.write_zarr_obsm_member``).  float64 because obsm members
+    are DERIVED doubles (PCA scores, layouts): storing at compute
+    precision keeps the write→read→re-use cycle bit-exact.  Same
+    distributed shape as ``write_zarr_v3_group``: the groupBy(chunk)
+    exchange is the chunk-aligned repartition; the driver writes only
+    ``zarr.json``."""
+    codecs = codecs if codecs is not None else _DEFAULT_CODECS
+    keyenc = keyenc if keyenc is not None else _DEFAULT_KEYENC
+    bounds = values.agg(
+        F.count(F.lit(1)).alias("n"), F.max(F.size("values")).alias("dim")
+    ).collect()[0]
+    if int(bounds["n"]) != n_rows:
+        raise ValueError(
+            f"obsm member must carry one row per cell: expected {n_rows},"
+            f" got {bounds['n']} (left-join to the obs index and fill first)"
+        )
+    dim = int(bounds["dim"])
+    endian = "little"
+    for codec in codecs:
+        if codec.get("name") == "bytes":
+            endian = (codec.get("configuration") or {}).get("endian", "little")
+    f8 = np.dtype(("<" if endian == "little" else ">") + "f8")
+    _write_v3_meta(
+        apath, [n_rows, dim], [rows_per_chunk, dim], "float64", codecs, 0.0, keyenc
+    )
+    result_schema = StructType([StructField("chunk_id", LongType())])
+
+    def _write_chunk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        (chunk_id,) = key
+        offs = pdf["row_id"].to_numpy(dtype=np.int64) - chunk_id * rows_per_chunk
+        block = np.zeros((rows_per_chunk, dim), dtype=f8)
+        block[offs] = np.array(pdf["values"].to_list(), dtype=np.float64)
+        key_path = os.path.join(apath, _chunk_key_v3((int(chunk_id), 0), keyenc))
+        os.makedirs(os.path.dirname(key_path), exist_ok=True)
+        with open(key_path, "wb") as f:
+            f.write(_encode_chain(block.tobytes(order="C"), codecs, 8))
+        return pd.DataFrame({"chunk_id": [chunk_id]})
+
+    n_chunks = (
+        values.select("row_id", "values")
+        .withColumn("chunk_id", F.expr(f"row_id div {rows_per_chunk}"))
+        .groupBy("chunk_id")
+        .applyInPandas(_write_chunk, schema=result_schema)
+        .count()
+    )
+    return {"shape": [n_rows, dim], "chunks": [rows_per_chunk, dim], "n_chunks": int(n_chunks)}
+
+
+def write_group_attrs_v3(group_path: str, attrs: dict) -> None:
+    """Merge ``attrs`` into the root group document's ``attributes`` —
+    the v3-native ``uns`` carrier (v2 keeps a separate ``.zattrs``; v3
+    folds user attributes into ``zarr.json``).  Read-modify-write of one
+    small JSON, driver-side."""
+    root_file = os.path.join(group_path, "zarr.json")
+    with open(root_file) as fh:
+        root = json.load(fh)
+    if root.get("zarr_format") != 3 or root.get("node_type") != "group":
+        raise ValueError(f"not a zarr v3 group: {group_path}")
+    merged = dict(root.get("attributes") or {})
+    merged.update(attrs)
+    root["attributes"] = merged
+    with open(root_file, "w") as fh:
+        json.dump(root, fh, sort_keys=True)
+
+
+def read_group_attrs_v3(group_path: str) -> dict:
+    """Read the root group document's ``attributes`` (``{}`` if absent)."""
+    with open(os.path.join(group_path, "zarr.json")) as fh:
+        root = json.load(fh)
+    return root.get("attributes") or {}
+
+
+_ZARR_V3_OBSM_ORACLE = """
+SELECT vec_id, pos, v, 4 AS uns_k
+FROM (
+  SELECT vec_id, 1 AS pos,
+         round(CAST(embedding[1] AS DOUBLE) - CAST(embedding[2] AS DOUBLE), 6) AS v
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id, 2 AS pos,
+         round(CAST(embedding[3] AS DOUBLE) + 2 * CAST(embedding[4] AS DOUBLE), 6) AS v
+  FROM embeddings
+)
+"""
+
+
+@query(
+    "zarr_v3_obsm_roundtrip",
+    oracle=_ZARR_V3_OBSM_ORACLE,
+    tags=("sources", "zarr", "v3", "obsm"),
+    cache=False,
+)
+def zarr_v3_obsm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``obsm`` + ``uns`` through the v3 generation (r14 verdict #1, the
+    generation twin of ``zarr_obsm_roundtrip``): write the embeddings
+    group (X + vec_id), add a computed 2-D float64 ``obsm_X_umap``
+    member (deterministic linear projection) through the v3 codec chain
+    (bytes→blosc→crc32c), fold ``uns`` into the root group's
+    ``attributes``, read both back, and hash the recovered COO with the
+    recovered uns parameter.  Pins float64 through the v3 chain, the
+    2-D chunk-key write of a derived member, and attribute merge
+    round-tripping in the root document."""
+    import tempfile
+
+    e = load_table(spark, sf_dir, "embeddings")
+    proj = e.select(
+        F.col("vec_id").alias("row_id"),
+        F.array(
+            F.round(
+                F.element_at("embedding", 1).cast("double")
+                - F.element_at("embedding", 2).cast("double"),
+                6,
+            ),
+            F.round(
+                F.element_at("embedding", 3).cast("double")
+                + F.lit(2.0) * F.element_at("embedding", 4).cast("double"),
+                6,
+            ),
+        ).alias("values"),
+    )
+    store = os.path.join(
+        tempfile.gettempdir(),
+        f"sce_zarr3_obsm_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    info = write_zarr_v3_group(e, store)
+    write_zarr_v3_obsm_member(proj, os.path.join(store, "obsm_X_umap"), info["shape"][0])
+    write_group_attrs_v3(store, {"uns": {"neighbors": {"k": 4, "method": "exact"}}})
+    uns = read_group_attrs_v3(store)["uns"]
+    uns_k = int(uns["neighbors"]["k"])
+    m = read_zarr_v3_matrix(spark, os.path.join(store, "obsm_X_umap"))
+    ids = read_zarr_v3_vector(spark, os.path.join(store, "vec_id")).withColumnRenamed(
+        "value", "vec_id"
+    )
+    return (
+        m.join(ids, "row")
+        .select("vec_id", "col0", F.posexplode("values").alias("p0", "v"))
+        .select(
+            "vec_id",
+            (F.col("col0") + F.col("p0") + 1).cast("int").alias("pos"),
+            "v",
+            F.lit(uns_k).cast("int").alias("uns_k"),
+        )
+    )

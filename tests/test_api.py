@@ -739,3 +739,50 @@ def test_neighbors_nnd_object_api_valid_and_beats_seed(spark):
         per_node[int(r.row_id)] = per_node.get(int(r.row_id), 0) + 1
     assert set(per_node.values()) == {4}
     assert len(exact & pairs2) > len(exact & g0)
+
+
+def test_obsm_uns_roundtrip_completes_write_compute_write(spark, tmp_path):
+    """r14 verdict #1: the notebook flow's OUTPUT must be durable — compute
+    a layout, annotate it as obsm['X_umap'] + uns['neighbors'], to_zarr,
+    from_zarr, and recover every component bit-exactly (obsm members are
+    float64 — derived doubles store at compute precision)."""
+    af = _af(spark)
+    layout = af.layout(4).select(
+        "row_id",
+        F.array(
+            F.col("sx_micro").cast("double"), F.col("sy_micro").cast("double")
+        ).alias("values"),
+    )
+    # obsm carries one row per obs: left-join to the full index, zero-fill
+    # cells without a mutual neighbor (AnnData's obsm is positionally dense)
+    full = af.x.select("row_id").join(layout, "row_id", "left").select(
+        "row_id",
+        F.coalesce(
+            "values", F.array(F.lit(0.0), F.lit(0.0))
+        ).alias("values"),
+    )
+    uns_meta = {"k": 4, "method": "exact", "metric": "euclidean"}
+    af2 = af.with_obsm("X_umap", full).with_uns("neighbors", uns_meta)
+    store = str(tmp_path / "obsm_store")
+    af2.to_zarr(store)
+    back = AnnFrame.from_zarr(spark, store)
+    assert back.uns == {"neighbors": uns_meta}
+    assert set(back.obsm) == {"X_umap"}
+    want = {int(r["row_id"]): list(r["values"]) for r in full.collect()}
+    got = {int(r["row_id"]): list(r["values"]) for r in back.obsm["X_umap"].collect()}
+    assert got == want  # float64 member: bit-exact, not tolerance
+
+
+def test_obsm_rejects_unsafe_member_name(spark, tmp_path):
+    af = _af(spark).with_obsm("../evil", _af(spark).x.select("row_id", "values"))
+    with pytest.raises(ValueError, match="safe store key"):
+        af.to_zarr(str(tmp_path / "bad"))
+
+
+def test_obsm_rejects_partial_member(spark, tmp_path):
+    """An obsm member missing rows must refuse (positional store) rather
+    than silently zero-fill unseen cells."""
+    af = _af(spark)
+    partial = af.x.where(F.col("row_id") < 10).select("row_id", "values")
+    with pytest.raises(ValueError, match="one row per cell"):
+        af.with_obsm("X_pca", partial).to_zarr(str(tmp_path / "partial"))
