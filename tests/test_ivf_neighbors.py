@@ -190,3 +190,37 @@ def test_ivfseed_split_validation(spark):
     )
     rows = g.collect()
     assert rows and all(int(r.vec_id) != int(r.nbr) for r in rows)
+
+
+def test_graph_search_shape_and_beats_graph_trim(spark):
+    """r14 verdict #3 (graph-walk ANN query half): every query emits
+    exactly K ranked hits, no self-matches, ranks are 1..K by (d2, node)
+    — and the walk's recall is at least the trimmed build graph's own
+    edge recall on the query rows (the beam scores exactly, so it can
+    only add hits the graph rows miss)."""
+    from pyspark.sql import functions as F
+
+    from single_cell_experiments_spark.operators.similarity import (
+        ANN_GS_K,
+        ANN_GS_QMOD,
+        ann_graph_search,
+        ann_graph_search_recall,
+    )
+
+    res = ann_graph_search(spark, SF_DIR)
+    rows = res.collect()
+    per_q = {}
+    for r in rows:
+        assert int(r.qid) % ANN_GS_QMOD == 0
+        assert int(r.node) != int(r.qid)
+        per_q.setdefault(int(r.qid), []).append((int(r.rk), float(r.d2), int(r.node)))
+    for qid, hits in per_q.items():
+        hits.sort()
+        assert [h[0] for h in hits] == list(range(1, ANN_GS_K + 1)), qid
+        d2s = [h[1] for h in hits]
+        assert d2s == sorted(d2s), qid
+    rec = ann_graph_search_recall(spark, SF_DIR)
+    mean_rec = rec.agg(F.avg("recall_micro")).collect()[0][0]
+    # measured 94.5% at sf0.01 (dials docstring); anything under 80% means
+    # the walk regressed against the graph it runs on
+    assert mean_rec > 800_000, mean_rec
