@@ -166,15 +166,34 @@ class AnnFrame:
             # nodes ("a/b/.zarray") would otherwise surface their first
             # path segment as a member and then KeyError on the lookup of
             # "<segment>/.zarray" below; this group layout is flat by
-            # construction (X + vec_id + obs_*/var_* siblings), so nested
-            # keys are simply not members.
+            # construction (X + vec_id + obs_*/var_* siblings plus X's
+            # own CSR members when sparse), so nested keys are simply
+            # not members.
             members = sorted(
                 k.rsplit("/", 1)[0] for k in md if k.endswith("/.zarray") and k.count("/") == 1
             )
         else:
             members = sorted(os.listdir(group_path))
 
-        x_slices = _matrix("X")
+        # Sparse X (AnnData csr_matrix encoding, r14 verdict #2): when the
+        # X node carries the encoding tag instead of a .zarray, decode the
+        # indptr/indices/data members and densify row-locally (zeros
+        # implicit on disk, explicit in the wide matrix; all-zero rows
+        # come back through the vec_id spine, which every row is in).
+        import json as _json
+
+        x_attrs_path = os.path.join(group_path, "X", ".zattrs")
+        x_csr_attrs = None
+        if md is not None:
+            a = md.get("X/.zattrs")
+            if isinstance(a, dict) and a.get("encoding-type") == "csr_matrix":
+                x_csr_attrs = a
+        elif os.path.exists(x_attrs_path):
+            with open(x_attrs_path) as fh:
+                a = _json.load(fh)
+            if a.get("encoding-type") == "csr_matrix":
+                x_csr_attrs = a
+        x_slices = None if x_csr_attrs is not None else _matrix("X")
         ids = _vector("vec_id").select(
             F.col("row"), F.col("value").alias("row_id")
         )
@@ -210,7 +229,28 @@ class AnnFrame:
             )
             return wide.join(ids, "row").select("row_id", "values")
 
-        x = _reassemble(x_slices)
+        if x_csr_attrs is not None:
+            from .sources.sparse import read_zarr_csr
+
+            n_cols = int(x_csr_attrs["shape"][1])
+            entries = read_zarr_csr(spark, os.path.join(group_path, "X")).select(
+                F.col("row_id").alias("row"),
+                (F.col("col") + 1).alias("pos"),
+                "v",
+            )
+            maps = entries.groupBy("row").agg(
+                F.map_from_entries(F.collect_list(F.struct("pos", "v"))).alias("m")
+            )
+            dense = F.transform(
+                F.sequence(F.lit(1), F.lit(n_cols)),
+                lambda p: F.coalesce(F.element_at("m", p), F.lit(0.0)),
+            )
+            x = (
+                ids.join(maps, "row", "left")
+                .select("row_id", dense.alias("values"))
+            )
+        else:
+            x = _reassemble(x_slices)
         # obsm_* 2-D members -> computed per-cell matrices (r14 verdict #1)
         obsm = {
             entry[5:]: _reassemble(_matrix(entry))
@@ -277,7 +317,9 @@ class AnnFrame:
             "row_id", (F.col("p0") + 1).alias("pos"), "v"
         )
 
-    def to_zarr(self, path: str, rows_per_chunk: int = 64, **kw) -> dict:
+    def to_zarr(
+        self, path: str, rows_per_chunk: int = 64, sparse: bool = False, **kw
+    ) -> dict:
         """Write ``X`` + row index + numeric AND string/categorical ``obs``
         annotation columns as a Zarr v2 group (ref ``AnnDataRdd.to_zarr``
         [M]; annotations land as ``obs_<name>`` 1-D arrays — int64/float64
@@ -286,8 +328,16 @@ class AnnFrame:
         ``from_zarr``).  ``obsm`` members persist as 2-D float64
         ``obsm_<name>`` arrays and ``uns`` as the group's ``.zattrs``
         JSON (r14 verdict #1), so the full AnnData component set
-        (X/obs/var/obsm/uns) survives a write→read cycle.  Requires dense 0..n-1 row ids (positional
-        addressing — reindex first if filtered).
+        (X/obs/var/obsm/uns) survives a write→read cycle.  Requires dense
+        0..n-1 row ids (positional addressing — reindex first if
+        filtered).
+
+        ``sparse=True`` stores ``X`` in the AnnData ``csr_matrix`` group
+        encoding (``indptr``/``indices``/``data`` members, zeros
+        implicit — bytes ~ nnz, SCALE.md §18) instead of the dense 2-D
+        array; ``from_zarr`` auto-detects the encoding tag, so readers
+        need no flag.  The right call when X is mostly zeros (real 10x
+        matrices are ~93% sparse).
 
         NULL handling (r14 advice): string obs/var values coerce
         NULL → ``""`` — the fixed-width ``|S<n>`` dtype has no NULL
@@ -310,8 +360,41 @@ class AnnFrame:
                 self.obs.select(F.col("row_id").alias("vec_id"), *obs_cols), "vec_id"
             )
         info = write_zarr_group(
-            wide, path, rows_per_chunk=rows_per_chunk, obs_cols=obs_cols, **kw
+            wide,
+            path,
+            rows_per_chunk=rows_per_chunk,
+            obs_cols=obs_cols,
+            skip_x=sparse,
+            **kw,
         )
+        if sparse:
+            from .sources.sparse import write_zarr_csr
+
+            # X as the AnnData csr_matrix subgroup: nonzero entries only
+            # (float32-quantized first, like the dense array's <f4 cells,
+            # so both storage modes round-trip the same values)
+            entries = (
+                self.x.select(
+                    "row_id",
+                    F.posexplode(
+                        F.transform("values", lambda v: v.cast("float"))
+                    ).alias("p0", "vf"),
+                )
+                .where(F.col("vf") != 0.0)
+                .select(
+                    "row_id",
+                    F.col("p0").cast("bigint").alias("col"),
+                    F.col("vf").cast("double").alias("v"),
+                )
+            )
+            csr_info = write_zarr_csr(
+                entries,
+                os.path.join(path, "X"),
+                int(info["shape"][0]),
+                int(info["shape"][1]),
+                compressor=kw.get("compressor", {"id": "zlib", "level": 1}),
+            )
+            info = {**info, "nnz": csr_info["nnz"], "x_encoding": "csr_matrix"}
         # var annotations are O(genes): written driver-side as var_* 1-D
         # arrays (the reference broadcasts var the same way — per-gene data
         # never needs a distributed write)

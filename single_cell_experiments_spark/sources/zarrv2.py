@@ -147,6 +147,7 @@ def write_zarr_group(
     compressor: dict | None = _DEFAULT_COMPRESSOR,
     cols_per_chunk: int | None = None,
     obs_cols: tuple[str, ...] = (),
+    skip_x: bool = False,
 ) -> dict:
     """Write (vec_id, embedding) rows as a Zarr v2 group at ``path``:
     ``X`` (2-D float32, chunks ``[rows_per_chunk, cols_per_chunk or dim]``)
@@ -166,6 +167,10 @@ def write_zarr_group(
     trailing padding on read, so ``""`` and NULL are indistinguishable
     after a round-trip).  If NULL fidelity matters, pre-encode a
     sentinel value (the v3 dict path reserves code -1 for exactly this).
+
+    ``skip_x=True`` writes everything EXCEPT the dense ``X`` array — the
+    sparse-store path: ``AnnFrame.to_zarr(sparse=True)`` writes vec_id +
+    obs here and the ``csr_matrix`` subgroup via ``sparse.write_zarr_csr``.
     """
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
@@ -184,9 +189,10 @@ def write_zarr_group(
     n_col_chunks = (dim + cpc - 1) // cpc
 
     x_path, id_path = os.path.join(path, "X"), os.path.join(path, "vec_id")
-    _write_zarray_meta(
-        x_path, [n_rows, dim], [rows_per_chunk, cpc], "<f4", compressor, 0.0
-    )
+    if not skip_x:
+        _write_zarray_meta(
+            x_path, [n_rows, dim], [rows_per_chunk, cpc], "<f4", compressor, 0.0
+        )
     _write_zarray_meta(id_path, [n_rows], [rows_per_chunk], "<i8", compressor, 0)
     dtypes = dict(wide.dtypes)
     # String/categorical obs columns (r13 verdict #4): fixed-width |S<n>
@@ -224,20 +230,21 @@ def write_zarr_group(
     def _write_chunk(key, pdf: pd.DataFrame) -> pd.DataFrame:
         (chunk_id,) = key
         offs = pdf["vec_id"].to_numpy(dtype=np.int64) - chunk_id * rows_per_chunk
-        x_block = np.zeros((rows_per_chunk, dim), dtype=np.dtype("<f4"))
-        x_block[offs] = np.array(pdf["embedding"].to_list(), dtype=np.float32)
         id_block = np.zeros(rows_per_chunk, dtype=np.dtype("<i8"))
         id_block[offs] = pdf["vec_id"].to_numpy(dtype=np.int64)
-        for c in range(n_col_chunks):
-            sub = x_block[:, c * cpc : (c + 1) * cpc]
-            if sub.shape[1] < cpc:  # right-edge chunk: pad to chunk shape
-                pad = np.zeros((rows_per_chunk, cpc), dtype=np.dtype("<f4"))
-                pad[:, : sub.shape[1]] = sub
-                sub = pad
-            with open(os.path.join(x_path, f"{chunk_id}.{c}"), "wb") as f:
-                f.write(
-                    _compress(np.ascontiguousarray(sub).tobytes(order="C"), compressor, 4)
-                )
+        if not skip_x:
+            x_block = np.zeros((rows_per_chunk, dim), dtype=np.dtype("<f4"))
+            x_block[offs] = np.array(pdf["embedding"].to_list(), dtype=np.float32)
+            for c in range(n_col_chunks):
+                sub = x_block[:, c * cpc : (c + 1) * cpc]
+                if sub.shape[1] < cpc:  # right-edge chunk: pad to chunk shape
+                    pad = np.zeros((rows_per_chunk, cpc), dtype=np.dtype("<f4"))
+                    pad[:, : sub.shape[1]] = sub
+                    sub = pad
+                with open(os.path.join(x_path, f"{chunk_id}.{c}"), "wb") as f:
+                    f.write(
+                        _compress(np.ascontiguousarray(sub).tobytes(order="C"), compressor, 4)
+                    )
         with open(os.path.join(id_path, f"{chunk_id}"), "wb") as f:
             f.write(_compress(id_block.tobytes(order="C"), compressor, 8))
         for col, (apath, npdt) in obs_meta.items():

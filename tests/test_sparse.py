@@ -111,3 +111,43 @@ def test_csr_bytes_scale_with_nnz_not_shape(spark, tmp_path):
     assert 0 < nnz_frac < 0.20, nnz_frac
     # dense group carries X float32 (+vec_id); CSR carries 16B/entry
     assert du(csr_store) < du(dense_store) / 2, (du(csr_store), du(dense_store))
+
+
+def test_annframe_sparse_store_roundtrip(spark, tmp_path):
+    """AnnFrame.to_zarr(sparse=True) stores X as the csr_matrix subgroup;
+    from_zarr auto-detects the encoding tag and densifies — values equal
+    the dense store's (both quantize through float32 cells), all-zero
+    rows intact, obs columns unaffected."""
+    from pyspark.sql import functions as F
+
+    from single_cell_experiments_spark.api import AnnFrame
+
+    rows = [
+        (0, [1.5, 0.0, -2.25, 0.0], 7),
+        (1, [0.0, 0.0, 0.0, 0.0], 8),  # all-zero row
+        (2, [0.0, 4.5, 0.0, 0.125], 9),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label BIGINT"
+    )
+    af = AnnFrame.from_table(df)
+    sp, dn = str(tmp_path / "sp"), str(tmp_path / "dn")
+    info = af.to_zarr(sp, sparse=True)
+    assert info["x_encoding"] == "csr_matrix" and info["nnz"] == 4
+    af.to_zarr(dn)
+    import os
+
+    assert not os.path.exists(os.path.join(sp, "X", ".zarray"))  # no dense X
+    assert os.path.exists(os.path.join(sp, "X", "indptr", ".zarray"))
+    got_sp = {
+        int(r.row_id): list(r.values)
+        for r in AnnFrame.from_zarr(spark, sp).x.collect()
+    }
+    got_dn = {
+        int(r.row_id): list(r.values)
+        for r in AnnFrame.from_zarr(spark, dn).x.collect()
+    }
+    assert got_sp == got_dn
+    assert got_sp[1] == [0.0, 0.0, 0.0, 0.0]
+    obs = {int(r.row_id): int(r.label) for r in AnnFrame.from_zarr(spark, sp).obs.collect()}
+    assert obs == {0: 7, 1: 8, 2: 9}
