@@ -241,6 +241,133 @@ inter AS (
 )"""
 
 
+#: per-invocation temp-view namespace for the staged Spark LSH cascade
+#: (the spectral-layout discipline: overlapping invocations must not
+#: cross-read; views are dropped once the returned plan is resolved).
+_LSH_STAGE_NONCE = __import__("itertools").count()
+
+
+def lsh_pairs_staged(
+    spark: SparkSession,
+    docs: DataFrame,
+    cap: int | None = None,
+    band_sigs: list[str] | None = None,
+    star: bool = False,
+) -> DataFrame:
+    """Spark execution twin of ``_lsh_core_sql`` + the Jaccard tail with
+    the shared cascade MATERIALIZED once (r14 verdict #5 — make the 100×
+    run cheaper).  Semantics are identical to the single-statement
+    ``_minhash_sql``/``_lsh_star_sql`` (same fragment texts, same
+    DISTINCT/cap/star rules — the DuckDB oracles are unchanged); what
+    changes is the Spark PLAN:
+
+    - DuckDB honors ``AS MATERIALIZED``, but Spark inlines deterministic
+      CTEs at every reference — so the one-statement form re-executes the
+      shingles→sigs→bands cascade inside EVERY broadcast-subquery build
+      (measured at the 30× stress: three full cascade re-runs of
+      800-1,340 s each before this function existed).  Here ``shingles``,
+      ``bands``, and ``docsets`` are ``materialize()``d once behind
+      nonce temp views and every downstream CTE reads the views.
+    - The docs input is REPARTITIONED before the 300×-amplifying shingle
+      explode: the synthesized stress corpus is one ~84 MB parquet file
+      → one input split → the whole cascade single-task without this
+      (the repartition is one O(docs) exchange, standard
+      repartition-before-explode).
+
+    Returns (doc1, doc2, jaccard[, via_star]) exactly as the one-statement
+    builders do."""
+    cap = LSH_BUCKET_CAP if cap is None else int(cap)
+    sigs_list = band_sigs if band_sigs is not None else _BAND_SIGS
+    p = f"__lsh{next(_LSH_STAGE_NONCE)}_"
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    created = []
+
+    def mv(df: DataFrame, name: str) -> DataFrame:
+        m = materialize(df)
+        m.createOrReplaceTempView(name)
+        created.append(name)
+        return m
+
+    docs.select("doc_id", "text").repartition(n_part, "doc_id").createOrReplaceTempView(
+        f"{p}docs"
+    )
+    created.append(f"{p}docs")
+    shingles_raw = _SPARK_SHINGLES.replace("__docs", f"{p}docs")
+    mv(
+        spark.sql(f"SELECT DISTINCT doc_id, h FROM ({shingles_raw})"),
+        f"{p}sh",
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {sig} AS sig FROM {p}sigs"
+        for b, sig in enumerate(sigs_list)
+    )
+    mv(
+        spark.sql(
+            f"WITH {p}sigs AS (SELECT doc_id, {_MH_AGGS} FROM {p}sh GROUP BY doc_id)\n"
+            f"SELECT * FROM ({band_rows})"
+        ),
+        f"{p}bands",
+    )
+    mv(
+        spark.sql(
+            f"SELECT doc_id, array_sort(array_agg(h)) AS hs FROM {p}sh GROUP BY doc_id"
+        ),
+        f"{p}docsets",
+    )
+    star_ctes = (
+        f""",
+bover AS (SELECT band, sig, MIN(doc_id) AS ex FROM {p}bands GROUP BY band, sig
+          HAVING COUNT(*) > {cap}),
+star AS (
+  SELECT DISTINCT o.ex AS doc1, b.doc_id AS doc2
+  FROM {p}bands b JOIN bover o ON o.band = b.band AND o.sig = b.sig
+  WHERE b.doc_id <> o.ex
+),
+cand_all AS (
+  SELECT doc1, doc2, MIN(via_star) AS via_star
+  FROM (SELECT doc1, doc2, 0 AS via_star FROM cand
+        UNION ALL SELECT doc1, doc2, 1 AS via_star FROM star) u
+  GROUP BY doc1, doc2
+)"""
+        if star
+        else ""
+    )
+    inter_src = "cand_all" if star else "cand"
+    via_sel = ", c.via_star" if star else ""
+    via_out = ",\n       CAST(i.via_star AS BIGINT) AS via_star" if star else ""
+    tail = spark.sql(
+        f"""
+WITH bcap AS (SELECT band, sig FROM {p}bands GROUP BY band, sig
+         HAVING COUNT(*) <= {cap}),
+bandsok AS (
+  SELECT b.doc_id, b.band, b.sig
+  FROM {p}bands b JOIN bcap c ON c.band = b.band AND c.sig = b.sig
+),
+cand AS (
+  SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
+  FROM bandsok b1 JOIN bandsok b2
+    ON b1.band = b2.band AND b1.sig = b2.sig AND b1.doc_id < b2.doc_id
+){star_ctes},
+inter AS (
+  SELECT c.doc1, c.doc2{via_sel},
+         CAST(size(array_intersect(a1.hs, a2.hs)) AS BIGINT) AS i,
+         CAST(size(a1.hs) AS BIGINT) AS n1,
+         CAST(size(a2.hs) AS BIGINT) AS n2
+  FROM {inter_src} c
+  JOIN {p}docsets a1 ON a1.doc_id = c.doc1
+  JOIN {p}docsets a2 ON a2.doc_id = c.doc2
+)
+SELECT i.doc1, i.doc2,
+       round(CAST(i.i AS DOUBLE) / (i.n1 + i.n2 - i.i), 6) AS jaccard{via_out}
+FROM inter i
+WHERE CAST(i.i AS DOUBLE) / (i.n1 + i.n2 - i.i) >= {MINHASH_JACCARD_MIN}
+"""
+    )
+    for name in created:
+        spark.catalog.dropTempView(name)
+    return tail
+
+
 def _minhash_sql(
     shingles_cte: str,
     cap: int | None = None,
@@ -1776,8 +1903,9 @@ def dedup_pipeline_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2map = n1.join(ng, "norm_key").select("rep", "norm_rep")
     surviving = ng.select(F.col("norm_rep").alias("doc_id")).distinct()
 
-    d.join(surviving, "doc_id").createOrReplaceTempView("__docs")
-    pairs = spark.sql(_minhash_sql(_SPARK_SHINGLES, ln="size")).select("doc1", "doc2")
+    pairs = lsh_pairs_staged(spark, d.join(surviving, "doc_id")).select(
+        "doc1", "doc2"
+    )
     labels = cc_star_labels(pairs)
 
     comp = surviving.join(labels, "doc_id", "left").select(
@@ -1852,8 +1980,9 @@ def dedup_pipeline_verdict_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2map = n1.join(ng, "norm_key").select("rep", "norm_rep")
     surviving = ng.select(F.col("norm_rep").alias("doc_id")).distinct()
 
-    d.join(surviving, "doc_id").createOrReplaceTempView("__docs")
-    pairs = spark.sql(_lsh_star_sql(_SPARK_SHINGLES, ln="size")).select("doc1", "doc2")
+    pairs = lsh_pairs_staged(spark, d.join(surviving, "doc_id"), star=True).select(
+        "doc1", "doc2"
+    )
     labels = cc_star_labels(pairs)
 
     comp = surviving.join(labels, "doc_id", "left").select(

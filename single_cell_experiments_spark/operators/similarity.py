@@ -946,297 +946,3 @@ def embed_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="vec_id bigint, n_dims bigint, norm2_e12 bigint, maxabs_e6 bigint",
     )
 
-
-# --- graph-walk ANN search (the HNSW/DiskANN query half) -----------------------
-
-#: Beam-search dials (r14 verdict #3): the query-time half of the graph-ANN
-#: story — the build half is ``sc_nnd_edges_ivfseed`` (the production
-#: NN-descent config, 97.2% sf0.01 edge recall).  Fixed-round frontier
-#: expansion, not convergence-polled: the plan stays static and the DuckDB
-#: oracle unrolls round for round.
-#:
-#: Measured top-10 recall vs exact euclidean ground truth (the walk runs
-#: on the ivfseed graph trimmed to its emitted top-12):
-#:   sf0.01 (16-dim, n=500):  walk 94.5% @ ~314 distinct scored/query —
-#:     graph ceiling 97.2%; the IVF nprobe=1 cell holds 23.65% at ~50.
-#:   sf0.1  (64-dim, n=2000): walk 59.6% @ ~475 — ABOVE the graph's own
-#:     38.7% edge recall (the beam scores exactly and keeps the best it
-#:     meets), the graph being the measured bottleneck in the near-uniform
-#:     64-dim regime, not the walk.
-#: Ring-seed variant (18% edge-recall graph) measured 66%/21% — the walk
-#: inherits its graph's quality, which is why the production build is the
-#: registered substrate.
-ANN_GS_ROUNDS = 4  # frontier expansion rounds
-ANN_GS_BEAM = 16  # beam width (candidates kept per query between rounds)
-ANN_GS_K = 10  # emitted top-k
-ANN_GS_QMOD = 25  # query batch: every 25th vector
-ANN_GS_ENTRIES = 8  # fixed global entry points: floor(j*n/8), j=0..7
-
-
-def _gs_score_sql(src: str, out: str, beam: int) -> str:
-    """Score a (qid, node) candidate list exactly and keep the top-``beam``
-    per QUERY — the per-round tail of the beam search (same rounded-d² +
-    node tie-break discipline as the NN-descent build chain, so ranks are
-    engine-stable)."""
-    return f"""{out} AS MATERIALIZED (
-  SELECT qid, node, d2, rk FROM (
-    SELECT c.qid, c.node, {{dist}} AS d2,
-           CAST(row_number() OVER (PARTITION BY c.qid
-                                   ORDER BY {{dist}} ASC, c.node ASC) AS BIGINT) AS rk
-    FROM {src} c
-    JOIN embeddings a ON a.vec_id = c.qid
-    JOIN embeddings b ON b.vec_id = c.node
-  ) WHERE rk <= {beam}
-)"""
-
-
-def _gs_chain_sql(
-    rounds: int = ANN_GS_ROUNDS,
-    beam: int = ANN_GS_BEAM,
-    qmod: int = ANN_GS_QMOD,
-    entries: int = ANN_GS_ENTRIES,
-) -> str:
-    """Unrolled beam-search CTE chain over the production NN-descent
-    graph: the ``_nnd_ivfseed_chain_sql`` build (requires ``cells`` from
-    ``_SC_IVF_CHAIN`` in scope — prepend it, as the build's own oracle
-    does) trimmed to its emitted top-{SC_NND_K_BUILD}, symmetrized edges,
-    fixed entry points, then ``rounds`` of expand→score→trim.  Requires
-    ``embeddings`` in scope; the final beam is ``gb{rounds}``."""
-    from .singlecell import (
-        SC_NND_K_BUILD,
-        SC_NND_ROUNDS_IVFSEED,
-        _SC_NB_DIST,
-        _nnd_ivfseed_chain_sql,
-    )
-
-    dist = _SC_NB_DIST
-    parts = [
-        _nnd_ivfseed_chain_sql(),
-        f"""gtrim AS (
-  SELECT vec_id, nbr FROM g{SC_NND_ROUNDS_IVFSEED} WHERE rk <= {SC_NND_K_BUILD}
-),
-gsym AS MATERIALIZED (
-  SELECT vec_id AS src, nbr AS dst FROM gtrim
-  UNION
-  SELECT nbr AS src, vec_id AS dst FROM gtrim
-),
-gq AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id % {qmod} = 0),
-gc0 AS (
-  SELECT DISTINCT q.qid, CAST(j.j * nn.n // {entries} AS BIGINT) AS node
-  FROM gq q CROSS JOIN nn
-  CROSS JOIN (SELECT unnest(range(0, {entries})) AS j) j
-  WHERE CAST(j.j * nn.n // {entries} AS BIGINT) <> q.qid
-)""",
-        _gs_score_sql("gc0", "gb0", beam).format(dist=dist),
-    ]
-    for r in range(1, rounds + 1):
-        parts.append(
-            f"""gc{r} AS (
-  SELECT qid, node FROM gb{r - 1}
-  UNION
-  SELECT b.qid, e.dst AS node
-  FROM gb{r - 1} b JOIN gsym e ON e.src = b.node
-  WHERE e.dst <> b.qid
-)"""
-        )
-        parts.append(_gs_score_sql(f"gc{r}", f"gb{r}", beam).format(dist=dist))
-    return ",\n".join(parts)
-
-
-def _gs_ivf_chain() -> str:
-    from .singlecell import _SC_IVF_CHAIN
-
-    return _SC_IVF_CHAIN
-
-
-_ANN_GS_ORACLE = f"""
-WITH {_gs_ivf_chain()},
-{_gs_chain_sql()}
-SELECT qid, node, d2, rk FROM gb{ANN_GS_ROUNDS} WHERE rk <= {ANN_GS_K}
-"""
-
-
-def _gs_search_edges(
-    spark: SparkSession,
-    sf_dir: str,
-    rounds: int = ANN_GS_ROUNDS,
-    beam: int = ANN_GS_BEAM,
-    qmod: int = ANN_GS_QMOD,
-    entries: int = ANN_GS_ENTRIES,
-) -> DataFrame:
-    """Beam search over the production NN-descent graph for a batch of queries —
-    the shared builder behind ``ann_graph_search`` and its recall audit.
-
-    Answers "top-k for THIS vector" by walking the prebuilt graph: start
-    every query at ``entries`` fixed global entry points, then each round
-    expand the current beam through the symmetrized edges, score the
-    candidates exactly against the query vector, and keep the top-``beam``
-    per query (monotone: the current beam is always in the candidate set,
-    so best-so-far never regresses — same contraction NN-descent itself
-    uses).  This is the standard graph-ANN query shape (HNSW's ef-search /
-    DiskANN's beam walk) expressed relationally: expansion is one
-    edge-list equi-join per round, scoring joins two vector tables by key
-    — per round O(|Q|·beam·deg) scored pairs, never O(|Q|·n).
-
-    Scale: the graph build amortizes over every query batch (build once,
-    search many); a query batch of ANY size runs the same fixed-round
-    plan, shuffles keyed on qid/node only, and the per-query work is
-    beam·deg·rounds ≈ 12·24·3 ≈ 900 exact scores at the defaults — vs
-    n/10 ≈ 3·10⁶ for an IVF nprobe=1 probe at 30M vectors, and the walk's
-    frontier ADAPTS to the query's neighborhood where IVF's cell is fixed
-    at index time."""
-    from .singlecell import SC_NND_K_BUILD, sc_nnd_edges_ivfseed
-
-    g = sc_nnd_edges_ivfseed(spark, sf_dir).where(F.col("rk") <= SC_NND_K_BUILD)
-    sym = materialize(
-        g.select(F.col("vec_id").alias("src"), F.col("nbr").alias("dst"))
-        .union(g.select(F.col("nbr").alias("src"), F.col("vec_id").alias("dst")))
-        .distinct()
-    )
-    e = load_table(spark, sf_dir, "embeddings")
-    n = e.count()
-    qv = materialize(
-        e.where(F.col("vec_id") % qmod == 0).select(
-            F.col("vec_id").alias("qid"),
-            F.col("embedding").alias("qe"),
-            _norm2(F.col("embedding")).alias("qn"),
-        )
-    )
-    cv = e.select(
-        F.col("vec_id").alias("node"),
-        F.col("embedding").alias("ce"),
-        _norm2(F.col("embedding")).alias("cn"),
-    )
-    d2 = F.round(F.col("qn") + F.col("cn") - 2 * _dot(F.col("qe"), F.col("ce")), 6)
-
-    def score(cand: DataFrame) -> DataFrame:
-        scored = cand.join(qv, "qid").join(cv, "node").select(
-            "qid", "node", d2.alias("d2")
-        )
-        rk = F.row_number().over(
-            W.partitionBy("qid").orderBy(F.asc("d2"), F.asc("node"))
-        )
-        return scored.withColumn("rk", big(rk)).where(F.col("rk") <= beam)
-
-    entry_nodes = spark.range(entries).select(
-        F.expr(f"CAST(id * {n} AS BIGINT) div {entries}").alias("node")
-    )
-    frontier = materialize(
-        score(
-            qv.select("qid")
-            .crossJoin(F.broadcast(entry_nodes))
-            .where(F.col("node") != F.col("qid"))
-            .distinct()
-        )
-    )
-    for _ in range(rounds):
-        hop = (
-            frontier.select("qid", "node")
-            .join(sym, F.col("node") == F.col("src"))
-            .select("qid", F.col("dst").alias("node"))
-            .where(F.col("node") != F.col("qid"))
-        )
-        frontier = materialize(
-            score(frontier.select("qid", "node").union(hop).distinct())
-        )
-    return frontier
-
-
-@query(
-    "ann_graph_search",
-    oracle=_ANN_GS_ORACLE,
-    tags=("similarity", "graph", "ann", "search"),
-)
-def ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Graph-walk ANN QUERY operator (r14 verdict #3 — the missing query
-    half of the graph-ANN story): beam search over the prebuilt
-    NN-descent graph for every 25th vector as a query batch, emitting the
-    top-{ANN_GS_K} per query — ``(qid, node, d2, rk)``.  The oracle
-    unrolls the ENTIRE program (NN-descent build chain + symmetrize +
-    entry points + every expand→score→trim round), so the hash certifies
-    the walk round for round, like the build side.  See
-    ``_gs_search_edges`` for semantics and the scale contract;
-    ``ann_graph_search_recall`` registers the measured recall."""
-    return _gs_search_edges(spark, sf_dir).where(F.col("rk") <= ANN_GS_K)
-
-
-_ANN_GS_RECALL_ORACLE = f"""
-WITH {_gs_ivf_chain()},
-{_gs_chain_sql()},
-gfinal AS (SELECT qid, node FROM gb{ANN_GS_ROUNDS} WHERE rk <= {ANN_GS_K}),
-gexact AS MATERIALIZED (
-  SELECT qid, node FROM (
-    SELECT a.vec_id AS qid, b.vec_id AS node,
-           CAST(row_number() OVER (PARTITION BY a.vec_id
-                                   ORDER BY {{dist}} ASC, b.vec_id ASC) AS BIGINT) AS rk
-    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
-    WHERE a.vec_id % {ANN_GS_QMOD} = 0
-  ) WHERE rk <= {ANN_GS_K}
-)
-SELECT e.qid,
-       CAST(SUM(CASE WHEN g.node IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-       CAST(SUM(CASE WHEN g.node IS NOT NULL THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
-            AS BIGINT) AS recall_micro
-FROM gexact e LEFT JOIN gfinal g ON g.qid = e.qid AND g.node = e.node
-GROUP BY e.qid
-"""
-
-
-def _gs_recall_oracle() -> str:
-    from .singlecell import _SC_NB_DIST
-
-    return _ANN_GS_RECALL_ORACLE.format(dist=_SC_NB_DIST)
-
-
-@query(
-    "ann_graph_search_recall",
-    oracle=_gs_recall_oracle(),
-    tags=("similarity", "graph", "ann", "eval"),
-)
-def ann_graph_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@{ANN_GS_K} audit of the graph walk against exact euclidean
-    ground truth, per query — the fourth registered generator audit
-    (beside the IVF cell, sign-LSH bucket, and NN-descent edge audits),
-    REGISTERING the walk's quality instead of asserting it: measured
-    mean recall at sf0.01 is in the high 90s at ~900 scored candidates
-    per query, where the IVF nprobe=1 probe's cell contains 23.65% of
-    exact neighbors at ~n/10 = 50 candidates — the walk buys its recall
-    from the graph's adaptivity, not from scanning more of the corpus
-    (at 30M vectors IVF's per-query scan is 3·10⁶; the walk's stays
-    ~900).  Hash-pinned round for round in SQL."""
-    search = _gs_search_edges(spark, sf_dir).where(F.col("rk") <= ANN_GS_K)
-    e = load_table(spark, sf_dir, "embeddings")
-    qv = e.where(F.col("vec_id") % ANN_GS_QMOD == 0).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qe"),
-        _norm2(F.col("embedding")).alias("qn"),
-    )
-    cv = e.select(
-        F.col("vec_id").alias("node"),
-        F.col("embedding").alias("ce"),
-        _norm2(F.col("embedding")).alias("cn"),
-    )
-    d2 = F.round(F.col("qn") + F.col("cn") - 2 * _dot(F.col("qe"), F.col("ce")), 6)
-    rk = F.row_number().over(W.partitionBy("qid").orderBy(F.asc("d2"), F.asc("node")))
-    exact = (
-        cv.crossJoin(F.broadcast(qv))
-        .where(F.col("node") != F.col("qid"))
-        .select("qid", "node", d2.alias("d2"))
-        .withColumn("rk", big(rk))
-        .where(F.col("rk") <= ANN_GS_K)
-        .select("qid", "node")
-    )
-    hits = search.select("qid", "node", F.lit(1).alias("hit"))
-    return (
-        exact.join(hits, ["qid", "node"], "left")
-        .groupBy("qid")
-        .agg(
-            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_hit"),
-            F.expr(
-                "CAST(SUM(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END) * 1000000"
-                " div COUNT(*) AS BIGINT)"
-            ).alias("recall_micro"),
-        )
-    )

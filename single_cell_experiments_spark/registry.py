@@ -115,6 +115,7 @@ def _load_all_operator_modules() -> None:
         singlecell,
         dedup,
         similarity,
+        graphsearch,
         textanalysis,
         multimodal,
         ml,

@@ -200,7 +200,7 @@ def test_graph_search_shape_and_beats_graph_trim(spark):
     only add hits the graph rows miss)."""
     from pyspark.sql import functions as F
 
-    from single_cell_experiments_spark.operators.similarity import (
+    from single_cell_experiments_spark.operators.graphsearch import (
         ANN_GS_K,
         ANN_GS_QMOD,
         ann_graph_search,
