@@ -398,3 +398,47 @@ def migrate_csc_to_zarr(
     from .pyds import read_zarr_group_coo
 
     return read_zarr_group_coo(spark, out_path)
+
+
+@query(
+    "tenx_to_zarr_sparse_migrate",
+    oracle=_TENX_ORACLE,
+    tags=("sources", "tenx", "zarr", "migration", "sparse", "singlecell"),
+    cache=False,
+)
+def tenx_to_zarr_sparse_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship ETL in its SPARSE-preserving form (r14 verdict #2):
+    10x CSC container → nnz-balanced slice decode (``ingest_csc``) →
+    AnnData ``csr_matrix`` Zarr group (``sparse.write_zarr_csr`` — cell-
+    major row extents, zeros stay implicit) → extent-join read-back,
+    hash-checked against the nonzero oracle.  Unlike
+    ``tenx_to_zarr_migrate`` (the dense twin) nothing ever densifies:
+    at the reference's flagship shape (1.3M × 28k, ~93% zeros) the dense
+    route writes ~30× the bytes and the densify exchange carries n×d
+    fill values; here every stage — decode, prefix-sum placement, chunk
+    write, extent read — is O(nnz).  The pair of migrations gives a
+    reference user both storage postures with the same verified values.
+    """
+    import tempfile
+
+    from .sparse import read_zarr_csr, write_zarr_csr
+
+    store = NpzCscStore(_embeddings_csc_fixture(sf_dir))
+    n_genes, n_cells = store.shape()
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"sce_tenx_spmig_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    coo = ingest_csc(spark, store, target_nnz_per_slice=4096)
+    entries = coo.select(
+        F.col("col").alias("row_id"),  # cell-major: cells are CSR rows
+        F.col("row").alias("col"),
+        F.col("value").cast("double").alias("v"),
+    )
+    write_zarr_csr(entries, out, n_cells, n_genes)
+    back = read_zarr_csr(spark, out)
+    return back.select(
+        F.col("row_id").alias("vec_id"),
+        (F.col("col") + 1).alias("pos"),
+        F.round(F.col("v"), 6).alias("v"),
+    )
