@@ -60,6 +60,7 @@ class AnnFrame:
         var: DataFrame | None = None,
         obsm: "dict[str, DataFrame] | None" = None,
         uns: dict | None = None,
+        layers: "dict[str, DataFrame] | None" = None,
     ):
         self.x = x  # (row_id, values: array<double>)
         self.spark = x.sparkSession
@@ -74,6 +75,7 @@ class AnnFrame:
         # ``to_zarr``/``from_zarr``.
         self.obsm: dict[str, DataFrame] = dict(obsm) if obsm else {}
         self.uns: dict = dict(uns) if uns else {}
+        self.layers: dict[str, DataFrame] = dict(layers) if layers else {}
 
     def with_obsm(self, name: str, values: DataFrame) -> "AnnFrame":
         """Annotate a computed per-cell matrix (AnnData ``obsm[name]``):
@@ -81,7 +83,7 @@ class AnnFrame:
         from :meth:`pca` or a 2-D layout from :meth:`layout` (cast to
         double).  Returns a new frame; persisted by :meth:`to_zarr` as a
         2-D float64 ``obsm_<name>`` member."""
-        out = AnnFrame(self.x, self.obs, self.var, self.obsm, self.uns)
+        out = AnnFrame(self.x, self.obs, self.var, self.obsm, self.uns, self.layers)
         out.obsm[name] = values
         return out
 
@@ -89,8 +91,20 @@ class AnnFrame:
         """Annotate unstructured metadata (AnnData ``uns[key]``) — any
         JSON-serializable value; persisted by :meth:`to_zarr` in the
         group's attributes document."""
-        out = AnnFrame(self.x, self.obs, self.var, self.obsm, self.uns)
+        out = AnnFrame(self.x, self.obs, self.var, self.obsm, self.uns, self.layers)
         out.uns[key] = value
+        return out
+
+    def with_layer(self, name: str, values: DataFrame) -> "AnnFrame":
+        """Annotate an alternative same-shape matrix (AnnData
+        ``layers[name]`` — e.g. raw counts kept beside the normalized
+        ``X``): ``values`` is ``(row_id, values array<double>)`` with the
+        same row set and width as ``X``.  Stored by :meth:`to_zarr` as a
+        2-D float64 ``layers_<name>`` member through the same distributed
+        chunk writer as obsm (layers are cells × genes, obsm cells × k —
+        identical machinery, different width)."""
+        out = AnnFrame(self.x, self.obs, self.var, self.obsm, self.uns, self.layers)
+        out.layers[name] = values
         return out
 
     # ---- constructors -------------------------------------------------------
@@ -257,12 +271,17 @@ class AnnFrame:
             for entry in members
             if entry.startswith("obsm_")
         }
+        layers = {
+            entry[7:]: _reassemble(_matrix(entry))
+            for entry in members
+            if entry.startswith("layers_")
+        }
         # uns from the group attributes (.zattrs; consolidated-aware)
         from .sources.zarrv2 import read_group_attrs
 
         attrs = md.get(".zattrs", {}) if md is not None else read_group_attrs(group_path)
         uns = attrs.get("uns", {}) if isinstance(attrs, dict) else {}
-        return cls(x, obs, var, obsm, uns)
+        return cls(x, obs, var, obsm, uns, layers)
 
     @classmethod
     def from_coo(
@@ -431,7 +450,7 @@ class AnnFrame:
         # 2-D float64 obsm_<name> arrays — distributed chunk writes like X
         # (r14 verdict #1: the write→compute→write cycle the notebook
         # capstone implies).  uns: one JSON attrs document at the root.
-        if self.obsm or self.uns:
+        if self.obsm or self.uns or self.layers:
             import re
 
             from .sources.zarrv2 import (
@@ -442,19 +461,20 @@ class AnnFrame:
 
             comp = kw.get("compressor", _DEFAULT_COMPRESSOR)
             n_rows = int(info["shape"][0])
-            for name in sorted(self.obsm):
-                if not re.fullmatch(r"[A-Za-z0-9_.\-]+", name):
-                    raise ValueError(
-                        f"obsm member name {name!r} is not a safe store key"
-                        " (allowed: letters, digits, _ . -)"
+            for prefix, members in (("obsm", self.obsm), ("layers", self.layers)):
+                for name in sorted(members):
+                    if not re.fullmatch(r"[A-Za-z0-9_.\-]+", name):
+                        raise ValueError(
+                            f"{prefix} member name {name!r} is not a safe store"
+                            " key (allowed: letters, digits, _ . -)"
+                        )
+                    write_zarr_obsm_member(
+                        members[name].select("row_id", "values"),
+                        os.path.join(path, f"{prefix}_{name}"),
+                        n_rows,
+                        rows_per_chunk=rows_per_chunk,
+                        compressor=comp,
                     )
-                write_zarr_obsm_member(
-                    self.obsm[name].select("row_id", "values"),
-                    os.path.join(path, f"obsm_{name}"),
-                    n_rows,
-                    rows_per_chunk=rows_per_chunk,
-                    compressor=comp,
-                )
             if self.uns:
                 write_group_attrs(path, {"uns": self.uns})
         return info

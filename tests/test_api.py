@@ -786,3 +786,22 @@ def test_obsm_rejects_partial_member(spark, tmp_path):
     partial = af.x.where(F.col("row_id") < 10).select("row_id", "values")
     with pytest.raises(ValueError, match="one row per cell"):
         af.with_obsm("X_pca", partial).to_zarr(str(tmp_path / "partial"))
+
+
+def test_layers_roundtrip_beside_x(spark, tmp_path):
+    """AnnData layers (alternative same-shape matrices): raw counts kept
+    beside the normalized X survive to_zarr/from_zarr bit-exactly as
+    float64 layers_<name> members, independent of X and obsm."""
+    af = _af(spark)
+    raw = af.x.select(
+        "row_id",
+        F.transform("values", lambda v: F.round(v * 1000.0)).alias("values"),
+    )
+    store = str(tmp_path / "layers_store")
+    af.with_layer("counts", raw).with_uns("source", {"layer": "counts"}).to_zarr(store)
+    back = AnnFrame.from_zarr(spark, store)
+    assert set(back.layers) == {"counts"}
+    assert back.uns == {"source": {"layer": "counts"}}
+    want = {int(r["row_id"]): list(r["values"]) for r in raw.collect()}
+    got = {int(r["row_id"]): list(r["values"]) for r in back.layers["counts"].collect()}
+    assert got == want
