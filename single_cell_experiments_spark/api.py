@@ -61,6 +61,8 @@ class AnnFrame:
         obsm: "dict[str, DataFrame] | None" = None,
         uns: dict | None = None,
         layers: "dict[str, DataFrame] | None" = None,
+        varm: "dict[str, DataFrame] | None" = None,
+        obsp: "dict[str, DataFrame] | None" = None,
     ):
         self.x = x  # (row_id, values: array<double>)
         self.spark = x.sparkSession
@@ -76,6 +78,22 @@ class AnnFrame:
         self.obsm: dict[str, DataFrame] = dict(obsm) if obsm else {}
         self.uns: dict = dict(uns) if uns else {}
         self.layers: dict[str, DataFrame] = dict(layers) if layers else {}
+        # r15: the remaining AnnData components — ``varm`` (per-GENE
+        # computed matrices, e.g. PCA loadings ``varm['PCs']``: (pos,
+        # values array<double>), one row per gene) and ``obsp`` (pairwise
+        # cell×cell SPARSE matrices, e.g. the kNN graph Scanpy stores as
+        # ``obsp['distances']``/``obsp['connectivities']``: COO
+        # (row_id, col, v) — always sparse, n_obs² dense would be absurd).
+        self.varm: dict[str, DataFrame] = dict(varm) if varm else {}
+        self.obsp: dict[str, DataFrame] = dict(obsp) if obsp else {}
+
+    def _clone(self) -> "AnnFrame":
+        """Copy carrying every component (annotation helpers mutate the
+        copy's dicts, never the receiver's)."""
+        return AnnFrame(
+            self.x, self.obs, self.var, self.obsm, self.uns, self.layers,
+            self.varm, self.obsp,
+        )
 
     def with_obsm(self, name: str, values: DataFrame) -> "AnnFrame":
         """Annotate a computed per-cell matrix (AnnData ``obsm[name]``):
@@ -83,7 +101,7 @@ class AnnFrame:
         from :meth:`pca` or a 2-D layout from :meth:`layout` (cast to
         double).  Returns a new frame; persisted by :meth:`to_zarr` as a
         2-D float64 ``obsm_<name>`` member."""
-        out = AnnFrame(self.x, self.obs, self.var, self.obsm, self.uns, self.layers)
+        out = self._clone()
         out.obsm[name] = values
         return out
 
@@ -91,7 +109,7 @@ class AnnFrame:
         """Annotate unstructured metadata (AnnData ``uns[key]``) — any
         JSON-serializable value; persisted by :meth:`to_zarr` in the
         group's attributes document."""
-        out = AnnFrame(self.x, self.obs, self.var, self.obsm, self.uns, self.layers)
+        out = self._clone()
         out.uns[key] = value
         return out
 
@@ -103,8 +121,32 @@ class AnnFrame:
         2-D float64 ``layers_<name>`` member through the same distributed
         chunk writer as obsm (layers are cells × genes, obsm cells × k —
         identical machinery, different width)."""
-        out = AnnFrame(self.x, self.obs, self.var, self.obsm, self.uns, self.layers)
+        out = self._clone()
         out.layers[name] = values
+        return out
+
+    def with_varm(self, name: str, values: DataFrame) -> "AnnFrame":
+        """Annotate a computed per-GENE matrix (AnnData ``varm[name]`` —
+        the loadings side of a factorization, e.g. ``varm['PCs']`` from
+        :meth:`pca`): ``values`` is ``(pos, values array<double>)`` with
+        one row per gene position 0..n_genes-1.  Persisted by
+        :meth:`to_zarr` as a 2-D float64 ``varm_<name>`` member through
+        the same distributed chunk writer as obsm (rows are genes instead
+        of cells — identical machinery)."""
+        out = self._clone()
+        out.varm[name] = values
+        return out
+
+    def with_obsp(self, name: str, entries: DataFrame) -> "AnnFrame":
+        """Annotate a pairwise cell×cell SPARSE matrix (AnnData
+        ``obsp[name]`` — Scanpy stores the neighbor graph as
+        ``obsp['distances']`` / ``obsp['connectivities']``): ``entries``
+        is COO ``(row_id, col, v)`` with ``col`` a 0-based cell index.
+        Persisted by :meth:`to_zarr` in the AnnData ``csr_matrix`` group
+        encoding at ``obsp_<name>`` (indptr/indices/data members — bytes
+        ~ nnz ≈ n·k for a kNN graph, never the n² dense shape)."""
+        out = self._clone()
+        out.obsp[name] = entries
         return out
 
     # ---- constructors -------------------------------------------------------
@@ -276,12 +318,65 @@ class AnnFrame:
             for entry in members
             if entry.startswith("layers_")
         }
+
+        # varm_* 2-D members -> computed per-GENE matrices (r15: the
+        # loadings side, varm['PCs']).  Rows are gene positions, not cell
+        # ids, so reassembly keys on the row index directly (no vec_id
+        # spine join).
+        def _reassemble_pos(slices):
+            coo = slices.select(
+                "row", "col0", F.posexplode("values").alias("p0", "v")
+            ).select("row", (F.col("col0") + F.col("p0") + 1).alias("kp"), "v")
+            return coo.groupBy("row").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("kp", "v"))), lambda s: s["v"]
+                ).alias("values")
+            ).select(F.col("row").alias("pos"), "values")
+
+        varm = {
+            entry[5:]: _reassemble_pos(_matrix(entry))
+            for entry in members
+            if entry.startswith("varm_")
+        }
+        # obsp_* csr_matrix subgroups -> sparse cell×cell COO (r15: the
+        # neighbor graph).  Subgroups are not flat .zarray members, so
+        # discovery keys on the encoding tag — nested "obsp_*/.zattrs" in
+        # the consolidated document, else the on-disk subgroup attrs.
+        obsp_names: list[str] = []
+        if md is not None:
+            obsp_names = sorted(
+                k.split("/", 1)[0][5:]
+                for k in md
+                if k.startswith("obsp_")
+                and k.endswith("/.zattrs")
+                and k.count("/") == 1
+                and isinstance(md[k], dict)
+                and md[k].get("encoding-type") == "csr_matrix"
+            )
+        else:
+            for entry in members:
+                if not entry.startswith("obsp_"):
+                    continue
+                apath = os.path.join(group_path, entry, ".zattrs")
+                if os.path.exists(apath):
+                    with open(apath) as fh:
+                        a = _json.load(fh)
+                    if a.get("encoding-type") == "csr_matrix":
+                        obsp_names.append(entry[5:])
+        obsp = {}
+        if obsp_names:
+            from .sources.sparse import read_zarr_csr
+
+            for name in obsp_names:
+                obsp[name] = read_zarr_csr(
+                    spark, os.path.join(group_path, f"obsp_{name}")
+                )
         # uns from the group attributes (.zattrs; consolidated-aware)
         from .sources.zarrv2 import read_group_attrs
 
         attrs = md.get(".zattrs", {}) if md is not None else read_group_attrs(group_path)
         uns = attrs.get("uns", {}) if isinstance(attrs, dict) else {}
-        return cls(x, obs, var, obsm, uns, layers)
+        return cls(x, obs, var, obsm, uns, layers, varm, obsp)
 
     @classmethod
     def from_coo(
@@ -450,7 +545,7 @@ class AnnFrame:
         # 2-D float64 obsm_<name> arrays — distributed chunk writes like X
         # (r14 verdict #1: the write→compute→write cycle the notebook
         # capstone implies).  uns: one JSON attrs document at the root.
-        if self.obsm or self.uns or self.layers:
+        if self.obsm or self.uns or self.layers or self.varm or self.obsp:
             import re
 
             from .sources.zarrv2 import (
@@ -461,19 +556,53 @@ class AnnFrame:
 
             comp = kw.get("compressor", _DEFAULT_COMPRESSOR)
             n_rows = int(info["shape"][0])
+            n_genes = int(info["shape"][1])
+
+            def _check_key(prefix: str, name: str) -> None:
+                if not re.fullmatch(r"[A-Za-z0-9_.\-]+", name):
+                    raise ValueError(
+                        f"{prefix} member name {name!r} is not a safe store"
+                        " key (allowed: letters, digits, _ . -)"
+                    )
+
             for prefix, members in (("obsm", self.obsm), ("layers", self.layers)):
                 for name in sorted(members):
-                    if not re.fullmatch(r"[A-Za-z0-9_.\-]+", name):
-                        raise ValueError(
-                            f"{prefix} member name {name!r} is not a safe store"
-                            " key (allowed: letters, digits, _ . -)"
-                        )
+                    _check_key(prefix, name)
                     write_zarr_obsm_member(
                         members[name].select("row_id", "values"),
                         os.path.join(path, f"{prefix}_{name}"),
                         n_rows,
                         rows_per_chunk=rows_per_chunk,
                         compressor=comp,
+                    )
+            # varm members: per-GENE matrices (loadings, varm['PCs']) —
+            # rows are gene positions, so the member's row count is the
+            # matrix WIDTH; same distributed chunk writer, pos as row_id.
+            for name in sorted(self.varm):
+                _check_key("varm", name)
+                write_zarr_obsm_member(
+                    self.varm[name].select(
+                        F.col("pos").alias("row_id"), "values"
+                    ),
+                    os.path.join(path, f"varm_{name}"),
+                    n_genes,
+                    rows_per_chunk=rows_per_chunk,
+                    compressor=comp,
+                )
+            # obsp members: sparse cell×cell pairwise matrices (the
+            # neighbor graph) in the AnnData csr_matrix group encoding —
+            # bytes ~ nnz (n·k for a kNN graph), never n² dense.
+            if self.obsp:
+                from .sources.sparse import write_zarr_csr
+
+                for name in sorted(self.obsp):
+                    _check_key("obsp", name)
+                    write_zarr_csr(
+                        self.obsp[name].select("row_id", "col", "v"),
+                        os.path.join(path, f"obsp_{name}"),
+                        n_rows,
+                        n_rows,
+                        compressor=kw.get("compressor", {"id": "zlib", "level": 1}),
                     )
             if self.uns:
                 write_group_attrs(path, {"uns": self.uns})

@@ -853,3 +853,185 @@ def zarr_obsm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("v"),
         F.lit(uns_k).cast("int").alias("uns_k"),
     )
+
+
+_ZARR_VARM_ORACLE = """
+SELECT pos, k, v
+FROM (
+  SELECT pos,
+         1 AS k,
+         round(sum(vfix) / 1e6, 6) AS v
+  FROM (
+    SELECT vec_id,
+           CAST(generate_subscripts(embedding, 1) AS BIGINT) - 1 AS pos,
+           CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS vfix
+    FROM embeddings
+  )
+  GROUP BY pos
+  UNION ALL
+  SELECT pos,
+         2 AS k,
+         round(sum((vec_id % 7 + 1) * vfix) / 1e6, 6) AS v
+  FROM (
+    SELECT vec_id,
+           CAST(generate_subscripts(embedding, 1) AS BIGINT) - 1 AS pos,
+           CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS vfix
+    FROM embeddings
+  )
+  GROUP BY pos
+)
+"""
+
+
+@query(
+    "zarr_varm_roundtrip",
+    oracle=_ZARR_VARM_ORACLE,
+    tags=("sources", "zarr", "api", "varm"),
+    cache=False,
+)
+def zarr_varm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AnnData ``varm`` through the v2 group end to end (r15: the
+    loadings side of the component set — Scanpy persists PCA loadings as
+    ``varm['PCs']``, genes × k).  Computes a per-GENE 2-column matrix in
+    exact integer fixed-point (column 1: the gene's value sum; column 2:
+    a ``vec_id%7+1``-weighted sum — integer arithmetic, so the doubles
+    that land in the member are bit-identical cross-engine), annotates it
+    via ``with_varm``, ``to_zarr`` (lands as a 2-D float64 ``varm_PCs``
+    array through the same distributed chunk writer as obsm, rows = gene
+    positions), consolidates, ``from_zarr``, and emits the recovered varm
+    COO.  Pins the gene-axis member write, position-keyed reassembly
+    (no vec_id spine), and discovery via consolidated metadata."""
+    import tempfile
+
+    from ..api import AnnFrame
+
+    e = load_table(spark, sf_dir, "embeddings")
+    fixed = e.select(
+        "vec_id", F.posexplode("embedding").alias("p0", "v32")
+    ).select(
+        "vec_id",
+        F.col("p0").cast("bigint").alias("pos"),
+        F.round(F.col("v32").cast("double") * 1e6).cast("bigint").alias("vfix"),
+    )
+    loadings = (
+        fixed.groupBy("pos")
+        .agg(
+            F.round(F.sum("vfix") / 1e6, 6).alias("c1"),
+            F.round(
+                F.sum((F.col("vec_id") % 7 + 1) * F.col("vfix")) / 1e6, 6
+            ).alias("c2"),
+        )
+        .select("pos", F.array("c1", "c2").alias("values"))
+    )
+    store = os.path.join(
+        tempfile.gettempdir(),
+        f"sce_zarr_varm_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    af = AnnFrame.from_table(e).with_varm("PCs", loadings)
+    af.to_zarr(store)
+    consolidate_metadata(store)
+    back = AnnFrame.from_zarr(spark, store)
+    m = back.varm["PCs"]
+    return m.select(
+        F.col("pos").cast("bigint").alias("pos"),
+        F.posexplode("values").alias("p0", "v"),
+    ).select("pos", (F.col("p0") + 1).cast("int").alias("k"), "v")
+
+
+_ZARR_OBSP_ORACLE = """
+WITH n AS (SELECT count(*) AS n FROM embeddings),
+     e AS (SELECT vec_id, embedding FROM embeddings),
+     edges AS (
+       SELECT a.vec_id AS row_id,
+              b.vec_id AS col,
+              round(list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+                  i -> CAST(round(CAST(a.embedding[i] AS DOUBLE) * 1e3) AS BIGINT)
+                     * CAST(round(CAST(b.embedding[i] AS DOUBLE) * 1e3) AS BIGINT)),
+                  'sum') / 1e6, 6) AS v
+       FROM e a
+       JOIN n ON TRUE
+       JOIN e b ON b.vec_id = (a.vec_id + 1) % n.n OR b.vec_id = (a.vec_id + 3) % n.n
+       WHERE b.vec_id <> a.vec_id
+     )
+SELECT row_id, col, v, 2 AS uns_k FROM edges
+"""
+
+
+@query(
+    "zarr_obsp_roundtrip",
+    oracle=_ZARR_OBSP_ORACLE,
+    tags=("sources", "zarr", "api", "obsp", "sparse"),
+    cache=False,
+)
+def zarr_obsp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AnnData ``obsp`` through the v2 group end to end (r15: the
+    pairwise component — Scanpy stores the neighbor graph as
+    ``obsp['distances']``, a SPARSE cells×cells CSR matrix).  Builds a
+    deterministic sparse affinity graph (each cell linked to its
+    ``(id+1)%n`` and ``(id+3)%n`` ring neighbors — two linear equi-joins,
+    never an all-pairs — weighted by the milli-quantized integer dot
+    product, so the stored doubles are bit-identical cross-engine),
+    annotates via ``with_obsp`` + a ``uns['neighbors']`` dict,
+    ``to_zarr`` (the member lands as an ``obsp_distances`` csr_matrix
+    subgroup: indptr/indices/data, bytes ~ nnz = 2n, never n²),
+    consolidates, ``from_zarr`` (discovery keys on the encoding tag in
+    the consolidated document), and emits the recovered COO.  Pins the
+    CSR obsp write, the extent-join decode, and the attrs round-trip."""
+    import tempfile
+
+    from ..api import AnnFrame
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    q = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda v: F.round(v.cast("double") * 1e3).cast("bigint"),
+        ).alias("qe"),
+    )
+    src = q.select(
+        F.col("vec_id").alias("row_id"),
+        F.col("qe").alias("ea"),
+        F.explode(
+            F.array(
+                (F.col("vec_id") + 1) % F.lit(n),
+                (F.col("vec_id") + 3) % F.lit(n),
+            )
+        ).alias("col"),
+    ).where(F.col("col") != F.col("row_id"))
+    edges = (
+        src.join(q.select(F.col("vec_id").alias("col"), F.col("qe").alias("eb")), "col")
+        .select(
+            "row_id",
+            "col",
+            F.round(
+                F.aggregate(
+                    F.zip_with("ea", "eb", lambda a, b: a * b),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x,
+                )
+                / 1e6,
+                6,
+            ).alias("v"),
+        )
+    )
+    store = os.path.join(
+        tempfile.gettempdir(),
+        f"sce_zarr_obsp_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    af = (
+        AnnFrame.from_table(e)
+        .with_obsp("distances", edges)
+        .with_uns("neighbors", {"k": 2, "method": "ring"})
+    )
+    af.to_zarr(store)
+    consolidate_metadata(store)
+    back = AnnFrame.from_zarr(spark, store)
+    uns_k = int(back.uns["neighbors"]["k"])
+    return back.obsp["distances"].select(
+        "row_id",
+        "col",
+        "v",
+        F.lit(uns_k).cast("int").alias("uns_k"),
+    )

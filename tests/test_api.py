@@ -805,3 +805,92 @@ def test_layers_roundtrip_beside_x(spark, tmp_path):
     want = {int(r["row_id"]): list(r["values"]) for r in raw.collect()}
     got = {int(r["row_id"]): list(r["values"]) for r in back.layers["counts"].collect()}
     assert got == want
+
+
+def test_varm_roundtrip_gene_axis_member(spark, tmp_path):
+    """r15: varm (per-gene matrices — the loadings slot, varm['PCs'])
+    survives to_zarr/from_zarr bit-exactly as a float64 varm_<name>
+    member keyed by gene POSITION, not the vec_id spine."""
+    af = _af(spark)
+    loadings = (
+        af.x.select(F.posexplode("values").alias("p0", "v"))
+        .groupBy(F.col("p0").cast("bigint").alias("pos"))
+        .agg(
+            F.round(F.sum(F.round(F.col("v") * 1e6).cast("bigint")) / 1e6, 6).alias("c1")
+        )
+        .select("pos", F.array("c1", (F.col("c1") * 2)).alias("values"))
+    )
+    store = str(tmp_path / "varm_store")
+    af.with_varm("PCs", loadings).to_zarr(store)
+    back = AnnFrame.from_zarr(spark, store)
+    assert set(back.varm) == {"PCs"}
+    want = {int(r["pos"]): list(r["values"]) for r in loadings.collect()}
+    got = {int(r["pos"]): list(r["values"]) for r in back.varm["PCs"].collect()}
+    assert got == want
+
+
+def test_varm_rejects_wrong_row_count(spark, tmp_path):
+    """A varm member must carry one row per GENE — a cell-shaped frame
+    (n_obs rows) must refuse."""
+    af = _af(spark)
+    wrong = af.x.select(F.col("row_id").alias("pos"), "values")
+    with pytest.raises(ValueError, match="one row per cell"):
+        af.with_varm("PCs", wrong).to_zarr(str(tmp_path / "bad_varm"))
+
+
+def test_obsp_roundtrip_sparse_pairwise(spark, tmp_path):
+    """r15: obsp (pairwise cell×cell sparse matrices — the neighbor graph
+    Scanpy stores as obsp['distances']) survives to_zarr/from_zarr through
+    the csr_matrix subgroup encoding, including all-zero rows."""
+    af = _af(spark)
+    n = af.x.count()
+    # a sparse deterministic graph that leaves some rows empty
+    edges = (
+        af.x.select("row_id")
+        .where(F.col("row_id") % 3 == 0)
+        .select(
+            "row_id",
+            ((F.col("row_id") + 1) % F.lit(n)).alias("col"),
+            (F.col("row_id").cast("double") / 100.0).alias("v"),
+        )
+    )
+    store = str(tmp_path / "obsp_store")
+    af.with_obsp("distances", edges).to_zarr(store)
+    back = AnnFrame.from_zarr(spark, store)
+    assert set(back.obsp) == {"distances"}
+    want = {(int(r["row_id"]), int(r["col"])): r["v"] for r in edges.collect()}
+    got = {
+        (int(r["row_id"]), int(r["col"])): r["v"]
+        for r in back.obsp["distances"].collect()
+    }
+    assert got == want
+
+
+def test_annotation_helpers_preserve_all_components(spark, tmp_path):
+    """with_* helpers must carry EVERY component through (a clone that
+    drops a sibling dict silently loses data at write time)."""
+    af = _af(spark)
+    m = af.x.select("row_id", F.slice("values", 1, 2).alias("values"))
+    lod = (
+        af.x.select(F.posexplode("values").alias("p0", "v"))
+        .groupBy(F.col("p0").cast("bigint").alias("pos"))
+        .agg(F.round(F.sum("v"), 6).alias("c1"))
+        .select("pos", F.array("c1").alias("values"))
+    )
+    edges = af.x.select(
+        "row_id", F.col("row_id").alias("col"), F.lit(1.0).alias("v")
+    ).where(F.col("row_id") < 5)
+    af2 = (
+        af.with_obsm("X_pca", m)
+        .with_varm("PCs", lod)
+        .with_obsp("connectivities", edges)
+        .with_layer("counts", af.x.select("row_id", "values"))
+        .with_uns("pipeline", {"v": 1})
+    )
+    assert set(af2.obsm) == {"X_pca"}
+    assert set(af2.varm) == {"PCs"}
+    assert set(af2.obsp) == {"connectivities"}
+    assert set(af2.layers) == {"counts"}
+    assert af2.uns == {"pipeline": {"v": 1}}
+    # and the original frame is untouched (copy-on-annotate)
+    assert not af.obsm and not af.varm and not af.obsp and not af.layers
