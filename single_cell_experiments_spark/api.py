@@ -656,6 +656,84 @@ class AnnFrame:
         )
         return AnnFrame(x, obs, self.var)
 
+    @classmethod
+    def concat(
+        cls,
+        frames: "list[AnnFrame]",
+        batch_key: str = "batch",
+        batch_categories: "list[str] | None" = None,
+    ) -> "AnnFrame":
+        """Concatenate frames along the obs (cell) axis — the public
+        ``anndata.concat(axis=0)`` operation notebooks use to pool
+        datasets before a joint analysis.
+
+        Row order is AnnData's: frame order, then row order within each
+        frame; every output row carries its source in ``obs.<batch_key>``
+        (``batch_categories`` or the frame's 0-based index) plus its
+        pre-concat id in ``obs.orig_row_id``.  ``obs`` keeps the columns
+        COMMON to all frames (anndata's join='inner' column rule); ``var``
+        comes from the first frame and all widths must agree (var-name
+        alignment for ragged widths is a join the caller does up front).
+
+        Scale: per-frame dense renumbering rides :meth:`reindex` (the
+        range-partitioned prefix-sum — O(partitions) driver state, no
+        global window funnel), offsets are one O(frames) count pass on the
+        driver, and the concatenation itself is ``unionAll`` — a metadata
+        plan merge, zero shuffle.  Derived components (obsm/varm/obsp/
+        layers/uns) are NOT carried: they are per-dataset artifacts that a
+        pooled analysis must recompute (same rule as the kernels)."""
+        if not frames:
+            raise ValueError("concat needs at least one frame")
+        cats = (
+            list(batch_categories)
+            if batch_categories is not None
+            else [str(i) for i in range(len(frames))]
+        )
+        if len(cats) != len(frames):
+            raise ValueError(
+                f"batch_categories has {len(cats)} entries for {len(frames)} frames"
+            )
+        stats = [
+            f.x.agg(
+                F.count(F.lit(1)).alias("n"), F.max(F.size("values")).alias("w")
+            ).collect()[0]
+            for f in frames
+        ]
+        widths = {int(s["w"]) for s in stats}
+        if len(widths) > 1:
+            raise ValueError(
+                f"frames disagree on matrix width: {sorted(widths)} — align"
+                " var spaces before concat"
+            )
+        common = [
+            c
+            for c in frames[0].obs.columns
+            if c != "row_id" and all(c in f.obs.columns for f in frames)
+        ]
+        xs, obss, off = [], [], 0
+        for f, cat, s in zip(frames, cats, stats):
+            rf = f.reindex()
+            xs.append(
+                rf.x.select(
+                    (F.col("row_id") + F.lit(off)).alias("row_id"), "values"
+                )
+            )
+            obss.append(
+                rf.obs.select(
+                    (F.col("row_id") + F.lit(off)).alias("row_id"),
+                    "orig_row_id",
+                    F.lit(cat).alias(batch_key),
+                    *common,
+                )
+            )
+            off += int(s["n"])
+        x = xs[0]
+        obs = obss[0]
+        for nx, nobs in zip(xs[1:], obss[1:]):
+            x = x.unionAll(nx)
+            obs = obs.unionAll(nobs)
+        return cls(x, obs, frames[0].var)
+
     # ---- elementwise / row-local kernels (zero shuffle) ---------------------
 
     def map_values(self, fn: Callable[[Column], Column]) -> "AnnFrame":

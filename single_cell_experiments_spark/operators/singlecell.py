@@ -3428,3 +3428,63 @@ def sc_notebook_e2e_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.where(F.col("rk") <= SC_NEIGHBORS_K).select("vec_id", "nbr")
     )
     return _notebook_tail(spark, knn)
+
+
+# --- AnnData concat: pool datasets along the cell axis ------------------------
+
+_CONCAT_ORACLE = """
+WITH a AS (
+  SELECT embedding, vec_id AS orig,
+         row_number() OVER (ORDER BY vec_id) - 1 AS rid
+  FROM embeddings WHERE vec_id % 2 = 0
+),
+na AS (SELECT count(*) AS n FROM a),
+b AS (
+  SELECT embedding, vec_id AS orig,
+         row_number() OVER (ORDER BY vec_id) - 1 AS rid
+  FROM embeddings WHERE vec_id % 2 = 1
+),
+u AS (
+  SELECT rid AS row_id, orig AS orig_row_id, 'even' AS batch, embedding FROM a
+  UNION ALL
+  SELECT b.rid + na.n AS row_id, orig, 'odd', embedding FROM b, na
+)
+SELECT row_id, orig_row_id, batch,
+       CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+       round(CAST(unnest(embedding) AS DOUBLE), 6) AS v
+FROM u
+"""
+
+
+@query(
+    "anndata_concat_batches",
+    oracle=_CONCAT_ORACLE,
+    tags=("singlecell", "api", "concat"),
+)
+def anndata_concat_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``AnnFrame.concat`` end to end (the public ``anndata.concat(axis=0)``
+    operation): split the embeddings table into two datasets by id parity,
+    pool them with batch labels, and emit the concatenated X as COO with
+    each row's batch and pre-concat id.
+
+    Pins AnnData's row-order contract (frame order, then row order within
+    the frame — the dense renumbering rides ``reindex``'s range-partitioned
+    prefix sums, no global window) and the zero-shuffle ``unionAll``
+    plan-merge concatenation."""
+    from ..api import AnnFrame
+
+    e = load_table(spark, sf_dir, "embeddings")
+    fa = AnnFrame.from_table(e.where(F.col("vec_id") % 2 == 0))
+    fb = AnnFrame.from_table(e.where(F.col("vec_id") % 2 == 1))
+    cc = AnnFrame.concat([fa, fb], batch_key="batch", batch_categories=["even", "odd"])
+    coo = cc.x.select("row_id", F.posexplode("values").alias("p0", "v"))
+    return (
+        coo.join(cc.obs.select("row_id", "orig_row_id", "batch"), "row_id")
+        .select(
+            "row_id",
+            "orig_row_id",
+            "batch",
+            (F.col("p0") + 1).cast("bigint").alias("pos"),
+            F.round("v", 6).alias("v"),
+        )
+    )

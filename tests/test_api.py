@@ -894,3 +894,32 @@ def test_annotation_helpers_preserve_all_components(spark, tmp_path):
     assert af2.uns == {"pipeline": {"v": 1}}
     # and the original frame is untouched (copy-on-annotate)
     assert not af.obsm and not af.varm and not af.obsp and not af.layers
+
+
+def test_concat_pools_frames_with_batch_labels(spark):
+    """r15: AnnFrame.concat — AnnData row-order contract (frame order,
+    then row order), batch labels, orig id provenance, obs common-column
+    intersection, and the equal-width guard."""
+    e = load_table(spark, SF_DIR, "embeddings")
+    fa = AnnFrame.from_table(e.where(F.col("vec_id") % 2 == 0))
+    fb = AnnFrame.from_table(e.where(F.col("vec_id") % 2 == 1))
+    cc = AnnFrame.concat([fa, fb], batch_categories=["even", "odd"])
+    na = fa.x.count()
+    n = na + fb.x.count()
+    obs = cc.obs.orderBy("row_id").collect()
+    assert [int(r["row_id"]) for r in obs] == list(range(n))
+    assert all(r["batch"] == "even" for r in obs[:na])
+    assert all(r["batch"] == "odd" for r in obs[na:])
+    # within a batch, orig ids stay sorted (row order preserved)
+    evens = [int(r["orig_row_id"]) for r in obs[:na]]
+    assert evens == sorted(evens) and all(v % 2 == 0 for v in evens)
+    # label is an obs column common to both frames -> survives
+    assert "label" in cc.obs.columns
+    # mismatched widths refuse
+    narrow = AnnFrame(
+        fa.x.select("row_id", F.slice("values", 1, 3).alias("values"))
+    )
+    with pytest.raises(ValueError, match="width"):
+        AnnFrame.concat([fa, narrow])
+    with pytest.raises(ValueError, match="batch_categories"):
+        AnnFrame.concat([fa, fb], batch_categories=["one"])
