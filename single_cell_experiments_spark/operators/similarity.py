@@ -946,3 +946,219 @@ def embed_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="vec_id bigint, n_dims bigint, norm2_e12 bigint, maxabs_e6 bigint",
     )
 
+
+
+# --- Product quantization (PQ) + asymmetric distance (ADC) top-k --------------
+#
+# The IVF-PQ compression path (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search" — public TPAMI paper): split each d-dim vector
+# into M subspaces, quantize every subvector to its nearest codeword from a
+# per-subspace codebook, and answer queries with the ASYMMETRIC distance —
+# the query stays full-precision, each database vector costs one M-entry
+# code lookup against a precomputed (M × K) distance table.  At 100 TB this
+# is the memory story: 64 float32 dims (256 B) compress to M=8 one-byte
+# codes; the scan reads codes, never raw vectors.
+
+#: subspace width (dims per sub-quantizer): 64-dim embeddings → M=8 chunks.
+PQ_SUB_DIMS = 8
+
+
+_PQ_ADC_ORACLE = """
+WITH coo AS (
+  SELECT vec_id, label,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS vfix
+  FROM embeddings
+),
+codebook AS (
+  SELECT label AS code, pos,
+         CAST(round(round(CAST(SUM(CAST(vfix AS DOUBLE) / 1e6)
+               AS DOUBLE) / COUNT(*), 6) * 1e6) AS BIGINT) AS cfix
+  FROM coo GROUP BY label, pos
+),
+sqd AS (
+  SELECT c.vec_id, (c.pos - 1) // 8 AS m, cb.code,
+         SUM((c.vfix - cb.cfix) * (c.vfix - cb.cfix)) AS d2
+  FROM coo c JOIN codebook cb USING (pos)
+  GROUP BY c.vec_id, (c.pos - 1) // 8, cb.code
+),
+codes AS (
+  SELECT vec_id, m, code
+  FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn
+    FROM sqd
+  ) WHERE rn = 1
+),
+lut AS (SELECT m, code, d2 FROM sqd WHERE vec_id = 0)
+SELECT c.vec_id, CAST(SUM(l.d2) AS BIGINT) AS adist
+FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.code
+WHERE c.vec_id <> 0
+GROUP BY c.vec_id
+ORDER BY adist, c.vec_id
+LIMIT 10
+"""
+
+
+@query(
+    "ann_pq_adc_topk",
+    oracle=_PQ_ADC_ORACLE,
+    tags=("similarity", "ann", "pq"),
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed top-10 for vec 0 by asymmetric distance.
+
+    Codebooks are the deterministic per-label subvector means (the same
+    oracle-mirrorable quantizer-training stand-in as ``ann_ivf_probe`` —
+    production swaps in k-means iterations, the index layout is
+    identical): one codeword per (subspace, label).  Encoding assigns
+    every vector's subvector to its nearest codeword by EXACT integer
+    squared L2 (micro-quantized BIGINT components, tie → lower code);
+    the query-time table (``lut``) reuses the same integer distances for
+    vec 0, so the ADC score is an exact BIGINT sum — bit-identical
+    cross-engine, no float drift anywhere.
+
+    Scale shape: codebook is (M × K × sub_dims) — broadcast; encoding is
+    one n·d·K equi-join + partial-agg'd groupBy (the one shuffle); the
+    query scan joins n·M codes against the broadcast M·K LUT and
+    TakeOrdered's the top-k — reads 8 codes/vector, never the raw 256
+    bytes, which is the entire reason PQ survives 100 TB."""
+    e = load_table(spark, sf_dir, "embeddings")
+    coo = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "v32")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        F.round(F.col("v32").cast("double") * 1e6).cast("bigint").alias("vfix"),
+    )
+    coo = materialize(coo)
+    # per-(label,pos) mean at 6 decimals, then back to exact micro ints —
+    # matches the oracle's round(sum(vfix/1e6)/n, 6) * 1e6 exactly
+    codebook = coo.groupBy(F.col("label").alias("code"), "pos").agg(
+        F.round(
+            F.round(
+                F.sum(F.col("vfix").cast("double") / 1e6) / F.count(F.lit(1)), 6
+            )
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("cfix")
+    )
+    diff = F.col("vfix") - F.col("cfix")
+    sqd = (
+        coo.join(F.broadcast(codebook), "pos")
+        .groupBy(
+            "vec_id",
+            ((F.col("pos") - 1) / F.lit(PQ_SUB_DIMS)).cast("bigint").alias("m"),
+            "code",
+        )
+        .agg(F.sum(diff * diff).alias("d2"))
+    )
+    sqd = materialize(sqd)
+    codes = (
+        sqd.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("vec_id", "m").orderBy("d2", "code")
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("vec_id", "m", "code")
+    )
+    lut = sqd.where(F.col("vec_id") == 0).select("m", "code", "d2")
+    return (
+        codes.where(F.col("vec_id") != 0)
+        .join(F.broadcast(lut), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("d2").alias("adist"))
+        .orderBy("adist", "vec_id")
+        .limit(10)
+    )
+
+
+_PQ_RECALL_ORACLE = """
+WITH coo AS (
+  SELECT vec_id, label,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS vfix
+  FROM embeddings
+),
+codebook AS (
+  SELECT label AS code, pos,
+         CAST(round(round(CAST(SUM(CAST(vfix AS DOUBLE) / 1e6)
+               AS DOUBLE) / COUNT(*), 6) * 1e6) AS BIGINT) AS cfix
+  FROM coo GROUP BY label, pos
+),
+sqd AS (
+  SELECT c.vec_id, (c.pos - 1) // 8 AS m, cb.code,
+         SUM((c.vfix - cb.cfix) * (c.vfix - cb.cfix)) AS d2
+  FROM coo c JOIN codebook cb USING (pos)
+  GROUP BY c.vec_id, (c.pos - 1) // 8, cb.code
+),
+codes AS (
+  SELECT vec_id, m, code
+  FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn
+    FROM sqd
+  ) WHERE rn = 1
+),
+lut AS (SELECT m, code, d2 FROM sqd WHERE vec_id = 0),
+pq AS (
+  SELECT c.vec_id
+  FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.code
+  WHERE c.vec_id <> 0
+  GROUP BY c.vec_id
+  ORDER BY CAST(SUM(l.d2) AS BIGINT), c.vec_id
+  LIMIT 10
+),
+q AS (SELECT pos, vfix AS qfix FROM coo WHERE vec_id = 0),
+exact AS (
+  SELECT c.vec_id
+  FROM coo c JOIN q USING (pos)
+  WHERE c.vec_id <> 0
+  GROUP BY c.vec_id
+  ORDER BY SUM((c.vfix - q.qfix) * (c.vfix - q.qfix)), c.vec_id
+  LIMIT 10
+)
+SELECT 10 AS k, (SELECT count(*) FROM pq JOIN exact USING (vec_id)) AS hits
+"""
+
+
+@query(
+    "ann_pq_recall",
+    oracle=_PQ_RECALL_ORACLE,
+    tags=("similarity", "ann", "pq", "recall"),
+)
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 audit for the PQ-ADC path: overlap between
+    ``ann_pq_adc_topk``'s compressed answer and the EXACT integer squared-
+    L2 top-10 (same micro-quantized components, so the ground truth is
+    bit-stable too).  The honest-measurement companion every approximate
+    operator here carries — a compression knob (M, K) is only tunable
+    when its recall cost is a recorded number, not a hope."""
+    e = load_table(spark, sf_dir, "embeddings")
+    coo = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "v32")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        F.round(F.col("v32").cast("double") * 1e6).cast("bigint").alias("vfix"),
+    )
+    q = coo.where(F.col("vec_id") == 0).select("pos", F.col("vfix").alias("qfix"))
+    d = F.col("vfix") - F.col("qfix")
+    exact = (
+        coo.where(F.col("vec_id") != 0)
+        .join(F.broadcast(q), "pos")
+        .groupBy("vec_id")
+        .agg(F.sum(d * d).alias("d2"))
+        .orderBy("d2", "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    pq = ann_pq_adc_topk(spark, sf_dir).select("vec_id")
+    hits = pq.join(exact, "vec_id").count()
+    return pq.sparkSession.createDataFrame(
+        [(10, hits)], "k int, hits bigint"
+    ).select(F.col("k").cast("int"), F.col("hits").cast("bigint"))
