@@ -50,6 +50,40 @@ from pyspark.sql import functions as F
 _DBL = lambda c: c.cast("double")  # noqa: E731
 
 
+def _write_var_arrays(
+    var: DataFrame, path: str, prefix: str, writable: tuple, comp: dict
+) -> None:
+    """Write a (pos, ...) per-gene annotation frame as ``<prefix><col>``
+    1-D Zarr v2 arrays — driver-side on purpose: var is O(genes), the
+    axis the reference broadcasts too.  Shared by ``to_zarr`` for both
+    the main ``var_*`` columns and the raw snapshot's ``raw_var_*``."""
+    import numpy as np
+
+    from .sources.zarrv2 import _compress, _write_zarray_meta
+
+    rows = var.orderBy("pos").collect()
+    dtypes = dict(var.dtypes)
+    for c in var.columns:
+        t = dtypes[c]
+        if c == "pos" or t not in writable:
+            continue
+        apath = os.path.join(path, f"{prefix}{c}")
+        if t == "string":
+            vals = [(r[c] or "").encode("utf-8") for r in rows]
+            w = max(max((len(v) for v in vals), default=1), 1)
+            npdt = np.dtype(f"S{w}")
+            arr = np.array(vals, dtype=npdt)
+            zdt, fill = f"|S{w}", None
+        else:
+            is_int = t in ("bigint", "int", "smallint", "tinyint", "long")
+            npdt = np.dtype("<i8") if is_int else np.dtype("<f8")
+            arr = np.array([r[c] for r in rows], dtype=npdt)
+            zdt, fill = str(npdt.str), 0
+        _write_zarray_meta(apath, [len(arr)], [max(len(arr), 1)], zdt, comp, fill)
+        with open(os.path.join(apath, "0"), "wb") as f:
+            f.write(_compress(arr.tobytes(order="C"), comp, npdt.itemsize))
+
+
 class AnnFrame:
     """Annotated matrix over Spark DataFrames (see module docstring)."""
 
@@ -86,14 +120,33 @@ class AnnFrame:
         # (row_id, col, v) — always sparse, n_obs² dense would be absurd).
         self.varm: dict[str, DataFrame] = dict(varm) if varm else {}
         self.obsp: dict[str, DataFrame] = dict(obsp) if obsp else {}
+        #: AnnData ``.raw`` — the pre-subset snapshot (X + var at full
+        #: gene width) Scanpy keeps when a recipe filters to HVGs
+        #: (``adata.raw = adata``).  Another AnnFrame sharing this frame's
+        #: obs row space; set via :meth:`with_raw`.
+        self.raw: "AnnFrame | None" = None
 
     def _clone(self) -> "AnnFrame":
         """Copy carrying every component (annotation helpers mutate the
         copy's dicts, never the receiver's)."""
-        return AnnFrame(
+        out = AnnFrame(
             self.x, self.obs, self.var, self.obsm, self.uns, self.layers,
             self.varm, self.obsp,
         )
+        out.raw = self.raw
+        return out
+
+    def with_raw(self, raw: "AnnFrame") -> "AnnFrame":
+        """Snapshot the pre-subset matrix (AnnData ``adata.raw = adata``):
+        ``raw`` shares this frame's obs rows but keeps the FULL gene width
+        (a recipe that subsets to HVGs stores the unsubset frame here so
+        downstream differential expression can still see every gene).
+        Persisted by :meth:`to_zarr` as a ``raw_X`` float64 member plus
+        driver-side ``raw_var_*`` columns; recovered by ``from_zarr`` as
+        ``.raw``."""
+        out = self._clone()
+        out.raw = raw
+        return out
 
     def with_obsm(self, name: str, values: DataFrame) -> "AnnFrame":
         """Annotate a computed per-cell matrix (AnnData ``obsm[name]``):
@@ -273,6 +326,14 @@ class AnnFrame:
                 (F.col("row") + 1).alias("pos"), F.col("value").alias(entry[4:])
             )
             var = col if var is None else var.join(col, "pos")
+        raw_var = None
+        for entry in members:
+            if not entry.startswith("raw_var_"):
+                continue
+            col = _vector(entry).select(
+                (F.col("row") + 1).alias("pos"), F.col("value").alias(entry[8:])
+            )
+            raw_var = col if raw_var is None else raw_var.join(col, "pos")
         # reassemble full rows from (possibly column-chunked) slices
         def _reassemble(slices):
             coo = slices.select(
@@ -376,7 +437,11 @@ class AnnFrame:
 
         attrs = md.get(".zattrs", {}) if md is not None else read_group_attrs(group_path)
         uns = attrs.get("uns", {}) if isinstance(attrs, dict) else {}
-        return cls(x, obs, var, obsm, uns, layers, varm, obsp)
+        out = cls(x, obs, var, obsm, uns, layers, varm, obsp)
+        # raw snapshot (AnnData .raw): a raw_X member + raw_var_* arrays
+        if "raw_X" in members:
+            out.raw = cls(_reassemble(_matrix("raw_X")), None, raw_var)
+        return out
 
     @classmethod
     def from_coo(
@@ -513,34 +578,10 @@ class AnnFrame:
         # arrays (the reference broadcasts var the same way — per-gene data
         # never needs a distributed write)
         if self.var is not None:
-            import numpy as np
-
-            from .sources.zarrv2 import _compress, _write_zarray_meta
-
-            rows = self.var.orderBy("pos").collect()
-            var_cols = [
-                c for c, t in self.var.dtypes if c != "pos" and t in writable
-            ]
-            comp = kw.get("compressor", {"id": "zlib", "level": 1})
-            for c in var_cols:
-                t = dict(self.var.dtypes)[c]
-                apath = os.path.join(path, f"var_{c}")
-                if t == "string":
-                    vals = [(r[c] or "").encode("utf-8") for r in rows]
-                    w = max(max((len(v) for v in vals), default=1), 1)
-                    npdt = np.dtype(f"S{w}")
-                    arr = np.array(vals, dtype=npdt)
-                    zdt, fill = f"|S{w}", None
-                else:
-                    is_int = t in ("bigint", "int", "smallint", "tinyint", "long")
-                    npdt = np.dtype("<i8") if is_int else np.dtype("<f8")
-                    arr = np.array([r[c] for r in rows], dtype=npdt)
-                    zdt, fill = str(npdt.str), 0
-                _write_zarray_meta(
-                    apath, [len(arr)], [max(len(arr), 1)], zdt, comp, fill
-                )
-                with open(os.path.join(apath, "0"), "wb") as f:
-                    f.write(_compress(arr.tobytes(order="C"), comp, npdt.itemsize))
+            _write_var_arrays(
+                self.var, path, "var_", writable,
+                kw.get("compressor", {"id": "zlib", "level": 1}),
+            )
         # obsm members: computed per-cell matrices (X_pca / X_umap ...) as
         # 2-D float64 obsm_<name> arrays — distributed chunk writes like X
         # (r14 verdict #1: the write→compute→write cycle the notebook
@@ -606,6 +647,24 @@ class AnnFrame:
                     )
             if self.uns:
                 write_group_attrs(path, {"uns": self.uns})
+        # raw: the pre-subset snapshot (AnnData ``.raw``) — a full-width
+        # float64 raw_X member (same distributed chunk writer; one row per
+        # cell, width independent of X's) plus driver-side raw_var_* arrays.
+        if self.raw is not None:
+            from .sources.zarrv2 import _DEFAULT_COMPRESSOR, write_zarr_obsm_member
+
+            write_zarr_obsm_member(
+                self.raw.x.select("row_id", "values"),
+                os.path.join(path, "raw_X"),
+                int(info["shape"][0]),
+                rows_per_chunk=rows_per_chunk,
+                compressor=kw.get("compressor", _DEFAULT_COMPRESSOR),
+            )
+            if self.raw.var is not None:
+                _write_var_arrays(
+                    self.raw.var, path, "raw_var_", writable,
+                    kw.get("compressor", {"id": "zlib", "level": 1}),
+                )
         return info
 
     def reindex(self) -> "AnnFrame":

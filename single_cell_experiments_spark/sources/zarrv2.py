@@ -1035,3 +1035,75 @@ def zarr_obsp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.lit(uns_k).cast("int").alias("uns_k"),
     )
+
+
+_ZARR_RAW_ORACLE = """
+SELECT vec_id, pos, v, 'g' || CAST(pos AS VARCHAR) AS gname, 8 AS x_width
+FROM (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+         round(CAST(unnest(embedding) AS DOUBLE), 6) AS v
+  FROM embeddings
+)
+"""
+
+
+@query(
+    "zarr_raw_roundtrip",
+    oracle=_ZARR_RAW_ORACLE,
+    tags=("sources", "zarr", "api", "raw"),
+    cache=False,
+)
+def zarr_raw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AnnData ``.raw`` through the v2 group end to end (r15 — the last
+    schema component): mirror the Scanpy recipe flow ``adata.raw = adata``
+    → subset to HVGs — snapshot the FULL 64-gene matrix (with a per-gene
+    string name column in raw.var) via ``with_raw``, subset the main X to
+    its first 8 genes, ``to_zarr`` (raw lands as a full-width float64
+    ``raw_X`` member + driver-side ``raw_var_*`` arrays beside the
+    narrow main X), consolidate, ``from_zarr``, and emit the recovered
+    raw COO joined to its recovered gene names, with the recovered main
+    X width as a pinned column.  Pins that subsetting does NOT lose the
+    pre-subset matrix — the exact fidelity AnnData's .raw exists for."""
+    import tempfile
+
+    from ..api import AnnFrame
+
+    e = load_table(spark, sf_dir, "embeddings")
+    full = AnnFrame.from_table(e)
+    raw_var = (
+        full.x.select(F.explode(F.sequence(F.lit(1), F.size("values"))).alias("pos"))
+        .distinct()
+        .select("pos", F.concat(F.lit("g"), F.col("pos").cast("string")).alias("gname"))
+    )
+    raw = AnnFrame(
+        full.x.select(
+            "row_id",
+            F.transform("values", lambda v: F.round(v, 6)).alias("values"),
+        ),
+        None,
+        raw_var,
+    )
+    main = AnnFrame(
+        full.x.select("row_id", F.slice("values", 1, 8).alias("values"))
+    ).with_raw(raw)
+    store = os.path.join(
+        tempfile.gettempdir(),
+        f"sce_zarr_raw_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    main.to_zarr(store)
+    consolidate_metadata(store)
+    back = AnnFrame.from_zarr(spark, store)
+    x_width = int(back.x.agg(F.max(F.size("values"))).collect()[0][0])
+    coo = back.raw.x.select(
+        F.col("row_id").alias("vec_id"),
+        F.posexplode("values").alias("p0", "v"),
+    ).select("vec_id", (F.col("p0") + 1).cast("bigint").alias("pos"), "v")
+    return coo.join(back.raw.var.withColumnRenamed("pos", "vpos"),
+                    coo.pos == F.col("vpos"), "inner").select(
+        "vec_id",
+        "pos",
+        "v",
+        "gname",
+        F.lit(x_width).cast("int").alias("x_width"),
+    )

@@ -923,3 +923,33 @@ def test_concat_pools_frames_with_batch_labels(spark):
         AnnFrame.concat([fa, narrow])
     with pytest.raises(ValueError, match="batch_categories"):
         AnnFrame.concat([fa, fb], batch_categories=["one"])
+
+
+def test_raw_snapshot_survives_subset_and_roundtrip(spark, tmp_path):
+    """r15: AnnData .raw — the HVG-subset flow keeps the full-width
+    matrix: adata.raw = adata, subset X, to_zarr, from_zarr recovers both
+    the narrow X and the full raw (with raw's own var columns)."""
+    af = _af(spark)
+    raw_var = (
+        af.x.select(F.explode(F.sequence(F.lit(1), F.size("values"))).alias("pos"))
+        .distinct()
+        .select("pos", (F.col("pos") * 10).alias("score"))
+    )
+    raw = AnnFrame(af.x, None, raw_var)
+    main = AnnFrame(
+        af.x.select("row_id", F.slice("values", 1, 4).alias("values"))
+    ).with_raw(raw)
+    store = str(tmp_path / "raw_store")
+    main.to_zarr(store)
+    back = AnnFrame.from_zarr(spark, store)
+    assert back.raw is not None
+    assert int(back.x.agg(F.max(F.size("values"))).collect()[0][0]) == 4
+    full_w = int(af.x.agg(F.max(F.size("values"))).collect()[0][0])
+    assert int(back.raw.x.agg(F.max(F.size("values"))).collect()[0][0]) == full_w
+    got_var = {int(r["pos"]): int(r["score"]) for r in back.raw.var.collect()}
+    assert got_var == {p: p * 10 for p in range(1, full_w + 1)}
+    # X values are float32-quantized by the dense writer; raw members are
+    # float64 — spot-check one row round-trips raw at full precision
+    want = af.x.where(F.col("row_id") == 0).collect()[0]["values"]
+    got = back.raw.x.where(F.col("row_id") == 0).collect()[0]["values"]
+    assert list(got) == [float(v) for v in want]
