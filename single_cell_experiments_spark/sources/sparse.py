@@ -206,37 +206,103 @@ def write_zarr_csr(
     return {"shape": [n_rows, n_cols], "nnz": nnz, "n_chunks": int(n_chunks)}
 
 
-def read_zarr_csr(spark: SparkSession, group_path: str) -> DataFrame:
-    """Read an AnnData CSR group back to COO ``(row_id, col, v)`` —
-    zeros stay implicit.  Validates the ``csr_matrix`` encoding tag
-    (a dense array or CSC group must not decode as CSR silently)."""
-    with open(os.path.join(group_path, ".zattrs")) as f:
-        attrs = json.load(f)
-    if attrs.get("encoding-type") != _CSR_ATTRS["encoding-type"]:
-        raise ValueError(
-            f"not a csr_matrix group: {group_path} (encoding-type ="
-            f" {attrs.get('encoding-type')!r})"
-        )
-    n_rows, _n_cols = attrs["shape"]
+def _read_compressed_axis(
+    spark: SparkSession, group_path: str, n_major: int
+) -> DataFrame:
+    """Decode an indptr/indices/data triple to ``(major, minor, v)`` —
+    the shared extent-join kernel under both compressed layouts (CSR:
+    major=row; CSC: major=col).  Every step is shuffle-bounded by nnz:
+    the indptr self-join on ``i+1`` is an equi-join (no global window),
+    ``sequence``+``explode`` enumerates each extent's flat positions, and
+    two flat-keyed equi-joins recover the entries."""
     ptr = read_zarr_vector(spark, os.path.join(group_path, "indptr"))
-    starts = ptr.where(F.col("row") < n_rows).select(
-        F.col("row").alias("row_id"), F.col("value").alias("lo")
+    starts = ptr.where(F.col("row") < n_major).select(
+        F.col("row").alias("major"), F.col("value").alias("lo")
     )
     ends = ptr.where(F.col("row") > 0).select(
-        (F.col("row") - 1).alias("row_id"), F.col("value").alias("hi")
+        (F.col("row") - 1).alias("major"), F.col("value").alias("hi")
     )
-    extents = starts.join(ends, "row_id").where(F.col("hi") > F.col("lo"))
+    extents = starts.join(ends, "major").where(F.col("hi") > F.col("lo"))
     flats = extents.select(
-        "row_id",
+        "major",
         F.explode(F.sequence("lo", F.col("hi") - 1)).alias("idx"),
     )
     idxs = read_zarr_vector(spark, os.path.join(group_path, "indices")).select(
-        F.col("row").alias("idx"), F.col("value").alias("col")
+        F.col("row").alias("idx"), F.col("value").alias("minor")
     )
     data = read_zarr_vector(spark, os.path.join(group_path, "data")).select(
         F.col("row").alias("idx"), F.col("value").alias("v")
     )
-    return flats.join(idxs, "idx").join(data, "idx").select("row_id", "col", "v")
+    return flats.join(idxs, "idx").join(data, "idx").select("major", "minor", "v")
+
+
+def _validated_attrs(group_path: str, want: str) -> dict:
+    with open(os.path.join(group_path, ".zattrs")) as f:
+        attrs = json.load(f)
+    if attrs.get("encoding-type") != want:
+        raise ValueError(
+            f"not a {want} group: {group_path} (encoding-type ="
+            f" {attrs.get('encoding-type')!r})"
+        )
+    return attrs
+
+
+def read_zarr_csr(spark: SparkSession, group_path: str) -> DataFrame:
+    """Read an AnnData CSR group back to COO ``(row_id, col, v)`` —
+    zeros stay implicit.  Validates the ``csr_matrix`` encoding tag
+    (a dense array or CSC group must not decode as CSR silently)."""
+    attrs = _validated_attrs(group_path, "csr_matrix")
+    return _read_compressed_axis(spark, group_path, int(attrs["shape"][0])).select(
+        F.col("major").alias("row_id"), F.col("minor").alias("col"), "v"
+    )
+
+
+def read_zarr_csc(spark: SparkSession, group_path: str) -> DataFrame:
+    """Read an AnnData CSC group back to COO ``(row_id, col, v)`` — the
+    column-compressed twin (10x HDF5 matrices ship CSC, so a no-transpose
+    migration wants this layout on the Zarr side too)."""
+    attrs = _validated_attrs(group_path, "csc_matrix")
+    return _read_compressed_axis(spark, group_path, int(attrs["shape"][1])).select(
+        F.col("minor").alias("row_id"), F.col("major").alias("col"), "v"
+    )
+
+
+def write_zarr_csc(
+    coo: DataFrame,
+    group_path: str,
+    n_rows: int,
+    n_cols: int,
+    entries_per_chunk: int = CSR_ENTRIES_PER_CHUNK,
+    compressor: dict | None = _DEFAULT_COMPRESSOR,
+) -> dict:
+    """Write COO ``(row_id, col, v)`` in the AnnData ``csc_matrix`` group
+    encoding: ``indptr`` spans COLUMNS, ``indices`` holds row ids, entries
+    order by (col, row).  Implemented as the CSR writer on the transposed
+    entry stream (identical distributed prefix-sum machinery), then the
+    attrs re-tagged with the csc encoding and the UNtransposed shape —
+    byte-level the members are exactly what the spec says a CSC group
+    holds."""
+    info = write_zarr_csr(
+        coo.select(
+            F.col("col").alias("row_id"), F.col("row_id").alias("col"), "v"
+        ),
+        group_path,
+        n_cols,
+        n_rows,
+        entries_per_chunk=entries_per_chunk,
+        compressor=compressor,
+    )
+    with open(os.path.join(group_path, ".zattrs"), "w") as f:
+        json.dump(
+            {
+                "encoding-type": "csc_matrix",
+                "encoding-version": "0.1.0",
+                "shape": [n_rows, n_cols],
+            },
+            f,
+            sort_keys=True,
+        )
+    return {"shape": [n_rows, n_cols], "nnz": info["nnz"], "n_chunks": info["n_chunks"]}
 
 
 _ZARR_SPARSE_ORACLE = """
@@ -286,6 +352,62 @@ def zarr_sparse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_zarr_csr(coo, store, n, dim)
     back = read_zarr_csr(spark, store)
+    return back.select(
+        F.col("row_id").alias("vec_id"),
+        (F.col("col") + 1).cast("bigint").alias("pos"),
+        F.round("v", 6).alias("v"),
+    )
+
+
+_ZARR_CSC_ORACLE = """
+SELECT vec_id, pos, round(v, 6) AS v
+FROM (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+)
+WHERE v < -0.25
+"""
+
+
+@query(
+    "zarr_csc_roundtrip",
+    oracle=_ZARR_CSC_ORACLE,
+    tags=("sources", "zarr", "sparse", "csc"),
+    cache=False,
+)
+def zarr_csc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AnnData sparse CSC encoding end to end — the column-compressed
+    twin of ``zarr_sparse_roundtrip`` (10x HDF5 ships CSC, so a
+    no-transpose Zarr-side landing wants this layout).  Sparsify the
+    embeddings matrix on the NEGATIVE tail (entries < -0.25 — disjoint
+    from the CSR query's slice, so the two roundtrips cannot mask each
+    other), write the column-majored ``indptr``/``indices``/``data``
+    group via the shared prefix-sum writer on the transposed stream,
+    read it back through the extent-join decoder (major=col), and hash
+    the recovered COO against the oracle's direct sparsification.  The
+    on-disk members are byte-level what the AnnData spec says a
+    ``csc_matrix`` group holds; bytes scale with nnz either way."""
+    import tempfile
+
+    e = load_table(spark, sf_dir, "embeddings")
+    dim = int(e.agg(F.max(F.size("embedding"))).collect()[0][0])
+    n = e.count()
+    coo = (
+        e.select("vec_id", F.posexplode("embedding").alias("p0", "v32"))
+        .select(
+            F.col("vec_id").alias("row_id"),
+            F.col("p0").alias("col"),
+            F.col("v32").cast("double").alias("v"),
+        )
+        .where(F.col("v") < -0.25)
+    )
+    store = os.path.join(
+        tempfile.gettempdir(),
+        f"sce_zarr_csc_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    write_zarr_csc(coo, store, n, dim)
+    back = read_zarr_csc(spark, store)
     return back.select(
         F.col("row_id").alias("vec_id"),
         (F.col("col") + 1).cast("bigint").alias("pos"),

@@ -151,3 +151,62 @@ def test_annframe_sparse_store_roundtrip(spark, tmp_path):
     assert got_sp[1] == [0.0, 0.0, 0.0, 0.0]
     obs = {int(r.row_id): int(r.label) for r in AnnFrame.from_zarr(spark, sp).obs.collect()}
     assert obs == {0: 7, 1: 8, 2: 9}
+
+
+def test_csc_roundtrip_with_all_zero_cols(spark, tmp_path):
+    """CSC twin: cols 1 and 3 have no entries — indptr (which spans
+    COLUMNS here) must carry their empty extents; read returns the
+    original row-space COO untransposed."""
+    from single_cell_experiments_spark.sources.sparse import (
+        read_zarr_csc,
+        write_zarr_csc,
+    )
+
+    trips = [(0, 2, 1.5), (0, 0, -2.0), (2, 2, 0.25), (1, 4, 7.0), (4, 4, 8.0)]
+    store = str(tmp_path / "csc")
+    info = write_zarr_csc(_coo_df(spark, trips), store, n_rows=5, n_cols=5)
+    assert info["nnz"] == 5 and info["shape"] == [5, 5]
+    back = {
+        (int(r.row_id), int(r.col)): float(r.v)
+        for r in read_zarr_csc(spark, store).collect()
+    }
+    assert back == {(r, c): v for r, c, v in trips}
+
+
+def test_csc_on_disk_layout_is_the_anndata_spec(spark, tmp_path):
+    """Hand-decode the members: indptr spans columns (n_cols+1 entries,
+    closes at nnz), indices hold ROW ids sorted within each column,
+    attrs carry the untransposed shape + csc tag."""
+    from single_cell_experiments_spark.sources.sparse import write_zarr_csc
+
+    trips = [(0, 2, 1.5), (2, 0, -2.0), (1, 2, 0.25)]
+    store = str(tmp_path / "csc_spec")
+    write_zarr_csc(_coo_df(spark, trips), store, n_rows=3, n_cols=4)
+    attrs = json.load(open(os.path.join(store, ".zattrs")))
+    assert attrs["encoding-type"] == "csc_matrix"
+    assert attrs["shape"] == [3, 4]
+
+    def arr(name, dt):
+        meta = json.load(open(os.path.join(store, name, ".zarray")))
+        assert meta["dtype"] == dt
+        raw = zlib.decompress(open(os.path.join(store, name, "0"), "rb").read())
+        return np.frombuffer(raw, dtype=np.dtype(dt))[: meta["shape"][0]]
+
+    indptr = arr("indptr", "<i8")
+    indices = arr("indices", "<i8")
+    data = arr("data", "<f8")
+    # col extents: col0 has 1 entry, col1 none, col2 two, col3 none
+    assert indptr.tolist() == [0, 1, 1, 3, 3]
+    assert indices.tolist() == [2, 0, 1]  # rows, sorted within col 2
+    assert data.tolist() == [-2.0, 1.5, 0.25]
+
+
+def test_csc_reader_refuses_csr_group(spark, tmp_path):
+    """The encoding tags are load-bearing both ways: a CSR group must not
+    decode through the CSC reader (the axes would silently swap)."""
+    from single_cell_experiments_spark.sources.sparse import read_zarr_csc
+
+    store = str(tmp_path / "realcsr")
+    write_zarr_csr(_coo_df(spark, [(0, 1, 3.0)]), store, n_rows=2, n_cols=2)
+    with pytest.raises(ValueError, match="not a csc_matrix"):
+        read_zarr_csc(spark, store)
