@@ -224,3 +224,53 @@ def test_graph_search_shape_and_beats_graph_trim(spark):
     # measured 94.5% at sf0.01 (dials docstring); anything under 80% means
     # the walk regressed against the graph it runs on
     assert mean_rec > 800_000, mean_rec
+
+
+def test_ivfpq_family_contracts(spark):
+    """IVFADC invariants: the compressed scan's answers come only from
+    probed lists, ADC scores are nonnegative and tie-deterministically
+    ordered, and the +R rerank can never recall FEWER true neighbors
+    than the pure ADC ranking (its candidate pool is a superset of the
+    ADC top-10, exactness then promotes every true neighbor in it)."""
+    from pyspark.sql import functions as F
+
+    from single_cell_experiments_spark.operators.similarity import (
+        IVFPQ_NPROBE,
+        ann_ivfpq_rerank,
+        ann_ivfpq_search,
+    )
+    from single_cell_experiments_spark.catalog import load_table
+
+    adc = ann_ivfpq_search(spark, SF_DIR).collect()
+    assert len(adc) == 10
+    assert len({int(r.vec_id) for r in adc}) == 10
+    adists = [int(r.adist) for r in adc]
+    assert all(a >= 0 for a in adists) and adists == sorted(adists)
+    assert len({int(r.cell) for r in adc}) <= IVFPQ_NPROBE
+
+    # exact integer-L2 ground truth for vec 0
+    e = load_table(spark, SF_DIR, "embeddings")
+    coo = e.select("vec_id", F.posexplode("embedding").alias("p0", "v32")).select(
+        "vec_id",
+        (F.col("p0") + 1).alias("pos"),
+        F.round(F.col("v32").cast("double") * 1e6).cast("bigint").alias("vfix"),
+    )
+    q = coo.where(F.col("vec_id") == 0).select("pos", F.col("vfix").alias("qfix"))
+    d = F.col("vfix") - F.col("qfix")
+    exact = {
+        int(r.vec_id)
+        for r in coo.where(F.col("vec_id") != 0)
+        .join(F.broadcast(q), "pos")
+        .groupBy("vec_id")
+        .agg(F.sum(d * d).alias("d2"))
+        .orderBy("d2", "vec_id")
+        .limit(10)
+        .collect()
+    }
+    rr = ann_ivfpq_rerank(spark, SF_DIR).collect()
+    assert len(rr) == 10
+    d2s = [int(r.d2) for r in rr]
+    assert d2s == sorted(d2s)
+    adc_hits = len({int(r.vec_id) for r in adc} & exact)
+    rr_hits = len({int(r.vec_id) for r in rr} & exact)
+    assert rr_hits >= adc_hits
