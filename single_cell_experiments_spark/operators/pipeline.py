@@ -667,3 +667,104 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in parts[1:]:
         out = out.unionByName(df)
     return out
+
+
+# --- fixed-length sequence packing (concat-and-chunk) ------------------------
+
+#: tokens per packed training sequence (the trainer's context length).
+SEQ_PACK_LEN = 512
+
+_SEQ_PACK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, length(regexp_extract_all(text, '\\S+')) AS n_tokens
+  FROM documents
+),
+run AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+           - n_tokens AS off
+  FROM toks WHERE n_tokens > 0
+),
+spans AS (
+  SELECT doc_id, off, off + n_tokens AS e,
+         unnest(range(CAST(off // {SEQ_PACK_LEN} AS BIGINT),
+                      CAST((off + n_tokens - 1) // {SEQ_PACK_LEN} + 1 AS BIGINT))) AS seq_id
+  FROM run
+)
+SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+       CAST(greatest(off, seq_id * {SEQ_PACK_LEN})
+            - seq_id * {SEQ_PACK_LEN} AS BIGINT) AS seq_off,
+       CAST(least(e, (seq_id + 1) * {SEQ_PACK_LEN})
+            - greatest(off, seq_id * {SEQ_PACK_LEN}) AS BIGINT) AS n_tok
+FROM spans
+"""
+
+
+@query(
+    "pack_token_sequences",
+    oracle=_SEQ_PACK_ORACLE,
+    tags=("text", "pipeline", "pack"),
+)
+def pack_token_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing — the pretraining layout where
+    every document's tokens join ONE global stream (doc_id order) that
+    is cut into fixed {SEQ_LEN}-token training sequences, documents
+    SPLITTING across cuts (unlike ``shard_pack_by_tokens``, which keeps
+    documents whole).  Output is the sequence composition map the
+    trainer's sampler needs: one row per (sequence, document) span with
+    the span's offset inside the sequence and its token count — Σ n_tok
+    per seq_id is exactly {SEQ_LEN} except the final partial sequence,
+    and attention-mask resets fall out of the seq_off boundaries.
+
+    Scale shape: token offsets ride the same two-level block prefix
+    scan as the shard packer (per-block window + broadcast block-totals
+    prefix — no unpartitioned full-table window); the span explode emits
+    n_docs + n_seqs rows total, and every boundary is integer ``div``
+    arithmetic (exact past 2^53 where a 100 TB corpus lives).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)"))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.expr(f"doc_id div {SHARD_BLOCK}").alias("blk"),
+    ).where(F.col("n_tokens") > 0)
+    block_tot = toks.groupBy("blk").agg(F.sum("n_tokens").alias("btot"))
+    prev_w = W.orderBy("blk").rowsBetween(W.unboundedPreceding, -1)
+    block_prefix = block_tot.select(
+        "blk", F.coalesce(F.sum("btot").over(prev_w), F.lit(0)).alias("prev_tot")
+    )
+    in_blk = (
+        W.partitionBy("blk")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    off = (
+        F.col("prev_tot") + F.sum("n_tokens").over(in_blk) - F.col("n_tokens")
+    ).cast("bigint")
+    L = SEQ_PACK_LEN
+    spans = (
+        toks.join(F.broadcast(block_prefix), "blk")
+        .select("doc_id", "n_tokens", off.alias("off"))
+        .withColumn("e", F.col("off") + F.col("n_tokens"))
+        .select(
+            "doc_id",
+            "off",
+            "e",
+            F.explode(
+                F.sequence(
+                    F.expr(f"off div {L}"), F.expr(f"(e - 1) div {L}")
+                )
+            ).alias("seq_id"),
+        )
+    )
+    seq_start = F.col("seq_id") * L
+    lo = F.greatest(F.col("off"), seq_start)
+    hi = F.least(F.col("e"), seq_start + L)
+    return spans.select(
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        "doc_id",
+        (lo - seq_start).cast("bigint").alias("seq_off"),
+        (hi - lo).cast("bigint").alias("n_tok"),
+    )

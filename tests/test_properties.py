@@ -433,3 +433,52 @@ def test_minih5_roundtrip_property(tmp_path_factory, n, dtype, chunk_len, gzip, 
             lo = int(rng.integers(0, n))
             hi = int(rng.integers(lo, n + 1))
             np.testing.assert_array_equal(f.read_slice("g/d", lo, hi), arr[lo:hi])
+
+
+def test_pack_token_sequences_conserves_and_fills(spark):
+    """Sequence-packing invariants on the real fixture: every sequence
+    except the last fills to exactly SEQ_PACK_LEN tokens, spans within a
+    sequence tile it contiguously from offset 0, each document's spans
+    reassemble its full token count, and the global stream order is
+    doc_id order (a doc's continuation starts at seq_off 0 of the next
+    sequence)."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from single_cell_experiments_spark.catalog import load_table
+    from single_cell_experiments_spark.operators.pipeline import (
+        SEQ_PACK_LEN,
+        pack_token_sequences,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = pack_token_sequences(spark, SF_DIR).collect()
+    assert rows
+    per_seq = defaultdict(list)
+    per_doc = defaultdict(int)
+    for r in rows:
+        per_seq[int(r.seq_id)].append((int(r.seq_off), int(r.n_tok)))
+        per_doc[int(r.doc_id)] += int(r.n_tok)
+    last = max(per_seq)
+    for sid, spans in per_seq.items():
+        spans.sort()
+        assert spans[0][0] == 0, sid
+        for (o1, n1), (o2, _n2) in zip(spans, spans[1:]):
+            assert o1 + n1 == o2, sid  # contiguous tiling, no gaps/overlaps
+        total = sum(n for _o, n in spans)
+        if sid < last:
+            assert total == SEQ_PACK_LEN, (sid, total)
+        else:
+            assert 0 < total <= SEQ_PACK_LEN
+
+    d = load_table(spark, SF_DIR, "documents")
+    truth = {
+        int(r.doc_id): int(r.n)
+        for r in d.select(
+            "doc_id",
+            F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).alias("n"),
+        ).collect()
+        if int(r.n) > 0
+    }
+    assert per_doc == truth
