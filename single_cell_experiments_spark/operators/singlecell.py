@@ -3488,3 +3488,87 @@ def anndata_concat_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("v", 6).alias("v"),
         )
     )
+
+
+# --- pseudobulk aggregation (sc.get.aggregate) -------------------------------
+
+
+def _sc_pseudobulk_oracle() -> str:
+    """Community chain (the full LPA oracle, nested as one CTE) joined
+    back to the micro-quantized COO matrix and aggregated per
+    (community, gene) in exact BIGINT arithmetic — the mean is integer
+    half-away-from-zero division (all operands nonnegative inside the
+    floor-div, where DuckDB ``//`` and Spark ``div`` agree), so no float
+    quotient ever meets a rounding boundary."""
+    return f"""
+WITH comm AS MATERIALIZED ({_sc_lpa_oracle()}),
+coo AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS v6
+  FROM embeddings
+),
+agg AS (
+  SELECT cm.community, CAST(coo.pos AS BIGINT) AS pos,
+         CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST(SUM(v6) AS BIGINT) AS sum_e6
+  FROM coo JOIN comm cm ON cm.vec_id = coo.vec_id
+  GROUP BY cm.community, coo.pos
+)
+SELECT community, pos, n_cells, sum_e6,
+       CAST(CASE WHEN sum_e6 < 0 THEN -1 ELSE 1 END
+            * ((2 * abs(sum_e6) + n_cells) // (2 * n_cells)) AS BIGINT) AS mean_e6
+FROM agg
+"""
+
+
+@query(
+    "sc_pseudobulk",
+    oracle=_sc_pseudobulk_oracle(),
+    tags=("singlecell", "agg", "clustering"),
+)
+def sc_pseudobulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudobulk expression profiles — the ``sc.get.aggregate`` /
+    ``adata.X``-per-cluster step every downstream differential-expression
+    and annotation flow starts from: after community detection, collapse
+    the cell×gene matrix to one profile per (community, gene) with the
+    member count, micro-fixed-point sum and mean expression.
+
+    Composes the registered ``sc_communities`` LPA labels with the raw
+    COO matrix: one equi-join on vec_id + one (community, pos)-keyed
+    partial/final aggregation — at 100 TB this is a map-side-combined
+    shuffle of O(communities × genes) output rows, the canonical
+    "billions of cells in, kilobytes of profile out" reduction.  All
+    arithmetic is exact BIGINT micros; the mean is integer
+    half-away-from-zero division (operands made nonnegative first, the
+    regime where DuckDB ``//`` floor and Spark ``div`` truncation
+    coincide), so the hash cannot drift on a rounding tie the way a
+    float quotient can.  The oracle nests the full unrolled LPA chain
+    and mirrors the join.
+    """
+    comm = sc_communities(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    x6 = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "v32")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        F.round(F.col("v32").cast("double") * 1e6).cast("bigint").alias("v6"),
+    )
+    agg = (
+        x6.join(comm, "vec_id")
+        .groupBy("community", "pos")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum("v6").cast("bigint").alias("sum_e6"),
+        )
+    )
+    sign = F.when(F.col("sum_e6") < 0, F.lit(-1)).otherwise(F.lit(1))
+    return agg.select(
+        "community",
+        "pos",
+        "n_cells",
+        "sum_e6",
+        (sign * F.expr("(2 * abs(sum_e6) + n_cells) div (2 * n_cells)"))
+        .cast("bigint")
+        .alias("mean_e6"),
+    )

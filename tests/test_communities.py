@@ -133,3 +133,35 @@ def test_dedup_communities_refine_components(spark):
         spread[lbl].add(comp[d])
     assert all(len(v) == 1 for v in spread.values())
     assert len(set(comm.values())) >= len(set(comp.values()))
+
+
+def test_pseudobulk_profiles_cover_all_cells_and_means_are_exact(spark):
+    """Pseudobulk invariants: every community×gene cell appears exactly
+    once, member counts per community are constant across genes and sum
+    to the cell total, and the integer mean is the half-away-from-zero
+    rounding of sum/n (|2·sum − 2·n·mean| ≤ n)."""
+    from pyspark.sql import functions as F
+
+    from single_cell_experiments_spark.catalog import load_table
+    from single_cell_experiments_spark.operators.singlecell import sc_pseudobulk
+    from tests.conftest import SF_DIR
+
+    rows = sc_pseudobulk(spark, SF_DIR).collect()
+    assert rows
+    e = load_table(spark, SF_DIR, "embeddings")
+    n_cells = e.count()
+    dim = int(e.agg(F.max(F.size("embedding"))).collect()[0][0])
+
+    seen = set()
+    comm_counts = {}
+    for r in rows:
+        key = (int(r.community), int(r.pos))
+        assert key not in seen
+        seen.add(key)
+        c = comm_counts.setdefault(int(r.community), int(r.n_cells))
+        assert c == int(r.n_cells), "count varies across genes"
+        s, n, m = int(r.sum_e6), int(r.n_cells), int(r.mean_e6)
+        assert abs(2 * s - 2 * n * m) <= n, (s, n, m)
+        assert (m >= 0) == (s >= 0) or m == 0
+    assert sum(comm_counts.values()) == n_cells
+    assert len(rows) == len(comm_counts) * dim
