@@ -3572,3 +3572,143 @@ def sc_pseudobulk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mean_e6"),
     )
+
+
+# --- doublet detection (Scrublet-style simulate-and-score) -------------------
+
+#: neighbors scored per cell in the doublet kNN (Scrublet's k).
+SC_DOUBLET_K = 10
+
+_DBL_A6 = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"
+
+
+def _sc_doublet_oracle() -> str:
+    d2 = """CAST(list_aggregate(list_transform(range(1, len(q.arr) + 1),
+         i -> (q.arr[i] - c.arr[i]) * (q.arr[i] - c.arr[i])), 'sum') AS BIGINT)"""
+    return f"""
+WITH members AS MATERIALIZED (
+  SELECT vec_id, label, {_DBL_A6} AS a6,
+         row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn,
+         COUNT(*) OVER (PARTITION BY label) AS cnt
+  FROM embeddings
+),
+reals AS (
+  SELECT label, vec_id AS cand_id, 0 AS is_dbl,
+         list_transform(a6, x -> 2 * x) AS arr
+  FROM members
+),
+dbls AS (
+  SELECT a.label, a.vec_id AS cand_id, 1 AS is_dbl,
+         list_transform(range(1, len(a.a6) + 1), i -> a.a6[i] + b.a6[i]) AS arr
+  FROM members a
+  JOIN members b ON b.label = a.label AND b.rn = a.rn % a.cnt + 1
+  WHERE a.cnt >= 2
+),
+cand AS (SELECT * FROM reals UNION ALL SELECT * FROM dbls),
+q AS (
+  SELECT vec_id, label, list_transform(a6, x -> 2 * x) AS arr FROM members
+),
+scored AS (
+  SELECT q.vec_id, c.is_dbl,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {d2}, c.is_dbl, c.cand_id
+         ) AS rk
+  FROM q JOIN cand c ON c.label = q.label
+  WHERE NOT (c.is_dbl = 0 AND c.cand_id = q.vec_id)
+)
+SELECT vec_id, CAST(SUM(is_dbl) AS BIGINT) AS n_dbl,
+       CAST(COUNT(*) AS BIGINT) AS k_eff
+FROM scored WHERE rk <= {SC_DOUBLET_K}
+GROUP BY vec_id
+"""
+
+
+@query(
+    "sc_doublet_score",
+    oracle=_sc_doublet_oracle(),
+    tags=("singlecell", "qc", "knn"),
+)
+def sc_doublet_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doublet detection, Scrublet-style (Wolock et al. 2019, public
+    method): SIMULATE doublets by averaging pairs of observed cells,
+    then score every cell by how many of its k nearest neighbors are
+    simulated rather than real — cells whose neighborhoods fill with
+    simulations look like two-cell droplets.
+
+    Deterministic re-expression: parents are the ring pairing inside
+    each label block (cell at rank r with rank r%cnt+1, vec_id order —
+    seed-free, both engines derive it identically); the doublet vector
+    is the parent SUM in micro ints while real cells are DOUBLED, so
+    the average never divides (2× space keeps every distance an exact
+    BIGINT).  kNN runs inside the label block over reals ∪ simulations
+    (self excluded), k={SC_DOUBLET_K}, ties by (d2, is_dbl, cand_id).
+    Output: per cell, the doublet count among its k neighbors and the
+    effective k (smaller only in blocks with < k+1 candidates).
+
+    Scale shape: the label block is the same Σ(block²) bound as the IVF
+    candidate generator — never all-pairs across blocks; the simulation
+    is one ring self-join (O(n) rows); the score is a block-keyed join
+    + bounded per-cell window.  Production swaps the label for IVF
+    cells at finer grain — same plug point as ``sc_neighbor_edges``."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a6 = F.expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
+    members = e.select(
+        "vec_id",
+        "label",
+        a6.alias("a6"),
+        F.row_number()
+        .over(W.partitionBy("label").orderBy("vec_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("label")).alias("cnt"),
+    )
+    members = materialize(members)
+    reals = members.select(
+        "label",
+        F.col("vec_id").alias("cand_id"),
+        F.lit(0).alias("is_dbl"),
+        F.expr("transform(a6, x -> 2 * x)").alias("arr"),
+    )
+    b = members.select(
+        F.col("label").alias("blabel"),
+        F.col("rn").alias("brn"),
+        F.col("a6").alias("b6"),
+    )
+    dbls = (
+        members.where(F.col("cnt") >= 2)
+        .join(
+            b,
+            (F.col("blabel") == F.col("label"))
+            & (F.col("brn") == F.col("rn") % F.col("cnt") + 1),
+        )
+        .select(
+            "label",
+            F.col("vec_id").alias("cand_id"),
+            F.lit(1).alias("is_dbl"),
+            F.expr("zip_with(a6, b6, (x, y) -> x + y)").alias("arr"),
+        )
+    )
+    cand = reals.unionByName(dbls)
+    q = members.select(
+        "vec_id", "label", F.expr("transform(a6, x -> 2 * x)").alias("qarr")
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(qarr, arr, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    scored = (
+        q.join(cand, "label")
+        .where(~((F.col("is_dbl") == 0) & (F.col("cand_id") == F.col("vec_id"))))
+        .select("vec_id", "is_dbl", d2.alias("d2"), "cand_id")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy("d2", "is_dbl", "cand_id")
+            ),
+        )
+        .where(F.col("rk") <= SC_DOUBLET_K)
+    )
+    return scored.groupBy("vec_id").agg(
+        F.sum("is_dbl").cast("bigint").alias("n_dbl"),
+        F.count(F.lit(1)).cast("bigint").alias("k_eff"),
+    )

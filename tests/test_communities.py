@@ -165,3 +165,36 @@ def test_pseudobulk_profiles_cover_all_cells_and_means_are_exact(spark):
         assert (m >= 0) == (s >= 0) or m == 0
     assert sum(comm_counts.values()) == n_cells
     assert len(rows) == len(comm_counts) * dim
+
+
+def test_doublet_score_contract(spark):
+    """Doublet-score invariants: one row per cell, 0 <= n_dbl <= k_eff
+    <= k, k_eff = k wherever the label block offers >= k+1 candidates,
+    and the simulations are actually competitive (some cell sees a
+    simulated doublet among its neighbors)."""
+    from pyspark.sql import functions as F
+
+    from single_cell_experiments_spark.catalog import load_table
+    from single_cell_experiments_spark.operators.singlecell import (
+        SC_DOUBLET_K,
+        sc_doublet_score,
+    )
+
+    rows = sc_doublet_score(spark, SF_DIR).collect()
+    e = load_table(spark, SF_DIR, "embeddings")
+    n = e.count()
+    assert len(rows) == n
+    assert len({int(r.vec_id) for r in rows}) == n
+    blocks = {
+        int(r.label): int(r.c)
+        for r in e.groupBy("label").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    lbl = {int(r.vec_id): int(r.label) for r in e.select("vec_id", "label").collect()}
+    for r in rows:
+        nd, ke = int(r.n_dbl), int(r.k_eff)
+        assert 0 <= nd <= ke <= SC_DOUBLET_K
+        cnt = blocks[lbl[int(r.vec_id)]]
+        cands = (2 * cnt if cnt >= 2 else cnt) - 1
+        if cands >= SC_DOUBLET_K:
+            assert ke == SC_DOUBLET_K
+    assert any(int(r.n_dbl) > 0 for r in rows), "no simulation ever ranked"
