@@ -2271,3 +2271,87 @@ def twap_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dwell_s",
         "twap_c",
     )
+
+
+# --- per-key OLS trend (closed-form regression) ------------------------------
+
+_TREND_ORACLE = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS xs,
+         CAST(round(value * 100) AS BIGINT) AS yc
+  FROM events
+),
+base AS (SELECT user_id, MIN(xs) AS x0 FROM ev GROUP BY user_id),
+c AS (
+  SELECT e.user_id, e.xs - b.x0 AS x, e.yc AS y
+  FROM ev e JOIN base b USING (user_id)
+),
+s AS (
+  SELECT user_id, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM c GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       CAST(n * sxy - sx * sy AS BIGINT) AS num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS den,
+       CAST(CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END
+            * ((2000 * abs(n * sxy - sx * sy) + (n * sxx - sx * sx))
+               // (2 * (n * sxx - sx * sx))) AS BIGINT) AS slope_e3
+FROM s WHERE n * sxx - sx * sx > 0
+"""
+
+
+@query("trend_user_value", oracle=_TREND_ORACLE, tags=("timeseries", "regression"))
+def trend_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear trend of event value over time — closed-form OLS
+    from sufficient statistics (n, Σx, Σy, Σx², Σxy), the per-entity
+    drift detector that flags decaying/ramping behavior without any
+    iterative fit.
+
+    Exactness: x is epoch seconds CENTERED on the user's first event
+    (two-pass min-join — centering is what keeps Σx² inside BIGINT;
+    raw 2024 epochs squared overflow 64 bits by 10×), y is integer
+    cents.  The slope numerator/denominator are then exact BIGINT
+    rationals, emitted as-is, plus a half-away-from-zero integer
+    quotient at e3 (the nonneg-operand div regime both engines share).
+    Single-point users (den = 0) are excluded — no NULL-vs-0 ambiguity.
+
+    Scale shape: two user-keyed hash aggregations and one equi-join,
+    all map-side combinable, output O(users).  The bound story is in
+    the docstring because it matters at 100 TB: |num| ≤ n²·x̄·ȳ — for
+    longer histories production re-centers per window or scales x to
+    hours; the arithmetic is the same."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts_s").alias("xs"),
+        F.round(F.col("value") * 100).cast("bigint").alias("yc"),
+    )
+    base = ev.groupBy("user_id").agg(F.min("xs").alias("x0"))
+    c = ev.join(base, "user_id").select(
+        "user_id", (F.col("xs") - F.col("x0")).alias("x"), F.col("yc").alias("y")
+    )
+    s = c.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        s.select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n_events"),
+            num.cast("bigint").alias("num"),
+            den.cast("bigint").alias("den"),
+        )
+        .where(F.col("den") > 0)
+        .withColumn(
+            "slope_e3",
+            (
+                F.when(F.col("num") < 0, F.lit(-1)).otherwise(F.lit(1))
+                * F.expr("(2000 * abs(num) + den) div (2 * den)")
+            ).cast("bigint"),
+        )
+    )

@@ -101,3 +101,46 @@ def test_gap_fill_linear_matches_local_recompute(spark):
             saw_negative_slope = saw_negative_slope or nv < pv
     # The dataset must actually exercise the negative-numerator branch.
     assert saw_negative_slope
+
+
+def test_trend_slope_matches_numpy_polyfit(spark):
+    """The exact rational (num, den) must equal numpy's closed-form OLS
+    slope on the same centered integer data, and slope_e3 must be its
+    half-away-from-zero e3 rounding."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from single_cell_experiments_spark.catalog import load_table
+    from single_cell_experiments_spark.operators.advanced import trend_user_value
+    from tests.conftest import SF_DIR
+
+    got = {int(r.user_id): r for r in trend_user_value(spark, SF_DIR).collect()}
+    assert got
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "ts_s", F.round(F.col("value") * 100).cast("bigint").alias("yc"))
+        .collect()
+    )
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(int(r.user_id), []).append((int(r.ts_s), int(r.yc)))
+    checked = 0
+    for uid, pts in by_user.items():
+        x0 = min(x for x, _ in pts)
+        x = np.array([p[0] - x0 for p in pts], dtype=object)
+        y = np.array([p[1] for p in pts], dtype=object)
+        n = len(pts)
+        num = n * int((x * y).sum()) - int(x.sum()) * int(y.sum())
+        den = n * int((x * x).sum()) - int(x.sum()) ** 2
+        if den == 0:
+            assert uid not in got
+            continue
+        r = got[uid]
+        assert (int(r.num), int(r.den), int(r.n_events)) == (num, den, n)
+        sign = -1 if num < 0 else 1
+        assert int(r.slope_e3) == sign * ((2000 * abs(num) + den) // (2 * den))
+        # cross-check against float OLS within e3 quantization
+        slope = np.polyfit([float(v) for v in x], [float(v) for v in y], 1)[0]
+        assert abs(slope - int(r.slope_e3) / 1000.0) <= 0.002 + 1e-6 * abs(slope)
+        checked += 1
+    assert checked > 0
