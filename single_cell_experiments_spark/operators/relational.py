@@ -1185,3 +1185,87 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select("o_custkey", "o_orderkey", day_n.alias("day_n")).withColumn(
         "orders_trailing_30d", F.count(F.lit(1)).over(w).cast("bigint")
     )
+
+
+# --- TPC-H Q6 / Q14 shapes ---------------------------------------------------
+
+_Q6_ORACLE = """
+SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+       / 10000.0 AS revenue,
+       COUNT(*) AS cnt
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("q6_forecast_revenue", oracle=_Q6_ORACLE, tags=("relational", "agg", "tpch"))
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — the pure filter-aggregate probe: three pushed
+    predicates, two read columns beyond the filters, ONE output row.
+    The query exists to keep the scan honest: `.explain` must show all
+    three filters in PushedFilters and a two-column ReadSchema; any plan
+    that reads more is leaving 100 TB of skipped IO on the table.
+    Revenue is Σ price·discount in exact cents×cents integer units
+    (identical literal doubles parse identically in both engines, so the
+    float BETWEEN is deterministic); COUNT rides along so the row is
+    non-vacuous even if a filter change empties the band."""
+    li = table_view(spark, sf_dir, "lineitem")
+    return spark.sql(f"""
+        SELECT CAST(SUM(FLOOR(l_extendedprice * 100 + 0.5D)
+                     * FLOOR(l_discount * 100 + 0.5D)) AS DOUBLE)
+               / 10000.0D AS revenue,
+               COUNT(1) AS cnt
+        FROM {li}
+        WHERE l_shipdate >= CAST('1996-01-01' AS TIMESTAMP_NTZ)
+          AND l_shipdate < CAST('1997-01-01' AS TIMESTAMP_NTZ)
+          AND l_discount BETWEEN 0.05D AND 0.07D
+          AND l_quantity < 24
+    """)
+
+
+_Q14_ORACLE = """
+WITH rev AS (
+  SELECT CAST(round(l.l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS r,
+         p.p_type
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+    AND l.l_shipdate < TIMESTAMP '1996-04-01'
+)
+SELECT round(100.0 * CAST(SUM(CASE WHEN p_type = 'ECONOMY' THEN r ELSE 0 END)
+                     AS DOUBLE)
+             / CAST(SUM(r) AS DOUBLE), 6) AS economy_share_pct,
+       CAST(SUM(r) AS DOUBLE) / 10000.0 AS total_rev
+FROM rev
+"""
+
+
+@query("q14_type_revenue_share", oracle=_Q14_ORACLE, tags=("relational", "join", "tpch"))
+def q14_type_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promo-revenue share, on this schema's ECONOMY
+    type): one month of lineitem joins the part dimension, a CASE
+    splits revenue by type, and the answer is one percentage row.
+    The plan to demand at scale: date filter pushed to the fact scan,
+    part BROADCAST (dimension ≪ fact at every SF), conditional and
+    total sums in the SAME aggregate pass — exact integer cents until
+    the single final division."""
+    li = table_view(spark, sf_dir, "lineitem")
+    pt = table_view(spark, sf_dir, "part")
+    return spark.sql(f"""
+        SELECT round(100.0D * CAST(SUM(CASE WHEN p_type = 'ECONOMY' THEN r ELSE 0 END)
+                     AS DOUBLE)
+                 / CAST(SUM(r) AS DOUBLE), 6) AS economy_share_pct,
+               CAST(SUM(r) AS DOUBLE) / 10000.0D AS total_rev
+        FROM (
+            SELECT FLOOR(l.l_extendedprice * 100 + 0.5D)
+                   * (100 - FLOOR(l.l_discount * 100 + 0.5D)) AS r,
+                   p.p_type
+            FROM {li} l JOIN {pt} p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= CAST('1996-03-01' AS TIMESTAMP_NTZ)
+              AND l.l_shipdate < CAST('1996-04-01' AS TIMESTAMP_NTZ)
+        )
+    """)
