@@ -718,3 +718,125 @@ def real_audio_meta(blobs: DataFrame) -> DataFrame:
             )
 
     return blobs.mapInPandas(_batches, schema=_REAL_AUDIO_SCHEMA)
+
+
+# --- perceptual image dedup (dHash over the REAL BMP decode path) ------------
+
+#: distinct synthetic images (doc_id mod this shares one image) — gives the
+#: dedup stage real buckets to collapse.
+_DHASH_GROUPS = 16
+
+_DHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("dhash_hi", LongType()),
+        StructField("dhash_lo", LongType()),
+    ]
+)
+
+
+def _dhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per doc: synthesize its 9×8 image from the closed-form pixel
+    formula, round-trip it through the REAL BMP encoder/decoder, and
+    compute the 64-bit difference hash from the DECODED pixels (row-wise
+    left<right comparisons), returned as two 32-bit halves so the value
+    never touches the BIGINT sign bit."""
+    import numpy as np
+
+    i_idx, j_idx = np.meshgrid(np.arange(8), np.arange(9), indexing="ij")
+
+    def one_hash(g: int) -> tuple[int, int]:
+        v = ((((g * 31 + i_idx * 7 + j_idx * 13) * _H_MULT) % _H_MOD) // 8192) % 256
+        img = np.repeat(v.astype(np.uint8)[:, :, None], 3, axis=2)
+        dec = _decode_bmp(encode_bmp(img))
+        gray = dec["pixels"][:, :, 0].astype(np.int64)
+        bits = (gray[:, :8] < gray[:, 1:]).astype(np.int64)
+        flat = bits.reshape(-1)  # bit index = i*8 + j
+        lo = int((flat[:32] << np.arange(32, dtype=np.int64)).sum())
+        hi = int((flat[32:] << np.arange(32, dtype=np.int64)).sum())
+        return hi, lo
+
+    table = dict(enumerate(one_hash(g) for g in range(_DHASH_GROUPS)))
+    for pdf in batches:
+        g = (pdf["doc_id"] % _DHASH_GROUPS).astype("int64")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "dhash_hi": g.map(lambda x: table[int(x)][0]),
+                "dhash_lo": g.map(lambda x: table[int(x)][1]),
+            }
+        )
+
+
+_DHASH_ORACLE = f"""
+WITH grid AS (
+  SELECT g.range AS g, i.range AS i, j.range AS j,
+         ((g.range * 31 + i.range * 7 + j.range * 13) * {_H_MULT})
+           % {_H_MOD} // 8192 % 256 AS v
+  FROM range({_DHASH_GROUPS}) g, range(8) i, range(9) j
+),
+bits AS (
+  SELECT a.g, a.i, a.j, CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
+  FROM grid a JOIN grid b ON b.g = a.g AND b.i = a.i AND b.j = a.j + 1
+  WHERE a.j < 8
+),
+hashes AS (
+  SELECT g,
+         CAST(SUM(CASE WHEN i * 8 + j >= 32
+                       THEN bit * (CAST(1 AS BIGINT) << (i * 8 + j - 32))
+                       ELSE 0 END) AS BIGINT) AS dhash_hi,
+         CAST(SUM(CASE WHEN i * 8 + j < 32
+                       THEN bit * (CAST(1 AS BIGINT) << (i * 8 + j))
+                       ELSE 0 END) AS BIGINT) AS dhash_lo
+  FROM bits GROUP BY g
+),
+docs AS (
+  SELECT doc_id, doc_id % {_DHASH_GROUPS} AS g FROM documents
+)
+SELECT d.doc_id, h.dhash_hi, h.dhash_lo,
+       CAST(MIN(d.doc_id) OVER (PARTITION BY h.dhash_hi, h.dhash_lo)
+            AS BIGINT) AS keeper,
+       CAST(COUNT(*) OVER (PARTITION BY h.dhash_hi, h.dhash_lo)
+            AS BIGINT) AS n_bucket
+FROM docs d JOIN hashes h ON h.g = d.g
+"""
+
+
+@query(
+    "multimodal_image_dhash_dedup",
+    oracle=_DHASH_ORACLE,
+    tags=("multimodal", "dedup", "udf"),
+)
+def multimodal_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup: difference hash (dHash — the classic
+    public perceptual fingerprint: 9×8 grayscale, bit per left<right
+    neighbor comparison, 64 bits) computed INSIDE an Arrow
+    ``mapInPandas`` stage whose pixels really round-trip the BMP
+    encoder/decoder — the decode path is the production shape, not
+    arithmetic on metadata — then exact-hash bucket grouping with a
+    min-doc keeper, the image twin of ``dedup_exact``.
+
+    Determinism contract (house style): each doc's image derives from a
+    closed-form integer pixel formula on ``doc_id mod {_DHASH_GROUPS}``,
+    so the DuckDB oracle reproduces the HASHES from the formula alone
+    while the Spark path proves the byte-level decode produces the same
+    pixels.  Hash emitted as two 32-bit halves — bit 63 would overflow
+    a signed BIGINT sum.
+
+    Scale shape: hash = embarrassingly parallel decode scan (no
+    shuffle); grouping = one (hi, lo)-keyed window — identical cost
+    profile to exact text dedup.  On real corpora the formula is
+    replaced by the stored blob and near-dup matching adds a banded
+    Hamming join (the SimHash machinery, unchanged)."""
+    blobs = _blobs(spark, sf_dir)
+    hashed = blobs.mapInPandas(_dhash_batches, schema=_DHASH_SCHEMA)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("dhash_hi", "dhash_lo")
+    return hashed.select(
+        "doc_id",
+        "dhash_hi",
+        "dhash_lo",
+        F.min("doc_id").over(w).cast("bigint").alias("keeper"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_bucket"),
+    )

@@ -324,3 +324,50 @@ def test_real_decode_runs_distributed_over_png_blobs(spark):
             3,
         )
         assert int(r["sum_px"]) == int(px.sum(dtype="int64"))
+
+
+def test_dhash_is_computed_from_decoded_pixels(spark):
+    """The dHash must be a function of the DECODED image, not the doc id:
+    perturbing one pixel before encode flips the corresponding comparison
+    bit, and the registered query's buckets partition doc_ids by
+    doc_id % 16 with a min keeper."""
+    import numpy as np
+
+    from single_cell_experiments_spark.operators.multimodal import (
+        _DHASH_GROUPS,
+        _H_MOD,
+        _H_MULT,
+        _decode_bmp,
+        encode_bmp,
+        multimodal_image_dhash_dedup,
+    )
+    from tests.conftest import SF_DIR
+
+    i_idx, j_idx = np.meshgrid(np.arange(8), np.arange(9), indexing="ij")
+
+    def bits_of(img):
+        gray = _decode_bmp(encode_bmp(img))["pixels"][:, :, 0].astype(np.int64)
+        return tuple((gray[:, :8] < gray[:, 1:]).astype(int).reshape(-1))
+
+    v = ((((3 * 31 + i_idx * 7 + j_idx * 13) * _H_MULT) % _H_MOD) // 8192) % 256
+    img = np.repeat(v.astype(np.uint8)[:, :, None], 3, axis=2)
+    b0 = bits_of(img)
+    img2 = img.copy()
+    img2[0, 0, :] = 255 - img2[0, 0, :]  # flip one pixel hard
+    assert bits_of(img2) != b0, "hash ignored the decoded pixels"
+
+    rows = multimodal_image_dhash_dedup(spark, SF_DIR).collect()
+    assert rows
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault((int(r.dhash_hi), int(r.dhash_lo)), []).append(r)
+    assert len(by_bucket) <= _DHASH_GROUPS
+    for members in by_bucket.values():
+        ids = sorted(int(m.doc_id) for m in members)
+        assert {int(m.keeper) for m in members} == {ids[0]}
+        assert all(int(m.n_bucket) == len(members) for m in members)
+        # buckets are unions of whole doc_id%16 groups (perceptual
+        # collisions may merge two formula groups — that IS the point)
+        groups = {i % _DHASH_GROUPS for i in ids}
+        assert all((int(m.doc_id) % _DHASH_GROUPS) in groups for m in members)
+    assert len(by_bucket) >= 2, "hash degenerated to one bucket"
