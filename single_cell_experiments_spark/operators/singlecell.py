@@ -3712,3 +3712,111 @@ def sc_doublet_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_dbl").cast("bigint").alias("n_dbl"),
         F.count(F.lit(1)).cast("bigint").alias("k_eff"),
     )
+
+
+# --- batch correction (center-scale, the ComBat-lite step) -------------------
+
+_BATCH_CORRECT_ORACLE = """
+WITH coo AS (
+  SELECT vec_id, label AS batch, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+bg AS (
+  SELECT batch, pos,
+         round(CAST(SUM(CAST(round(v, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*), 6) AS mu_bg,
+         round(CAST(SUM(CAST(round(v * v, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*), 6) AS msq_bg
+  FROM coo GROUP BY batch, pos
+),
+g AS (
+  SELECT pos,
+         round(CAST(SUM(CAST(round(v, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*), 6) AS mu_g,
+         round(CAST(SUM(CAST(round(v * v, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*), 6) AS msq_g
+  FROM coo GROUP BY pos
+),
+sd AS (
+  SELECT bg.batch, bg.pos, bg.mu_bg, g.mu_g,
+         round(sqrt(greatest(bg.msq_bg - bg.mu_bg * bg.mu_bg, 0)), 6) AS sd_bg,
+         round(sqrt(greatest(g.msq_g - g.mu_g * g.mu_g, 0)), 6) AS sd_g
+  FROM bg JOIN g USING (pos)
+)
+SELECT c.vec_id, CAST(c.pos AS BIGINT) AS pos,
+       round(CASE WHEN s.sd_bg < 1e-6 THEN s.mu_g
+                  ELSE (c.v - s.mu_bg) / s.sd_bg * s.sd_g + s.mu_g
+             END, 4) + 0.0 AS y
+FROM coo c JOIN sd s ON s.batch = c.batch AND s.pos = c.pos
+"""
+
+
+@query(
+    "sc_batch_correct",
+    oracle=_BATCH_CORRECT_ORACLE,
+    tags=("singlecell", "batch", "normalize"),
+)
+def sc_batch_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-effect correction, center-scale flavor (the location/scale
+    core of ComBat without the empirical-Bayes shrinkage — the step a
+    pooled dataset runs right after ``AnnFrame.concat``): within each
+    batch, z-score every gene against the BATCH moments, then restore
+    the GLOBAL location and scale, so batch-specific shifts and
+    stretches cancel while cross-batch structure survives.  Degenerate
+    batch-genes (sd < 1e-6) collapse to the global mean rather than
+    dividing by noise.
+
+    Determinism: all four moment tables ride the stat6 decimal path
+    (order-insensitive sums), means/sds round to 6 BEFORE the per-cell
+    transform, and the transform itself is one identical IEEE expression
+    per row in both engines, rounded to 4 at the boundary (one decimal
+    of slack under the 6-decimal moment quantization keeps the final
+    round off rounding-boundary ties).
+
+    Scale shape: two (batch, gene)-keyed partial/final aggregations
+    (O(batches × genes) rows — broadcastable), one broadcast join back
+    to the COO stream, zero unpartitioned windows; the same plan at a
+    billion cells."""
+    c = coo(spark, sf_dir).join(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("label").alias("batch")
+        ),
+        "vec_id",
+    )
+    c = materialize(c)
+    bg = c.groupBy("batch", "pos").agg(
+        F.round(F.sum(stat6("v")).cast("double") / F.count(F.lit(1)), 6).alias("mu_bg"),
+        F.round(
+            F.sum(stat6(F.col("v") * F.col("v"))).cast("double") / F.count(F.lit(1)), 6
+        ).alias("msq_bg"),
+    )
+    g = c.groupBy("pos").agg(
+        F.round(F.sum(stat6("v")).cast("double") / F.count(F.lit(1)), 6).alias("mu_g"),
+        F.round(
+            F.sum(stat6(F.col("v") * F.col("v"))).cast("double") / F.count(F.lit(1)), 6
+        ).alias("msq_g"),
+    )
+    sd = (
+        bg.join(F.broadcast(g), "pos")
+        .select(
+            "batch",
+            "pos",
+            "mu_bg",
+            "mu_g",
+            F.round(
+                F.sqrt(F.greatest(F.col("msq_bg") - F.col("mu_bg") * F.col("mu_bg"), F.lit(0.0))),
+                6,
+            ).alias("sd_bg"),
+            F.round(
+                F.sqrt(F.greatest(F.col("msq_g") - F.col("mu_g") * F.col("mu_g"), F.lit(0.0))),
+                6,
+            ).alias("sd_g"),
+        )
+    )
+    y = F.when(F.col("sd_bg") < 1e-6, F.col("mu_g")).otherwise(
+        (F.col("v") - F.col("mu_bg")) / F.col("sd_bg") * F.col("sd_g") + F.col("mu_g")
+    )
+    return c.join(F.broadcast(sd), ["batch", "pos"]).select(
+        "vec_id", big("pos", "pos"), (F.round(y, 4) + F.lit(0.0)).alias("y")
+    )

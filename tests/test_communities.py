@@ -198,3 +198,32 @@ def test_doublet_score_contract(spark):
         if cands >= SC_DOUBLET_K:
             assert ke == SC_DOUBLET_K
     assert any(int(r.n_dbl) > 0 for r in rows), "no simulation ever ranked"
+
+
+def test_batch_correct_aligns_batch_moments(spark):
+    """After center-scale correction every (batch, gene)'s sample mean
+    must sit at the global gene mean and its sd at the global gene sd,
+    within the 6-decimal moment quantization — the operator's defining
+    property, checked independently with numpy."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from single_cell_experiments_spark.catalog import load_table
+    from single_cell_experiments_spark.operators.singlecell import sc_batch_correct
+
+    out = sc_batch_correct(spark, SF_DIR).collect()
+    e = load_table(spark, SF_DIR, "embeddings").select("vec_id", "label").collect()
+    batch = {int(r.vec_id): int(r.label) for r in e}
+    by_bg, by_g = {}, {}
+    for r in out:
+        y = float(r.y)
+        by_bg.setdefault((batch[int(r.vec_id)], int(r.pos)), []).append(y)
+        by_g.setdefault(int(r.pos), []).append(y)
+    gstats = {p: (np.mean(v), np.std(v)) for p, v in by_g.items()}
+    for (b, p), v in by_bg.items():
+        if len(v) < 10:
+            continue
+        gm, gs = gstats[p]
+        assert abs(np.mean(v) - gm) < 0.02 + 0.05 * gs, (b, p)
+        if gs > 0.05:
+            assert abs(np.std(v) - gs) < 0.15 * gs + 0.02, (b, p)
