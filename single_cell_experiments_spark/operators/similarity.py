@@ -1674,3 +1674,102 @@ def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("d2", "vec_id")
         .limit(10)
     )
+
+
+# --- contrastive pair mining (hard negatives) --------------------------------
+
+_HARDNEG_ORACLE = """
+WITH m AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS a6
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id, a.label AS alabel, b.vec_id AS cand, b.label AS blabel,
+         CAST(list_aggregate(list_transform(range(1, len(a.a6) + 1),
+              i -> (a.a6[i] - b.a6[i]) * (a.a6[i] - b.a6[i])), 'sum')
+              AS BIGINT) AS d2
+  FROM m a JOIN m b ON a.vec_id <> b.vec_id
+),
+pos AS (
+  SELECT vec_id, cand AS pos_id, d2 AS pos_d2 FROM (
+    SELECT vec_id, cand, d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cand) AS rn
+    FROM scored WHERE alabel = blabel
+  ) WHERE rn = 1
+),
+neg AS (
+  SELECT vec_id, cand AS neg_id, d2 AS neg_d2 FROM (
+    SELECT vec_id, cand, d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cand) AS rn
+    FROM scored WHERE alabel <> blabel
+  ) WHERE rn = 1
+)
+SELECT p.vec_id, p.pos_id, p.pos_d2, n.neg_id, n.neg_d2,
+       CAST(n.neg_d2 - p.pos_d2 AS BIGINT) AS margin
+FROM pos p JOIN neg n USING (vec_id)
+"""
+
+
+@query(
+    "mine_hard_negatives",
+    oracle=_HARDNEG_ORACLE,
+    tags=("similarity", "training", "mining"),
+)
+def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive triplet mining — the embedding-training data step:
+    per anchor, its POSITIVE (nearest same-label vector) and its HARD
+    NEGATIVE (nearest different-label vector) by exact integer squared
+    L2, plus the margin (neg − pos; ≤ 0 flags label noise or boundary
+    anchors, exactly the rows a curriculum samples first).
+
+    This exact all-pairs scorer is the oracle-twin formulation (the
+    house pattern: every approximate generator keeps an exact twin);
+    at corpus scale the candidate stream swaps to the IVF probe or
+    NN-descent graph through the same (anchor, cand, d2) shape, and
+    only the two windowed rank-1 picks below remain.  All-BIGINT —
+    anchors, distances and margins hash bit-identically."""
+    e = load_table(spark, sf_dir, "embeddings")
+    m = e.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"
+        ).alias("a6"),
+    )
+    b = m.select(
+        F.col("vec_id").alias("cand"),
+        F.col("label").alias("blabel"),
+        F.col("a6").alias("b6"),
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(a6, b6, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    scored = (
+        m.join(F.broadcast(b), F.col("vec_id") != F.col("cand"))
+        .select("vec_id", "label", "cand", "blabel", d2.alias("d2"))
+    )
+    scored = materialize(scored)
+    rk = F.row_number().over(W.partitionBy("vec_id").orderBy("d2", "cand"))
+    pos = (
+        scored.where(F.col("label") == F.col("blabel"))
+        .withColumn("rn", rk)
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("cand").alias("pos_id"), F.col("d2").alias("pos_d2"))
+    )
+    neg = (
+        scored.where(F.col("label") != F.col("blabel"))
+        .withColumn("rn", rk)
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("cand").alias("neg_id"), F.col("d2").alias("neg_d2"))
+    )
+    return pos.join(neg, "vec_id").select(
+        "vec_id",
+        "pos_id",
+        "pos_d2",
+        "neg_id",
+        "neg_d2",
+        (F.col("neg_d2") - F.col("pos_d2")).cast("bigint").alias("margin"),
+    )

@@ -274,3 +274,46 @@ def test_ivfpq_family_contracts(spark):
     adc_hits = len({int(r.vec_id) for r in adc} & exact)
     rr_hits = len({int(r.vec_id) for r in rr} & exact)
     assert rr_hits >= adc_hits
+
+
+def test_hard_negative_mining_contract(spark):
+    """Triplet-mining invariants: one row per anchor, the positive
+    shares the anchor's label and the negative doesn't, both are the
+    true exact-L2 minima of their class (cross-checked on a sample via
+    numpy), and margin = neg_d2 - pos_d2."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from single_cell_experiments_spark.catalog import load_table
+    from single_cell_experiments_spark.operators.similarity import (
+        mine_hard_negatives,
+    )
+
+    rows = {int(r.vec_id): r for r in mine_hard_negatives(spark, SF_DIR).collect()}
+    e = load_table(spark, SF_DIR, "embeddings").collect()
+    vecs = {
+        int(r.vec_id): (
+            int(r.label),
+            np.array([round(float(x) * 1e6) for x in r.embedding], dtype=np.int64),
+        )
+        for r in e
+    }
+    assert set(rows) == set(vecs)
+    for vid in list(vecs)[:25]:
+        lbl, a = vecs[vid]
+        r = rows[vid]
+        assert vecs[int(r.pos_id)][0] == lbl
+        assert vecs[int(r.neg_id)][0] != lbl
+        assert int(r.margin) == int(r.neg_d2) - int(r.pos_d2)
+        best_pos = min(
+            (int(((a - v) ** 2).sum()), c)
+            for c, (l, v) in vecs.items()
+            if c != vid and l == lbl
+        )
+        best_neg = min(
+            (int(((a - v) ** 2).sum()), c)
+            for c, (l, v) in vecs.items()
+            if l != lbl
+        )
+        assert (int(r.pos_d2), int(r.pos_id)) == best_pos
+        assert (int(r.neg_d2), int(r.neg_id)) == best_neg
