@@ -840,3 +840,112 @@ def multimodal_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").over(w).cast("bigint").alias("keeper"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_bucket"),
     )
+
+
+# --- audio fingerprint dedup (energy contour over the REAL WAV decode) -------
+
+#: distinct synthetic clips (doc_id mod this shares one clip).
+_AFP_GROUPS = 12
+
+_AFP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("afp", LongType()),
+    ]
+)
+
+
+def _afp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per doc: synthesize its 64-sample PCM16 clip from the closed-form
+    sample formula, round-trip it through the REAL stdlib-wave
+    encoder/decoder, then fingerprint the DECODED samples: 8 frames of 8,
+    one bit per rising energy step (frame f vs f+1) — a 7-bit energy
+    contour, the Shazam-style landmark hash in miniature."""
+    import numpy as np
+
+    t = np.arange(64, dtype=np.int64)
+
+    noise = ((((t * 11 + 7) * _H_MULT) % _H_MOD) // 8192) % 256 - 128
+
+    def one_fp(g: int) -> int:
+        amp = 1 + ((((g * 53 + (t // 8) * 29) * _H_MULT) % _H_MOD) // 8192) % 8
+        s = noise * amp
+        dec = decode_audio_real(encode_wav(s.astype("<i2")))
+        sam = dec["samples"][:, 0].astype(np.int64)
+        e = (sam.reshape(8, 8) ** 2).sum(axis=1)
+        bits = (e[:-1] < e[1:]).astype(np.int64)
+        return int((bits << np.arange(7, dtype=np.int64)).sum())
+
+    table = {g: one_fp(g) for g in range(_AFP_GROUPS)}
+    for pdf in batches:
+        g = (pdf["doc_id"] % _AFP_GROUPS).astype("int64")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "afp": g.map(lambda x: table[int(x)]),
+            }
+        )
+
+
+_AFP_ORACLE = f"""
+WITH samp AS (
+  SELECT g.range AS g, t.range AS t,
+         (((t.range * 11 + 7) * {_H_MULT}) % {_H_MOD} // 8192 % 256 - 128)
+         * (1 + ((g.range * 53 + t.range // 8 * 29) * {_H_MULT})
+                  % {_H_MOD} // 8192 % 8) AS s
+  FROM range({_AFP_GROUPS}) g, range(64) t
+),
+energy AS (
+  SELECT g, t // 8 AS f, SUM(s * s) AS e
+  FROM samp GROUP BY g, t // 8
+),
+bits AS (
+  SELECT a.g, a.f, CASE WHEN a.e < b.e THEN 1 ELSE 0 END AS bit
+  FROM energy a JOIN energy b ON b.g = a.g AND b.f = a.f + 1
+  WHERE a.f < 7
+),
+fps AS (
+  SELECT g, CAST(SUM(bit * (CAST(1 AS BIGINT) << f)) AS BIGINT) AS afp
+  FROM bits GROUP BY g
+),
+docs AS (SELECT doc_id, doc_id % {_AFP_GROUPS} AS g FROM documents)
+SELECT d.doc_id, f.afp,
+       CAST(MIN(d.doc_id) OVER (PARTITION BY f.afp) AS BIGINT) AS keeper,
+       CAST(COUNT(*) OVER (PARTITION BY f.afp) AS BIGINT) AS n_bucket
+FROM docs d JOIN fps f ON f.g = d.g
+"""
+
+
+@query(
+    "multimodal_audio_fp_dedup",
+    oracle=_AFP_ORACLE,
+    tags=("multimodal", "dedup", "udf", "audio"),
+)
+def multimodal_audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup detection: a 7-bit energy-contour fingerprint
+    (rising/falling frame energy — the miniature of Shazam-style
+    landmark hashing) computed on samples that REALLY round-trip the
+    PCM16 WAV encoder/decoder inside an Arrow ``mapInPandas`` stage,
+    then exact-fingerprint bucket grouping with a min-doc keeper —
+    completing the modality dedup triple (text shingles, image dHash,
+    audio contour).
+
+    Determinism contract as the image twin: clips derive from a
+    closed-form sample formula on ``doc_id mod {_AFP_GROUPS}`` (high
+    multiplicative-hash bits), so the oracle reproduces the
+    fingerprints from arithmetic while Spark proves the byte-level WAV
+    decode.  Scale shape: fingerprint = parallel decode scan (no
+    shuffle), grouping = one small-key window; coarse 7-bit buckets are
+    the BAND stage — real pipelines verify within-bucket with sample
+    cross-correlation, exactly like LSH verify tiers here."""
+    blobs = _blobs(spark, sf_dir)
+    fp = blobs.mapInPandas(_afp_batches, schema=_AFP_SCHEMA)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("afp")
+    return fp.select(
+        "doc_id",
+        "afp",
+        F.min("doc_id").over(w).cast("bigint").alias("keeper"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_bucket"),
+    )

@@ -371,3 +371,46 @@ def test_dhash_is_computed_from_decoded_pixels(spark):
         groups = {i % _DHASH_GROUPS for i in ids}
         assert all((int(m.doc_id) % _DHASH_GROUPS) in groups for m in members)
     assert len(by_bucket) >= 2, "hash degenerated to one bucket"
+
+
+def test_audio_fp_from_decoded_samples_and_buckets(spark):
+    """The audio fingerprint must be a function of the DECODED samples
+    (amplifying one frame flips its energy-contour bits), and the
+    registered query forms >= 2 buckets with consistent keeper/size."""
+    import numpy as np
+
+    from single_cell_experiments_spark.operators.multimodal import (
+        _H_MOD,
+        _H_MULT,
+        decode_audio_real,
+        encode_wav,
+        multimodal_audio_fp_dedup,
+    )
+    from tests.conftest import SF_DIR
+
+    t = np.arange(64, dtype=np.int64)
+    noise = ((((t * 11 + 7) * _H_MULT) % _H_MOD) // 8192) % 256 - 128
+
+    def fp_of(s):
+        sam = decode_audio_real(encode_wav(s.astype("<i2")))["samples"][:, 0].astype(
+            np.int64
+        )
+        e = (sam.reshape(8, 8) ** 2).sum(axis=1)
+        return tuple((e[:-1] < e[1:]).astype(int))
+
+    amp = 1 + ((((2 * 53 + (t // 8) * 29) * _H_MULT) % _H_MOD) // 8192) % 8
+    s0 = noise * amp
+    s1 = s0.copy()
+    s1[16:24] = 0  # silence frame 2: the e1<e2 comparison must flip
+    assert fp_of(s1) != fp_of(s0), "fingerprint ignored the decoded samples"
+
+    rows = multimodal_audio_fp_dedup(spark, SF_DIR).collect()
+    assert rows
+    buckets = {}
+    for r in rows:
+        buckets.setdefault(int(r.afp), []).append(r)
+    assert len(buckets) >= 2
+    for members in buckets.values():
+        ids = sorted(int(m.doc_id) for m in members)
+        assert {int(m.keeper) for m in members} == {ids[0]}
+        assert all(int(m.n_bucket) == len(members) for m in members)
