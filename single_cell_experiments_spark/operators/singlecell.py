@@ -3820,3 +3820,90 @@ def sc_batch_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(F.broadcast(sd), ["batch", "pos"]).select(
         "vec_id", big("pos", "pos"), (F.round(y, 4) + F.lit(0.0)).alias("y")
     )
+
+
+# --- batch mixing score (the kBET/iLISI slot) --------------------------------
+
+_BATCH_MIX_ORACLE = f"""
+WITH knn AS MATERIALIZED ({_SC_NEIGHBORS_ORACLE}),
+lab AS (SELECT vec_id, label FROM embeddings),
+tot AS (SELECT COUNT(*) AS n FROM lab),
+sizes AS (SELECT label, COUNT(*) AS n_b FROM lab GROUP BY label),
+edges AS (
+  SELECT la.label AS batch,
+         CASE WHEN la.label = lb.label THEN 1 ELSE 0 END AS same
+  FROM knn k
+  JOIN lab la ON la.vec_id = k.vec_id
+  JOIN lab lb ON lb.vec_id = k.nbr
+),
+agg AS (
+  SELECT batch, COUNT(*) AS n_edges, SUM(same) AS same_edges
+  FROM edges GROUP BY batch
+)
+SELECT a.batch, CAST(s.n_b AS BIGINT) AS n_cells,
+       CAST(a.n_edges AS BIGINT) AS n_edges,
+       CAST(a.same_edges AS BIGINT) AS same_edges,
+       CAST(1000000 * a.same_edges // a.n_edges AS BIGINT) AS obs_ppm,
+       CAST(1000000 * (s.n_b - 1) // (t.n - 1) AS BIGINT) AS exp_ppm,
+       CAST(1000000 * a.same_edges // a.n_edges
+            - 1000000 * (s.n_b - 1) // (t.n - 1) AS BIGINT) AS excess_ppm
+FROM agg a JOIN sizes s ON s.label = a.batch CROSS JOIN tot t
+"""
+
+
+@query(
+    "sc_batch_mixing",
+    oracle=_BATCH_MIX_ORACLE,
+    tags=("singlecell", "batch", "qc", "knn"),
+)
+def sc_batch_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-mixing diagnostic — the kBET/iLISI slot every integration
+    flow reports after correction: per batch, the fraction of kNN edges
+    that stay INSIDE the batch (observed, ppm) against the fraction a
+    perfectly mixed dataset would show (expected = (n_b−1)/(n−1), ppm).
+    ``excess_ppm`` ≫ 0 means cells still cluster by batch — the number
+    reviewers ask for before trusting a pooled analysis.
+
+    Composes the registered exact-kNN chain with the batch labels: two
+    broadcast label joins on the edge list + one batch-keyed count
+    aggregation — O(batches) output.  Every quantity is an integer
+    count or an integer-div ppm; zero float anywhere, so the hash is
+    partition-invariant by construction.  At scale the edge list swaps
+    to the IVF/NN-descent generator through the same (vec_id, nbr)
+    shape."""
+    knn = sc_neighbor_edges(spark, sf_dir).select("vec_id", "nbr")
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    n = lab.count()
+    sizes = lab.groupBy("label").agg(F.count(F.lit(1)).alias("n_b"))
+    la = lab.select(F.col("vec_id"), F.col("label").alias("batch"))
+    lb = lab.select(F.col("vec_id").alias("nbr"), F.col("label").alias("nlabel"))
+    agg = (
+        knn.join(F.broadcast(la), "vec_id")
+        .join(F.broadcast(lb), "nbr")
+        .groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.sum(
+                F.when(F.col("batch") == F.col("nlabel"), 1).otherwise(0)
+            ).alias("same_edges"),
+        )
+    )
+    return (
+        agg.join(
+            F.broadcast(sizes.select(F.col("label").alias("batch"), "n_b")), "batch"
+        )
+        .select(
+            "batch",
+            F.col("n_b").cast("bigint").alias("n_cells"),
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            F.col("same_edges").cast("bigint").alias("same_edges"),
+            F.expr("1000000 * same_edges div n_edges").cast("bigint").alias("obs_ppm"),
+            F.expr(f"1000000 * (n_b - 1) div ({n} - 1)").cast("bigint").alias("exp_ppm"),
+            (
+                F.expr("1000000 * same_edges div n_edges")
+                - F.expr(f"1000000 * (n_b - 1) div ({n} - 1)")
+            )
+            .cast("bigint")
+            .alias("excess_ppm"),
+        )
+    )

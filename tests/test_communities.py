@@ -227,3 +227,32 @@ def test_batch_correct_aligns_batch_moments(spark):
         assert abs(np.mean(v) - gm) < 0.02 + 0.05 * gs, (b, p)
         if gs > 0.05:
             assert abs(np.std(v) - gs) < 0.15 * gs + 0.02, (b, p)
+
+
+def test_batch_mixing_accounting(spark):
+    """Mixing-score invariants: edge counts sum to k·n (every cell emits
+    exactly k exact-kNN edges), same_edges <= n_edges, exp_ppm matches
+    the (n_b-1)/(n-1) formula, and excess = obs - exp."""
+    from pyspark.sql import functions as F
+
+    from single_cell_experiments_spark.catalog import load_table
+    from single_cell_experiments_spark.operators.singlecell import (
+        SC_NEIGHBORS_K,
+        sc_batch_mixing,
+    )
+
+    rows = sc_batch_mixing(spark, SF_DIR).collect()
+    lab = load_table(spark, SF_DIR, "embeddings").select("vec_id", "label")
+    n = lab.count()
+    sizes = {
+        int(r.label): int(r.c)
+        for r in lab.groupBy("label").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert {int(r.batch) for r in rows} == set(sizes)
+    assert sum(int(r.n_edges) for r in rows) == SC_NEIGHBORS_K * n
+    for r in rows:
+        nb = sizes[int(r.batch)]
+        assert int(r.n_cells) == nb
+        assert 0 <= int(r.same_edges) <= int(r.n_edges) == SC_NEIGHBORS_K * nb
+        assert int(r.exp_ppm) == 1000000 * (nb - 1) // (n - 1)
+        assert int(r.excess_ppm) == int(r.obs_ppm) - int(r.exp_ppm)
