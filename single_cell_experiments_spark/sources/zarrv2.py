@@ -1107,3 +1107,141 @@ def zarr_raw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gname",
         F.lit(x_width).cast("int").alias("x_width"),
     )
+
+
+# --- in-place row append (grow an existing store) ----------------------------
+
+
+def append_zarr_rows(
+    wide: DataFrame,
+    path: str,
+) -> dict:
+    """Grow an existing row-chunked v2 group IN PLACE by appending rows:
+    new chunk objects for the tail, a read-merge-rewrite of the one
+    boundary chunk the old row count leaves partially filled, and a
+    final shape bump in both ``.zarray`` documents (metadata LAST — a
+    reader racing the append sees the old consistent shape, never a
+    torn one).  The batch-ETL twin of the streaming sink's grow-only
+    contract: ingest day N+1 into day N's store without rewriting
+    history — at 100 TB rewriting the store to add rows is the
+    difference between an append job and a full re-shard.
+
+    Appended ``vec_id``s must be exactly ``old_n .. old_n+m-1`` (dense,
+    positional — the group's id semantics); the X layout must be
+    row-chunked (``chunks[1] == dim``), and stores carrying ``obs_*``
+    members are refused loudly (positional overlay for annotation
+    arrays is not implemented — extend or re-write those stores).
+    Returns the new group metadata."""
+    x_path, id_path = os.path.join(path, "X"), os.path.join(path, "vec_id")
+    xm = read_zarray_meta(x_path)
+    im = read_zarray_meta(id_path)
+    n0, dim = (int(v) for v in xm["shape"])
+    rpc, cpc = (int(v) for v in xm["chunks"])
+    if cpc != dim:
+        raise NotImplementedError(
+            f"append supports row-chunked X (chunks[1]={cpc} != dim={dim})"
+        )
+    if int(im["shape"][0]) != n0 or int(im["chunks"][0]) != rpc:
+        raise ValueError("vec_id array disagrees with X about shape/chunking")
+    obs_members = [d for d in os.listdir(path) if d.startswith("obs_")]
+    if obs_members:
+        raise NotImplementedError(
+            f"append to stores with obs members not implemented: {obs_members}"
+        )
+    compressor = xm.get("compressor")
+
+    bounds = wide.agg(
+        F.min("vec_id").alias("mn"),
+        F.max("vec_id").alias("mx"),
+        F.count(F.lit(1)).alias("m"),
+        F.max(F.size("embedding")).alias("dim"),
+    ).collect()[0]
+    m = int(bounds["m"])
+    if m == 0:
+        return {"shape": [n0, dim], "chunks": [rpc, cpc], "appended": 0}
+    if int(bounds["mn"]) != n0 or int(bounds["mx"]) != n0 + m - 1:
+        raise ValueError(
+            f"append needs dense ids {n0}..{n0 + m - 1}, got"
+            f" [{bounds['mn']}, {bounds['mx']}] over {m} rows"
+        )
+    if int(bounds["dim"]) != dim:
+        raise ValueError(f"dim mismatch: store {dim}, append {bounds['dim']}")
+
+    result_schema = StructType(
+        [StructField("chunk_id", LongType()), StructField("n_rows", LongType())]
+    )
+
+    def _write_chunk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        (chunk_id,) = key
+        x_file = os.path.join(x_path, f"{chunk_id}.0")
+        id_file = os.path.join(id_path, f"{chunk_id}")
+        if os.path.exists(x_file):  # boundary chunk: overlay onto old rows
+            with open(x_file, "rb") as f:
+                x_block = (
+                    np.frombuffer(_decompress(f.read(), compressor), np.dtype("<f4"))
+                    .reshape(rpc, dim)
+                    .copy()
+                )
+            with open(id_file, "rb") as f:
+                id_block = np.frombuffer(
+                    _decompress(f.read(), compressor), np.dtype("<i8")
+                ).copy()
+        else:
+            x_block = np.zeros((rpc, dim), dtype=np.dtype("<f4"))
+            id_block = np.zeros(rpc, dtype=np.dtype("<i8"))
+        offs = pdf["vec_id"].to_numpy(dtype=np.int64) - chunk_id * rpc
+        x_block[offs] = np.array(pdf["embedding"].to_list(), dtype=np.float32)
+        id_block[offs] = pdf["vec_id"].to_numpy(dtype=np.int64)
+        with open(x_file, "wb") as f:
+            f.write(_compress(np.ascontiguousarray(x_block).tobytes(order="C"), compressor, 4))
+        with open(id_file, "wb") as f:
+            f.write(_compress(id_block.tobytes(order="C"), compressor, 8))
+        return pd.DataFrame({"chunk_id": [chunk_id], "n_rows": [len(pdf)]})
+
+    (
+        wide.select("vec_id", "embedding")
+        .withColumn("chunk_id", F.expr(f"vec_id div {rpc}"))
+        .groupBy("chunk_id")
+        .applyInPandas(_write_chunk, schema=result_schema)
+        .count()
+    )
+    n1 = n0 + m
+    for apath, meta, shape in ((x_path, xm, [n1, dim]), (id_path, im, [n1])):
+        meta = dict(meta)
+        meta["shape"] = shape
+        with open(os.path.join(apath, ".zarray"), "w") as f:
+            json.dump(meta, f, sort_keys=True)
+    return {"shape": [n1, dim], "chunks": [rpc, cpc], "appended": m}
+
+
+@query(
+    "zarr_append_roundtrip",
+    oracle=_ZARR_ROUNDTRIP_ORACLE,
+    tags=("sources", "zarr", "append"),
+    cache=False,
+)
+def zarr_append_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grow-in-place end to end: write the FIRST half of the matrix as a
+    normal group, ``append_zarr_rows`` the second half (the split is
+    off the chunk grid on purpose — the boundary chunk really merges old
+    and new rows through read-decompress-overlay-recompress), read the
+    grown store back, and hash against the SAME full-table oracle as
+    ``zarr_roundtrip`` — proving append ≡ whole-write byte-for-byte at
+    the COO level.  Only ceil(m/chunk)+1 objects are touched; history
+    chunks are never rewritten."""
+    import tempfile
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    half = n // 2
+    store = os.path.join(
+        tempfile.gettempdir(),
+        f"sce_zarr_append_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    write_zarr_group(e.where(F.col("vec_id") < half), store)
+    append_zarr_rows(e.where(F.col("vec_id") >= half), store)
+    x = read_zarr_matrix(spark, os.path.join(store, "X"))
+    ids = read_zarr_vector(spark, os.path.join(store, "vec_id")).withColumnRenamed(
+        "value", "vec_id"
+    )
+    return zarr_matrix_coo(x, ids)

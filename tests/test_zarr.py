@@ -1262,3 +1262,50 @@ def test_consolidated_guards_match_per_array_guards(spark, tmp_path):
     consolidate_metadata(store)
     with pytest.raises(NotImplementedError, match="filters"):
         read_zarr_matrix_consolidated(spark, store, "X")
+
+
+def test_append_rows_merges_boundary_and_leaves_history_untouched(spark, tmp_path):
+    """Write 5 rows (chunk=64 default is too big to show the boundary —
+    use the public writer then append): history chunk bytes must be
+    byte-identical after append, the boundary chunk must merge old and
+    new rows, and refusals fire for sparse ids and dim mismatch."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    from single_cell_experiments_spark.sources.zarrv2 import (
+        append_zarr_rows,
+        read_zarr_matrix,
+        read_zarr_vector,
+        write_zarr_group,
+        zarr_matrix_coo,
+    )
+
+    def frame(lo, hi, dim=3):
+        rows = [(i, [float(i) + j / 10.0 for j in range(dim)]) for i in range(lo, hi)]
+        return spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+
+    store = str(tmp_path / "grow")
+    write_zarr_group(frame(0, 70), store)  # chunks 0 (full) + 1 (6 rows)
+    c0 = open(os.path.join(store, "X", "0.0"), "rb").read()
+    info = append_zarr_rows(frame(70, 150), store)
+    assert info == {"shape": [150, 3], "chunks": [64, 3], "appended": 80}
+    assert open(os.path.join(store, "X", "0.0"), "rb").read() == c0  # history
+    x = read_zarr_matrix(spark, os.path.join(store, "X"))
+    ids = read_zarr_vector(spark, os.path.join(store, "vec_id")).withColumnRenamed(
+        "value", "vec_id"
+    )
+    got = {
+        (int(r.vec_id), int(r.pos)): float(r.v)
+        for r in zarr_matrix_coo(x, ids).collect()
+    }
+    assert len(got) == 150 * 3
+    for i in (0, 63, 64, 69, 70, 149):  # spans old, boundary, appended
+        for j in range(3):
+            assert got[(i, j + 1)] == round(float(np.float32(i + j / 10.0)), 6)
+
+    with pytest.raises(ValueError, match="dense ids"):
+        append_zarr_rows(frame(151, 160), store)  # gap at 150
+    with pytest.raises(ValueError, match="dim mismatch"):
+        append_zarr_rows(frame(150, 151, dim=4), store)
