@@ -136,6 +136,21 @@ QUERIES = (
     "zarr_sparse_roundtrip",
     "zarr_obsm_roundtrip",
     "tenx_to_zarr_sparse_migrate",
+    # r15 additions (zarr_csc/append roundtrips excluded like the other
+    # sink-roundtrips: the final plan is a scan of the just-written store)
+    "ann_ivfpq_search",
+    "ann_ivfpq_rerank",
+    "pack_token_sequences",
+    "sc_pseudobulk",
+    "sc_doublet_score",
+    "trend_user_value",
+    "q6_forecast_revenue",
+    "q14_type_revenue_share",
+    "mine_hard_negatives",
+    "sc_batch_correct",
+    "sc_batch_mixing",
+    "multimodal_image_dhash_dedup",
+    "multimodal_audio_fp_dedup",
 )
 
 #: The four size-gated single-task-fusion headliners (catalog.
