@@ -948,6 +948,23 @@ def embed_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _int_micro_mean(col: str):
+    """Exact integer micro-mean: half-away-from-zero division of the
+    exact BIGINT sum by the count (operands made nonnegative, the regime
+    where Spark ``div`` truncation and DuckDB ``//`` floor coincide).
+    Replaces the original float-sum formulation, which was
+    order-dependent and landed on half-micro quotient ties at sf0.1
+    (the pseudobulk lesson, applied to quantizer training)."""
+    ssum = F.sum(col)
+    sign = F.when(ssum < 0, F.lit(-1)).otherwise(F.lit(1))
+    x = 2 * F.abs(ssum) + F.count(F.lit(1))
+    d = 2 * F.count(F.lit(1))
+    # exact integer division: (x - x mod d) is a multiple of d <= 2^53,
+    # so the double quotient is the exact integer (never a float-floor
+    # off-by-one on a just-below-integer quotient)
+    return (sign * ((x - F.pmod(x, d)) / d)).cast("bigint")
+
+
 # --- Product quantization (PQ) + asymmetric distance (ADC) top-k --------------
 #
 # The IVF-PQ compression path (Jégou et al. 2011, "Product Quantization for
@@ -972,8 +989,9 @@ WITH coo AS (
 ),
 codebook AS (
   SELECT label AS code, pos,
-         CAST(round(round(CAST(SUM(CAST(vfix AS DOUBLE) / 1e6)
-               AS DOUBLE) / COUNT(*), 6) * 1e6) AS BIGINT) AS cfix
+         CAST(CASE WHEN SUM(vfix) < 0 THEN -1 ELSE 1 END
+              * ((2 * abs(SUM(vfix)) + COUNT(*))
+                 // (2 * COUNT(*))) AS BIGINT) AS cfix
   FROM coo GROUP BY label, pos
 ),
 sqd AS (
@@ -1036,14 +1054,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-(label,pos) mean at 6 decimals, then back to exact micro ints —
     # matches the oracle's round(sum(vfix/1e6)/n, 6) * 1e6 exactly
     codebook = coo.groupBy(F.col("label").alias("code"), "pos").agg(
-        F.round(
-            F.round(
-                F.sum(F.col("vfix").cast("double") / 1e6) / F.count(F.lit(1)), 6
-            )
-            * 1e6
-        )
-        .cast("bigint")
-        .alias("cfix")
+        _int_micro_mean("vfix").alias("cfix")
     )
     diff = F.col("vfix") - F.col("cfix")
     sqd = (
@@ -1086,8 +1097,9 @@ WITH coo AS (
 ),
 codebook AS (
   SELECT label AS code, pos,
-         CAST(round(round(CAST(SUM(CAST(vfix AS DOUBLE) / 1e6)
-               AS DOUBLE) / COUNT(*), 6) * 1e6) AS BIGINT) AS cfix
+         CAST(CASE WHEN SUM(vfix) < 0 THEN -1 ELSE 1 END
+              * ((2 * abs(SUM(vfix)) + COUNT(*))
+                 // (2 * COUNT(*))) AS BIGINT) AS cfix
   FROM coo GROUP BY label, pos
 ),
 sqd AS (
@@ -1187,8 +1199,9 @@ WITH coo AS (
 ),
 cen AS (
   SELECT label AS list, pos,
-         CAST(round(round(CAST(SUM(CAST(vfix AS DOUBLE) / 1e6)
-               AS DOUBLE) / COUNT(*), 6) * 1e6) AS BIGINT) AS cenfix
+         CAST(CASE WHEN SUM(vfix) < 0 THEN -1 ELSE 1 END
+              * ((2 * abs(SUM(vfix)) + COUNT(*))
+                 // (2 * COUNT(*))) AS BIGINT) AS cenfix
   FROM coo GROUP BY label, pos
 ),
 a_d2 AS (
@@ -1212,8 +1225,9 @@ res AS (
 ),
 rcb AS (
   SELECT label AS code, pos,
-         CAST(round(round(CAST(SUM(CAST(rfix AS DOUBLE) / 1e6)
-               AS DOUBLE) / COUNT(*), 6) * 1e6) AS BIGINT) AS cfix
+         CAST(CASE WHEN SUM(rfix) < 0 THEN -1 ELSE 1 END
+              * ((2 * abs(SUM(rfix)) + COUNT(*))
+                 // (2 * COUNT(*))) AS BIGINT) AS cfix
   FROM res GROUP BY label, pos
 ),
 e_d2 AS (
@@ -1276,19 +1290,8 @@ def _ivfpq_parts(spark: SparkSession, sf_dir: str):
     )
     coo = materialize(coo)
 
-    def _micro_mean(valcol):
-        return (
-            F.round(
-                F.round(
-                    F.sum(F.col(valcol).cast("double") / 1e6) / F.count(F.lit(1)), 6
-                )
-                * 1e6
-            )
-            .cast("bigint")
-        )
-
     cen = coo.groupBy(F.col("label").alias("list"), "pos").agg(
-        _micro_mean("vfix").alias("cenfix")
+        _int_micro_mean("vfix").alias("cenfix")
     )
     dc = F.col("vfix") - F.col("cenfix")
     a_d2 = (
@@ -1315,7 +1318,7 @@ def _ivfpq_parts(spark: SparkSession, sf_dir: str):
     )
     res = materialize(res)  # codebook train + encode share one residual pass
     rcb = res.groupBy(F.col("label").alias("code"), "pos").agg(
-        _micro_mean("rfix").alias("cfix")
+        _int_micro_mean("rfix").alias("cfix")
     )
     dr = F.col("rfix") - F.col("cfix")
     e_d2 = (
@@ -1406,8 +1409,9 @@ WITH coo AS (
 ),
 cen AS (
   SELECT label AS list, pos,
-         CAST(round(round(CAST(SUM(CAST(vfix AS DOUBLE) / 1e6)
-               AS DOUBLE) / COUNT(*), 6) * 1e6) AS BIGINT) AS cenfix
+         CAST(CASE WHEN SUM(vfix) < 0 THEN -1 ELSE 1 END
+              * ((2 * abs(SUM(vfix)) + COUNT(*))
+                 // (2 * COUNT(*))) AS BIGINT) AS cenfix
   FROM coo GROUP BY label, pos
 ),
 a_d2 AS (
@@ -1431,8 +1435,9 @@ res AS (
 ),
 rcb AS (
   SELECT label AS code, pos,
-         CAST(round(round(CAST(SUM(CAST(rfix AS DOUBLE) / 1e6)
-               AS DOUBLE) / COUNT(*), 6) * 1e6) AS BIGINT) AS cfix
+         CAST(CASE WHEN SUM(rfix) < 0 THEN -1 ELSE 1 END
+              * ((2 * abs(SUM(rfix)) + COUNT(*))
+                 // (2 * COUNT(*))) AS BIGINT) AS cfix
   FROM res GROUP BY label, pos
 ),
 e_d2 AS (
@@ -1531,8 +1536,9 @@ WITH coo AS (
 ),
 cen AS (
   SELECT label AS list, pos,
-         CAST(round(round(CAST(SUM(CAST(vfix AS DOUBLE) / 1e6)
-               AS DOUBLE) / COUNT(*), 6) * 1e6) AS BIGINT) AS cenfix
+         CAST(CASE WHEN SUM(vfix) < 0 THEN -1 ELSE 1 END
+              * ((2 * abs(SUM(vfix)) + COUNT(*))
+                 // (2 * COUNT(*))) AS BIGINT) AS cenfix
   FROM coo GROUP BY label, pos
 ),
 a_d2 AS (
@@ -1556,8 +1562,9 @@ res AS (
 ),
 rcb AS (
   SELECT label AS code, pos,
-         CAST(round(round(CAST(SUM(CAST(rfix AS DOUBLE) / 1e6)
-               AS DOUBLE) / COUNT(*), 6) * 1e6) AS BIGINT) AS cfix
+         CAST(CASE WHEN SUM(rfix) < 0 THEN -1 ELSE 1 END
+              * ((2 * abs(SUM(rfix)) + COUNT(*))
+                 // (2 * COUNT(*))) AS BIGINT) AS cfix
   FROM res GROUP BY label, pos
 ),
 e_d2 AS (

@@ -3719,35 +3719,49 @@ def sc_doublet_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BATCH_CORRECT_ORACLE = """
 WITH coo AS (
   SELECT vec_id, label AS batch, generate_subscripts(embedding, 1) AS pos,
-         CAST(unnest(embedding) AS DOUBLE) AS v
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS v6
   FROM embeddings
 ),
 bg AS (
-  SELECT batch, pos,
-         round(CAST(SUM(CAST(round(v, 6) AS DECIMAL(18,6))) AS DOUBLE)
-               / COUNT(*), 6) AS mu_bg,
-         round(CAST(SUM(CAST(round(v * v, 6) AS DECIMAL(18,6))) AS DOUBLE)
-               / COUNT(*), 6) AS msq_bg
+  SELECT batch, pos, COUNT(*) AS n, SUM(v6) AS s1, SUM(v6 * v6) AS s2
   FROM coo GROUP BY batch, pos
 ),
 g AS (
-  SELECT pos,
-         round(CAST(SUM(CAST(round(v, 6) AS DECIMAL(18,6))) AS DOUBLE)
-               / COUNT(*), 6) AS mu_g,
-         round(CAST(SUM(CAST(round(v * v, 6) AS DECIMAL(18,6))) AS DOUBLE)
-               / COUNT(*), 6) AS msq_g
+  SELECT pos, COUNT(*) AS n, SUM(v6) AS s1, SUM(v6 * v6) AS s2
   FROM coo GROUP BY pos
 ),
+mom AS (
+  SELECT batch, pos, n, s1, s2,
+         CAST(CASE WHEN s1 < 0 THEN -1 ELSE 1 END
+              * ((2 * abs(s1) + n) // (2 * n)) AS BIGINT) AS mu6,
+         CAST((2 * s2 + n) // (2 * n) AS BIGINT) AS msq12
+  FROM bg
+),
+momg AS (
+  SELECT pos, n, s1, s2,
+         CAST(CASE WHEN s1 < 0 THEN -1 ELSE 1 END
+              * ((2 * abs(s1) + n) // (2 * n)) AS BIGINT) AS mu6,
+         CAST((2 * s2 + n) // (2 * n) AS BIGINT) AS msq12
+  FROM g
+),
 sd AS (
-  SELECT bg.batch, bg.pos, bg.mu_bg, g.mu_g,
-         round(sqrt(greatest(bg.msq_bg - bg.mu_bg * bg.mu_bg, 0)), 6) AS sd_bg,
-         round(sqrt(greatest(g.msq_g - g.mu_g * g.mu_g, 0)), 6) AS sd_g
-  FROM bg JOIN g USING (pos)
+  SELECT m.batch, m.pos, m.mu6 AS mu_bg6, gg.mu6 AS mu_g6,
+         CAST(round(sqrt(CAST(greatest(m.msq12 - m.mu6 * m.mu6, 0)
+              AS DOUBLE))) AS BIGINT) AS sd_bg6,
+         CAST(round(sqrt(CAST(greatest(gg.msq12 - gg.mu6 * gg.mu6, 0)
+              AS DOUBLE))) AS BIGINT) AS sd_g6
+  FROM mom m JOIN momg gg USING (pos)
 )
 SELECT c.vec_id, CAST(c.pos AS BIGINT) AS pos,
-       round(CASE WHEN s.sd_bg < 1e-6 THEN s.mu_g
-                  ELSE (c.v - s.mu_bg) / s.sd_bg * s.sd_g + s.mu_g
-             END, 4) + 0.0 AS y
+       CAST(CASE WHEN s.sd_bg6 < 1
+                 THEN CASE WHEN s.mu_g6 < 0 THEN -1 ELSE 1 END
+                      * ((2 * abs(s.mu_g6) + 100) // 200)
+                 ELSE CASE WHEN (c.v6 - s.mu_bg6) * s.sd_g6
+                                + s.mu_g6 * s.sd_bg6 < 0 THEN -1 ELSE 1 END
+                      * ((2 * abs((c.v6 - s.mu_bg6) * s.sd_g6
+                                  + s.mu_g6 * s.sd_bg6) + s.sd_bg6 * 100)
+                         // (2 * s.sd_bg6 * 100))
+            END AS BIGINT) AS y_e4
 FROM coo c JOIN sd s ON s.batch = c.batch AND s.pos = c.pos
 """
 
@@ -3767,58 +3781,80 @@ def sc_batch_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch-genes (sd < 1e-6) collapse to the global mean rather than
     dividing by noise.
 
-    Determinism: all four moment tables ride the stat6 decimal path
-    (order-insensitive sums), means/sds round to 6 BEFORE the per-cell
-    transform, and the transform itself is one identical IEEE expression
-    per row in both engines, rounded to 4 at the boundary (one decimal
-    of slack under the 6-decimal moment quantization keeps the final
-    round off rounding-boundary ties).
+    Exactness (the sf0.1 lesson — a float formulation of exactly this
+    query landed moment quotients on half-micro rounding ties): values
+    quantize to BIGINT micros once, every moment is an exact integer
+    sum with half-away-from-zero division (nonneg-operand floor-div,
+    identical in both engines), the sd is the rounded sqrt of an exact
+    integer e12 variance (a tie would need sqrt to land exactly on
+    k+1/2, impossible for integer radicands), and the output
+    ``y_e4 = ((v−mu_b)·sd_g + mu_g·sd_b) / (sd_b·1e2)`` is one integer
+    half-away division — no float ever meets a rounding boundary.
 
     Scale shape: two (batch, gene)-keyed partial/final aggregations
     (O(batches × genes) rows — broadcastable), one broadcast join back
     to the COO stream, zero unpartitioned windows; the same plan at a
     billion cells."""
-    c = coo(spark, sf_dir).join(
-        load_table(spark, sf_dir, "embeddings").select(
-            "vec_id", F.col("label").alias("batch")
-        ),
+    e = load_table(spark, sf_dir, "embeddings")
+    c = e.select(
+        "vec_id", F.col("label").alias("batch"),
+        F.posexplode("embedding").alias("pos0", "v32"),
+    ).select(
         "vec_id",
+        "batch",
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        F.round(F.col("v32").cast("double") * 1e6).cast("bigint").alias("v6"),
     )
     c = materialize(c)
-    bg = c.groupBy("batch", "pos").agg(
-        F.round(F.sum(stat6("v")).cast("double") / F.count(F.lit(1)), 6).alias("mu_bg"),
-        F.round(
-            F.sum(stat6(F.col("v") * F.col("v"))).cast("double") / F.count(F.lit(1)), 6
-        ).alias("msq_bg"),
-    )
-    g = c.groupBy("pos").agg(
-        F.round(F.sum(stat6("v")).cast("double") / F.count(F.lit(1)), 6).alias("mu_g"),
-        F.round(
-            F.sum(stat6(F.col("v") * F.col("v"))).cast("double") / F.count(F.lit(1)), 6
-        ).alias("msq_g"),
-    )
-    sd = (
-        bg.join(F.broadcast(g), "pos")
-        .select(
-            "batch",
-            "pos",
-            "mu_bg",
-            "mu_g",
-            F.round(
-                F.sqrt(F.greatest(F.col("msq_bg") - F.col("mu_bg") * F.col("mu_bg"), F.lit(0.0))),
-                6,
-            ).alias("sd_bg"),
-            F.round(
-                F.sqrt(F.greatest(F.col("msq_g") - F.col("mu_g") * F.col("mu_g"), F.lit(0.0))),
-                6,
-            ).alias("sd_g"),
+
+    def _moments(grouped):
+        agg = grouped.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v6").alias("s1"),
+            F.sum(F.col("v6") * F.col("v6")).alias("s2"),
         )
+        sign1 = F.when(F.col("s1") < 0, F.lit(-1)).otherwise(F.lit(1))
+        return agg.select(
+            *[f.name for f in agg.schema.fields if f.name not in ("s1", "s2")],
+            (sign1 * F.expr("(2 * abs(s1) + n) div (2 * n)"))
+            .cast("bigint")
+            .alias("mu6"),
+            F.expr("(2 * s2 + n) div (2 * n)").cast("bigint").alias("msq12"),
+        )
+
+    bg = _moments(c.groupBy("batch", "pos"))
+    g = _moments(c.groupBy("pos")).select(
+        "pos", F.col("mu6").alias("mu_g6"), F.col("msq12").alias("msq_g12")
     )
-    y = F.when(F.col("sd_bg") < 1e-6, F.col("mu_g")).otherwise(
-        (F.col("v") - F.col("mu_bg")) / F.col("sd_bg") * F.col("sd_g") + F.col("mu_g")
+    isd = lambda msq, mu: (
+        F.round(F.sqrt(F.greatest(F.col(msq) - F.col(mu) * F.col(mu), F.lit(0)).cast("double")))
+        .cast("bigint")
     )
+    sd = bg.join(F.broadcast(g), "pos").select(
+        "batch",
+        "pos",
+        F.col("mu6").alias("mu_bg6"),
+        "mu_g6",
+        isd("msq12", "mu6").alias("sd_bg6"),
+        isd("msq_g12", "mu_g6").alias("sd_g6"),
+    )
+    num = (F.col("v6") - F.col("mu_bg6")) * F.col("sd_g6") + F.col("mu_g6") * F.col(
+        "sd_bg6"
+    )
+    sign = F.when(num < 0, F.lit(-1)).otherwise(F.lit(1))
+    y_main = sign * F.expr(
+        "(2 * abs((v6 - mu_bg6) * sd_g6 + mu_g6 * sd_bg6) + sd_bg6 * 100)"
+        " div (2 * sd_bg6 * 100)"
+    )
+    sign_g = F.when(F.col("mu_g6") < 0, F.lit(-1)).otherwise(F.lit(1))
+    y_fallback = sign_g * F.expr("(2 * abs(mu_g6) + 100) div 200")
     return c.join(F.broadcast(sd), ["batch", "pos"]).select(
-        "vec_id", big("pos", "pos"), (F.round(y, 4) + F.lit(0.0)).alias("y")
+        "vec_id",
+        "pos",
+        F.when(F.col("sd_bg6") < 1, y_fallback)
+        .otherwise(y_main)
+        .cast("bigint")
+        .alias("y_e4"),
     )
 
 

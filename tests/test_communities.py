@@ -216,7 +216,7 @@ def test_batch_correct_aligns_batch_moments(spark):
     batch = {int(r.vec_id): int(r.label) for r in e}
     by_bg, by_g = {}, {}
     for r in out:
-        y = float(r.y)
+        y = int(r.y_e4) / 1e4
         by_bg.setdefault((batch[int(r.vec_id)], int(r.pos)), []).append(y)
         by_g.setdefault(int(r.pos), []).append(y)
     gstats = {p: (np.mean(v), np.std(v)) for p, v in by_g.items()}
