@@ -872,34 +872,40 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("doc1").alias("doc_id")).distinct().withColumn(
         "component_id", F.col("doc_id")
     )
+
+    def _label_sum(d: DataFrame):
+        """Σ component_id (exact decimal) — the fixpoint probe.  Min-label
+        propagation is MONOTONE: every node's label is non-increasing, so
+        two consecutive rounds have equal sums iff no label changed — an
+        EXACT test from one single-pass aggregate, replacing the old O(n)
+        shuffle join of consecutive label tables (r15 opt round, guide
+        §2.4)."""
+        return d.agg(
+            F.sum(F.col("component_id").cast("decimal(28,0)"))
+        ).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     max_rounds = CC_MAX_ROUNDS  # ≥ graph diameter; breaks early at fixpoint
     converged = False
     for _ in range(max_rounds):
-        neighbor_min = (
-            edges.join(labels, edges.doc2 == labels.doc_id)
-            .groupBy(edges.doc1)
-            .agg(F.min("component_id").alias("nbr_min"))
+        # min over (own label ∪ neighbor labels) in ONE join + ONE
+        # aggregation: the union row replaces the old second (left) join +
+        # least/coalesce recombination — one exchange fewer per round
+        # (r15 opt round, guide §2.4).
+        neighbor_lbl = edges.join(labels, edges.doc2 == labels.doc_id).select(
+            F.col("doc1").alias("doc_id"), "component_id"
         )
         updated = materialize(
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.doc1, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component_id"), F.coalesce(F.col("nbr_min"), F.col("component_id"))
-                ).alias("component_id"),
-            )
+            neighbor_lbl.unionAll(labels)
+            .groupBy("doc_id")
+            .agg(F.min("component_id").alias("component_id"))
         )
-        changed = (
-            updated.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.component_id") != F.col("o.component_id"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = _label_sum(updated)
         labels = updated
-        if changed == 0:
+        if cur_sum == prev_sum:
             converged = True
             break
+        prev_sum = cur_sum
     if not converged:
         raise RuntimeError(
             f"dedup_connected_components: min-label propagation did not reach a "

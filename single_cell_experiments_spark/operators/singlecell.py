@@ -1775,6 +1775,23 @@ def lpa_labels(
     labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("lbl", F.col("id"))
     )
+
+    def _checksum(d: DataFrame):
+        """(row count, Σ xxhash64(id, lbl)) — an order-insensitive label-
+        table fingerprint.  The fixpoint probe compares consecutive rounds'
+        fingerprints: equal ⟺ no label changed (the id set is constant),
+        up to the same 2⁻⁶⁴-per-round hash-collision caveat
+        ``dedup.cc_star_labels`` already documents for its convergence
+        checksum.  One single-pass aggregate over the just-checkpointed
+        table — the old probe was an O(n) shuffle join of two label
+        tables per round (r15 opt round, guide §2.4)."""
+        row = d.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("id", "lbl").cast("decimal(28,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev_sum = _checksum(labels)
     rounds_used, converged = 0, False
     for _ in range(max_rounds):
         counts = (
@@ -1782,26 +1799,29 @@ def lpa_labels(
             .groupBy(edges.src, labels.lbl)
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        rn = F.row_number().over(
-            W.partitionBy("src").orderBy(F.desc("c"), F.asc("lbl"))
-        )
+        # argmax via max(struct(c, -lbl, lbl)): lexicographic struct max ==
+        # the old row_number ORDER BY c DESC, lbl ASC pick, but partial-
+        # aggregatable (map-side combine, no per-partition sort — r15 opt
+        # round, guide §2.3).
         updated = materialize(
-            counts.withColumn("rn", rn)
-            .where(F.col("rn") == 1)
-            .select(F.col("src").alias("id"), "lbl")
+            counts.groupBy("src")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("c"), (-F.col("lbl")).alias("negc"),
+                        F.col("lbl").alias("wlbl"),
+                    )
+                ).alias("w")
+            )
+            .select(F.col("src").alias("id"), F.col("w.wlbl").alias("lbl"))
         )
         rounds_used += 1
-        changed = (
-            updated.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = _checksum(updated)
         labels = updated
-        if changed == 0:
+        if cur_sum == prev_sum:
             converged = True
             break
+        prev_sum = cur_sum
     if stats is not None:
         stats["rounds"] = rounds_used
         stats["converged"] = converged
@@ -2066,45 +2086,57 @@ def louvain_phase1_labels(
     gnum, gden = int(gamma[0]), int(gamma[1])
     if gnum <= 0 or gden <= 0:
         raise ValueError(f"gamma must be a positive rational, got {gamma}")
-    deg = edges.groupBy(F.col("src").alias("id")).agg(
-        F.count(F.lit(1)).alias("k")
+    deg = materialize(
+        edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("k"))
     )
-    mm = deg.agg(F.sum("k").alias("m"))
-    deg = materialize(deg)
-    labels = deg.select("id", F.col("id").alias("lbl"))
-    def _phase(labels: DataFrame, phase: int) -> DataFrame:
-        nbrc = (
-            edges.join(labels, edges.dst == labels.id)
-            .where(edges.src % 2 == phase)
-            .groupBy(edges.src, labels.lbl)
-            .agg(F.count(F.lit(1)).alias("kuc"))
-            .select(F.col("src"), F.col("lbl").alias("clbl"), "kuc")
+    # M = Σk is a driver-known scalar: inline it as a LITERAL instead of the
+    # previous per-phase crossJoin(broadcast(mm)) — the broadcast rebuilt the
+    # degree aggregation from the raw edges on EVERY phase (r15 opt round:
+    # one fewer aggregation pass + one fewer broadcast exchange per phase,
+    # guide §2.4).
+    m_val = int(deg.agg(F.sum("k")).collect()[0][0])
+
+    # Label state carries (id, lbl, k, moved): k riding in the state kills
+    # the separate deg join per phase (one state join replaces the old
+    # deg-by-src + labels-by-src pair), and the exact ``moved`` flag makes
+    # the per-round fixpoint probe a SCAN of the checkpointed state instead
+    # of an O(n) shuffle join (guide §2.4 — remove shuffles outright).
+    state = deg.select(
+        "id", F.col("id").alias("lbl"), "k", F.lit(False).alias("moved")
+    )
+
+    def _phase(st: DataFrame, phase: int) -> DataFrame:
+        # One aggregation builds the candidate set: neighbor-label rows
+        # count 1, the node's own "stay" row counts 0 — sum == the old
+        # two-level count-then-max (r15 opt round: one exchange instead of
+        # two below the scoring joins, guide §2.3 partial aggregation).
+        nbr = (
+            edges.join(st.select(F.col("id").alias("dst"), "lbl"), "dst")
+            .where(F.col("src") % 2 == phase)
+            .select("src", F.col("lbl").alias("clbl"), F.lit(1).cast("long").alias("cnt"))
         )
-        own = labels.where(F.col("id") % 2 == phase).select(
+        own = st.where(F.col("id") % 2 == phase).select(
             F.col("id").alias("src"),
             F.col("lbl").alias("clbl"),
-            F.lit(0).cast("long").alias("kuc"),
+            F.lit(0).cast("long").alias("cnt"),
         )
-        cand = (
-            nbrc.unionAll(own)
-            .groupBy("src", "clbl")
-            .agg(F.max("kuc").alias("kuc"))
-        )
+        cand = nbr.unionAll(own).groupBy("src", "clbl").agg(F.sum("cnt").alias("kuc"))
         tot = (
-            labels.join(deg.select(F.col("id"), F.col("k")), "id")
-            .groupBy("lbl")
+            st.groupBy("lbl")
             .agg(F.sum("k").alias("tot"), F.count(F.lit(1)).alias("csz"))
             .select(F.col("lbl").alias("clbl"), "tot", "csz")
         )
         own_sz = tot.select(
             F.col("clbl").alias("plbl"), F.col("csz").alias("ocsz")
         )
+        me = st.select(
+            F.col("id").alias("src"), F.col("lbl").alias("plbl"), "k",
+            F.col("moved").alias("mvd"),
+        )
         scored = (
-            cand.join(deg.select(F.col("id").alias("src"), F.col("k")), "src")
+            cand.join(me, "src")
             .join(tot, "clbl")
-            .join(labels.select(F.col("id").alias("src"), F.col("lbl").alias("plbl")), "src")
             .join(own_sz, "plbl")
-            .crossJoin(F.broadcast(mm))
             # minimum-labeling damping (Lu/Halappanavar/Kalyanaraman 2015
             # §4.3, public): a singleton vertex may enter another
             # SINGLETON's community only toward a smaller label —
@@ -2121,9 +2153,12 @@ def louvain_phase1_labels(
             .select(
                 "src",
                 "clbl",
+                "k",
+                "plbl",
+                "mvd",
                 (
-                    F.lit(gden) * F.col("m") * F.col("kuc")
-                    - F.lit(gnum)
+                    F.lit(gden * m_val).cast("long") * F.col("kuc")
+                    - F.lit(gnum).cast("long")
                     * F.col("k")
                     * (
                         F.col("tot")
@@ -2132,55 +2167,40 @@ def louvain_phase1_labels(
                 ).alias("score"),
             )
         )
-        rn = F.row_number().over(
-            W.partitionBy("src").orderBy(F.desc("score"), F.asc("clbl"))
+        # argmax via max(struct(score, -clbl, clbl)): lexicographic struct
+        # max == the old row_number ORDER BY score DESC, clbl ASC pick —
+        # but as a partial-aggregatable hash aggregate instead of a
+        # sort+window (r15 opt round: map-side combine collapses each
+        # node's ≤degree+1 candidates before the exchange, and the
+        # per-partition sort disappears; guide §2.3).  k/plbl/mvd are
+        # functionally determined by src, so the grouping is per-node.
+        win = scored.groupBy("src", "k", "plbl", "mvd").agg(
+            F.max(
+                F.struct(
+                    F.col("score"),
+                    (-F.col("clbl")).alias("negc"),
+                    F.col("clbl").alias("wlbl"),
+                )
+            ).alias("w")
         )
-        moved = (
-            scored.withColumn("rn", rn)
-            .where(F.col("rn") == 1)
-            .select(F.col("src").alias("id"), F.col("clbl").alias("lbl"))
+        moved = win.select(
+            F.col("src").alias("id"),
+            F.col("w.wlbl").alias("lbl"),
+            "k",
+            (F.col("mvd") | (F.col("w.wlbl") != F.col("plbl"))).alias("moved"),
         )
-        kept = labels.where(F.col("id") % 2 != phase).select("id", "lbl")
+        kept = st.where(F.col("id") % 2 != phase).select("id", "lbl", "k", "moved")
         return materialize(moved.unionAll(kept))
 
-    m_val = mm.collect()[0][0]
-
-    def _qnum(labels: DataFrame) -> int:
-        """Integer modularity numerator Q·(2m)² = M·e_in − Σ_c tot(c)²
-        (M = directed edge count): exact, engine-independent, and
-        monotone in Q — the selection key.  Two scalar jobs per round,
-        the same driver-side O(1) class as the fixpoint check."""
-        la = labels.select(F.col("id").alias("src"), F.col("lbl").alias("la"))
-        lb = labels.select(F.col("id").alias("dst"), F.col("lbl").alias("lb"))
-        e_in = (
-            edges.join(la, "src")
-            .join(lb, "dst")
-            .where(F.col("la") == F.col("lb"))
-            .count()
-        )
-        sumsq = (
-            labels.join(deg, "id")
-            .groupBy("lbl")
-            .agg(F.sum("k").alias("tot"))
-            .agg(F.sum(F.col("tot") * F.col("tot")))
-            .collect()[0][0]
-        )
-        return gden * m_val * e_in - gnum * int(sumsq)
-
-    hist = [labels]
-    qnums = [_qnum(labels)]
+    hist = [state]
     rounds_used, converged = 0, False
     for _ in range(max_rounds):
-        updated = _phase(_phase(labels, 0), 1)
+        # moved flags reset at round start (a lazy projection fused into
+        # the phase-0 plan), so the post-round probe sees THIS round only.
+        fresh = hist[-1].select("id", "lbl", "k", F.lit(False).alias("moved"))
+        updated = _phase(_phase(fresh, 0), 1)
         rounds_used += 1
-        changed = (
-            updated.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
+        changed = updated.where(F.col("moved")).limit(1).count()
         if changed == 0:
             # fixpoint: this and every further round equals the last
             # recorded state, with identical Q — under the earliest-
@@ -2189,7 +2209,41 @@ def louvain_phase1_labels(
             converged = True
             break
         hist.append(updated)
-        qnums.append(_qnum(updated))
+    # Per-round Q numerators in ONE job over a round-tagged union of the
+    # recorded states: the edge table is joined by (src)/(dst, r) ONCE for
+    # all rounds instead of re-joined per round (the old shape paid 2 jobs
+    # and 2 fresh SMJ plans per round for a selection key the loop never
+    # branched on; r15 opt round, guide §2.4/§5).
+    import functools
+
+    lab_all = functools.reduce(
+        DataFrame.unionByName,
+        [
+            st.select(F.lit(i).alias("r"), "id", "lbl", "k")
+            for i, st in enumerate(hist)
+        ],
+    )
+    la = lab_all.select("r", F.col("id").alias("src"), F.col("lbl").alias("la"))
+    lb = lab_all.select("r", F.col("id").alias("dst"), F.col("lbl").alias("lb"))
+    e_in_df = (
+        edges.join(la, "src")
+        .join(lb, ["dst", "r"])
+        .where(F.col("la") == F.col("lb"))
+        .groupBy("r")
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    sumsq_df = (
+        lab_all.groupBy("r", "lbl")
+        .agg(F.sum("k").alias("tot"))
+        .groupBy("r")
+        .agg(F.sum(F.col("tot") * F.col("tot")).alias("sumsq"))
+    )
+    qnums = [0] * len(hist)
+    # left join: a round with zero same-label edges (round 0 on a
+    # self-loop-free graph) has no e_in row — it contributes e_in = 0.
+    for row in sumsq_df.join(e_in_df, "r", "left").collect():
+        e_in = int(row["e_in"]) if row["e_in"] is not None else 0
+        qnums[row["r"]] = gden * m_val * e_in - gnum * int(row["sumsq"])
     best_r = max(range(len(qnums)), key=lambda i: (qnums[i], -i))
     best_labels = hist[best_r]
     if stats is not None:
@@ -2197,7 +2251,7 @@ def louvain_phase1_labels(
         stats["converged"] = converged
         stats["best_round"] = best_r
         stats["best_qnum"] = max(qnums)
-    return best_labels
+    return best_labels.select("id", "lbl")
 
 
 def _modularity_qnum_sql(li: str, r: int, gnum: int = 1, gden: int = 1) -> str:
@@ -2503,45 +2557,52 @@ def louvain_phase1_weighted(
             ).cast("long").alias("k"),
         )
     )
-    mm = deg.agg(F.sum("k").alias("m"))
-    m_val = int(mm.collect()[0][0])
+    m_val = int(deg.agg(F.sum("k")).collect()[0][0])
     sm_total = int(
         selfmass.agg(F.coalesce(F.sum("sm"), F.lit(0))).collect()[0][0]
     )
-    labels = deg.select("id", F.col("id").alias("lbl"))
+    # Same r15 restructure as the unweighted ``louvain_phase1_labels`` (see
+    # there for the argument): k + exact ``moved`` flag ride in the state,
+    # candidate counting is ONE aggregation (neighbor rows carry w, the
+    # "stay" row carries 0 — sum == the old count-then-max), the argmax is
+    # a partial-aggregatable max(struct) instead of a sort+window, M is an
+    # inlined literal instead of a per-phase broadcast that re-aggregated
+    # the degree table, and the per-round Q probes are deferred to one
+    # round-tagged batch job after the loop.
+    state = deg.select(
+        "id", F.col("id").alias("lbl"), "k", F.lit(False).alias("moved")
+    )
 
-    def _phase(labels: DataFrame, phase: int) -> DataFrame:
-        nbrc = (
-            edges.join(labels, edges.dst == labels.id)
-            .where(edges.src % 2 == phase)
-            .groupBy(edges.src, labels.lbl)
-            .agg(F.sum("w").cast("long").alias("kuc"))
-            .select(F.col("src"), F.col("lbl").alias("clbl"), "kuc")
+    def _phase(st: DataFrame, phase: int) -> DataFrame:
+        nbr = (
+            edges.join(st.select(F.col("id").alias("dst"), "lbl"), "dst")
+            .where(F.col("src") % 2 == phase)
+            .select(
+                "src", F.col("lbl").alias("clbl"), F.col("w").cast("long").alias("cnt")
+            )
         )
-        own = labels.where(F.col("id") % 2 == phase).select(
+        own = st.where(F.col("id") % 2 == phase).select(
             F.col("id").alias("src"),
             F.col("lbl").alias("clbl"),
-            F.lit(0).cast("long").alias("kuc"),
+            F.lit(0).cast("long").alias("cnt"),
         )
-        cand = (
-            nbrc.unionAll(own).groupBy("src", "clbl").agg(F.max("kuc").alias("kuc"))
+        cand = nbr.unionAll(own).groupBy("src", "clbl").agg(
+            F.sum("cnt").cast("long").alias("kuc")
         )
         tot = (
-            labels.join(deg, "id")
-            .groupBy("lbl")
+            st.groupBy("lbl")
             .agg(F.sum("k").alias("tot"), F.count(F.lit(1)).alias("csz"))
             .select(F.col("lbl").alias("clbl"), "tot", "csz")
         )
         own_sz = tot.select(F.col("clbl").alias("plbl"), F.col("csz").alias("ocsz"))
+        me = st.select(
+            F.col("id").alias("src"), F.col("lbl").alias("plbl"), "k",
+            F.col("moved").alias("mvd"),
+        )
         scored = (
-            cand.join(deg.select(F.col("id").alias("src"), F.col("k")), "src")
+            cand.join(me, "src")
             .join(tot, "clbl")
-            .join(
-                labels.select(F.col("id").alias("src"), F.col("lbl").alias("plbl")),
-                "src",
-            )
             .join(own_sz, "plbl")
-            .crossJoin(F.broadcast(mm))
             .where(
                 (F.col("clbl") == F.col("plbl"))
                 | ~(
@@ -2553,8 +2614,11 @@ def louvain_phase1_weighted(
             .select(
                 "src",
                 "clbl",
+                "k",
+                "plbl",
+                "mvd",
                 (
-                    F.col("m") * F.col("kuc")
+                    F.lit(m_val).cast("long") * F.col("kuc")
                     - F.col("k")
                     * (
                         F.col("tot")
@@ -2565,62 +2629,70 @@ def louvain_phase1_weighted(
                 ).alias("score"),
             )
         )
-        rn = F.row_number().over(
-            W.partitionBy("src").orderBy(F.desc("score"), F.asc("clbl"))
+        win = scored.groupBy("src", "k", "plbl", "mvd").agg(
+            F.max(
+                F.struct(
+                    F.col("score"),
+                    (-F.col("clbl")).alias("negc"),
+                    F.col("clbl").alias("wlbl"),
+                )
+            ).alias("w")
         )
-        moved = (
-            scored.withColumn("rn", rn)
-            .where(F.col("rn") == 1)
-            .select(F.col("src").alias("id"), F.col("clbl").alias("lbl"))
+        moved = win.select(
+            F.col("src").alias("id"),
+            F.col("w.wlbl").alias("lbl"),
+            "k",
+            (F.col("mvd") | (F.col("w.wlbl") != F.col("plbl"))).alias("moved"),
         )
-        kept = labels.where(F.col("id") % 2 != phase).select("id", "lbl")
+        kept = st.where(F.col("id") % 2 != phase).select("id", "lbl", "k", "moved")
         return materialize(moved.unionAll(kept))
 
-    def _qnum(labels: DataFrame) -> int:
-        la = labels.select(F.col("id").alias("src"), F.col("lbl").alias("la"))
-        lb = labels.select(F.col("id").alias("dst"), F.col("lbl").alias("lb"))
-        e_in = (
-            edges.join(la, "src")
-            .join(lb, "dst")
-            .where(F.col("la") == F.col("lb"))
-            .agg(F.coalesce(F.sum("w"), F.lit(0)))
-            .collect()[0][0]
-        )
-        sumsq = (
-            labels.join(deg, "id")
-            .groupBy("lbl")
-            .agg(F.sum("k").alias("tot"))
-            .agg(F.sum(F.col("tot") * F.col("tot")))
-            .collect()[0][0]
-        )
-        return m_val * (int(e_in) + sm_total) - int(sumsq)
-
-    hist = [labels]
-    qnums = [_qnum(labels)]
+    hist = [state]
     rounds_used, converged = 0, False
     for _ in range(max_rounds):
-        updated = _phase(_phase(labels, 0), 1)
+        fresh = hist[-1].select("id", "lbl", "k", F.lit(False).alias("moved"))
+        updated = _phase(_phase(fresh, 0), 1)
         rounds_used += 1
-        changed = (
-            updated.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
+        changed = updated.where(F.col("moved")).limit(1).count()
         if changed == 0:
             converged = True
             break
         hist.append(updated)
-        qnums.append(_qnum(updated))
+    import functools
+
+    lab_all = functools.reduce(
+        DataFrame.unionByName,
+        [
+            st.select(F.lit(i).alias("r"), "id", "lbl", "k")
+            for i, st in enumerate(hist)
+        ],
+    )
+    la = lab_all.select("r", F.col("id").alias("src"), F.col("lbl").alias("la"))
+    lb = lab_all.select("r", F.col("id").alias("dst"), F.col("lbl").alias("lb"))
+    e_in_df = (
+        edges.join(la, "src")
+        .join(lb, ["dst", "r"])
+        .where(F.col("la") == F.col("lb"))
+        .groupBy("r")
+        .agg(F.sum("w").cast("long").alias("e_in"))
+    )
+    sumsq_df = (
+        lab_all.groupBy("r", "lbl")
+        .agg(F.sum("k").alias("tot"))
+        .groupBy("r")
+        .agg(F.sum(F.col("tot") * F.col("tot")).alias("sumsq"))
+    )
+    qnums = [0] * len(hist)
+    for row in sumsq_df.join(e_in_df, "r", "left").collect():
+        e_in = int(row["e_in"]) if row["e_in"] is not None else 0
+        qnums[row["r"]] = m_val * (e_in + sm_total) - int(row["sumsq"])
     best_r = max(range(len(qnums)), key=lambda i: (qnums[i], -i))
     if stats is not None:
         stats["rounds"] = rounds_used
         stats["converged"] = converged
         stats["best_round"] = best_r
         stats["best_qnum"] = max(qnums)
-    return hist[best_r]
+    return hist[best_r].select("id", "lbl")
 
 
 def _modularity_round_w_sql(prev: str, name: str, phase: int) -> str:
