@@ -3141,37 +3141,36 @@ def spectral_layout_edges(spark: SparkSession, edges: DataFrame) -> DataFrame:
     )
 
     def dn(src_view: str, defls: list[str], tag: str) -> str:
-        for i, dcte in enumerate(defls):
-            mv(
-                spark.sql(
-                    f"""SELECT {idiv("SUM(d.val * s.val)", str(_SL_SCALE))} AS pr
-FROM {src_view} s JOIN {dcte} d ON d.u = s.u"""
-                ),
-                f"{p}{tag}_pr{i}",
-            )
+        """ONE statement deflating ``src_view``'s ``(u, val)`` against
+        ``defls`` and normalizing — the SAME integer fragments the oracle
+        chain pins (projection → subtract → isqrt norm → rescale), composed
+        as CTEs + scalar subqueries over the already-checkpointed source
+        view instead of one materialized temp view PER FRAGMENT.  r15 opt
+        round, guide §2.4: the old stepwise shape paid ~4 driver jobs
+        (localCheckpoint each) per deflate-normalize; this pays 1.  Spark
+        INLINES repeated CTE references, so only the cheap O(n)-row
+        deflation join is re-evaluated by the norm subquery — the matvec
+        feeding ``src_view`` stays checkpointed outside (a first draft
+        that folded the matvec in too re-ran it per CTE reference and was
+        measurably SLOWER than the stepwise shape: 19.2 s vs 12.9 s at
+        sf0.01 — guide §1.1's 'ideal plan gotcha', kept for the record)."""
+        prs = ",\n".join(
+            f"""pr{i} AS (
+  SELECT {idiv("SUM(d.val * s.val)", str(_SL_SCALE))} AS pr
+  FROM {src_view} s JOIN {dcte} d ON d.u = s.u
+)"""
+            for i, dcte in enumerate(defls)
+        )
         sub = " - ".join(
-            idiv(f"(SELECT pr FROM {p}{tag}_pr{i}) * d{i}.val", str(_SL_SCALE))
+            idiv(f"(SELECT pr FROM pr{i}) * d{i}.val", str(_SL_SCALE))
             for i in range(len(defls))
         )
         joins = " ".join(f"JOIN {dcte} d{i} ON d{i}.u = s.u" for i, dcte in enumerate(defls))
-        mv(
-            spark.sql(
-                f"SELECT s.u, CAST(s.val - {sub} AS BIGINT) AS v FROM {src_view} s {joins}"
-            ),
-            f"{p}{tag}_v",
-        )
-        mv(
-            spark.sql(_sl_isqrt_sql("SUM(v * v)", "nr", f"{p}{tag}_v", keys="")),
-            f"{p}{tag}_n",
-        )
-        mv(
-            spark.sql(
-                f"""SELECT u, CAST({idiv(f"v * {_SL_SCALE}", f"(SELECT nr FROM {p}{tag}_n)")} AS BIGINT) AS val
-FROM {p}{tag}_v"""
-            ),
-            f"{p}{tag}",
-        )
-        return f"{p}{tag}"
+        return f"""WITH {prs},
+vv AS (SELECT s.u, CAST(s.val - {sub} AS BIGINT) AS v FROM {src_view} s {joins}),
+nn AS ({_sl_isqrt_sql("SUM(v * v)", "nr", "vv", keys="")})
+SELECT u, CAST({idiv(f"v * {_SL_SCALE}", "(SELECT nr FROM nn)")} AS BIGINT) AS val
+FROM vv"""
 
     def axis(name: str, lcg_a: int, lcg_c: int, defls: list[str]) -> str:
         mv(
@@ -3181,7 +3180,8 @@ FROM {p}deg"""
             ),
             f"{p}r_{name}",
         )
-        cur = dn(f"{p}r_{name}", defls, f"{name}0")
+        cur = f"{p}{name}0"
+        mv(spark.sql(dn(f"{p}r_{name}", defls, f"{name}0")), cur)
         for t in range(1, SC_SPECTRAL_T + 1):
             mv(
                 spark.sql(
@@ -3191,7 +3191,9 @@ GROUP BY w.u"""
                 ),
                 f"{p}z_{name}{t}",
             )
-            cur = dn(f"{p}z_{name}{t}", defls, f"{name}{t}")
+            nxt = f"{p}{name}{t}"
+            mv(spark.sql(dn(f"{p}z_{name}{t}", defls, f"{name}{t}")), nxt)
+            cur = nxt
         return cur
 
     fx = axis("sx", 1103515245, 12345, [f"{p}phi"])
@@ -3200,12 +3202,12 @@ GROUP BY w.u"""
         f"""SELECT x.u, CAST(x.val AS BIGINT) AS sx_micro, CAST(y.val AS BIGINT) AS sy_micro
 FROM {fx} x JOIN {fy} y ON y.u = x.u"""
     )
-    # Catalog hygiene (r14 advice): every ~80 nonce-namespaced views this
-    # invocation registered are dropped NOW — ``spark.sql`` resolves views
-    # at analysis time, so the returned (and every intermediate) DataFrame
-    # already holds the resolved plans over the checkpointed blocks; a
-    # long-lived session calling layout repeatedly no longer accumulates
-    # catalog entries.
+    # Catalog hygiene (r14 advice): every nonce-namespaced view this
+    # invocation registered (18 after the r15 round fusion; ~80 before) is
+    # dropped NOW — ``spark.sql`` resolves views at analysis time, so the
+    # returned (and every intermediate) DataFrame already holds the
+    # resolved plans over the checkpointed blocks; a long-lived session
+    # calling layout repeatedly no longer accumulates catalog entries.
     for name in created:
         spark.catalog.dropTempView(name)
     return out
