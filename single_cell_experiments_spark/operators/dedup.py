@@ -1223,11 +1223,21 @@ def pagerank_edges(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     Assumes every node has out-degree ≥ 1 (true for symmetric graphs).
     """
     nodes = edges.select(F.col("src").alias("id")).distinct()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # Degree and the per-node teleport/base constants are loop-invariant;
+    # without the materialize each round's job re-ran the degree aggregation,
+    # the node count, and the params broadcast build from scratch (the
+    # docstring's claimed reuse — made real in the r15 opt round, guide §2.4:
+    # one exchange + one broadcast-subquery job fewer per round).
+    deg = materialize(edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")))
     params = nodes.agg(F.count(F.lit(1)).alias("n"))
     base = F.expr(f"{PR_SCALE} div n")
     teleport = F.expr(f"({_PR_D_DEN - _PR_D_NUM} * ({PR_SCALE} div n)) div {_PR_D_DEN}")
-    ranks = nodes.crossJoin(F.broadcast(params)).select("id", base.alias("r"))
+    nt = materialize(
+        nodes.crossJoin(F.broadcast(params)).select(
+            "id", base.alias("r0"), teleport.alias("t")
+        )
+    )
+    ranks = nt.select("id", F.col("r0").alias("r"))
     for _ in range(iters):
         contrib = (
             edges.join(ranks, edges.src == ranks.id)
@@ -1237,12 +1247,11 @@ def pagerank_edges(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
             .agg(F.sum("c").alias("s"))
         )
         ranks = materialize(
-            nodes.crossJoin(F.broadcast(params))
-            .join(contrib, "id", "left")
+            nt.join(contrib, "id", "left")
             .select(
                 "id",
                 (
-                    teleport
+                    F.col("t")
                     + F.expr(f"({_PR_D_NUM} * coalesce(s, 0)) div {_PR_D_DEN}")
                 ).alias("r"),
             )
