@@ -434,10 +434,13 @@ def dedup_minhash_lsh_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash check pins; its recovery behavior under a forced tiny cap is
     pinned by ``tests/test_lsh_star.py``, and its measured recall at the
     20× degenerate stress point is in SCALE.md §12.
+
+    Executes via ``lsh_pairs_staged(star=True)`` (r15) — same staged
+    cascade as ``dedup_minhash_lsh``; the star tier adds only the bover/
+    star/cand_all CTEs over the already-materialized bands view.
     """
     docs = load_table(spark, sf_dir, "documents")
-    docs.createOrReplaceTempView("__docs")
-    return spark.sql(_lsh_star_sql(_SPARK_SHINGLES, ln="size"))
+    return lsh_pairs_staged(spark, docs, star=True)
 
 
 def _lsh_bucket_audit_sql(
@@ -598,10 +601,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     See module docstring for the scale argument; the banded self-join is
     the only pair-producing step and it is bucket-local.
+
+    Execution goes through ``lsh_pairs_staged`` (r15): Spark inlines
+    deterministic CTEs at every reference, so the one-statement form
+    re-ran the shingles→sigs→bands cascade once per downstream consumer
+    (measured 2.5–3.2 s vs 0.75–0.95 s staged at sf0.01, identical rows).
+    The DuckDB oracle stays the one-statement ``_minhash_sql`` text.
     """
     docs = load_table(spark, sf_dir, "documents")
-    docs.createOrReplaceTempView("__docs")
-    return spark.sql(_minhash_sql(_SPARK_SHINGLES, ln="size"))
+    return lsh_pairs_staged(spark, docs)
 
 
 @query(
@@ -621,10 +629,15 @@ def dedup_minhash_lsh_hirecall(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets (larger Σ(bucket²)), which is why it is a registered VARIANT
     and not the default: pick by corpus J-regime using
     ``dedup_lsh_bucket_audit`` numbers, not by faith.
+
+    Executes via ``lsh_pairs_staged`` (r15) — the 6×2 banding doubles the
+    band UNION ALL fan-out over the sigs cascade, so materializing the
+    cascade once pays off even more than in the 3×4 default (A/B at
+    sf0.01: staged consistently faster, second-run 9.6 s vs 36 s,
+    identical 57,757 rows).
     """
     docs = load_table(spark, sf_dir, "documents")
-    docs.createOrReplaceTempView("__docs")
-    return spark.sql(_minhash_sql(_SPARK_SHINGLES, band_sigs=_BAND_SIGS_HIRECALL, ln="size"))
+    return lsh_pairs_staged(spark, docs, band_sigs=_BAND_SIGS_HIRECALL)
 
 
 # --- SimHash ----------------------------------------------------------------------
