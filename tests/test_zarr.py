@@ -509,17 +509,35 @@ def test_pyds_stream_restart_ingests_only_new_chunks(spark, tmp_path):
     spark.dataSource.register(ZarrDataSource)
 
     def run_once():
-        (
-            spark.readStream.format("sce_zarr")
-            .option("path", str(xdir))
-            .load()
-            .writeStream.format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-            .awaitTermination()
-        )
+        # Python-data-source streaming spawns driver-side "simple" Python
+        # workers whose connect-back window is a HARDCODED 10 s select() in
+        # PythonWorkerFactory (no conf raises it).  On a host saturated by a
+        # co-tenant sweep the fork+connect can exceed it, failing the run
+        # before (or between) batch commits.  An availableNow restart on the
+        # same checkpoint is exactly-once (FileStreamSink commits by batch
+        # id), so retrying this one environmental signature is sound and
+        # does not weaken any assertion below.
+        for attempt in range(3):
+            try:
+                (
+                    spark.readStream.format("sce_zarr")
+                    .option("path", str(xdir))
+                    .load()
+                    .writeStream.format("parquet")
+                    .option("path", sink)
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                    .awaitTermination()
+                )
+                break
+            except Exception as e:  # noqa: BLE001 - filtered on message below
+                if (
+                    attempt == 2
+                    or "waiting for the Python worker to connect back"
+                    not in str(e)
+                ):
+                    raise
         return spark.read.parquet(sink).collect()
 
     rows1 = run_once()
