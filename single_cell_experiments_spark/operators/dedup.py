@@ -37,7 +37,7 @@ No step is quadratic in the corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, Observation, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -886,21 +886,19 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component_id", F.col("doc_id")
     )
 
-    def _label_sum(d: DataFrame):
-        """Σ component_id (exact decimal) — the fixpoint probe.  Min-label
-        propagation is MONOTONE: every node's label is non-increasing, so
-        two consecutive rounds have equal sums iff no label changed — an
-        EXACT test from one single-pass aggregate, replacing the old O(n)
-        shuffle join of consecutive label tables (r15 opt round, guide
-        §2.4)."""
-        return d.agg(
-            F.sum(F.col("component_id").cast("decimal(28,0)"))
-        ).collect()[0][0]
-
-    prev_sum = _label_sum(labels)
+    # Σ component_id (exact decimal) is the fixpoint probe.  Min-label
+    # propagation is MONOTONE: every node's label is non-increasing, so
+    # two consecutive rounds have equal sums iff no label changed — an
+    # EXACT test (r15 opt round, guide §2.4).  r16: the per-round sum now
+    # rides the round's OWN checkpoint job as an ``observe`` metric
+    # (CollectMetrics computes it while the blocks are written), so the
+    # separate probe job — one full scan + agg per round — is gone
+    # (guide §5, driver round-trips).
+    _probe = F.sum(F.col("component_id").cast("decimal(28,0)")).alias("s")
+    prev_sum = labels.agg(_probe).collect()[0][0]
     max_rounds = CC_MAX_ROUNDS  # ≥ graph diameter; breaks early at fixpoint
     converged = False
-    for _ in range(max_rounds):
+    for r in range(max_rounds):
         # min over (own label ∪ neighbor labels) in ONE join + ONE
         # aggregation: the union row replaces the old second (left) join +
         # least/coalesce recombination — one exchange fewer per round
@@ -908,12 +906,14 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         neighbor_lbl = edges.join(labels, edges.doc2 == labels.doc_id).select(
             F.col("doc1").alias("doc_id"), "component_id"
         )
+        obs = Observation(f"cc_probe_{r}")
         updated = materialize(
             neighbor_lbl.unionAll(labels)
             .groupBy("doc_id")
             .agg(F.min("component_id").alias("component_id"))
+            .observe(obs, _probe)
         )
-        cur_sum = _label_sum(updated)
+        cur_sum = obs.get["s"]
         labels = updated
         if cur_sum == prev_sum:
             converged = True
@@ -958,15 +958,14 @@ def cc_star_labels(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
     )
     e = materialize(e)
 
-    def _checksum(d: DataFrame):
-        # decimal(28,0) sum: exact and overflow-free for any realistic edge
-        # count (long-sum of xxhash64 values would overflow — an error
-        # under ANSI mode, silent wraparound otherwise).
-        row = d.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("u", "v").cast("decimal(28,0)")).alias("h"),
-        ).collect()[0]
-        return (row["n"], row["h"])
+    # Edge-set checksum (count + Σ xxhash64, decimal sum: exact and
+    # overflow-free where a long sum would wrap).  r16: computed as an
+    # ``observe`` metric DURING each round's checkpoint job instead of a
+    # separate scan+agg job per round (guide §5).
+    _probe = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("u", "v").cast("decimal(28,0)")).alias("h"),
+    ]
 
     def _large_star(d: DataFrame) -> DataFrame:
         sym = d.union(d.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -996,9 +995,11 @@ def cc_star_labels(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
 
     prev = None
     converged = False
-    for _ in range(max_rounds):
-        e = materialize(_small_star(_large_star(e)))
-        cur = _checksum(e)
+    for r in range(max_rounds):
+        obs = Observation(f"ccstar_probe_{r}")
+        e = materialize(_small_star(_large_star(e)).observe(obs, *_probe))
+        got = obs.get
+        cur = (got["n"], got["h"])
         if cur == prev:
             converged = True
             break

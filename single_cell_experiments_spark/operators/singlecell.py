@@ -36,9 +36,11 @@ normalize/log1p/recipe is ``|v|``; (c) HVG dispersion is the variance
 
 from __future__ import annotations
 
+import functools
 import itertools
+import math
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, Observation, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -1426,11 +1428,22 @@ def sc_nnd_edges(
         )
     g = materialize(score(seed))
     for _ in range(rounds):
-        fwd = g.select("vec_id", "nbr")
-        u = materialize(
-            fwd.union(
+        # ONE checkpoint per round (r16 opt round, guide §5 driver
+        # round-trips): u = (g ∪ gᵀ).distinct() is NOT materialized — its
+        # three references compile to canonically identical
+        # HashAggregate(Exchange(...)) subtrees over the checkpointed g, so
+        # AQE stage reuse executes the distinct's shuffle once, and Catalyst
+        # drops the redundant inner distinct on the direct-union branch
+        # outright (Distinct(Union(Distinct(A), B)) → Distinct(Union(A, B))
+        # — see plans/r16/nnd_round_after.txt).  The old shape paid a
+        # second localCheckpoint (full block write of the edge list) per
+        # round for the same exchange.
+        u = (
+            g.select("vec_id", "nbr")
+            .union(
                 g.select(F.col("nbr").alias("vec_id"), F.col("vec_id").alias("nbr"))
-            ).distinct()
+            )
+            .distinct()
         )
         hop = (
             u.alias("x")
@@ -1776,52 +1789,71 @@ def lpa_labels(
         edges.select(F.col("src").alias("id")).distinct().withColumn("lbl", F.col("id"))
     )
 
-    def _checksum(d: DataFrame):
-        """(row count, Σ xxhash64(id, lbl)) — an order-insensitive label-
-        table fingerprint.  The fixpoint probe compares consecutive rounds'
-        fingerprints: equal ⟺ no label changed (the id set is constant),
-        up to the same 2⁻⁶⁴-per-round hash-collision caveat
-        ``dedup.cc_star_labels`` already documents for its convergence
-        checksum.  One single-pass aggregate over the just-checkpointed
-        table — the old probe was an O(n) shuffle join of two label
-        tables per round (r15 opt round, guide §2.4)."""
-        row = d.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("id", "lbl").cast("decimal(28,0)")).alias("h"),
-        ).collect()[0]
-        return (row["n"], row["h"])
-
-    prev_sum = _checksum(labels)
+    # EXACT fixpoint probe, zero extra jobs (r16 opt round, guide §5 +
+    # r15 verdict #6): each node's PREVIOUS label rides the candidate
+    # aggregation as a marker row with c = -1 (real candidates have
+    # c ≥ 1, so the marker can never win the argmax and nodes without
+    # real in-edge candidates are filtered exactly as before), giving the
+    # winning AND previous label in one hash aggregate — no join.  The
+    # per-round probe is then Σ(new ≠ old) + the surviving row count,
+    # computed as ``observe`` metrics DURING the round's checkpoint job.
+    # This retires the r15 (count, Σ xxhash64) fingerprint and its
+    # 2⁻⁶⁴-per-round collision caveat: convergence is now moved = 0 with
+    # an unchanged row count — exact.  (updated ids ⊆ previous ids every
+    # round — a node without surviving candidates drops out — so
+    # moved = 0 ∧ n = prev_n ⟺ the tables are equal.)
+    prev_n = labels.count()  # one job, replacing the old initial checksum job
     rounds_used, converged = 0, False
-    for _ in range(max_rounds):
+    for r in range(max_rounds):
         counts = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy(edges.src, labels.lbl)
-            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        marker = labels.select(
+            F.col("id").alias("src"), "lbl", F.lit(-1).cast("long").alias("c")
         )
         # argmax via max(struct(c, -lbl, lbl)): lexicographic struct max ==
         # the old row_number ORDER BY c DESC, lbl ASC pick, but partial-
         # aggregatable (map-side combine, no per-partition sort — r15 opt
-        # round, guide §2.3).
-        updated = materialize(
-            counts.groupBy("src")
+        # round, guide §2.3).  Labels are nonnegative node ids, so -lbl
+        # cannot wrap (r15 advice).
+        win = (
+            counts.select("src", "lbl", "c")
+            .unionByName(marker)
+            .groupBy("src")
             .agg(
                 F.max(
                     F.struct(
                         F.col("c"), (-F.col("lbl")).alias("negc"),
                         F.col("lbl").alias("wlbl"),
                     )
-                ).alias("w")
+                ).alias("w"),
+                F.max(F.when(F.col("c") == -1, F.col("lbl"))).alias("old"),
             )
-            .select(F.col("src").alias("id"), F.col("w.wlbl").alias("lbl"))
+        )
+        obs = Observation(f"lpa_probe_{r}")
+        updated = materialize(
+            win.where(F.col("w.c") > 0)
+            .select(
+                F.col("src").alias("id"),
+                F.col("w.wlbl").alias("lbl"),
+                (F.col("w.wlbl") != F.col("old")).alias("_mv"),
+            )
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("_mv").cast("long")).alias("moved"),
+            )
+            .select("id", "lbl")
         )
         rounds_used += 1
-        cur_sum = _checksum(updated)
+        got = obs.get
         labels = updated
-        if cur_sum == prev_sum:
+        if (got["moved"] or 0) == 0 and got["n"] == prev_n:
             converged = True
             break
-        prev_sum = cur_sum
+        prev_n = got["n"]
     if stats is not None:
         stats["rounds"] = rounds_used
         stats["converged"] = converged
@@ -2105,7 +2137,7 @@ def louvain_phase1_labels(
         "id", F.col("id").alias("lbl"), "k", F.lit(False).alias("moved")
     )
 
-    def _phase(st: DataFrame, phase: int) -> DataFrame:
+    def _phase(st: DataFrame, phase: int, obs: Observation | None = None) -> DataFrame:
         # One aggregation builds the candidate set: neighbor-label rows
         # count 1, the node's own "stay" row counts 0 — sum == the old
         # two-level count-then-max (r15 opt round: one exchange instead of
@@ -2190,7 +2222,13 @@ def louvain_phase1_labels(
             (F.col("mvd") | (F.col("w.wlbl") != F.col("plbl"))).alias("moved"),
         )
         kept = st.where(F.col("id") % 2 != phase).select("id", "lbl", "k", "moved")
-        return materialize(moved.unionAll(kept))
+        out = moved.unionAll(kept)
+        if obs is not None:
+            # Σmoved rides the phase-1 checkpoint job as an ``observe``
+            # metric — the separate scan job per round is gone (r16 opt
+            # round, guide §5).
+            out = out.observe(obs, F.sum(F.col("moved").cast("long")).alias("mv"))
+        return materialize(out)
 
     hist = [state]
     rounds_used, converged = 0, False
@@ -2198,9 +2236,10 @@ def louvain_phase1_labels(
         # moved flags reset at round start (a lazy projection fused into
         # the phase-0 plan), so the post-round probe sees THIS round only.
         fresh = hist[-1].select("id", "lbl", "k", F.lit(False).alias("moved"))
-        updated = _phase(_phase(fresh, 0), 1)
+        obs = Observation(f"louvain_probe_{rounds_used}")
+        updated = _phase(_phase(fresh, 0), 1, obs)
         rounds_used += 1
-        changed = updated.where(F.col("moved")).limit(1).count()
+        changed = int(obs.get["mv"] or 0)
         if changed == 0:
             # fixpoint: this and every further round equals the last
             # recorded state, with identical Q — under the earliest-
@@ -2214,8 +2253,6 @@ def louvain_phase1_labels(
     # all rounds instead of re-joined per round (the old shape paid 2 jobs
     # and 2 fresh SMJ plans per round for a selection key the loop never
     # branched on; r15 opt round, guide §2.4/§5).
-    import functools
-
     lab_all = functools.reduce(
         DataFrame.unionByName,
         [
@@ -2573,7 +2610,7 @@ def louvain_phase1_weighted(
         "id", F.col("id").alias("lbl"), "k", F.lit(False).alias("moved")
     )
 
-    def _phase(st: DataFrame, phase: int) -> DataFrame:
+    def _phase(st: DataFrame, phase: int, obs: Observation | None = None) -> DataFrame:
         nbr = (
             edges.join(st.select(F.col("id").alias("dst"), "lbl"), "dst")
             .where(F.col("src") % 2 == phase)
@@ -2645,21 +2682,25 @@ def louvain_phase1_weighted(
             (F.col("mvd") | (F.col("w.wlbl") != F.col("plbl"))).alias("moved"),
         )
         kept = st.where(F.col("id") % 2 != phase).select("id", "lbl", "k", "moved")
-        return materialize(moved.unionAll(kept))
+        out = moved.unionAll(kept)
+        if obs is not None:
+            # Σmoved as an ``observe`` metric on the phase-1 checkpoint —
+            # see ``louvain_phase1_labels`` (r16 opt round, guide §5).
+            out = out.observe(obs, F.sum(F.col("moved").cast("long")).alias("mv"))
+        return materialize(out)
 
     hist = [state]
     rounds_used, converged = 0, False
     for _ in range(max_rounds):
         fresh = hist[-1].select("id", "lbl", "k", F.lit(False).alias("moved"))
-        updated = _phase(_phase(fresh, 0), 1)
+        obs = Observation(f"louvain_w_probe_{rounds_used}")
+        updated = _phase(_phase(fresh, 0), 1, obs)
         rounds_used += 1
-        changed = updated.where(F.col("moved")).limit(1).count()
+        changed = int(obs.get["mv"] or 0)
         if changed == 0:
             converged = True
             break
         hist.append(updated)
-    import functools
-
     lab_all = functools.reduce(
         DataFrame.unionByName,
         [
@@ -2895,6 +2936,15 @@ def _sl_idiv(x: str, y: str, dv: str) -> str:
 #: sqrt seed is correctly rounded per IEEE-754 (deterministic in both
 #: engines), and the ±1 corrections make the result the true floor sqrt by
 #: pure integer comparison — no float ever crosses an engine boundary.
+def _idiv_py(x: int, y: int) -> int:
+    """Python twin of ``_sl_idiv``: truncate-toward-zero division of a
+    possibly-negative numerator by a positive denominator — bit-identical
+    to Spark's ``div`` / the oracle's routed ``//`` on the same operands.
+    Used where a loop computes a scalar ON THE DRIVER (from an exact
+    integer sum read back via ``observe``) and inlines it as a literal."""
+    return x // y if x >= 0 else -((-x) // y)
+
+
 def _sl_isqrt_cols(n_expr: str, out: str) -> tuple[str, str, str]:
     """Three SELECT-stage column lists computing ``out`` = floor(sqrt(n)).
     Stage 1 emits ``__n`` and the double-seeded ``__s``; stage 2 corrects
@@ -3140,60 +3190,82 @@ def spectral_layout_edges(spark: SparkSession, edges: DataFrame) -> DataFrame:
         f"{p}phi",
     )
 
-    def dn(src_view: str, defls: list[str], tag: str) -> str:
-        """ONE statement deflating ``src_view``'s ``(u, val)`` against
-        ``defls`` and normalizing — the SAME integer fragments the oracle
-        chain pins (projection → subtract → isqrt norm → rescale), composed
-        as CTEs + scalar subqueries over the already-checkpointed source
-        view instead of one materialized temp view PER FRAGMENT.  r15 opt
-        round, guide §2.4: the old stepwise shape paid ~4 driver jobs
-        (localCheckpoint each) per deflate-normalize; this pays 1.  Spark
-        INLINES repeated CTE references, so only the cheap O(n)-row
-        deflation join is re-evaluated by the norm subquery — the matvec
-        feeding ``src_view`` stays checkpointed outside (a first draft
-        that folded the matvec in too re-ran it per CTE reference and was
-        measurably SLOWER than the stepwise shape: 19.2 s vs 12.9 s at
-        sf0.01 — guide §1.1's 'ideal plan gotcha', kept for the record)."""
-        prs = ",\n".join(
-            f"""pr{i} AS (
-  SELECT {idiv("SUM(d.val * s.val)", str(_SL_SCALE))} AS pr
-  FROM {src_view} s JOIN {dcte} d ON d.u = s.u
-)"""
-            for i, dcte in enumerate(defls)
-        )
-        sub = " - ".join(
-            idiv(f"(SELECT pr FROM pr{i}) * d{i}.val", str(_SL_SCALE))
-            for i in range(len(defls))
-        )
-        joins = " ".join(f"JOIN {dcte} d{i} ON d{i}.u = s.u" for i, dcte in enumerate(defls))
-        return f"""WITH {prs},
-vv AS (SELECT s.u, CAST(s.val - {sub} AS BIGINT) AS v FROM {src_view} s {joins}),
-nn AS ({_sl_isqrt_sql("SUM(v * v)", "nr", "vv", keys="")})
-SELECT u, CAST({idiv(f"v * {_SL_SCALE}", "(SELECT nr FROM nn)")} AS BIGINT) AS val
-FROM vv"""
-
     def axis(name: str, lcg_a: int, lcg_c: int, defls: list[str]) -> str:
-        mv(
-            spark.sql(
-                f"""SELECT u, CAST((((u % 2048) * {lcg_a} + {lcg_c}) % 2048) * {_SL_SCALE} div 2048 AS BIGINT) AS val
-FROM {p}deg"""
-            ),
-            f"{p}r_{name}",
+        """One deflated-power-iteration axis in TWO driver actions per
+        round (r16 opt round, guide §5): each round checkpoints the
+        matvec JOINED with the deflation vectors once, with the
+        deflation-projection sums riding that same job as ``observe``
+        metrics, then one scalar aggregate reads back the norm — the
+        projection (pr) and norm (nr) constants are truncate-toward-zero
+        integer divisions / floor square roots of those exact sums,
+        reproduced in Python (``div`` on a positive denominator ==
+        nonnegative floor-div routed through ``-(-x div y)`` for x < 0;
+        the ±1-corrected isqrt fragment IS floor sqrt == ``math.isqrt``)
+        and inlined as literals in the next fragment.  Values are
+        bit-identical to the r15 scalar-subquery form; what changes is
+        transport (driver literal vs subquery) and cost: the r15 ``dn``
+        statement re-evaluated the deflation join once per CTE/subquery
+        reference (Spark inlines deterministic CTEs) and paid 2
+        checkpoints + ~4 subquery executions per round — now the join
+        runs once, checkpointed, per round.  (The r15 note about fusing
+        the matvec into ``dn`` being slower no longer applies: the matvec
+        here is referenced exactly once, so nothing re-runs.)"""
+        joins = " ".join(
+            f"JOIN {d} d{i} ON d{i}.u = s.u" for i, d in enumerate(defls)
         )
-        cur = f"{p}{name}0"
-        mv(spark.sql(dn(f"{p}r_{name}", defls, f"{name}0")), cur)
-        for t in range(1, SC_SPECTRAL_T + 1):
+        dcols = ", ".join(f"d{i}.val AS dv{i}" for i in range(len(defls)))
+        ramp = (
+            f"SELECT u, CAST((((u % 2048) * {lcg_a} + {lcg_c}) % 2048)"
+            f" * {_SL_SCALE} div 2048 AS BIGINT) AS val FROM {p}deg"
+        )
+        cur_select = None  # full SELECT producing the current (u, val)
+        for t in range(SC_SPECTRAL_T + 1):
+            src = ramp if t == 0 else (
+                f"SELECT w.u, {idiv('SUM(w.w * x.val)', str(_SL_SCALE))} AS val\n"
+                f"FROM {p}wts w JOIN ({cur_select}) x ON x.u = w.v\n"
+                f"GROUP BY w.u"
+            )
+            zj_view = f"{p}zj_{name}{t}"
+            obs = Observation(f"sl_{name}{t}_{p}")
             mv(
                 spark.sql(
-                    f"""SELECT w.u, {idiv("SUM(w.w * x.val)", str(_SL_SCALE))} AS val
-FROM {p}wts w JOIN {cur} x ON x.u = w.v
-GROUP BY w.u"""
+                    f"SELECT s.u, s.val, {dcols} FROM ({src}) s {joins}"
+                ).observe(
+                    obs,
+                    *[
+                        F.sum(F.col("val") * F.col(f"dv{i}")).alias(f"p{i}")
+                        for i in range(len(defls))
+                    ],
                 ),
-                f"{p}z_{name}{t}",
+                zj_view,
             )
-            nxt = f"{p}{name}{t}"
-            mv(spark.sql(dn(f"{p}z_{name}{t}", defls, f"{name}{t}")), nxt)
-            cur = nxt
+            got = obs.get
+            prs = [
+                _idiv_py(int(got[f"p{i}"]), _SL_SCALE)
+                if got[f"p{i}"] is not None
+                else 0
+                for i in range(len(defls))
+            ]
+            sub = " - ".join(
+                idiv(f"({prs[i]}) * dv{i}", str(_SL_SCALE))
+                for i in range(len(defls))
+            )
+            vexpr = f"CAST(val - {sub} AS BIGINT)"
+            s2 = spark.sql(
+                f"SELECT SUM(v * v) AS s2 FROM (SELECT {vexpr} AS v FROM {zj_view})"
+            ).collect()[0]["s2"]
+            if s2 is not None and int(s2) < 0:
+                raise RuntimeError(
+                    "spectral_layout_edges: Σv² overflowed int64 — corpus "
+                    "exceeds the documented fixed-point bounds"
+                )
+            nr = "CAST(NULL AS BIGINT)" if s2 is None else str(math.isqrt(int(s2)))
+            cur_select = (
+                f"SELECT u, CAST({idiv(f'({vexpr}) * {_SL_SCALE}', nr)} AS BIGINT)"
+                f" AS val FROM {zj_view}"
+            )
+        cur = f"{p}{name}{SC_SPECTRAL_T}"
+        mv(spark.sql(cur_select), cur)
         return cur
 
     fx = axis("sx", 1103515245, 12345, [f"{p}phi"])
@@ -3483,7 +3555,9 @@ def sc_notebook_e2e_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = materialize(score(seed))
     for _ in range(NB_ANN_ROUNDS):
-        u = materialize(
+        # one checkpoint per round; u's distinct rides AQE stage reuse —
+        # same fuse as ``sc_nnd_edges`` (see the comment there).
+        u = (
             g.select("vec_id", "nbr")
             .union(
                 g.select(F.col("nbr").alias("vec_id"), F.col("vec_id").alias("nbr"))
