@@ -1140,8 +1140,14 @@ def dedup_cluster_keeper_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``tests/test_lsh_star.py``.
     """
     docs = load_table(spark, sf_dir, "documents")
-    docs.createOrReplaceTempView("__docs")
-    pairs = materialize(spark.sql(_lsh_star_sql(_SPARK_SHINGLES, ln="size")))
+    # r16 opt round: route through the staged cascade like every other
+    # Spark LSH consumer (r15 rerouted the standalone trio and the
+    # composed pipelines; this was the one consumer still on the
+    # one-statement form, where Spark's CTE inlining re-executes the
+    # shingles→sigs→bands cascade per reference — guide §2.4).  The
+    # DuckDB oracle text is unchanged; ``cc_star_labels`` materializes
+    # its own edge input, so no extra checkpoint here.
+    pairs = lsh_pairs_staged(spark, docs, star=True).select("doc1", "doc2")
     labels = cc_star_labels(pairs)
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.length("text").cast("bigint").alias("text_len")
