@@ -176,10 +176,19 @@ def _gs_search_edges(
             _norm2(F.col("embedding")).alias("qn"),
         )
     )
-    cv = e.select(
-        F.col("vec_id").alias("node"),
-        F.col("embedding").alias("ce"),
-        _norm2(F.col("embedding")).alias("cn"),
+    # Loop-invariant hoist (r16 opt round, guide §2.4): the corpus-side
+    # scoring projection is referenced by every round's score() join;
+    # checkpointing it once replaces rounds+1 parquet re-scans + norm
+    # recomputations with one block read per reference — the same
+    # materialize-the-scoring-projection discipline ``sc_nnd_edges``
+    # documents (its ``a``/``b`` pair).  A/B at sf0.1: 17.4 s → 15.8 s
+    # steady-state, job count unchanged.
+    cv = materialize(
+        e.select(
+            F.col("vec_id").alias("node"),
+            F.col("embedding").alias("ce"),
+            _norm2(F.col("embedding")).alias("cn"),
+        )
     )
     d2 = F.round(F.col("qn") + F.col("cn") - 2 * _dot(F.col("qe"), F.col("ce")), 6)
 

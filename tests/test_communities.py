@@ -100,6 +100,25 @@ def test_lpa_matches_reference_on_random_graphs(spark, seed):
     assert _spark_lpa(spark, edges) == ref_lpa(edges, SC_LPA_ROUNDS)
 
 
+def test_lpa_shrinking_label_table_defers_convergence(spark):
+    """Focused r16 probe test: the exact fixpoint check is
+    ``moved == 0 AND n == prev_n``.  On a directed graph where a node
+    drops out (its only out-edge points at a non-src, so it never has a
+    surviving candidate), the first round has moved == 0 but a SHRUNK
+    row count — convergence must NOT be declared until the count is also
+    stable, or a weaker probe would stop one round early on a table that
+    still changed.  (Production callers symmetrize + self-loop, where no
+    node ever drops; this pins the guard itself.)"""
+    edges = [(1, 1), (9, 7)]  # 7 has no out-edges => 9 drops in round 1
+    df = spark.createDataFrame(edges, "src long, dst long")
+    stats: dict = {}
+    res = lpa_labels(df, SC_LPA_ROUNDS, stats=stats)
+    assert {r.id: r.lbl for r in res.collect()} == {1: 1}
+    assert stats["converged"]
+    # round 1: moved == 0 but n: 2 -> 1 (NOT converged); round 2: stable.
+    assert stats["rounds"] == 2
+
+
 def test_sc_communities_on_real_graph_converges(spark):
     """End-to-end over the sf0.001 embeddings: every cell labeled, the
     fixpoint is reached inside the round budget, and communities are
