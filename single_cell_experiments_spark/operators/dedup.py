@@ -273,6 +273,22 @@ def lsh_pairs_staged(
       → one input split → the whole cascade single-task without this
       (the repartition is one O(docs) exchange, standard
       repartition-before-explode).
+    - The verify tier only ever reads ``docsets`` rows for docs that
+      appear in a candidate pair (the ``inter`` joins are inner on
+      doc1/doc2), and every candidate doc — plain (bandsok self-join,
+      bucket ≥ 2 members) or star (bover, bucket > cap ≥ 2) — sits in
+      some bucket shared with another doc.  So ``docsets`` is built
+      behind a LEFT SEMI join on "docs in a ≥2-member bucket" (r16,
+      guide §2.3/§3.2: drop non-matching rows from the heavy side
+      before it shuffles): the shingle→sorted-array aggregation — the
+      widest payload in the cascade — and its checkpoint shrink to the
+      shareable docs.  Lossless by the superset argument above; the
+      restriction itself is one tiny (band, sig) aggregate over the
+      already-checkpointed bands view, no extra materialize.  On a
+      dup-poor corpus (the realistic 100 TB regime) most docs share no
+      bucket and the verify aggregation all but disappears; the
+      registered dup-dense fixtures keep ~all docs, costing one
+      broadcast semi-join (measured: task/byte counts, OPTIMIZATION_r16).
 
     Returns (doc1, doc2, jaccard[, via_star]) exactly as the one-statement
     builders do."""
@@ -310,7 +326,18 @@ def lsh_pairs_staged(
     )
     mv(
         spark.sql(
-            f"SELECT doc_id, array_sort(array_agg(h)) AS hs FROM {p}sh GROUP BY doc_id"
+            f"""
+SELECT s.doc_id, array_sort(array_agg(s.h)) AS hs
+FROM {p}sh s
+LEFT SEMI JOIN (
+  SELECT b.doc_id
+  FROM {p}bands b
+  JOIN (SELECT band, sig FROM {p}bands
+        GROUP BY band, sig HAVING COUNT(*) >= 2) g
+    ON g.band = b.band AND g.sig = b.sig
+) c ON s.doc_id = c.doc_id
+GROUP BY s.doc_id
+"""
         ),
         f"{p}docsets",
     )
