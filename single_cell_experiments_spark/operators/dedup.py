@@ -253,6 +253,7 @@ def lsh_pairs_staged(
     cap: int | None = None,
     band_sigs: list[str] | None = None,
     star: bool = False,
+    score: str = "jaccard",
 ) -> DataFrame:
     """Spark execution twin of ``_lsh_core_sql`` + the Jaccard tail with
     the shared cascade MATERIALIZED once (r14 verdict #5 — make the 100×
@@ -290,8 +291,15 @@ def lsh_pairs_staged(
       registered dup-dense fixtures keep ~all docs, costing one
       broadcast semi-join (measured: task/byte counts, OPTIMIZATION_r16).
 
+    ``score`` selects the verification tail over the same staged
+    cascade: ``"jaccard"`` (the default, ``_minhash_sql``'s tail) or
+    ``"containment"`` (``_containment_sql``'s asymmetric tail — r16,
+    the last one-statement Spark LSH consumer brought onto the staged
+    cascade; fragment texts unchanged, DuckDB oracle untouched).
+
     Returns (doc1, doc2, jaccard[, via_star]) exactly as the one-statement
-    builders do."""
+    builders do — or (doc1, doc2, c_fwd, c_rev, contained_doc) for the
+    containment tail."""
     cap = LSH_BUCKET_CAP if cap is None else int(cap)
     sigs_list = band_sigs if band_sigs is not None else _BAND_SIGS
     p = f"__lsh{next(_LSH_STAGE_NONCE)}_"
@@ -362,6 +370,20 @@ cand_all AS (
     inter_src = "cand_all" if star else "cand"
     via_sel = ", c.via_star" if star else ""
     via_out = ",\n       CAST(i.via_star AS BIGINT) AS via_star" if star else ""
+    if score == "containment":
+        score_sql = f"""
+SELECT i.doc1, i.doc2,
+       round(CAST(i.i AS DOUBLE) / i.n1, 6) AS c_fwd,
+       round(CAST(i.i AS DOUBLE) / i.n2, 6) AS c_rev,
+       CAST(CASE WHEN i.n1 <= i.n2 THEN i.doc1 ELSE i.doc2 END AS BIGINT) AS contained_doc
+FROM inter i
+WHERE CAST(i.i AS DOUBLE) / LEAST(i.n1, i.n2) >= {CONTAINMENT_MIN}"""
+    else:
+        score_sql = f"""
+SELECT i.doc1, i.doc2,
+       round(CAST(i.i AS DOUBLE) / (i.n1 + i.n2 - i.i), 6) AS jaccard{via_out}
+FROM inter i
+WHERE CAST(i.i AS DOUBLE) / (i.n1 + i.n2 - i.i) >= {MINHASH_JACCARD_MIN}"""
     tail = spark.sql(
         f"""
 WITH bcap AS (SELECT band, sig FROM {p}bands GROUP BY band, sig
@@ -384,10 +406,7 @@ inter AS (
   JOIN {p}docsets a1 ON a1.doc_id = c.doc1
   JOIN {p}docsets a2 ON a2.doc_id = c.doc2
 )
-SELECT i.doc1, i.doc2,
-       round(CAST(i.i AS DOUBLE) / (i.n1 + i.n2 - i.i), 6) AS jaccard{via_out}
-FROM inter i
-WHERE CAST(i.i AS DOUBLE) / (i.n1 + i.n2 - i.i) >= {MINHASH_JACCARD_MIN}
+{score_sql}
 """
     )
     for name in created:
@@ -1662,10 +1681,15 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling on the small side; the scoring and thresholds here are exact
     over whatever candidate generator feeds them (same Σ(bucket²) scale
     bound as ``dedup_minhash_lsh``).
+
+    Executes via ``lsh_pairs_staged(score="containment")`` (r16): this
+    was the last Spark LSH consumer on the one-statement form, whose
+    CTE-inlined cascade re-executes per reference (the 800–1,340 s
+    re-runs SCALE §20 measured at the 30× stress).  Same fragment
+    texts; the DuckDB oracle stays the one-statement ``_containment_sql``.
     """
     docs = load_table(spark, sf_dir, "documents")
-    docs.createOrReplaceTempView("__docs")
-    return spark.sql(_containment_sql(_SPARK_SHINGLES, ln="size"))
+    return lsh_pairs_staged(spark, docs, score="containment")
 
 
 # --- edit-distance near-dup tier (blocked levenshtein join) -------------------
