@@ -150,6 +150,15 @@ _BAND_SIGS_HIRECALL = _band_sig_exprs(BANDS_HIRECALL, ROWS_PER_BAND_HIRECALL)
 #: not a bigger cap.
 LSH_BUCKET_CAP = 2000
 
+#: max shareable-doc count for which the staged verify tier applies its
+#: broadcast semi-join docsets restriction (``lsh_pairs_staged``): 20M
+#: BIGINT ids ≈ 160 MB framed — inside the guide's "a few hundred MB is
+#: usually fine" broadcast envelope (§3.1) and far under the 8 GB /
+#: 512M-row hard cap.  Past this the builder keeps the unrestricted
+#: shape: an un-broadcast semi-join re-shuffles the whole shingle set
+#: (measured net loss at the 30× stress — see the builder docstring).
+LSH_VERIFY_IDS_BROADCAST_MAX = 20_000_000
+
 
 def _lsh_core_sql(
     shingles_cte: str,
@@ -278,18 +287,28 @@ def lsh_pairs_staged(
       appear in a candidate pair (the ``inter`` joins are inner on
       doc1/doc2), and every candidate doc — plain (bandsok self-join,
       bucket ≥ 2 members) or star (bover, bucket > cap ≥ 2) — sits in
-      some bucket shared with another doc.  So ``docsets`` is built
-      behind a LEFT SEMI join on "docs in a ≥2-member bucket" (r16,
-      guide §2.3/§3.2: drop non-matching rows from the heavy side
-      before it shuffles): the shingle→sorted-array aggregation — the
-      widest payload in the cascade — and its checkpoint shrink to the
-      shareable docs.  Lossless by the superset argument above; the
-      restriction itself is one tiny (band, sig) aggregate over the
-      already-checkpointed bands view, no extra materialize.  On a
-      dup-poor corpus (the realistic 100 TB regime) most docs share no
-      bucket and the verify aggregation all but disappears; the
-      registered dup-dense fixtures keep ~all docs, costing one
-      broadcast semi-join (measured: task/byte counts, OPTIMIZATION_r16).
+      some bucket shared with another doc.  So ``docsets`` — the
+      shingle→sorted-array aggregation, the widest payload in the
+      cascade — is built behind a BROADCAST LEFT SEMI join on "docs in
+      a ≥2-member bucket" (r16, guide §2.3/§3.2: drop non-matching rows
+      from the heavy side before it shuffles).  Lossless by the
+      superset argument above.  The restriction is ADAPTIVE: one scalar
+      probe job over the already-checkpointed bands view counts the
+      shareable docs, and the semi-join is applied only when that count
+      fits ``LSH_VERIFY_IDS_BROADCAST_MAX`` — a broadcast filter is then
+      pure map-side row-dropping (no extra exchange), so any shrink is
+      a win.  Past the cap the builder keeps the unrestricted r15 shape:
+      an un-broadcast semi-join re-shuffles the full shingle set, which
+      MEASURED as a net loss on the dup-dense 30× stress (shuffle write
+      345→501 MB, wall 235→253 s, SMJ LeftSemi in the plan) — exactly
+      the regime where ~every doc is shareable and the restriction buys
+      nothing.  On a dup-poor corpus (the realistic 100 TB regime) the
+      shareable set is the near-dup fraction, comfortably under the cap,
+      and the verify aggregation shrinks proportionally.  (Beyond the
+      cap on a dup-poor corpus the production extension is a Bloom
+      filter over the shareable ids, guide §3.2 — not expressible in
+      public PySpark without a Scala helper; the fallback stays
+      lossless.)
 
     ``score`` selects the verification tail over the same staged
     cascade: ``"jaccard"`` (the default, ``_minhash_sql``'s tail) or
@@ -332,10 +351,21 @@ def lsh_pairs_staged(
         ),
         f"{p}bands",
     )
-    mv(
-        spark.sql(
-            f"""
-SELECT s.doc_id, array_sort(array_agg(s.h)) AS hs
+    # Adaptive verify restriction (see docstring): one scalar probe over
+    # the checkpointed bands decides whether the shareable-doc id list is
+    # small enough to broadcast; only then is the semi-join worth it.
+    n_shared = spark.sql(
+        f"""
+SELECT COUNT(DISTINCT b.doc_id) AS c
+FROM {p}bands b
+JOIN (SELECT band, sig FROM {p}bands
+      GROUP BY band, sig HAVING COUNT(*) >= 2) g
+  ON g.band = b.band AND g.sig = b.sig
+"""
+    ).collect()[0][0]
+    if n_shared <= LSH_VERIFY_IDS_BROADCAST_MAX:
+        docsets_sql = f"""
+SELECT /*+ BROADCAST(c) */ s.doc_id, array_sort(array_agg(s.h)) AS hs
 FROM {p}sh s
 LEFT SEMI JOIN (
   SELECT b.doc_id
@@ -346,9 +376,11 @@ LEFT SEMI JOIN (
 ) c ON s.doc_id = c.doc_id
 GROUP BY s.doc_id
 """
-        ),
-        f"{p}docsets",
-    )
+    else:
+        docsets_sql = (
+            f"SELECT doc_id, array_sort(array_agg(h)) AS hs FROM {p}sh GROUP BY doc_id"
+        )
+    mv(spark.sql(docsets_sql), f"{p}docsets")
     star_ctes = (
         f""",
 bover AS (SELECT band, sig, MIN(doc_id) AS ex FROM {p}bands GROUP BY band, sig
